@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.xel.{XeFixture, XelFunctions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * The downstream query surface (SURVEY.md §2.4 / §7 phase E): the reference
+ * loads event tables into SQL Server *specifically so users can run*
+ * joins/aggregates/windows/top-K over them (`/root/reference/README.md:29`).
+ * Capability parity means those queries run natively on Spark. All plans are
+ * declarative DataFrame ops → Catalyst does pushdown/pruning/join selection;
+ * dimension tables are explicitly `broadcast()` so the 100 TB plan has no
+ * shuffle on the fact side for dim joins.
+ *
+ * Determinism: exact decimal arithmetic for money sums (double sums are
+ *  order-dependent and would not hash-match DuckDB), final cast to double,
+ * deterministic ORDER BY with unique tie-break keys everywhere.
+ */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** exact money arithmetic: double col → decimal(18,2) before aggregation */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy single-pass aggregation; partial (map-side)
+    // aggregation makes this shuffle only |groups| rows at scale.
+    "q1_pricing_summary" -> ((spark, dir) => {
+      t(spark, dir, "lineitem")
+        .filter(col("l_quantity") >= 0) // keep-all guard; pushdown still visible
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 shape: two joins + group + top-K. Catalyst broadcast-joins the
+    // filtered customer side under AQE; explicit hint keeps it stable.
+    "q3_top_orders" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(spark, dir, "orders")
+      val li = t(spark, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way join through the dimension chain, all dims
+    // broadcast — zero shuffles on lineitem besides the final group-by.
+    "q5_nation_revenue" -> ((spark, dir) => {
+      val region = t(spark, dir, "region")
+      val nation = t(spark, dir, "nation")
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders")
+      val li = t(spark, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Top-K per group via window rank — "top statements by duration", the
+    // canonical XE post-load analysis (SURVEY.md §2.4).
+    "topk_per_type" -> ((spark, dir) => {
+      val xe = XeFixture.frame(spark, dir)
+      val w = Window.partitionBy(col("event_name"))
+        .orderBy(col("c_duration_us").desc, col("c_event_sequence"))
+      xe.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_name"), col("rk"), col("c_event_sequence"),
+          col("c_duration_us"), col("c_session_id"))
+        .orderBy("event_name", "rk")
+    }),
+
+    // Session timeline: lag() deltas per session — gap analysis over the
+    // event stream (SURVEY.md §7 phase E "per-session timelines").
+    "session_timeline" -> ((spark, dir) => {
+      val xe = XeFixture.frame(spark, dir)
+      val w = Window.partitionBy(col("c_session_id"))
+        .orderBy(col("e_time_of_event_utc"), col("c_event_sequence"))
+      // gaps in exact integer microseconds — summing double-valued seconds
+      // would be partition-order-dependent and never hash-match the oracle
+      xe.withColumn("ts_us", unix_micros(col("e_time_of_event_utc")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy(col("c_session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("gap_us")).as("total_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("c_session_id")
+    }),
+
+    // Hash-companion join (F5's purpose): event rows ⋈ DMV-like samples on
+    // the binary hash, surfaced as hex. The DMV side is derived (FIXTURES.md
+    // §3) from a sample of hashes; broadcast — it is small by construction.
+    "dmv_hash_join" -> ((spark, dir) => {
+      val xe = XeFixture.frame(spark, dir)
+        .withColumn("a_query_hash_hex", F.hashToBinHex(col("a_query_hash")))
+      val dmv = xe.filter(col("c_event_sequence") % 10 === 0)
+        .select(col("a_query_hash_hex").as("dmv_hash_hex"),
+          col("c_duration_us").as("sample_duration"))
+      xe.join(broadcast(dmv), xe("a_query_hash_hex") === dmv("dmv_hash_hex"))
+        .groupBy(col("event_name"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("sample_duration")).as("total_sample_duration"))
+        .orderBy("event_name")
+    }),
+
+    // Distinct sessions: exact + approximate side by side (the approx path
+    // is the one that survives 100 TB; exactness checked at test scale).
+    "distinct_sessions" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("event_name"))
+        .agg(countDistinct(col("c_session_id")).as("exact_sessions"))
+        .orderBy("event_name")
+    }),
+
+    // Set ops across two "load runs" (first/second half of the stream):
+    // sessions present in both runs, and only in run 1 (SURVEY.md §7 E).
+    "setops_runs" -> ((spark, dir) => {
+      val xe = XeFixture.frame(spark, dir)
+      val mid = xe.agg(max(col("c_event_sequence"))).head().getLong(0) / 2
+      val run1 = xe.filter(col("c_event_sequence") <= mid).select("c_session_id").distinct()
+      val run2 = xe.filter(col("c_event_sequence") > mid).select("c_session_id").distinct()
+      val both = run1.intersect(run2).withColumn("presence", lit("both"))
+      val only1 = run1.except(run2).withColumn("presence", lit("run1_only"))
+      val only2 = run2.except(run1).withColumn("presence", lit("run2_only"))
+      both.unionAll(only1).unionAll(only2).orderBy("presence", "c_session_id")
+    }),
+
+    // Rollup: order counts at (status, priority), (status), () levels —
+    // grouping-sets surface over the loaded tables.
+    "rollup_orders" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val cte = XeFixture.sqlCte
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_quantity >= 0
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_top_orders" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin,
+
+      "q5_nation_revenue" ->
+        """SELECT r_name, n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin,
+
+      "topk_per_type" ->
+        s"""$cte
+           |SELECT event_name, rk, c_event_sequence, c_duration_us, c_session_id
+           |FROM (
+           |  SELECT event_name, c_event_sequence, c_duration_us, c_session_id,
+           |         row_number() OVER (PARTITION BY event_name
+           |           ORDER BY c_duration_us DESC, c_event_sequence) AS rk
+           |  FROM xe
+           |) ranked WHERE rk <= 3
+           |ORDER BY event_name, rk""".stripMargin,
+
+      "session_timeline" ->
+        s"""$cte,
+           |gaps AS (
+           |  SELECT c_session_id,
+           |         epoch_us(e_time_of_event_utc) -
+           |         lag(epoch_us(e_time_of_event_utc)) OVER (
+           |           PARTITION BY c_session_id
+           |           ORDER BY e_time_of_event_utc, c_event_sequence) AS gap_us
+           |  FROM xe
+           |)
+           |SELECT c_session_id,
+           |       count(*) AS n_events,
+           |       sum(gap_us) AS total_gap_us,
+           |       max(gap_us) AS max_gap_us
+           |FROM gaps GROUP BY c_session_id ORDER BY c_session_id""".stripMargin,
+
+      "dmv_hash_join" ->
+        s"""$cte,
+           |hx AS (SELECT xe.*, lpad(to_hex(a_query_hash), 16, '0') AS a_query_hash_hex FROM xe),
+           |dmv AS (SELECT a_query_hash_hex AS dmv_hash_hex, c_duration_us AS sample_duration
+           |        FROM hx WHERE c_event_sequence % 10 = 0)
+           |SELECT event_name, count(*) AS n_matched,
+           |       sum(sample_duration) AS total_sample_duration
+           |FROM hx JOIN dmv ON a_query_hash_hex = dmv_hash_hex
+           |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "distinct_sessions" ->
+        s"""$cte
+           |SELECT event_name, count(DISTINCT c_session_id) AS exact_sessions
+           |FROM xe GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "setops_runs" ->
+        s"""$cte,
+           |mid AS (SELECT max(c_event_sequence) / 2 AS m FROM xe),
+           |run1 AS (SELECT DISTINCT c_session_id FROM xe, mid WHERE c_event_sequence <= m),
+           |run2 AS (SELECT DISTINCT c_session_id FROM xe, mid WHERE c_event_sequence > m)
+           |SELECT c_session_id, 'both' AS presence FROM run1 INTERSECT SELECT c_session_id, 'both' FROM run2
+           |UNION ALL
+           |(SELECT c_session_id, 'run1_only' FROM run1 EXCEPT SELECT c_session_id, 'run1_only' FROM run2)
+           |UNION ALL
+           |(SELECT c_session_id, 'run2_only' FROM run2 EXCEPT SELECT c_session_id, 'run2_only' FROM run1)
+           |ORDER BY presence, c_session_id""".stripMargin,
+
+      "rollup_orders" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders
+          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+    )
+  }
+}

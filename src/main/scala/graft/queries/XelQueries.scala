@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.xel.{XeFixture, XelConfig, XelFunctions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ETL-parity queries (SURVEY.md §2.1–§2.3): each exercises one or more
+ * reference operators over the shared XE-shaped fixture, paired with a
+ * DuckDB oracle in [[oracles]]. Every query ends in a deterministic
+ * ORDER BY so the driver's hash-compare never sees nondeterministic row
+ * order; every floating aggregate goes through exact decimal arithmetic
+ * before a final cast (Spark and DuckDB disagree on double summation order
+ * otherwise).
+ */
+object XelQueries {
+
+  /** Demo truncation limit small enough that the fixture's 8–9 char
+    * `props` strings actually truncate (the reference default 1024 would
+    * never fire on fixture data). */
+  val demoStringLimit = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full reshape: F1 time triple, P6 prefixes, F2 truncation, F5 hash
+    // companion (hex at the edge), F8 module statement fix, P1 demux key.
+    "xe_shape" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .select(
+          col("c_event_sequence"),
+          col("e_imported_file_id"),
+          col("e_time_of_event"),
+          col("e_time_of_event_utc"),
+          col("e_time_of_event_local"),
+          col("c_session_id"),
+          col("c_duration_us"),
+          F.moduleStatementFix(col("event_name"),
+            F.truncate(col("c_statement"), demoStringLimit)).as("c_statement"),
+          F.truncatedFlag(col("c_statement"), demoStringLimit).as("stmt_truncated"),
+          col("a_query_hash"),
+          F.hashToBinHex(col("a_query_hash")).as("a_query_hash_hex"),
+          col("event_name"))
+        .orderBy("c_event_sequence")
+    }),
+
+    // P1: event-type demux as an aggregate view — one row per event table
+    // the reference would create (A3 counter = row count of this result).
+    "xe_demux_counts" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("event_name"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("c_event_sequence")).as("min_seq"),
+          max(col("c_event_sequence")).as("max_seq"),
+          countDistinct(col("c_session_id")).as("n_sessions"))
+        .orderBy("event_name")
+    }),
+
+    // A4: truncation counters as a grouped aggregation instead of the
+    // reference's lock-guarded mutable ints (`FileProcessor.cs:242-252`).
+    "xe_truncation_stats" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("e_imported_file_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(F.truncatedFlag(col("c_statement"), demoStringLimit)).as("n_string_trunc"),
+          sum(length(col("c_statement"))).as("total_chars"),
+          sum(length(F.truncate(col("c_statement"), demoStringLimit))).as("kept_chars"))
+        .orderBy("e_imported_file_id")
+    }),
+
+    // F1 downstream: per-minute event-rate rollup — the graphing query the
+    // reference's smalldatetime column exists for (`EventMetadata.cs:307`).
+    "xe_rate_minute" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("e_time_of_event").as("minute"), col("event_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_duration_us")).as("total_duration_us"))
+        .orderBy("minute", "event_name")
+    }),
+
+    // S7/lineage: per-imported-file load summary — what the tracking table
+    // `dbo.tbl_ImportedXEventFiles` answers (`InputParameters.cs:517-563`).
+    "xe_lineage" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("e_imported_file_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_name")).as("n_event_types"),
+          min(col("e_time_of_event_utc")).as("first_event"),
+          max(col("e_time_of_event_utc")).as("last_event"))
+        .orderBy("e_imported_file_id")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val cte = XeFixture.sqlCte
+    Map(
+      "xe_shape" ->
+        s"""$cte
+           |SELECT
+           |  c_event_sequence,
+           |  e_imported_file_id,
+           |  e_time_of_event,
+           |  e_time_of_event_utc,
+           |  e_time_of_event_local,
+           |  c_session_id,
+           |  c_duration_us,
+           |  CASE WHEN event_name IN ('module_start','module_end') THEN ''
+           |       WHEN length(c_statement) > $demoStringLimit THEN substring(c_statement, 1, $demoStringLimit)
+           |       ELSE c_statement END AS c_statement,
+           |  CASE WHEN length(c_statement) > $demoStringLimit THEN 1 ELSE 0 END AS stmt_truncated,
+           |  a_query_hash,
+           |  lpad(to_hex(a_query_hash), 16, '0') AS a_query_hash_hex,
+           |  event_name
+           |FROM xe
+           |ORDER BY c_event_sequence""".stripMargin,
+
+      "xe_demux_counts" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n_events,
+           |       min(c_event_sequence) AS min_seq,
+           |       max(c_event_sequence) AS max_seq,
+           |       count(DISTINCT c_session_id) AS n_sessions
+           |FROM xe GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_truncation_stats" ->
+        s"""$cte
+           |SELECT e_imported_file_id,
+           |       count(*) AS n_rows,
+           |       sum(CASE WHEN length(c_statement) > $demoStringLimit THEN 1 ELSE 0 END) AS n_string_trunc,
+           |       sum(length(c_statement)) AS total_chars,
+           |       sum(length(CASE WHEN length(c_statement) > $demoStringLimit
+           |                       THEN substring(c_statement, 1, $demoStringLimit)
+           |                       ELSE c_statement END)) AS kept_chars
+           |FROM xe GROUP BY e_imported_file_id ORDER BY e_imported_file_id""".stripMargin,
+
+      "xe_rate_minute" ->
+        s"""$cte
+           |SELECT e_time_of_event AS minute, event_name,
+           |       count(*) AS n,
+           |       sum(c_duration_us) AS total_duration_us
+           |FROM xe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "xe_lineage" ->
+        s"""$cte
+           |SELECT e_imported_file_id,
+           |       count(*) AS n_events,
+           |       count(DISTINCT event_name) AS n_event_types,
+           |       min(e_time_of_event_utc) AS first_event,
+           |       max(e_time_of_event_utc) AS last_event
+           |FROM xe GROUP BY e_imported_file_id ORDER BY e_imported_file_id""".stripMargin
+    )
+  }
+}

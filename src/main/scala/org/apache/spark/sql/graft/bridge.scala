@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the `Column` ↔ catalyst `Expression` bridge `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Extension libraries
+  * that ship custom Catalyst expressions need exactly these two hops, so we
+  * re-export them from inside the sql package — the conventional pattern
+  * for Spark extension projects. Nothing else from the private API leaks. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
