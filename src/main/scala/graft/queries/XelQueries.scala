@@ -79,6 +79,37 @@ object XelQueries {
         .orderBy("minute", "event_name")
     }),
 
+    // F6: callstack → debugger command, through the custom Catalyst
+    // expression (CallstackDebugCmd). The fixture callstack is 12 bytes:
+    // one 8-byte frame from the hash + 4 trailing bytes that the
+    // frame-math must drop (floor(12/8) = 1 frame).
+    "xe_callstack" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .withColumn("a_callstack",
+          unhex(concat(F.hashToBinHex(col("a_query_hash")), lit("DEADBEEF"))))
+        .select(
+          col("c_event_sequence"),
+          hex(col("a_callstack")).as("a_callstack_hex"),
+          F.callstackDebugCmd(col("a_callstack"), 8, "ln").as("a_callstack_debugcmd"),
+          // F4 binary truncation at 5 bytes, surfaced as hex
+          hex(F.truncate(col("a_callstack"), 5)).as("trunc5_hex"))
+        .orderBy("c_event_sequence")
+    }),
+
+    // P2/P3: file-name wildcard + session-pattern filters over synthesized
+    // file names (`FileProcessor.cs:148-174,336-378`).
+    "xe_file_pattern" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .withColumn("file_name",
+          concat(lit("GraftSession_"), col("e_imported_file_id"), lit("_240101.xel")))
+        .filter(col("file_name").rlike(graft.xel.Pipeline.wildcardToRegex("graftsession*.xel")))
+        .withColumn("session_pattern",
+          regexp_extract(col("file_name"), "^(.*)_[^_]+_[^_]+\\.xel$", 1))
+        .groupBy(col("file_name"), col("session_pattern"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("file_name")
+    }),
+
     // S7/lineage: per-imported-file load summary — what the tracking table
     // `dbo.tbl_ImportedXEventFiles` answers (`InputParameters.cs:517-563`).
     "xe_lineage" -> ((spark, dir) => {
@@ -93,9 +124,41 @@ object XelQueries {
     })
   )
 
+  /** Byte-reverse a 16-hex-char string in pure SQL: swap the 8 hex pairs.
+    * Used by the callstack oracle to compute the frame hex without blob ops
+    * (SURVEY.md §7.4: keep binary at the edges as hex strings). */
+  private def revPairsSql(h: String): String =
+    (7 to 0 by -1).map(i => s"substring($h, ${i * 2 + 1}, 2)").mkString(" || ")
+
   def oracles: Map[String, String] = {
     val cte = XeFixture.sqlCte
     Map(
+      "xe_callstack" ->
+        s"""$cte,
+           |cs AS (
+           |  SELECT c_event_sequence,
+           |         lpad(to_hex(a_query_hash), 16, '0') AS frame_hex
+           |  FROM xe
+           |)
+           |SELECT c_event_sequence,
+           |       frame_hex || 'DEADBEEF' AS a_callstack_hex,
+           |       'ln ' || ${revPairsSql("frame_hex")} || ';' AS a_callstack_debugcmd,
+           |       substring(frame_hex || 'DEADBEEF', 1, 10) AS trunc5_hex
+           |FROM cs ORDER BY c_event_sequence""".stripMargin,
+
+      "xe_file_pattern" ->
+        s"""$cte,
+           |named AS (
+           |  SELECT xe.*,
+           |         'GraftSession_' || e_imported_file_id || '_240101.xel' AS file_name
+           |  FROM xe
+           |)
+           |SELECT file_name,
+           |       regexp_extract(file_name, '^(.*)_[^_]+_[^_]+\\.xel$$', 1) AS session_pattern,
+           |       count(*) AS n_events
+           |FROM named
+           |WHERE regexp_matches(file_name, '(?i)^graftsession.*\\.xel$$')
+           |GROUP BY 1, 2 ORDER BY file_name""".stripMargin,
       "xe_shape" ->
         s"""$cte
            |SELECT

@@ -1,0 +1,150 @@
+package graft.xel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/**
+ * The load pipeline — the reference's per-file driver loop
+ * (`XELoader/FileProcessor.cs:81-278`, SURVEY.md §3.2) re-homed onto
+ * Spark's execution model:
+ *
+ *  - file discovery + wildcard filter  → `pathGlobFilter` / regex on
+ *    `input_file_name()` (P2)
+ *  - session-pattern filter            → leading-pattern derivation + filter (P3)
+ *  - per-event-type demux              → ONE distributed write with
+ *    `partitionBy(event_name)` instead of N buffered tables (P1)
+ *  - rowstore "clustered index on c_event_sequence" → `sortWithinPartitions`
+ *    before write, giving parquet row-group min/max pruning on time/seq
+ *    predicates (`EventMetadata.cs:205-228` analogue)
+ *  - truncation/error counters         → `LongAccumulator`s merged at the
+ *    driver (replaces `error_truncation_Lock`, `FileProcessor.cs:242-252`)
+ *  - lineage                           → per-file aggregate written next to
+ *    the data (replaces `dbo.tbl_ImportedXEventFiles`)
+ *
+ * Scale notes (100 TB): the plan is shuffle-free — each input split flows
+ * scan → project → write. `partitionBy` does not shuffle; tasks write one
+ * file per event type they see. With few event types and many input files
+ * that yields (files × types) outputs; `maxRecordsPerFile` bounds file count
+ * explosion, and AQE rebalance can be layered on if the type distribution
+ * is extremely skewed.
+ */
+object Pipeline {
+
+  /** P2 — `*`/`?` wildcard → anchored case-insensitive regex
+    * (`FileProcessor.cs:148-166`). */
+  def wildcardToRegex(pattern: String): String =
+    "(?i)^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  /** P3 — derive the session's leading file pattern by stripping the last
+    * two `_`-separated segments: `Session_Name_0_130.xel` → `Session_Name`
+    * (`FileProcessor.cs:336-378`). Malformed names (fewer than two
+    * underscores) are an error, as in the reference. */
+  def leadingFilePattern(fileName: String): Either[String, String] = {
+    val base = fileName.stripSuffix(".xel")
+    val lastUs = base.lastIndexOf('_')
+    if (lastUs <= 0) Left(s"malformed XEL file name (needs SessionName_Partition_Timestamp): $fileName")
+    else {
+      val secondUs = base.lastIndexOf('_', lastUs - 1)
+      if (secondUs <= 0) Left(s"malformed XEL file name (needs SessionName_Partition_Timestamp): $fileName")
+      else Right(base.substring(0, secondUs))
+    }
+  }
+
+  /** Run-level counters (SURVEY.md §2.4 A1–A4) — accumulators so executors
+    * update them lock-free and Spark merges at the driver. */
+  final class LoadCounters(spark: SparkSession) {
+    val stringTruncations: LongAccumulator = spark.sparkContext.longAccumulator("string_truncations")
+    val xmlTruncations: LongAccumulator = spark.sparkContext.longAccumulator("xml_truncations")
+    val binaryTruncations: LongAccumulator = spark.sparkContext.longAccumulator("binary_truncations")
+    val errors: LongAccumulator = spark.sparkContext.longAccumulator("errors")
+  }
+
+  final case class LoadStats(
+      eventsLoaded: Long, filesProcessed: Long, eventTypes: Long,
+      stringTruncations: Long, errors: Long)
+
+  /**
+   * Width-limit a frame per config (F2–F4) the way the reference's
+   * ColumnStore-without-LOB path does (`EventHolder.cs:273-339`), driving
+   * the truncation counters. Column classes come from [[EventSchema]]:
+   * XML-typed strings use the XML limit, known-large strings are exempt
+   * only when `limitWidths` is off (the reference truncates them too when
+   * widths are limited), binary uses the binary limit — the reference's
+   * copy-length bug (`EventHolder.cs:327`) is deliberately not reproduced.
+   */
+  def applyWidthLimits(df: DataFrame, cfg: XelConfig, counters: Option[LoadCounters] = None): DataFrame = {
+    if (!cfg.limitWidths) return df
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val limited = f.dataType match {
+        case StringType if EventSchema.xmlColumns.contains(f.name) =>
+          XelFunctions.truncate(c, cfg.xmlLimit)
+        case StringType if f.name.startsWith("c_") || f.name.startsWith("a_") =>
+          XelFunctions.truncate(c, cfg.stringLimit)
+        case BinaryType => XelFunctions.truncate(c, cfg.binaryLimit)
+        case _ => c
+      }
+      limited.as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /**
+   * Demux write (P1 + D5): one distributed append of the whole stream,
+   * partitioned at rest by event type, rows clustered by event sequence
+   * within each file. Returns per-type row counts (A3's content).
+   */
+  def writeDemuxed(df: DataFrame, targetDir: String, cfg: XelConfig,
+      mode: String = "append"): DataFrame = {
+    df.sortWithinPartitions("event_name", "c_event_sequence")
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", cfg.batchSize)
+      .partitionBy("event_name")
+      .parquet(targetDir)
+    df.sparkSession.read.parquet(targetDir)
+      .groupBy("event_name").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /**
+   * Lineage (S7): per-source-file load summary, the tracking-table analogue.
+   * `file_id` is assigned deterministically by first-seen order of file
+   * names (the reference uses an IDENTITY column; any stable id works for
+   * joining event rows back to files).
+   */
+  def lineage(df: DataFrame, fileCol: String = "source_file"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(fileCol))
+    df.groupBy(col(fileCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("e_time_of_event_utc")).as("first_event"),
+        max(col("e_time_of_event_utc")).as("last_event"))
+      .withColumn("file_id", row_number().over(w))
+      .select(col("file_id"), col(fileCol).as("file_name"),
+        col("n_events"), col("first_event"), col("last_event"))
+  }
+
+  /** E1 — error budget: fail the load when bad rows exceed the per-file
+    * budget, else return the good rows. "Bad" is a caller-supplied predicate
+    * (the parquet fixture path has no parse errors; a real XEL reader marks
+    * undecodable rows). */
+  def enforceErrorBudget(df: DataFrame, isBad: org.apache.spark.sql.Column,
+      cfg: XelConfig): DataFrame = {
+    val byFile = df.groupBy(col("e_imported_file_id"))
+      .agg(sum(when(isBad, 1L).otherwise(0L)).as("n_bad"))
+      .filter(col("n_bad") > cfg.errorBudget)
+    val offenders = byFile.limit(1).collect()
+    if (offenders.nonEmpty) {
+      val r = offenders(0)
+      throw new IllegalStateException(
+        s"error budget exceeded: file ${r.get(0)} has ${r.get(1)} bad events (budget ${cfg.errorBudget})")
+    }
+    df.filter(!isBad)
+  }
+}
