@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.XelQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.XelQueries.oracles ++
-      graft.queries.RelationalQueries.oracles
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

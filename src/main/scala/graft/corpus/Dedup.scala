@@ -1,0 +1,148 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for corpus pipelines (SURVEY.md §7 phase F).
+ * Four families, in increasing robustness-to-edit order:
+ *
+ *  1. exact       — hash-groupBy on md5(text); one shuffle keyed by digest,
+ *                   map-side partial agg makes it O(|unique|) shuffle rows.
+ *  2. MinHash+LSH — shingle → K salted min-hashes → band buckets →
+ *                   candidate pairs ONLY within buckets → verify true
+ *                   Jaccard. The all-pairs O(n²) never materializes; at
+ *                   100 TB the only shuffles are (doc,shingle) explode and
+ *                   the band-bucket groupBy, both linear in corpus size.
+ *  3. SimHash     — 16-bit signature via per-bit majority vote of token
+ *                   hashes; near-dups = signatures within small Hamming
+ *                   distance (bit_count(xor)). Signature build is one
+ *                   explode + groupBy; the pair scan is on the tiny
+ *                   signature table, and at scale would use bit-rotation
+ *                   bucketing instead of the demo's self-join.
+ *  4. n-gram Jaccard — exact pairwise similarity via a shingle-postings
+ *                   self-join (inverted-index shape, NOT a cross join):
+ *                   only docs sharing ≥1 shingle ever meet.
+ *
+ * All hashes go through [[TextAnalysis.hash60]] so a DuckDB oracle can
+ * reproduce results bit-for-bit.
+ */
+object Dedup {
+  import TextAnalysis._
+
+  /** Exploded (id, shingle) postings — distinct shingles per doc. */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+
+  /** Per-source exact-duplicate summary over md5(text). */
+  def exactDupSummary(docs: DataFrame, textCol: String, byCol: String): DataFrame =
+    docs.withColumn("digest", md5(col(textCol)))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_unique_texts"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join:
+    * postings ⋈ postings on shingle (d1 < d2) → common counts, then join
+    * per-doc set sizes. Shuffles are keyed by shingle then by pair —
+    * both bounded by postings size, never by n². */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val post = shinglePostings(docs, idCol, textCol, k)
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = post.as("a").join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "common", "jaccard")
+  }
+
+  /** K salted min-hash columns (the signature) per doc. Docs with no
+    * shingles (fewer than k tokens) drop out — they cannot near-dup. */
+  def minhashSignatures(post: DataFrame, numHashes: Int): DataFrame =
+    post.groupBy(col("doc_id"))
+      .agg(
+        min(hash60Salted(0, col("shingle"))).as("mh0"),
+        (1 until numHashes).map(i =>
+          min(hash60Salted(i, col("shingle"))).as(s"mh$i")): _*)
+
+  /** LSH banding: split the K-column signature into bands of `rowsPerBand`,
+    * key each band by md5 of its joined values. Emits (doc_id, band, key). */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val key = md5(concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from band-bucket
+    * collisions, verified with true Jaccard ≥ threshold. Returns
+    * (d1, d2, n_bands_matched, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, numHashes: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val post = shinglePostings(docs, idCol, textCol, k)
+    val bands = lshBands(minhashSignatures(post, numHashes), numHashes, rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands_matched"))
+    // verify: true Jaccard on candidate pairs only (inverted-index join
+    // restricted by semi-join to candidates — no all-pairs work).
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = post.as("a").join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("d1", "d2"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "n_bands_matched", "jaccard")
+  }
+
+  /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
+    * token OCCURRENCES (term frequency = natural weight). */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitVotes = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within maxHamming (bit_count of xor). The demo
+    * self-joins the signature table; the 100 TB path buckets signatures by
+    * rotated prefixes so only same-bucket pairs meet. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sig = simhash16(docs, idCol, textCol)
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.corpus
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column library for large-scale training-data pipelines —
+ * the "beyond the reference" surface (SURVEY.md §7 phase F). The reference
+ * stops at loading text payloads (`c_statement`, `a_sql_text`,
+ * `XELoader/EventMetadata.cs:324-330`); a modern corpus pipeline needs
+ * tokenization, language ID, quality scoring and fingerprinting over those
+ * columns. Everything here is a pure `Column => Column` built from
+ * codegen'd Spark built-ins (no UDFs — SURVEY.md "Functions, not UDFs"),
+ * so plans stay inside WholeStageCodegen and scale linearly with input.
+ *
+ * Determinism contract: every function has an exact ANSI-SQL twin runnable
+ * in DuckDB (see CorpusQueries.oracles); the md5-based 60-bit hash is the
+ * cross-engine portable hash used by all dedup/similarity operators.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; single source of truth for token
+    * semantics across all corpus operators. Empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
+    * long. 15 hex chars = 60 bits < 2^63, so the conv() result always fits
+    * a signed long identically in Spark and DuckDB
+    * (`('0x' || substring(md5(s),1,15))::BIGINT`). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant for minhash permutations: hash60(i ++ "|" ++ s).
+    * Salting through the hash replaces the classic (a*h+b) mod p family —
+    * no 64-bit overflow concerns and byte-identical across engines. */
+  def hash60Salted(salt: Int, s: Column): Column =
+    hash60(concat(lit(s"${salt}|"), s))
+
+  /** Word k-shingles (k consecutive tokens joined by one space), distinct.
+    * Docs with fewer than k tokens yield an empty array — callers decide
+    * whether such docs participate in dedup.
+    * NOTE: Spark's sequence(a,b) generates a DESCENDING sequence when b<a
+    * (it never returns empty), hence the explicit guard. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    val n = size(ws)
+    when(n < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first `maxChars` chars of
+    * the lowercased text: h = fold(h*131 + code) mod 1e9+7. Intermediate
+    * values stay ≤ ~1.3e11, far from int64 overflow, so Spark (Java wrap)
+    * and DuckDB (overflow-checked) agree. A custom codegen Expression
+    * could avoid the per-char array, but the HOF form is already
+    * whole-stage-codegen'd and O(maxChars) per row. */
+  def rollingFingerprint(text: Column, maxChars: Int = 200): Column = {
+    val s = substring(lower(trim(text)), 1, maxChars)
+    aggregate(
+      transform(sequence(lit(1), greatest(length(s), lit(1))), i =>
+        ascii(substring(s, i, lit(1))).cast("long")),
+      lit(0L),
+      (h, c) => (h * 131L + c) % 1000000007L)
+  }
+
+  /** Count of regex matches — langid/quality building block. */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Stopword-profile language ID. Scores each candidate language by its
+    * stopword hit count over the lowercased text; ties break in fixed
+    * order en > de > fr > es; CJK codepoints short-circuit to zh; zero
+    * hits → 'und'. A real system would use char-n-gram profiles; the
+    * operator shape (N regex counters + argmax) is identical. */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|zu)\\b",
+    "fr" -> "\\b(le|les|et|est|une|dans)\\b",
+    "es" -> "\\b(el|los|y|es|una|en)\\b"
+  )
+  val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  def langId(text: Column): Column = {
+    val lo = lower(text)
+    val counts = langStopwords.map { case (l, p) => l -> matchCount(lo, p) }
+    val best = counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
+      case ((bl, bc), (l, c)) => (when(c > bc, lit(l)).otherwise(bl), greatest(c, bc))
+    }
+    when(matchCount(text, cjkPattern) > 0, lit("zh"))
+      .when(best._2 === 0, lit("und"))
+      .otherwise(best._1)
+  }
+
+  /** Heuristic quality features (Gopher/C4-style, simplified):
+    * doc length, mean token length, stopword ratio, non-alnum ratio.
+    * Composite score in [0,1] with exact integer/regex-count inputs so the
+    * double arithmetic is a deterministic function of counts. */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val n = nTokens(text)
+    when(n === 0, lit(0.0)).otherwise(
+      matchCount(lower(text), langStopwords.map(_._2).mkString("|"))
+        .cast("double") / n.cast("double"))
+  }
+
+  def nonAlnumRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      matchCount(text, "[^a-zA-Z0-9\\s]").cast("double") / length(text).cast("double"))
+
+  def meanTokenLen(text: Column): Column = {
+    val n = nTokens(text)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(transform(tokens(text), t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Score = mean of three [0,1] signals: length window, stopword presence,
+    * alnum cleanliness. Thresholds mirror common corpus-filtering rules. */
+  def qualityScore(text: Column): Column = {
+    val n = nTokens(text)
+    val lenOk = when(n.between(10, 1000), lit(1.0)).otherwise(lit(0.0))
+    val stopOk = least(stopwordRatio(text) * 10.0, lit(1.0))
+    val cleanOk = lit(1.0) - least(nonAlnumRatio(text) * 5.0, lit(1.0))
+    round((lenOk + stopOk + cleanOk) / 3.0, 6)
+  }
+}

@@ -1,0 +1,404 @@
+package graft.queries
+
+import graft.corpus.{Dedup, Multimodal, Similarity, TextAnalysis => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-data-pipeline query surface (SURVEY.md §7 phase F / BASELINE.json
+ * north star): dedup, similarity search, multimodal columns and text
+ * analysis over the `documents` and `embeddings` fixtures, each paired
+ * with a DuckDB oracle.
+ *
+ * Cross-engine determinism rules used throughout the oracles:
+ *  - portable hash = ('0x' || substring(md5(x),1,15))::BIGINT, mirroring
+ *    Spark's conv(substring(md5(x),1,15),16,10)::long — 60 bits, no
+ *    overflow, identical in both engines;
+ *  - every ratio casts operands to DOUBLE explicitly (DuckDB's `1.0` is
+ *    DECIMAL, which would change the arithmetic);
+ *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+ *    replace-all semantics;
+ *  - aggregate sums of BIGINT are CAST back to BIGINT (DuckDB widens to
+ *    HUGEINT, which the driver's dtype-sensitive compare rejects);
+ *  - float vectors: cast float→double per element BEFORE arithmetic and
+ *    fold sequentially in list order on both sides → bit-identical IEEE.
+ */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // shared knobs (kept in lockstep with the oracle SQL below)
+  val shingleK = 3
+  val jaccardThreshold = 0.8
+  val numHashes = 12
+  val rowsPerBand = 3
+  val simhashMaxHamming = 1
+  val cosineThreshold = 0.4
+  val annK = 10
+  val annQueryStride = 200 // queries = vec_id % 200 == 0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis -------------------------------------------------
+    "text_token_stats" -> ((spark, dir) => {
+      val toks = T.tokens(col("text"))
+      val n = size(toks)
+      val total = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      docs(spark, dir).select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        total.as("total_token_chars"),
+        when(n === 0, 0.0).otherwise(
+          round(total.cast("double") / n.cast("double"), 6)).as("mean_token_len"),
+        when(n === 0, 0.0).otherwise(
+          round(size(array_distinct(toks)).cast("double") / n.cast("double"), 6))
+          .as("type_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_lang_id" -> ((spark, dir) => {
+      docs(spark, dir)
+        .withColumn("lang_pred", T.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    "text_quality" -> ((spark, dir) => {
+      docs(spark, dir).select(
+        col("doc_id"),
+        T.nTokens(col("text")).as("n_tokens"),
+        round(T.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(T.nonAlnumRatio(col("text")), 6).as("non_alnum_ratio"),
+        T.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((spark, dir) => {
+      docs(spark, dir).select(
+        col("doc_id"),
+        T.rollingFingerprint(col("text"), 200).as("fp_rolling"),
+        array_min(transform(T.shingles(col("text"), shingleK), s => T.hash60(s)))
+          .as("fp_min_shingle"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup ---------------------------------------------------------
+    "dedup_exact" -> ((spark, dir) => {
+      Dedup.exactDupSummary(docs(spark, dir), "text", "source")
+        .orderBy("source")
+    }),
+
+    "dedup_ngram_jaccard" -> ((spark, dir) => {
+      Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text", shingleK, jaccardThreshold)
+        .orderBy("d1", "d2")
+    }),
+
+    "dedup_minhash_lsh" -> ((spark, dir) => {
+      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        shingleK, numHashes, rowsPerBand, jaccardThreshold)
+        .orderBy("d1", "d2")
+    }),
+
+    "dedup_simhash" -> ((spark, dir) => {
+      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", simhashMaxHamming)
+        .orderBy("d1", "d2")
+    }),
+
+    "dedup_embedding_cosine" -> ((spark, dir) => {
+      Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", cosineThreshold)
+        .orderBy("v1", "v2")
+    }),
+
+    // ---- similarity search ---------------------------------------------
+    "ann_topk_brute" -> ((spark, dir) => {
+      Similarity.bruteForceTopK(emb(spark, dir), "vec_id", "embedding",
+        col("vec_id") % annQueryStride === 0, annK)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_topk_ivf" -> ((spark, dir) => {
+      Similarity.ivfTopK(emb(spark, dir), "vec_id", "embedding", "label",
+        col("vec_id") % annQueryStride === 0, annK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal ----------------------------------------------------
+    "mm_decode_stats" -> ((spark, dir) => {
+      val withP = Multimodal.withPayload(docs(spark, dir))
+      withP.select(
+        Seq(col("doc_id"), col("format")) ++
+          Multimodal.decodeStatsSql(col("payload")) :+
+          size(Multimodal.framePositions(col("payload"), 64, 8)).as("n_frames"): _*)
+        .withColumn("byte_len", col("byte_len").cast("long"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  /** Tokens + distinct 3-shingles CTE over `documents`. */
+  private val tokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |)""".stripMargin
+
+  private val shingleCte =
+    s"""$tokCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       |  FROM toks WHERE len(ws) >= 3
+       |)""".stripMargin
+
+  /** Portable 60-bit hash in DuckDB syntax. */
+  private def h60(expr: String): String =
+    s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  private val jaccardTail =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private val langCounts = T.langStopwords.map { case (l, p) =>
+    s"len(regexp_extract_all(lower(text), '$p')) AS c_$l"
+  }.mkString(",\n         ")
+
+  private val cosDot =
+    """list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |    (x, y) -> x + y)""".stripMargin
+
+  private val normSql =
+    """sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |    (x, y) -> x + y))""".stripMargin
+
+  private val mhCols = (0 until numHashes).map(i =>
+    s"min(${h60(s"'$i|' || shingle")}) AS mh$i").mkString(",\n         ")
+
+  private val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
+    val key = (0 until rowsPerBand)
+      .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+      .mkString(" || '_' || ")
+    s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  def oracles: Map[String, String] = Map(
+
+    "text_token_stats" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |       CAST(len(ws) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(ws)) AS INTEGER) AS n_uniq_tokens,
+         |       CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS INTEGER) AS total_token_chars,
+         |       round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |             / CAST(len(ws) AS DOUBLE), 6) AS mean_token_len,
+         |       round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |             / CAST(len(ws) AS DOUBLE), 6) AS type_token_ratio
+         |FROM toks JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         $langCounts,
+         |         len(regexp_extract_all(text, '${T.cjkPattern}')) AS c_zh
+         |  FROM documents
+         |), pred AS (
+         |  SELECT lang,
+         |         CASE WHEN c_zh > 0 THEN 'zh'
+         |              WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+         |              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         |              WHEN c_de = greatest(c_de, c_fr, c_es) THEN 'de'
+         |              WHEN c_fr = greatest(c_fr, c_es) THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM scored
+         |)
+         |SELECT lang, lang_pred, count(*) AS n_docs
+         |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "text_quality" ->
+      s"""$tokCte,
+         |feats AS (
+         |  SELECT doc_id,
+         |         CAST(len(ws) AS INTEGER) AS n_tokens,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |           '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |           / CAST(len(ws) AS DOUBLE) AS sr,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE) AS nar
+         |  FROM toks JOIN documents USING (doc_id)
+         |)
+         |SELECT doc_id, n_tokens,
+         |       round(sr, 6) AS stopword_ratio,
+         |       round(nar, 6) AS non_alnum_ratio,
+         |       round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |              + least(sr * 10.0, CAST(1 AS DOUBLE))
+         |              + (CAST(1 AS DOUBLE) - least(nar * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) AS quality_score
+         |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""$shingleCte,
+         |fp AS (
+         |  SELECT doc_id,
+         |         list_reduce(
+         |           [CAST(0 AS BIGINT)] ||
+         |           list_transform(range(1, length(substring(lower(trim(text)), 1, 200)) + 1),
+         |             i -> CAST(ascii(substring(substring(lower(trim(text)), 1, 200), i, 1)) AS BIGINT)),
+         |           (h, c) -> (h * 131 + c) % 1000000007) AS fp_rolling
+         |  FROM documents
+         |), mins AS (
+         |  SELECT doc_id, min(${h60("shingle")}) AS fp_min_shingle FROM sh GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, fp.fp_rolling, mins.fp_min_shingle
+         |FROM documents d
+         |JOIN fp ON d.doc_id = fp.doc_id
+         |LEFT JOIN mins ON d.doc_id = mins.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique_texts,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT d1, d2, common,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |)
+         |SELECT d1, d2, common, jaccard FROM joined
+         |WHERE jaccard >= $jaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mhCols
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands_matched
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT cand.d1, cand.d2, cand.n_bands_matched,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM cand
+         |  JOIN common ON cand.d1 = common.d1 AND cand.d2 = common.d2
+         |  JOIN sizes s1 ON cand.d1 = s1.doc_id
+         |  JOIN sizes s2 ON cand.d2 = s2.doc_id
+         |)
+         |SELECT d1, d2, n_bands_matched, jaccard FROM joined
+         |WHERE jaccard >= $jaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$tokCte,
+         |tk AS (
+         |  SELECT doc_id, ${h60("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+         |), votes AS (
+         |  SELECT doc_id,
+         |         ${(0 until 16).map(b =>
+                    s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+                    .mkString(",\n         ")}
+         |  FROM tk GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id,
+         |         CAST(${(0 until 16).map(b =>
+                    s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM votes
+         |)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       a.simhash AS sh1, b.simhash AS sh2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $simhashMaxHamming
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+         |)
+         |SELECT v1, v2, cos_sim FROM pairs
+         |WHERE cos_sim >= $cosineThreshold
+         |ORDER BY v1, v2""".stripMargin,
+
+    "ann_topk_brute" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN norms b ON a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_ivf" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN norms b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    "mm_decode_stats" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |              WHEN doc_id % 3 = 1 THEN 'jpg'
+        |              ELSE 'webp' END AS format,
+        |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+        |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+        |  FROM documents
+        |)
+        |SELECT doc_id, format,
+        |       CAST(('0x' || substring(hex(payload), 1, 4))::BIGINT AS INTEGER) AS dec_width,
+        |       CAST(('0x' || substring(hex(payload), 5, 4))::BIGINT AS INTEGER) AS dec_height,
+        |       CAST(octet_length(payload) AS BIGINT) AS byte_len,
+        |       ('0x' || substring(hex(payload), 9, 2))::BIGINT AS first_body_byte,
+        |       CAST(least((octet_length(payload) - 4) // 64, 8) AS INTEGER) AS n_frames
+        |FROM media ORDER BY doc_id""".stripMargin
+  )
+}

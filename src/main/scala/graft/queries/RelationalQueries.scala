@@ -218,7 +218,7 @@ object RelationalQueries {
            |)
            |SELECT c_session_id,
            |       count(*) AS n_events,
-           |       sum(gap_us) AS total_gap_us,
+           |       CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
            |       max(gap_us) AS max_gap_us
            |FROM gaps GROUP BY c_session_id ORDER BY c_session_id""".stripMargin,
 
@@ -228,7 +228,7 @@ object RelationalQueries {
            |dmv AS (SELECT a_query_hash_hex AS dmv_hash_hex, c_duration_us AS sample_duration
            |        FROM hx WHERE c_event_sequence % 10 = 0)
            |SELECT event_name, count(*) AS n_matched,
-           |       sum(sample_duration) AS total_sample_duration
+           |       CAST(sum(sample_duration) AS BIGINT) AS total_sample_duration
            |FROM hx JOIN dmv ON a_query_hash_hex = dmv_hash_hex
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
 

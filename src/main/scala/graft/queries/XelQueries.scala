@@ -192,18 +192,18 @@ object XelQueries {
         s"""$cte
            |SELECT e_imported_file_id,
            |       count(*) AS n_rows,
-           |       sum(CASE WHEN length(c_statement) > $demoStringLimit THEN 1 ELSE 0 END) AS n_string_trunc,
-           |       sum(length(c_statement)) AS total_chars,
-           |       sum(length(CASE WHEN length(c_statement) > $demoStringLimit
+           |       CAST(sum(CASE WHEN length(c_statement) > $demoStringLimit THEN 1 ELSE 0 END) AS BIGINT) AS n_string_trunc,
+           |       CAST(sum(length(c_statement)) AS BIGINT) AS total_chars,
+           |       CAST(sum(length(CASE WHEN length(c_statement) > $demoStringLimit
            |                       THEN substring(c_statement, 1, $demoStringLimit)
-           |                       ELSE c_statement END)) AS kept_chars
+           |                       ELSE c_statement END)) AS BIGINT) AS kept_chars
            |FROM xe GROUP BY e_imported_file_id ORDER BY e_imported_file_id""".stripMargin,
 
       "xe_rate_minute" ->
         s"""$cte
            |SELECT e_time_of_event AS minute, event_name,
            |       count(*) AS n,
-           |       sum(c_duration_us) AS total_duration_us
+           |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us
            |FROM xe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "xe_lineage" ->
