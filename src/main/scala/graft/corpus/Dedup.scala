@@ -30,9 +30,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis._
 
+  /** Small-input → big-intermediate guard: a compact corpus file arrives
+    * as one scan partition, which would serialize every downstream
+    * explode/join onto one core. Fan the rows out to full parallelism
+    * BEFORE the blow-up. At 100 TB the scan already has thousands of
+    * splits and this is a no-op. */
+  private[corpus] def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exploded (id, shingle) postings — distinct shingles per doc. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    fanout(docs).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
 
   /** Per-source exact-duplicate summary over md5(text). */
@@ -100,10 +110,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands_matched"))
-    // verify: true Jaccard on candidate pairs only (inverted-index join
-    // restricted by semi-join to candidates — no all-pairs work).
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = post.as("a").join(post.as("b"),
+    // verify: true Jaccard restricted to docs that appear in a candidate
+    // pair — at scale this is the difference between re-scanning the whole
+    // postings self-join and touching only the (tiny) near-dup fraction.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val postC = post.join(broadcast(candDocs), Seq("doc_id"))
+    val sizes = postC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = postC.as("a").join(postC.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -120,7 +134,7 @@ object Dedup {
   /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
     * token OCCURRENCES (term frequency = natural weight). */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = fanout(docs).select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", hash60(col("tok")))
     val bitVotes = (0 until 16).map { b =>

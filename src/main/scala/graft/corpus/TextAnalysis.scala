@@ -41,15 +41,23 @@ object TextAnalysis {
   /** Word k-shingles (k consecutive tokens joined by one space), distinct.
     * Docs with fewer than k tokens yield an empty array — callers decide
     * whether such docs participate in dedup.
-    * NOTE: Spark's sequence(a,b) generates a DESCENDING sequence when b<a
-    * (it never returns empty), hence the explicit guard. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = tokens(text)
-    val n = size(ws)
-    when(n < k, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(1), n - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
-  }
+    *
+    * Two non-obvious constraints shape the implementation:
+    *  - Spark's sequence(a,b) generates a DESCENDING sequence when b<a
+    *    (never empty), hence the explicit n<k guard;
+    *  - HOFs evaluate interpreted (no codegen CSE), so a naked
+    *    `element_at(tokens(text), i)` would re-run the regex split per
+    *    element reference. Binding the token array as a lambda variable
+    *    of an outer single-element transform forces one split per row. */
+  def shingles(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), ws => {
+        val n = size(ws)
+        when(n < k, array().cast("array<string>")).otherwise(
+          array_distinct(transform(sequence(lit(1), n - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+      }),
+      1)
 
   /** Polynomial rolling-hash fingerprint of the first `maxChars` chars of
     * the lowercased text: h = fold(h*131 + code) mod 1e9+7. Intermediate

@@ -1,0 +1,89 @@
+package graft.corpus
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static row-level kernels — called directly from generated code (no
+  * closure, no Seq conversion, primitive `getFloat` access straight off
+  * Tungsten array data). The loops are the same sequential left-fold
+  * double accumulation as the HOF/oracle forms, so results are
+  * bit-identical (SimilaritySpec cross-checks all three). */
+object VectorOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+}
+
+/**
+ * Native dot product over two `array<float>` columns (SURVEY.md §7 F /
+ * "custom Expression beats UDF"): a UDF pays a Tungsten→Seq[Float]
+ * conversion per call per argument — at millions of candidate pairs that
+ * conversion dominates the actual multiply-adds. This expression stays
+ * inside whole-stage codegen and reads floats in place.
+ */
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_f"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
+        left.dataType == ArrayType(FloatType, containsNull = true))
+      if (right.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName right side must be array<float>")
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.corpus.VectorOps.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+/** Native L2 norm over `array<float>` — same rationale as [[DotProductF]]. */
+case class NormF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_f"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> input")
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.corpus.VectorOps.norm($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormF =
+    copy(child = newChild)
+}
+
+object VectorExpr {
+  import org.apache.spark.sql.graft.bridge
+
+  def dotF(a: Column, b: Column): Column =
+    bridge.column(DotProductF(bridge.expression(a), bridge.expression(b)))
+
+  def normF(a: Column): Column =
+    bridge.column(NormF(bridge.expression(a)))
+}
