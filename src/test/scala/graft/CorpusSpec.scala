@@ -1,0 +1,105 @@
+package graft
+
+import graft.corpus.{Dedup, TextAnalysis => T}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus text/dedup operators (SURVEY.md §7 F). */
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq("x").toDF("dummy").select(c).head()
+
+  test("tokens: empty, blank and multi-space input") {
+    val df = Seq("", "   ", "a b", " a  b\tc ").toDF("t")
+      .select(size(T.tokens(col("t"))).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 2, 3))
+  }
+
+  test("hash60 matches the DuckDB-portable definition") {
+    // md5('hello') = 5d41402abc4b2a76... → first 15 hex = 0x5d41402abc4b2a7
+    val r = one(T.hash60(lit("hello")))
+    assert(r.getLong(0) == 419982666956583591L)
+  }
+
+  test("shingles: k boundary and distinctness") {
+    val df = Seq("a b", "a b c", "a b c d", "a b a b a b").toDF("t")
+      .select(T.shingles(col("t"), 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) == Seq())                          // n < k
+    assert(got(1) == Seq("a b c"))                   // n == k
+    assert(got(2) == Seq("a b c", "b c d"))          // sliding
+    assert(got(3) == Seq("a b a", "b a b"))          // distinct
+  }
+
+  test("rolling fingerprint: hand-computed polynomial") {
+    // "ab": h = (0*131+97) % p = 97; (97*131+98) % p = 12805
+    assert(one(T.rollingFingerprint(lit("ab"))).getLong(0) == 12805L)
+    // case-insensitive: trims + lowercases first
+    assert(one(T.rollingFingerprint(lit("  AB "))).getLong(0) == 12805L)
+  }
+
+  test("langId: stopword profiles, CJK short-circuit, und fallback") {
+    val df = Seq(
+      "the cat sat on the mat and slept",
+      "der hund und die katze ist da",
+      "le chat et les oiseaux dans une maison",
+      "el perro y los gatos es una casa",
+      "你好世界",
+      "zzz qqq www").toDF("t").select(T.langId(col("t")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("qualityScore stays within [0,1]") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away today",
+      "x",
+      "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"
+    ).toDF("t").select(T.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(2)) // clean english beats symbol soup
+  }
+
+  test("exact dedup summary counts duplicate texts") {
+    val df = Seq((1L, "aaa", "s1"), (2L, "aaa", "s1"), (3L, "bbb", "s1"),
+      (4L, "ccc", "s2")).toDF("doc_id", "text", "source")
+    val got = Dedup.exactDupSummary(df, "text", "source")
+      .orderBy("source").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("s1", 3L, 2L, 1L), ("s2", 1L, 1L, 0L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs drop out") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),           // dup of 1
+      (3L, "z1 z2 z3 z4 z5")            // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(3) == 1.0)
+  }
+
+  test("minhash LSH finds the planted near-dup and skips unrelated docs") {
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " t13"),              // near-dup of 1
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 12, 3, 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(3) > 0.8)
+  }
+
+  test("simhash: identical texts collide at hamming 0") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x y z aa bb cc dd")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text", 0).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(got(0).getInt(4) == 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.corpus.{DecodedMedia, MediaRecord, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: schema, header round-trip, batched
+  * decode path. The decode itself is a documented deterministic stub (no
+  * codecs in this container); what these tests pin down is the plumbing
+  * that a real codec would drop into. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "hello world", 11L),
+    (1L, "x", 1L),
+    (2L, "a" * 200, 200L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("payload header round-trips through the SQL decode stub") {
+    val got = Multimodal.withPayload(docs)
+      .select(Seq(col("doc_id"), col("width"), col("height")) ++
+        Multimodal.decodeStatsSql(col("payload")): _*)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("dec_width") == r.getAs[Int]("width"))
+      assert(r.getAs[Int]("dec_height") == r.getAs[Int]("height"))
+    }
+    // byte_len = 4-byte header + utf8 body
+    assert(got.map(_.getAs[Int]("byte_len")).toSeq == Seq(15, 5, 204))
+  }
+
+  test("payload column is real BinaryType with the documented layout") {
+    val row = Multimodal.withPayload(docs).filter($"doc_id" === 0)
+      .select($"payload", $"width", $"height").head()
+    val bytes = row.getAs[Array[Byte]](0)
+    val width = row.getInt(1)
+    val height = row.getInt(2)
+    assert(((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) == width)
+    assert(((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) == height)
+    assert(new String(bytes.drop(4), "UTF-8") == "hello world")
+  }
+
+  test("batched decode preserves every record and parses dims") {
+    implicit val s = spark
+    val media = Multimodal.withPayload(docs)
+      .select($"doc_id", $"format", $"payload").as[MediaRecord]
+    val decoded: Seq[DecodedMedia] =
+      Multimodal.decodeBatched(media, batchSize = 2).collect().toSeq.sortBy(_.doc_id)
+    assert(decoded.size == 3)
+    assert(decoded.map(_.width) == Seq(11 % 64 + 16, 1 % 64 + 16, 200 % 64 + 16))
+    assert(decoded(0).mean_byte > 0.0)
+    // n_frames: (byte_len - 4) / 64 capped at 8
+    assert(decoded.map(_.n_frames) == Seq(0, 0, 3))
+  }
+
+  test("framePositions strides past the header and caps at maxFrames") {
+    val df = docs.select(
+      Multimodal.framePositions(
+        Multimodal.synthPayload(col("text"), lit(20), lit(20)), 64, 8).as("p"))
+      .orderBy(size(col("p")))
+    val got = df.collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(got(0) == Seq() && got(1) == Seq())    // bodies < 64 bytes
+    assert(got(2) == Seq(4, 68, 132))             // 200-char body → 3 frames
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.corpus.{Similarity, VectorExpr}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search coverage; the load-bearing test is the bit-identical
+  * cross-check between the native codegen expressions and the HOF folds
+  * (the HOF fold is the form the DuckDB oracle mirrors). */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 2.0f, 3.0f), 0),
+    (1L, Array(1.0f, 2.0f, 3.1f), 0),
+    (2L, Array(-1.0f, 0.5f, 0.25f), 1),
+    (3L, Array(0.1f, -0.2f, 0.9f), 1),
+    (4L, Array(3.0f, -2.0f, 1.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("native dot/norm expressions are bit-identical to the HOF folds") {
+    val pairs = vecs.select($"vec_id".as("v1"), $"embedding".as("e1"))
+      .crossJoin(vecs.select($"vec_id".as("v2"), $"embedding".as("e2")))
+    val diff = pairs.select(
+      VectorExpr.dotF($"e1", $"e2").as("fast"),
+      Similarity.dot($"e1", $"e2").as("hof"),
+      VectorExpr.normF($"e1").as("fastn"),
+      Similarity.norm($"e1").as("hofn"))
+      .filter($"fast" =!= $"hof" || $"fastn" =!= $"hofn")
+    assert(diff.count() == 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val got = vecs.select(Similarity.cosine($"embedding", $"embedding")).collect()
+    assert(got.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("bruteForceTopK: k neighbors per query, self excluded, rank ordered") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0, 3).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getLong(0) == 0L))
+    assert(got.forall(_.getLong(2) != 0L))                 // no self-match
+    val sims = got.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(sims.sameElements(sims.sorted.reverse))         // rank follows cos
+    assert(got.sortBy(_.getInt(1)).head.getLong(2) == 1L)  // nearest is the near-dup
+  }
+
+  test("ivfTopK only probes the query's bucket") {
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+      col("vec_id") === 0, 3).collect()
+    // bucket 0 = {0,1,4}: only 1 and 4 can be neighbors
+    assert(got.map(_.getLong(2)).toSet == Set(1L, 4L))
+  }
+
+  test("nearDupPairs finds the planted near-identical pair") {
+    val got = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+}

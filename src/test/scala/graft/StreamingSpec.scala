@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.xel.XeFixture
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingest (SURVEY.md §2.9): the file source consumes
+  * "rolled-over" event files exactly like the reference's batch loop, and
+  * the windowed rollup must agree with its batch twin on the same data. */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming rateByMinute over file drops equals the batch rollup") {
+    val events = XeFixture.frame(spark, sf("sf0.001"))
+      .select("e_time_of_event_utc", "event_name", "c_duration_us")
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ck").toString
+    // two "rollover" drops, like SessionName_1_*.xel / SessionName_2_*.xel
+    events.filter(col("event_name") =!= "wait_info").write.parquet(s"$dir/drop1")
+    events.filter(col("event_name") === "wait_info").write.parquet(s"$dir/drop2")
+
+    val stream = EventStream.readEventDir(
+      spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
+    val rollup = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
+
+    val q = rollup.writeStream
+      .format("memory")
+      .queryName("rate_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted row must match the batch rollup exactly, and the stream must
+    // have made real progress across multiple micro-batches
+    val got = spark.table("rate_stream")
+    val batch = EventStream.rateByMinute(events)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(q.recentProgress.length > 1) // maxFilesPerTrigger=1 → several batches
+  }
+
+  test("batch rateByMinute agrees with the xe_rate_minute query semantics") {
+    val xe = XeFixture.frame(spark, sf("sf0.001"))
+    val viaWindow = EventStream.rateByMinute(xe)
+      .withColumnRenamed("n", "n_w")
+      .withColumnRenamed("total_duration_us", "d_w")
+    val viaTrunc = xe.groupBy(col("e_time_of_event").as("minute"), col("event_name"))
+      .agg(count(lit(1)).as("n_t"), sum(col("c_duration_us")).as("d_t"))
+    val joined = viaWindow.join(viaTrunc, Seq("minute", "event_name"), "full")
+    assert(joined.filter(col("n_w").isNull || col("n_t").isNull ||
+      col("n_w") =!= col("n_t") || col("d_w") =!= col("d_t")).count() == 0)
+  }
+}
