@@ -110,6 +110,50 @@ object XelQueries {
         .orderBy("file_name")
     }),
 
+    // Phase E: callstack frame EXPLODE — one row per fixed-width frame of
+    // the binary callstack (12 bytes @ frameLen 4 → 3 frames), the
+    // relational twin of F6's string formatting. Generator (posexplode)
+    // over a per-row built array; frame bytes surfaced as hex, plus the
+    // byte-reversed form a debugger would consume.
+    "xe_frames_explode" -> ((spark, dir) => {
+      val nFrames = 3 // 12-byte fixture callstack / 4-byte frames
+      val revPairs4 = (c: org.apache.spark.sql.Column) =>
+        concat((3 to 0 by -1).map(j => substring(c, j * 2 + 1, 2)): _*)
+      XeFixture.frame(spark, dir)
+        .withColumn("cs_hex",
+          concat(F.hashToBinHex(col("a_query_hash")), lit("DEADBEEF")))
+        .select(col("c_event_sequence"),
+          posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
+            substring(col("cs_hex"), i * lit(8) + 1, lit(8)))))
+        .select(
+          col("c_event_sequence"),
+          col("pos").cast("int").as("frame_idx"),
+          col("col").as("frame_hex"),
+          revPairs4(col("col")).as("frame_rev_hex"))
+        .orderBy("c_event_sequence", "frame_idx")
+    }),
+
+    // Phase E: XML payload shredding — the reference stores XML fields as
+    // strings for SQL Server to shred later (`EventMetadata.cs:331-344`);
+    // Spark-side the same job is xpath extraction over the string column.
+    "xe_xml_extract" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .withColumn("xml_payload",
+          concat(lit("<event><duration>"), col("c_duration_us"),
+            lit("</duration><session>"), col("c_session_id"),
+            lit("</session></event>")))
+        .withColumn("xml_duration",
+          expr("xpath_long(xml_payload, '/event/duration')"))
+        .withColumn("xml_session",
+          expr("xpath_string(xml_payload, '/event/session/text()')"))
+        .groupBy(col("event_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xml_duration")).as("sum_xml_duration"),
+          countDistinct(col("xml_session")).as("n_xml_sessions"))
+        .orderBy("event_name")
+    }),
+
     // S7/lineage: per-imported-file load summary — what the tracking table
     // `dbo.tbl_ImportedXEventFiles` answers (`InputParameters.cs:517-563`).
     "xe_lineage" -> ((spark, dir) => {
@@ -205,6 +249,39 @@ object XelQueries {
            |       count(*) AS n,
            |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us
            |FROM xe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "xe_frames_explode" ->
+        s"""$cte,
+           |cs AS (
+           |  SELECT c_event_sequence,
+           |         lpad(to_hex(a_query_hash), 16, '0') || 'DEADBEEF' AS cs_hex
+           |  FROM xe
+           |), frames AS (
+           |  SELECT c_event_sequence,
+           |         CAST(i AS INTEGER) AS frame_idx,
+           |         substring(cs_hex, CAST(i * 8 + 1 AS INTEGER), 8) AS frame_hex
+           |  FROM cs, range(0, 3) t(i)
+           |)
+           |SELECT c_event_sequence, frame_idx, frame_hex,
+           |       ${(3 to 0 by -1).map(j => s"substring(frame_hex, ${j * 2 + 1}, 2)")
+                     .mkString(" || ")} AS frame_rev_hex
+           |FROM frames ORDER BY c_event_sequence, frame_idx""".stripMargin,
+
+      "xe_xml_extract" ->
+        s"""$cte,
+           |xp AS (
+           |  SELECT event_name,
+           |         '<event><duration>' || c_duration_us || '</duration><session>' ||
+           |           c_session_id || '</session></event>' AS xml_payload
+           |  FROM xe
+           |)
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(regexp_extract(xml_payload,
+           |         '<duration>(-?[0-9]+)</duration>', 1) AS BIGINT)) AS BIGINT) AS sum_xml_duration,
+           |       count(DISTINCT regexp_extract(xml_payload,
+           |         '<session>([^<]*)</session>', 1)) AS n_xml_sessions
+           |FROM xp GROUP BY event_name ORDER BY event_name""".stripMargin,
 
       "xe_lineage" ->
         s"""$cte

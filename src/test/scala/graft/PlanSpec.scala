@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/**
+ * Physical-plan quality gate (the 100 TB design contract): these tests
+ * pin the plan properties that make the queries survive a 1000-executor
+ * scale-up — filters and projections reaching the parquet scan, dimension
+ * joins broadcasting instead of shuffling the fact side, and shuffle
+ * counts staying at the algorithmic minimum. A regression here (e.g. a
+ * lost broadcast hint turning q5 into five sort-merge joins) would pass
+ * every correctness test and still be a scale disaster.
+ */
+class PlanSpec extends SparkTestBase {
+
+  /** Full walk of the executed plan, crossing AQE stage boundaries
+    * (query stages hold their subplan in a field, not in children). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // materialize the AQE final plan
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("q1: filter and column pruning reach the parquet scan") {
+    val explained = q("q1_pricing_summary").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity"))
+    // projection pruning: none of the unused lineitem columns is read
+    assert(!explained.contains("l_comment") && !explained.contains("l_shipmode"))
+  }
+
+  test("q3/q5: dimension joins broadcast — no shuffle on the fact side for dims") {
+    for (name <- Seq("q3_top_orders", "q5_nation_revenue")) {
+      val nodes = executedNodes(q(name))
+      val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(bhj.nonEmpty, s"$name should broadcast its dimension joins")
+      // the only allowed shuffle join is lineitem⋈orders (both large)
+      assert(smj.size <= 1, s"$name has ${smj.size} sort-merge joins, expected <=1")
+    }
+  }
+
+  test("q1: shuffles = agg exchange + deterministic final sort, nothing else") {
+    val shuffles = executedNodes(q("q1_pricing_summary"))
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"scan-agg query must shuffle at most twice (agg + order), got ${shuffles.size}")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val codegen = executedNodes(q("q1_pricing_summary"))
+      .collect { case w: WholeStageCodegenExec => w }
+    assert(codegen.nonEmpty, "q1 must run inside WholeStageCodegen spans")
+  }
+
+  test("ann brute-force: bounded shuffles (fanout, window, output order)") {
+    val shuffles = executedNodes(q("ann_topk_brute"))
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3,
+      s"ann_topk_brute should shuffle at most 3 times, got ${shuffles.size}")
+  }
+
+  test("dedup exact: map-side partial aggregation before the digest shuffle") {
+    val nodes = executedNodes(q("dedup_exact"))
+    val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(hashAggs.size >= 2, "expect partial + final aggregate pair")
+  }
+}
