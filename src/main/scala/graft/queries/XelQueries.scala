@@ -154,6 +154,26 @@ object XelQueries {
         .orderBy("event_name")
     }),
 
+    // S1/S2 through the DataSource V2: round-trip a bounded slice of the
+    // stream through XELB rollover files (schema from first file's
+    // metadata, one partition per file, pruned decode) and aggregate on
+    // the way back — the ingest path itself under the oracle gate.
+    "xe_xelb_source_scan" -> ((spark, dir) => {
+      val xelbDir = s"/tmp/graft_xelb_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val slice = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 20000)
+        .select(col("e_imported_file_id"), col("c_event_sequence"),
+          col("c_session_id"), col("c_duration_us"), col("event_name"))
+      graft.sources.XelbFixtures.writeByKey(slice, "e_imported_file_id", xelbDir)
+      spark.read.format("xelb").load(xelbDir)
+        .groupBy(col("event_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_duration_us")).as("total_duration_us"),
+          countDistinct(col("c_session_id")).as("n_sessions"),
+          max(col("c_event_sequence")).as("max_seq"))
+        .orderBy("event_name")
+    }),
+
     // S7/lineage: per-imported-file load summary — what the tracking table
     // `dbo.tbl_ImportedXEventFiles` answers (`InputParameters.cs:517-563`).
     "xe_lineage" -> ((spark, dir) => {
@@ -282,6 +302,16 @@ object XelQueries {
            |       count(DISTINCT regexp_extract(xml_payload,
            |         '<session>([^<]*)</session>', 1)) AS n_xml_sessions
            |FROM xp GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_xelb_source_scan" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
+           |       count(DISTINCT c_session_id) AS n_sessions,
+           |       max(c_event_sequence) AS max_seq
+           |FROM xe WHERE c_event_sequence <= 20000
+           |GROUP BY event_name ORDER BY event_name""".stripMargin,
 
       "xe_lineage" ->
         s"""$cte

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream}
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSource V2 read path for XELB event files (SURVEY.md §2.1 S1/S2 —
+ * the pluggable ingest slot behind the `EventSource` seam; §7.1 "a later
+ * real .xel DataSource V2"). Architecture mirrors the reference loader:
+ *
+ *  - schema comes from the FIRST file's embedded metadata, once, on the
+ *    driver — the analogue of the metadata-lock init
+ *    (`XELoader/FileProcessor.cs:206-215`, X2);
+ *  - one InputPartition per file — the reference's file-level fan-out
+ *    (`FileProcessor.cs:113-129`, X1) becomes Spark task scheduling;
+ *  - column pruning (SupportsPushDownRequiredColumns) reaches the byte
+ *    decoder: unrequested columns are length-skipped, never allocated.
+ *
+ * Register by short name: `spark.read.format("xelb").load(dir)`.
+ */
+class XelbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xelb"
+
+  private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("xelb source requires a path"))
+    XelbDataSource.listXelbFiles(path)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = listFiles(options)
+    require(files.nonEmpty, "no .xelb files found")
+    // first file defines the schema — reference X2 semantics
+    XelbDataSource.headerOf(files.head)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new XelbTable(schema,
+      XelbDataSource.listXelbFiles(properties.get("path")))
+}
+
+object XelbDataSource {
+  def listXelbFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else fs.globStatus(p).toSeq
+    stats.filter(s => s.isFile && s.getPath.getName.endsWith(".xelb"))
+      .map(_.getPath.toString).sorted
+  }
+
+  def headerOf(file: String): StructType = {
+    val p = new Path(file)
+    val in = new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(new Configuration()).open(p)))
+    try XelbFormat.readHeader(in) finally in.close()
+  }
+}
+
+class XelbTable(schema: StructType, files: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"xelb(${files.size} files)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XelbScanBuilder(schema, files)
+}
+
+class XelbScanBuilder(fileSchema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fileSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve file field order — the decoder walks columns in file order
+    required = StructType(fileSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new XelbScan(fileSchema, required, files)
+}
+
+class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"XelbScan[${required.fieldNames.mkString(",")}] over ${files.size} files"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => XelbInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XelbReaderFactory(fileSchema, required)
+}
+
+case class XelbInputPartition(file: String) extends InputPartition
+
+class XelbReaderFactory(fileSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[XelbInputPartition].file
+    new XelbPartitionReader(file, fileSchema, required)
+  }
+}
+
+/** Streams one file's records; column pruning applied at decode time. */
+class XelbPartitionReader(file: String, fileSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val in: DataInputStream = {
+    val p = new Path(file)
+    val s = new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(new Configuration()).open(p), 4 * 1024 * 1024))
+    val header = XelbFormat.readHeader(s)
+    require(header.toDDL == fileSchema.toDDL,
+      s"schema drift in $file: ${header.toDDL} != ${fileSchema.toDDL}")
+    s
+  }
+  private val requiredIdx: Array[Int] =
+    required.fieldNames.map(fileSchema.fieldIndex)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = XelbFormat.readRecord(in, fileSchema, requiredIdx)
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Fixture writer for the XELB source: serializes a DataFrame into one
+ * .xelb file per key value — the shape of an XE session's rollover set
+ * (`SessionName_PartitionID_TimeStampInfo.xel`, `FileProcessor.cs:351`).
+ * Driver-side by design: it exists to generate test inputs for the DSv2
+ * READ path, which is the production surface; a distributed writer would
+ * belong in a `SupportsWrite` extension of [[XelbTable]].
+ */
+object XelbFixtures {
+
+  def writeByKey(df: DataFrame, keyCol: String, dir: String,
+                 sessionName: String = "GraftSession"): Seq[String] = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filter(_.name != keyCol))
+    require(schema.fields.forall(f => XelbFormat.supported(f.dataType)),
+      s"unsupported column types in ${schema.toDDL}")
+    Files.createDirectories(Paths.get(dir))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val rows = df.collect().groupBy(_.get(keyIdx))
+    rows.toSeq.sortBy(_._1.toString).map { case (key, rs) =>
+      val file = s"$dir/${sessionName}_${key}_0.xelb"
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
+      try {
+        XelbFormat.writeHeader(out, schema)
+        val proj = rs.map(r => org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.zipWithIndex.collect { case (v, i) if i != keyIdx => v }))
+        proj.foreach(XelbFormat.writeRecord(out, _, schema))
+      } finally out.close()
+      file
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * XELB — a self-describing length-prefixed binary event-file format, the
+ * stand-in for the reference's opaque .xel container (the real XEL layout
+ * lives behind `Microsoft.SqlServer.XEvent.Linq.dll`,
+ * `XELoader/XELoader.csproj:21-23`, and is not publicly documented; what
+ * transfers to Spark is the READER ARCHITECTURE: schema from the first
+ * file's embedded metadata, file-per-partition scan, per-record decode
+ * with error tolerance).
+ *
+ * Layout:
+ * {{{
+ *   magic   "XELB" (4 bytes)
+ *   version u16
+ *   schema  u32 length + UTF-8 Spark DDL string ("a BIGINT, b STRING", …)
+ *   records repeated:
+ *     u32 record byte length (excluding this prefix)
+ *     per column: u8 null flag; if not null:
+ *       LONG/TIMESTAMP → 8-byte big-endian (timestamps in epoch micros)
+ *       DOUBLE         → 8-byte IEEE bits
+ *       STRING         → u32 length + UTF-8 bytes
+ * }}}
+ *
+ * The record length prefix lets a reader skip a corrupt record and keep
+ * going — the E1 error-tolerance semantics (`XELoader/EventHolder.cs:76-96`).
+ */
+object XelbFormat {
+  val Magic: Array[Byte] = "XELB".getBytes("US-ASCII")
+  val Version = 1
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | StringType | TimestampType => true
+    case _ => false
+  }
+
+  def writeHeader(out: DataOutputStream, schema: StructType): Unit = {
+    out.write(Magic)
+    out.writeShort(Version)
+    val ddl = schema.toDDL.getBytes("UTF-8")
+    out.writeInt(ddl.length)
+    out.write(ddl)
+  }
+
+  def readHeader(in: DataInputStream): StructType = {
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(magic.sameElements(Magic), "not an XELB file (bad magic)")
+    val v = in.readUnsignedShort()
+    require(v == Version, s"unsupported XELB version $v")
+    val len = in.readInt()
+    val ddl = new Array[Byte](len)
+    in.readFully(ddl)
+    StructType.fromDDL(new String(ddl, "UTF-8"))
+  }
+
+  /** Serialize one external Row (driver-side fixture writer). */
+  def writeRecord(out: DataOutputStream, row: Row, schema: StructType): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) b.writeByte(1)
+      else {
+        b.writeByte(0)
+        f.dataType match {
+          case LongType => b.writeLong(row.getLong(i))
+          case DoubleType => b.writeDouble(row.getDouble(i))
+          case TimestampType =>
+            val ts = row.getAs[java.sql.Timestamp](i)
+            b.writeLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+          case StringType =>
+            val bytes = row.getString(i).getBytes("UTF-8")
+            b.writeInt(bytes.length)
+            b.write(bytes)
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      }
+    }
+    out.writeInt(body.size())
+    body.writeTo(out)
+  }
+
+  /** Decode the next record into an InternalRow holding only the columns
+    * in `required` (parallel to fileSchema field order); other columns are
+    * skipped without allocation — DSv2 column pruning reaches the byte
+    * decoder. Returns null at clean EOF. */
+  def readRecord(in: DataInputStream, fileSchema: StructType,
+                 required: Array[Int]): InternalRow = {
+    val recLen = try in.readInt() catch { case _: EOFException => return null }
+    val bytes = new Array[Byte](recLen)
+    in.readFully(bytes)
+    val b = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val wanted = required.toSet
+    val out = new Array[Any](required.length)
+    var i = 0
+    while (i < fileSchema.length) {
+      val isNull = b.readByte() == 1
+      val keepAt = required.indexOf(i)
+      if (!isNull) {
+        fileSchema.fields(i).dataType match {
+          case LongType | TimestampType =>
+            if (wanted.contains(i)) out(keepAt) = b.readLong() else b.skipBytes(8)
+          case DoubleType =>
+            if (wanted.contains(i)) out(keepAt) = b.readDouble() else b.skipBytes(8)
+          case StringType =>
+            val len = b.readInt()
+            if (wanted.contains(i)) {
+              val s = new Array[Byte](len)
+              b.readFully(s)
+              out(keepAt) = UTF8String.fromBytes(s)
+            } else b.skipBytes(len)
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
