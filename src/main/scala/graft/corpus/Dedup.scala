@@ -76,13 +76,21 @@ object Dedup {
   }
 
   /** K salted min-hash columns (the signature) per doc. Docs with no
-    * shingles (fewer than k tokens) drop out — they cannot near-dup. */
-  def minhashSignatures(post: DataFrame, numHashes: Int): DataFrame =
-    post.groupBy(col("doc_id"))
-      .agg(
-        min(hash60Salted(0, col("shingle"))).as("mh0"),
-        (1 until numHashes).map(i =>
-          min(hash60Salted(i, col("shingle"))).as(s"mh$i")): _*)
+    * shingles (fewer than k tokens) drop out — they cannot near-dup.
+    *
+    * A pure projection — NO explode and NO shuffle: the signature stage
+    * pipelines inside the scan stage at 100 TB. All K minhashes come from
+    * the single-pass [[MinHashSig]] kernel; values are identical to the
+    * exploded groupBy/min-of-salted-md5 form the DuckDB oracle uses
+    * (pinned by CorpusSpec). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame =
+    fanout(docs)
+      .select(col(idCol).as("doc_id"),
+        MinHashSig.toColumn(shingles(col(textCol), k), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
 
   /** LSH banding: split the K-column signature into bands of `rowsPerBand`,
     * key each band by md5 of its joined values. Emits (doc_id, band, key). */
@@ -104,7 +112,8 @@ object Dedup {
                       k: Int, numHashes: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val post = shinglePostings(docs, idCol, textCol, k)
-    val bands = lshBands(minhashSignatures(post, numHashes), numHashes, rowsPerBand)
+    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, numHashes),
+      numHashes, rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -95,6 +95,17 @@ class CorpusSpec extends SparkTestBase {
     assert(got(0).getDouble(3) > 0.8)
   }
 
+  test("MinHashSig kernel matches the SQL salted-md5 min form bit-for-bit") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val fast = graft.corpus.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 12)
+    val slow = docs.select(col("doc_id"),
+        explode(T.shingles(col("text"), 3)).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(min(T.hash60Salted(0, col("shingle"))).as("mh0"),
+        (1 until 12).map(i => min(T.hash60Salted(i, col("shingle"))).as(s"mh$i")): _*)
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
   test("simhash: identical texts collide at hamming 0") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q r s t u v w x y z aa bb cc dd")).toDF("doc_id", "text")
