@@ -140,6 +140,30 @@ object Dedup {
       .select("d1", "d2", "n_bands_matched", "jaccard")
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc in a duplicate cluster maps to the cluster's
+    * smallest doc_id (the canonical survivor — what an LLM-corpus dedup
+    * actually keeps). `iterations` bounds work deterministically; near-dup
+    * clusters are dense (diameter 1–2), so the default converges with
+    * room to spare. Each iteration is one distributed join+min — no
+    * driver-side graph. Returns (doc_id, canonical_id). */
+  def dupClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("canonical_id", col("doc_id"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"),
+          col("b") === col("b2"))
+        .select(col("a").as("doc_id"), col("canonical_id"))
+      labels = labels.union(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("canonical_id")).as("canonical_id"))
+    }
+    labels
+  }
+
   /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
     * token OCCURRENCES (term frequency = natural weight). */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -81,6 +81,60 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Deterministic-init k-means coarse quantizer for a real IVF index:
+    * centroids seeded from the k smallest vec_ids, `iters` Lloyd rounds
+    * (assign via [[VectorExpr.dotF]]-style native distance, centroid
+    * update as per-dimension means). Centroids live on the driver
+    * (k × dim doubles — trivially broadcastable); assignment is one
+    * distributed projection per round. Returns (idCol, cluster).
+    * Feed the result to [[ivfTopK]] as the bucket column. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assignUdf(cs: Array[Array[Double]]) = udf((v: Seq[Float]) => {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        val cent = cs(c)
+        while (i < cent.length && i < v.length) {
+          val diff = v(i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // ties keep the lower cluster id
+        c += 1
+      }
+      best
+    })
+
+    var assigned = emb.select(col(idCol), col(vecCol),
+      assignUdf(centroids)(col(vecCol)).as("cluster"))
+    for (_ <- 1 to iters) {
+      val dims = centroids.head.length
+      val sums = assigned
+        .select(col("cluster"), posexplode(col(vecCol)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+      assigned = emb.select(col(idCol), col(vecCol),
+        assignUdf(centroids)(col(vecCol)).as("cluster"))
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
   /** IVF-style top-k: probe only vectors in the query's coarse bucket
     * (`bucketCol` — a cluster id; the fixture's `label` stands in for a
     * k-means assignment). Same output shape as brute force; recall trades

@@ -104,6 +104,14 @@ object CorpusQueries {
         .orderBy("d1", "d2")
     }),
 
+    // near-dup pairs → connected components → canonical survivor per
+    // cluster (min doc_id): the operation an LLM-corpus dedup ends with.
+    "dedup_clusters" -> ((spark, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
+        shingleK, jaccardThreshold)
+      Dedup.dupClusters(pairs, iterations = 8).orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((spark, dir) => {
       Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", simhashMaxHamming)
         .orderBy("d1", "d2")
@@ -312,6 +320,26 @@ object CorpusQueries {
          |SELECT d1, d2, n_bands_matched, jaccard FROM joined
          |WHERE jaccard >= $jaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT d1, d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |),
+         |pairs AS (SELECT d1, d2 FROM joined WHERE jaccard >= $jaccardThreshold),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$tokCte,

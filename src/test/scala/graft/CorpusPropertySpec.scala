@@ -1,0 +1,73 @@
+package graft
+
+import graft.corpus.{Dedup, Similarity, TextAnalysis => T}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style coverage (SURVEY.md §5.2) for the corpus operators over
+  * seeded random corpora — driven through real DataFrame evaluation.
+  * (The scalatest↔scalacheck bridge isn't in the offline dependency
+  * cache, so generation is a seeded Random instead of Gen.) */
+class CorpusPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private def randomTexts(seed: Int, n: Int): Seq[String] = {
+    val rnd = new Random(seed)
+    Seq.fill(n)(Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+  }
+
+  test("hash60 is always within [0, 2^60) (property over 200 random texts)") {
+    val vals = randomTexts(1, 200).toDF("t")
+      .select(T.hash60(col("t"))).collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("shingle count is max(0, windows), never above n-k+1 (property)") {
+    val rows = randomTexts(2, 200).toDF("t")
+      .select(size(T.tokens(col("t"))).as("n"), size(T.shingles(col("t"), 3)).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val (n, s) = (r.getInt(0), r.getInt(1))
+      if (n < 3) assert(s == 0) else assert(s >= 1 && s <= n - 2)
+    }
+  }
+
+  test("rolling fingerprint stays within the modulus (property)") {
+    val vals = randomTexts(3, 200).toDF("t")
+      .select(T.rollingFingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0L && v < 1000000007L))
+  }
+
+  test("jaccard pairs are canonical (d1<d2) with scores in (0,1] (property)") {
+    val df = randomTexts(4, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("dupClusters: canonical id is the component minimum, chains included") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("kmeansAssign feeds ivfTopK: valid clusters, ANN contract holds") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(assigned.count() == emb.count())
+    val clusters = assigned.select("cluster").distinct().collect().map(_.getInt(0))
+    assert(clusters.length > 1 && clusters.forall(c => c >= 0 && c < 8))
+    val withBuckets = emb.join(assigned, "vec_id")
+    val topk = Similarity.ivfTopK(withBuckets, "vec_id", "embedding", "cluster",
+      col("vec_id") % 200 === 0, 5)
+    assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+}

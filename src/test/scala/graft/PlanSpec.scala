@@ -75,6 +75,19 @@ class PlanSpec extends SparkTestBase {
       s"ann_topk_brute should shuffle at most 3 times, got ${shuffles.size}")
   }
 
+  test("CollapseTruncation rule folds stacked width limits into one substring") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.CollapseTruncation
+    try {
+      val df = spark.range(3).selectExpr(
+        "substring(substring(concat(cast(id AS string), 'abcdefghij'), 1, 8), 1, 5) AS s")
+      val substrings = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case s: org.apache.spark.sql.catalyst.expressions.Substring => s })
+      assert(substrings.size == 1, s"stacked substrings not collapsed: $substrings")
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("0abcd", "1abcd", "2abcd"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("dedup exact: map-side partial aggregation before the digest shuffle") {
     val nodes = executedNodes(q("dedup_exact"))
     val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
