@@ -148,11 +148,25 @@ object Dedup {
     * room to spare. Each iteration is one distributed join+min — no
     * driver-side graph. Returns (doc_id, canonical_id). */
   def dupClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+    // Iterative plans MUST cut lineage each round: labels_i references
+    // labels_{i-1} twice (union + join), so an unmaterialized loop doubles
+    // the plan per iteration — 2^N recomputations of the upstream pair
+    // pipeline. localCheckpoint materializes the (tiny) label/edge frames;
+    // at petabyte scale the same loop uses reliable checkpointing.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("canonical_id", col("doc_id"))
-    for (_ <- 1 to iterations) {
+    var labels = nodes.withColumn("canonical_id", col("doc_id")).localCheckpoint()
+    // early exit: per-node labels only ever DECREASE under min-propagation,
+    // so an unchanged sum(canonical_id) proves a fixpoint — no extra join
+    // needed for change detection.
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("canonical_id"))).head().getLong(0)
+    var prev = checksum(labels)
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "b2"),
           col("b") === col("b2"))
@@ -160,6 +174,11 @@ object Dedup {
       labels = labels.union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("canonical_id")).as("canonical_id"))
+        .localCheckpoint()
+      val cur = checksum(labels)
+      converged = cur == prev
+      prev = cur
+      it += 1
     }
     labels
   }
