@@ -59,7 +59,9 @@ object Dedup {
     * both bounded by postings size, never by n². */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
-    val post = shinglePostings(docs, idCol, textCol, k)
+    // postings feed three consumers (sizes + both self-join sides) —
+    // materialize once instead of re-tokenizing the corpus three times
+    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint()
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = post.as("a").join(post.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -111,9 +113,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val post = shinglePostings(docs, idCol, textCol, k)
+    // both frames feed multiple joins — materialize once (same reasoning
+    // as dupClusters: unmaterialized reuse recomputes the whole pipeline)
+    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint()
     val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, numHashes),
-      numHashes, rowsPerBand)
+      numHashes, rowsPerBand).localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
