@@ -81,6 +81,69 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection
+    * LSH: component (p,d) is derived from md5("p|d") mapped into [-1, 1).
+    * Generated ONCE on the driver and inlined as plan literals — the
+    * DuckDB oracle inlines the same constants, so no cross-engine hash
+    * agreement is needed at query time. */
+  def srpPlanes(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      md.reset()
+      val h = md.digest(s"$p|$d".getBytes("UTF-8"))
+      val be = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      (be.toDouble / 2147483648.0) - 1.0 // [0,2^32) → [-1,1)
+    }
+  }
+
+  /** SRP-LSH bucket id: bit p = sign of dot(vec, plane_p). Vectors whose
+    * buckets collide are near-dup candidates; with `numPlanes` bits the
+    * candidate set shrinks ~2^planes-fold — the LSH "scale path" next to
+    * the exact [[nearDupPairs]] baseline. Recall is tunable via plane
+    * count (fewer planes = higher recall, more candidates). */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val dotP = aggregate(
+        zip_with(vec, typedlit(plane.toSeq), (x, h) => x.cast("double") * h),
+        lit(0.0), _ + _)
+      when(dotP >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table SRP-LSH near-dup pairs: `numTables` independent hash
+    * tables of `planesPerTable` bits each (the standard recall lever —
+    * a true near-dup only needs ONE table to agree on all bits).
+    * Candidates = same (table, bucket); distinct pairs verified with
+    * exact cosine ≥ threshold. Shuffles are keyed by (table, bucket) —
+    * never an all-pairs scan. */
+  def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      planes: Array[Array[Double]], planesPerTable: Int,
+                      threshold: Double): DataFrame = {
+    val numTables = planes.length / planesPerTable
+    val tableBuckets = (0 until numTables).map { t =>
+      val sub = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      struct(lit(t).as("t"), srpBucket(col(vecCol), sub).as("bucket"))
+    }
+    val withB = Dedup.fanout(emb)
+      .select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = withB.select(col(idCol).as("v1"), col("t"), col("bucket"))
+      .join(withB.select(col(idCol).as("v2"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val vecs = Dedup.fanout(emb)
+      .select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+    cand
+      .join(vecs.select(col(idCol).as("v1"), col(vecCol).as("e1"), col("nrm").as("nrm1")), "v1")
+      .join(vecs.select(col(idCol).as("v2"), col(vecCol).as("e2"), col("nrm").as("nrm2")), "v2")
+      .withColumn("cos_sim", cosineFast(col("e1"), col("nrm1"), col("e2"), col("nrm2")))
+      .filter(col("cos_sim") >= threshold)
+      .select("v1", "v2", "cos_sim")
+  }
+
   /** Deterministic-init k-means coarse quantizer for a real IVF index:
     * centroids seeded from the k smallest vec_ids, `iters` Lloyd rounds
     * (assign via [[VectorExpr.dotF]]-style native distance, centroid

@@ -39,6 +39,9 @@ object CorpusQueries {
   val cosineThreshold = 0.4
   val annK = 10
   val annQueryStride = 200 // queries = vec_id % 200 == 0
+  val srpPlanesPerTable = 4
+  /** 16 hyperplanes (4 tables × 4 bits) over the 64-dim fixture space. */
+  val srpPlanesConst: Array[Array[Double]] = Similarity.srpPlanes(16, 64)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -119,6 +122,15 @@ object CorpusQueries {
 
     "dedup_embedding_cosine" -> ((spark, dir) => {
       Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", cosineThreshold)
+        .orderBy("v1", "v2")
+    }),
+
+    // LSH scale path for embedding near-dup: 4 SRP tables × 4 bits,
+    // candidates from bucket collisions, exact-cosine verification.
+    // Hyperplanes are driver-generated constants inlined into BOTH plans.
+    "dedup_embedding_lsh" -> ((spark, dir) => {
+      Similarity.srpNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+        srpPlanesConst, srpPlanesPerTable, cosineThreshold)
         .orderBy("v1", "v2")
     }),
 
@@ -376,6 +388,36 @@ object CorpusQueries {
          |SELECT v1, v2, cos_sim FROM pairs
          |WHERE cos_sim >= $cosineThreshold
          |ORDER BY v1, v2""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      def planeList(p: Int): String =
+        srpPlanesConst(p).map(_.toString).mkString("[", ", ", "]")
+      def dotPlane(p: Int): String =
+        s"""list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
+           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeList(p)})[i]), (x, y) -> x + y)""".stripMargin
+      def bucketExpr(t: Int): String =
+        (0 until srpPlanesPerTable).map { p =>
+          s"(CASE WHEN ${dotPlane(t * srpPlanesPerTable + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+      val bucketSelects = (0 until srpPlanesConst.length / srpPlanesPerTable).map(t =>
+        s"SELECT vec_id, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), buckets AS (
+         |  $bucketSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT v1, v2, round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand JOIN norms a ON v1 = a.vec_id JOIN norms b ON v2 = b.vec_id
+         |)
+         |SELECT v1, v2, cos_sim FROM pairs
+         |WHERE cos_sim >= $cosineThreshold
+         |ORDER BY v1, v2""".stripMargin
+    },
 
     "ann_topk_brute" ->
       s"""WITH norms AS (

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).toSet == Set(1L, 4L))
   }
 
+  test("SRP-LSH pairs are a subset of brute-force pairs with usable recall") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val planes = graft.queries.CorpusQueries.srpPlanesConst
+    val lsh = Similarity.srpNearDupPairs(emb, "vec_id", "embedding", planes, 4, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must never invent pairs (exact verify step)")
+    assert(lsh.size.toDouble / brute.size > 0.3,
+      s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("srpPlanes are deterministic and bounded") {
+    val a = Similarity.srpPlanes(16, 64)
+    val b = Similarity.srpPlanes(16, 64)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
   test("nearDupPairs finds the planted near-identical pair") {
     val got = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
