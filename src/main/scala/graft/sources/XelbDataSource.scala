@@ -44,9 +44,20 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // E1 error tolerance (`XELoader/EventHolder.cs:76-96`,
+    // `InputParameters.cs:49`): tolerate up to `errorBudget` corrupt
+    // record bodies per file, then fail the file.
+    // getTable receives the case-SENSITIVE option map — normalize keys
+    val budget = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("errorBudget") => v.toInt
+      }.getOrElse(100)
+    }
     new XelbTable(schema,
-      XelbDataSource.listXelbFiles(properties.get("path")))
+      XelbDataSource.listXelbFiles(properties.get("path")), budget)
+  }
 }
 
 object XelbDataSource {
@@ -68,16 +79,17 @@ object XelbDataSource {
   }
 }
 
-class XelbTable(schema: StructType, files: Seq[String]) extends Table with SupportsRead {
+class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100)
+    extends Table with SupportsRead {
   override def name(): String = s"xelb(${files.size} files)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XelbScanBuilder(schema, files)
+    new XelbScanBuilder(schema, files, errorBudget)
 }
 
-class XelbScanBuilder(fileSchema: StructType, files: Seq[String])
+class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fileSchema
 
@@ -86,11 +98,11 @@ class XelbScanBuilder(fileSchema: StructType, files: Seq[String])
     required = StructType(fileSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new XelbScan(fileSchema, required, files)
+  override def build(): Scan = new XelbScan(fileSchema, required, files, errorBudget)
 }
 
-class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String])
-    extends Scan with Batch {
+class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
+               errorBudget: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -100,21 +112,25 @@ class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String])
     files.map(f => XelbInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XelbReaderFactory(fileSchema, required)
+    new XelbReaderFactory(fileSchema, required, errorBudget)
 }
 
 case class XelbInputPartition(file: String) extends InputPartition
 
-class XelbReaderFactory(fileSchema: StructType, required: StructType)
+class XelbReaderFactory(fileSchema: StructType, required: StructType, errorBudget: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XelbInputPartition].file
-    new XelbPartitionReader(file, fileSchema, required)
+    new XelbPartitionReader(file, fileSchema, required, errorBudget)
   }
 }
 
-/** Streams one file's records; column pruning applied at decode time. */
-class XelbPartitionReader(file: String, fileSchema: StructType, required: StructType)
+/** Streams one file's records; column pruning applied at decode time.
+  * Corrupt record BODIES are skipped up to `errorBudget` per file (E1,
+  * `XELoader/EventHolder.cs:76-96`) — the length-prefixed framing keeps
+  * later records reachable; exceeding the budget fails the file. */
+class XelbPartitionReader(file: String, fileSchema: StructType, required: StructType,
+                          errorBudget: Int)
     extends PartitionReader[InternalRow] {
 
   private val in: DataInputStream = {
@@ -129,10 +145,24 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
   private val requiredIdx: Array[Int] =
     required.fieldNames.map(fileSchema.fieldIndex)
   private var current: InternalRow = _
+  private var errors = 0
 
   override def next(): Boolean = {
-    current = XelbFormat.readRecord(in, fileSchema, requiredIdx)
-    current != null
+    while (true) {
+      val frame = XelbFormat.readFrame(in)
+      if (frame == null) return false
+      try {
+        current = XelbFormat.decodeRecord(frame, fileSchema, requiredIdx)
+        return true
+      } catch {
+        case e: Exception =>
+          errors += 1
+          if (errors > errorBudget)
+            throw new IllegalStateException(
+              s"$file: $errors corrupt records exceeds error budget $errorBudget", e)
+      }
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -87,15 +87,23 @@ object XelbFormat {
     body.writeTo(out)
   }
 
-  /** Decode the next record into an InternalRow holding only the columns
-    * in `required` (parallel to fileSchema field order); other columns are
-    * skipped without allocation — DSv2 column pruning reaches the byte
-    * decoder. Returns null at clean EOF. */
-  def readRecord(in: DataInputStream, fileSchema: StructType,
-                 required: Array[Int]): InternalRow = {
+  /** Read the next record FRAME (length prefix + body bytes) or null at
+    * clean EOF. Framing survives corrupt record bodies — only a corrupt
+    * LENGTH kills the tail of a file, exactly the containment the
+    * reference's per-event try/catch relies on (`EventHolder.cs:76-96`). */
+  def readFrame(in: DataInputStream): Array[Byte] = {
     val recLen = try in.readInt() catch { case _: EOFException => return null }
     val bytes = new Array[Byte](recLen)
     in.readFully(bytes)
+    bytes
+  }
+
+  /** Decode one framed record into an InternalRow holding only the columns
+    * in `required` (parallel to fileSchema field order); other columns are
+    * skipped without allocation — DSv2 column pruning reaches the byte
+    * decoder. Throws on a corrupt body (caller applies the error budget). */
+  def decodeRecord(bytes: Array[Byte], fileSchema: StructType,
+                   required: Array[Int]): InternalRow = {
     val b = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val wanted = required.toSet
     val out = new Array[Any](required.length)
@@ -111,6 +119,8 @@ object XelbFormat {
             if (wanted.contains(i)) out(keepAt) = b.readDouble() else b.skipBytes(8)
           case StringType =>
             val len = b.readInt()
+            if (len < 0 || len > bytes.length)
+              throw new java.io.IOException(s"corrupt string length $len")
             if (wanted.contains(i)) {
               val s = new Array[Byte](len)
               b.readFully(s)

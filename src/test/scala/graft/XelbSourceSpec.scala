@@ -51,6 +51,32 @@ class XelbSourceSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("corrupt record body is skipped within the error budget (E1)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-xelb-err").toString
+    val df = Seq((1L, "aaaa", 1L), (1L, "bbbb", 2L), (1L, "cccc", 3L)).toDF("k", "s", "v")
+    val Seq(file) = graft.sources.XelbFixtures.writeByKey(df, "k", d)
+    // header = 4 magic + 2 version + 4 len + DDL; record 2's body starts
+    // after record 1's frame. Corrupt record 2's string length to a huge
+    // value: framing survives, decode of that record throws.
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val ddlLen = java.nio.ByteBuffer.wrap(bytes, 6, 4).getInt
+    val rec1Start = 10 + ddlLen
+    val rec1Len = java.nio.ByteBuffer.wrap(bytes, rec1Start, 4).getInt
+    val rec2Body = rec1Start + 4 + rec1Len + 4
+    // record layout: nullflag(s)=0, then string length int — corrupt it
+    java.nio.ByteBuffer.wrap(bytes, rec2Body + 1, 4).putInt(0x7fffffff)
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+
+    val back = spark.read.format("xelb").load(d).orderBy("v")
+    assert(back.collect().map(_.getLong(1)).toSeq == Seq(1L, 3L)) // record 2 skipped
+
+    val strict = spark.read.format("xelb").option("errorBudget", 0).load(d)
+    val err = intercept[org.apache.spark.SparkException](strict.collect())
+    assert(err.getMessage.contains("error budget") ||
+      Option(err.getCause).exists(_.getMessage.contains("error budget")))
+  }
+
   test("nulls round-trip") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-null").toString
