@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,6 +30,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 class XelbDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xelb"
+
+  /** A user-supplied schema is accepted (readStream needs one up front);
+    * per-file headers are still validated against it at read time. */
+  override def supportsExternalMetadata(): Boolean = true
 
   private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val path = Option(options.get("path")).getOrElse(
@@ -56,7 +61,8 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
       }.getOrElse(100)
     }
     new XelbTable(schema,
-      XelbDataSource.listXelbFiles(properties.get("path")), budget)
+      XelbDataSource.listXelbFiles(properties.get("path")), budget,
+      streamingPath = Option(properties.get("path")))
   }
 }
 
@@ -79,17 +85,20 @@ object XelbDataSource {
   }
 }
 
-class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100)
+class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100,
+                streamingPath: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"xelb(${files.size} files)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XelbScanBuilder(schema, files, errorBudget)
+    new XelbScanBuilder(schema, files, errorBudget,
+      streamingPath.orElse(Option(options.get("path"))))
 }
 
-class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: Int)
+class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: Int,
+                      streamingPath: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fileSchema
 
@@ -98,11 +107,13 @@ class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: I
     required = StructType(fileSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new XelbScan(fileSchema, required, files, errorBudget)
+  override def build(): Scan =
+    new XelbScan(fileSchema, required, files, errorBudget, streamingPath)
 }
 
 class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
-               errorBudget: Int) extends Scan with Batch {
+               errorBudget: Int, streamingPath: Option[String] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -113,6 +124,43 @@ class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XelbReaderFactory(fileSchema, required, errorBudget)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new XelbMicroBatchStream(fileSchema, required,
+      streamingPath.getOrElse(throw new IllegalArgumentException(
+        "xelb streaming requires a path")), errorBudget)
+}
+
+/** Stream offset = how many files (in sorted-name order) have been
+  * consumed. XE sessions only ever APPEND rollover files with ascending
+  * partition/timestamp segments (`FileProcessor.cs:351`), so the sorted
+  * prefix is a valid, replayable offset — the streaming twin of the
+  * reference's "process files as they roll over" operation. */
+case class XelbOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
+                           path: String, errorBudget: Int) extends MicroBatchStream {
+  override def initialOffset(): Offset = XelbOffset(0)
+
+  override def latestOffset(): Offset =
+    XelbOffset(XelbDataSource.listXelbFiles(path).size)
+
+  override def deserializeOffset(json: String): Offset = XelbOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[XelbOffset].fileCount
+    val e = end.asInstanceOf[XelbOffset].fileCount
+    XelbDataSource.listXelbFiles(path).slice(s, e)
+      .map(f => XelbInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XelbReaderFactory(fileSchema, required, errorBudget)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class XelbInputPartition(file: String) extends InputPartition

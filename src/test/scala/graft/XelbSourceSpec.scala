@@ -77,6 +77,34 @@ class XelbSourceSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("error budget")))
   }
 
+  test("micro-batch streaming: rollover files consumed incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft-xelb-stream").toString
+    val ckpt = Files.createTempDirectory("graft-xelb-ckpt").toString
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("e_imported_file_id"), col("c_event_sequence"), col("event_name"))
+    // first rollover drop: files 1 and 2
+    XelbFixtures.writeByKey(xe.filter(col("e_imported_file_id") <= 2), "e_imported_file_id", d)
+    val schema = spark.read.format("xelb").load(d).schema
+
+    val outDir = Files.createTempDirectory("graft-xelb-out").toString
+    def runAvailable(): Long = {
+      val q = spark.readStream.format("xelb").schema(schema).load(d)
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+    val n1 = runAvailable()
+    assert(n1 == xe.filter(col("e_imported_file_id") <= 2).count())
+    // session rolls over two more files; restart from checkpoint reads
+    // ONLY the new files (offset = consumed sorted-file count)
+    XelbFixtures.writeByKey(xe.filter(col("e_imported_file_id") > 2), "e_imported_file_id", d)
+    val n2 = runAvailable()
+    assert(n2 == xe.count(), s"expected all ${xe.count()} rows, got $n2")
+  }
+
   test("nulls round-trip") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-null").toString
