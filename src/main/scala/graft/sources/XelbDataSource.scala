@@ -44,8 +44,11 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = listFiles(options)
     require(files.nonEmpty, "no .xelb files found")
-    // first file defines the schema — reference X2 semantics
-    XelbDataSource.headerOf(files.head)
+    // D6 schema evolution: sessions add fields across rollovers — the
+    // table schema is the name-keyed union of every file's header (the
+    // read-side analogue of EnsureTableSchemaMatches). Headers are a few
+    // hundred bytes; reading all of them stays a driver-side triviality.
+    XelbFormat.mergeSchemas(files.map(XelbDataSource.headerOf))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -181,17 +184,26 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
                           errorBudget: Int)
     extends PartitionReader[InternalRow] {
 
+  private var header: StructType = _
   private val in: DataInputStream = {
     val p = new Path(file)
     val s = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(new Configuration()).open(p), 4 * 1024 * 1024))
-    val header = XelbFormat.readHeader(s)
-    require(header.toDDL == fileSchema.toDDL,
-      s"schema drift in $file: ${header.toDDL} != ${fileSchema.toDDL}")
+    header = XelbFormat.readHeader(s)
+    // D6: columns are matched by NAME against this file's own header;
+    // a shared name at a different type is real drift and fails fast.
+    header.fields.foreach { f =>
+      required.fields.find(_.name == f.name).foreach { r =>
+        require(r.dataType == f.dataType,
+          s"schema drift in $file: ${f.name} is ${f.dataType}, table has ${r.dataType}")
+      }
+    }
     s
   }
-  private val requiredIdx: Array[Int] =
-    required.fieldNames.map(fileSchema.fieldIndex)
+  /** file column index → output slot (or -1): pruning + evolution in one map;
+    * output columns this file predates keep their slots null. */
+  private val outPos: Array[Int] =
+    header.fieldNames.map(n => required.fieldNames.indexOf(n))
   private var current: InternalRow = _
   private var errors = 0
 
@@ -200,7 +212,7 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
       val frame = XelbFormat.readFrame(in)
       if (frame == null) return false
       try {
-        current = XelbFormat.decodeRecord(frame, fileSchema, requiredIdx)
+        current = XelbFormat.decodeRecord(frame, header, outPos, required.length)
         return true
       } catch {
         case e: Exception =>

@@ -98,30 +98,31 @@ object XelbFormat {
     bytes
   }
 
-  /** Decode one framed record into an InternalRow holding only the columns
-    * in `required` (parallel to fileSchema field order); other columns are
-    * skipped without allocation — DSv2 column pruning reaches the byte
-    * decoder. Throws on a corrupt body (caller applies the error budget). */
+  /** Decode one framed record into an InternalRow of `outArity` slots.
+    * `outPos(i)` maps the file's i-th column to its output slot, or -1 to
+    * skip it without allocation — this one array carries BOTH column
+    * pruning and schema evolution (output columns the file predates keep
+    * their slots null). Throws on a corrupt body (caller applies the
+    * error budget). */
   def decodeRecord(bytes: Array[Byte], fileSchema: StructType,
-                   required: Array[Int]): InternalRow = {
+                   outPos: Array[Int], outArity: Int): InternalRow = {
     val b = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val wanted = required.toSet
-    val out = new Array[Any](required.length)
+    val out = new Array[Any](outArity)
     var i = 0
     while (i < fileSchema.length) {
       val isNull = b.readByte() == 1
-      val keepAt = required.indexOf(i)
+      val keepAt = outPos(i)
       if (!isNull) {
         fileSchema.fields(i).dataType match {
           case LongType | TimestampType =>
-            if (wanted.contains(i)) out(keepAt) = b.readLong() else b.skipBytes(8)
+            if (keepAt >= 0) out(keepAt) = b.readLong() else b.skipBytes(8)
           case DoubleType =>
-            if (wanted.contains(i)) out(keepAt) = b.readDouble() else b.skipBytes(8)
+            if (keepAt >= 0) out(keepAt) = b.readDouble() else b.skipBytes(8)
           case StringType =>
             val len = b.readInt()
             if (len < 0 || len > bytes.length)
               throw new java.io.IOException(s"corrupt string length $len")
-            if (wanted.contains(i)) {
+            if (keepAt >= 0) {
               val s = new Array[Byte](len)
               b.readFully(s)
               out(keepAt) = UTF8String.fromBytes(s)
@@ -132,5 +133,23 @@ object XelbFormat {
       i += 1
     }
     new GenericInternalRow(out)
+  }
+
+  /** D6 schema evolution (`XELoader/EventMetadata.cs:400-455` re-homed to
+    * the read side): union of per-file schemas by column name, in
+    * first-seen order; a name reused at a different type is an error
+    * (the reference never re-types columns either). */
+  def mergeSchemas(schemas: Seq[StructType]): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      out.get(f.name) match {
+        case None => out(f.name) = f.copy(nullable = true)
+        case Some(prev) if prev.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"schema evolution cannot re-type ${f.name}: ${prev.dataType} vs ${f.dataType}")
+        case _ =>
+      }
+    })
+    StructType(out.values.toSeq)
   }
 }

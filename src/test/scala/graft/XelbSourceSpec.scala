@@ -105,6 +105,23 @@ class XelbSourceSpec extends SparkTestBase {
     assert(n2 == xe.count(), s"expected all ${xe.count()} rows, got $n2")
   }
 
+  test("D6 schema evolution: merged schema, nulls for columns a file predates") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-xelb-evolve").toString
+    // rollover 1: two columns; rollover 2 adds `extra`
+    XelbFixtures.writeByKey(Seq((1L, "a", 10L)).toDF("k", "s", "v"), "k", d)
+    XelbFixtures.writeByKey(
+      Seq((2L, "b", 20L, 99L)).toDF("k", "s", "v", "extra"), "k", d)
+    val back = spark.read.format("xelb").load(d).orderBy("v")
+    assert(back.schema.fieldNames.toSeq == Seq("s", "v", "extra"))
+    val rows = back.collect()
+    assert(rows(0).getString(0) == "a" && rows(0).isNullAt(2)) // pre-evolution file
+    assert(rows(1).getString(0) == "b" && rows(1).getLong(2) == 99L)
+    // pruning to a column only the NEW file carries still works
+    assert(spark.read.format("xelb").load(d).select("extra")
+      .collect().map(r => Option(r.get(0))).toSet == Set(None, Some(99L)))
+  }
+
   test("nulls round-trip") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-null").toString
