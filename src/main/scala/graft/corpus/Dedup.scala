@@ -113,11 +113,19 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    // both frames feed multiple joins — materialize once (same reasoning
-    // as dupClusters: unmaterialized reuse recomputes the whole pipeline)
-    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint()
-    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, numHashes),
-      numHashes, rowsPerBand).localCheckpoint()
+    // the shingle ARRAY feeds both the signature projection and the
+    // postings explode — build it once per doc and materialize; both
+    // downstream frames then derive without re-tokenizing the corpus
+    val docSh = fanout(docs)
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .localCheckpoint()
+    val post = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sig = docSh
+      .select(col("doc_id"), MinHashSig.toColumn(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
