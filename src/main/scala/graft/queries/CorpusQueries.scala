@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.corpus.{Dedup, Multimodal, Similarity, TextAnalysis => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -147,7 +148,48 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // TF-IDF top terms per doc — the hallmark text-analytics reduction:
+    // tf from token occurrences, df across the corpus, top-3 by score.
+    // Ranking uses the ROUNDED score so last-ulp ln() differences between
+    // engines cannot reorder ranks.
+    "text_tfidf_topterms" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val nDocs = d.count()
+      val toks = d.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .withColumn("score",
+          round(col("tf").cast("double") *
+            log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- multimodal ----------------------------------------------------
+    // REAL distributed feature extraction over the binary payload (unlike
+    // the stubbed codec decode): per-format histogram of high nibbles of
+    // the first 64 body bytes — the shape of any bytes→features pass.
+    "mm_byte_histogram" -> ((spark, dir) => {
+      val withP = Multimodal.withPayload(docs(spark, dir))
+      val h = substring(hex(col("payload")), 9, 128) // body starts after 4-byte header
+      val nFull = least((octet_length(col("payload")) - 4).cast("int"), lit(64))
+      withP
+        .withColumn("nibbles",
+          when(nFull <= 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), nFull - 1), i =>
+              substring(h, i * lit(2) + 1, lit(1)))))
+        .select(col("format"), explode(col("nibbles")).as("nibble"))
+        .groupBy(col("format"), col("nibble"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("format", "nibble")
+    }),
+
     "mm_decode_stats" -> ((spark, dir) => {
       val withP = Multimodal.withPayload(docs(spark, dir))
       withP.select(
@@ -452,6 +494,44 @@ object CorpusQueries {
          |)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      s"""$tokCte,
+         |tk AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |         round(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)), 6) AS score
+         |  FROM tf JOIN dfreq USING (term), n
+         |), ranked AS (
+         |  SELECT doc_id, term, score,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, rank, term, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "mm_byte_histogram" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |              WHEN doc_id % 3 = 1 THEN 'jpg'
+        |              ELSE 'webp' END AS format,
+        |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+        |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+        |  FROM documents
+        |), nib AS (
+        |  SELECT format,
+        |         substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 1) AS nibble
+        |  FROM media, range(0, 64) t(i)
+        |  WHERE i < least(octet_length(payload) - 4, 64)
+        |)
+        |SELECT format, nibble, count(*) AS n
+        |FROM nib GROUP BY format, nibble ORDER BY format, nibble""".stripMargin,
 
     "mm_decode_stats" ->
       """WITH media AS (
