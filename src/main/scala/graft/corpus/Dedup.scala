@@ -60,8 +60,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
     // postings feed three consumers (sizes + both self-join sides) —
-    // materialize once instead of re-tokenizing the corpus three times
-    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint()
+    // materialize once instead of re-tokenizing the corpus three times.
+    // LAZY checkpoint: plan construction/explain stays free; blocks
+    // materialize on first action. (At petabyte postings volume, swap for
+    // persist(MEMORY_AND_DISK) or reliable checkpointing — localCheckpoint
+    // blocks are not fault-tolerant.)
+    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint(false)
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = post.as("a").join(post.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -97,6 +101,9 @@ object Dedup {
   /** LSH banding: split the K-column signature into bands of `rowsPerBand`,
     * key each band by md5 of its joined values. Emits (doc_id, band, key). */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing minhashes would silently drop out of every band")
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val key = md5(concat_ws("_",
@@ -118,14 +125,14 @@ object Dedup {
     // downstream frames then derive without re-tokenizing the corpus
     val docSh = fanout(docs)
       .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val post = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sig = docSh
       .select(col("doc_id"), MinHashSig.toColumn(col("sh"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
-    val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint()
+    val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint(false)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -167,14 +174,15 @@ object Dedup {
     // at petabyte scale the same loop uses reliable checkpointing.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("canonical_id", col("doc_id")).localCheckpoint()
+    var labels = nodes.withColumn("canonical_id", col("doc_id")).localCheckpoint(false)
     // early exit: per-node labels only ever DECREASE under min-propagation,
     // so an unchanged sum(canonical_id) proves a fixpoint — no extra join
-    // needed for change detection.
+    // needed for change detection. coalesce(0): sum over ZERO rows is null
+    // (empty pair set = clean corpus), which must read as converged, not NPE.
     def checksum(df: DataFrame): Long =
-      df.agg(sum(col("canonical_id"))).head().getLong(0)
+      df.agg(coalesce(sum(col("canonical_id")), lit(0L))).head().getLong(0)
     var prev = checksum(labels)
     var it = 0
     var converged = false
@@ -186,7 +194,7 @@ object Dedup {
       labels = labels.union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("canonical_id")).as("canonical_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = checksum(labels)
       converged = cur == prev
       prev = cur

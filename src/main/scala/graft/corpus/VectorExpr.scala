@@ -42,11 +42,14 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "dot_product_f"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-        left.dataType == ArrayType(FloatType, containsNull = true))
-      if (right.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"$prettyName right side must be array<float>")
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+    (left.dataType, right.dataType) match {
+      // element type MUST be float: getFloat on a double-backed array
+      // would silently reinterpret bytes, not fail
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> on both sides, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -64,9 +67,11 @@ case class NormF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm_f"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> input")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
 
   override def nullSafeEval(a: Any): Any =
     VectorOps.norm(a.asInstanceOf[ArrayData])

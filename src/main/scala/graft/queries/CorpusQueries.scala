@@ -203,10 +203,17 @@ object CorpusQueries {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
-  /** Tokens + distinct 3-shingles CTE over `documents`. */
+  /** Tokens + distinct 3-shingles CTE over `documents`. The CASE guard
+    * mirrors Spark's `TextAnalysis.tokens` empty-text semantics —
+    * string_split_regex('', ...) yields [''] (len 1) in DuckDB where
+    * Spark's guard yields [], and a blank doc would desync every
+    * token-derived oracle. */
   private val tokCte =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM documents
       |)""".stripMargin
 
   private val shingleCte =
@@ -432,8 +439,12 @@ object CorpusQueries {
          |ORDER BY v1, v2""".stripMargin,
 
     "dedup_embedding_lsh" -> {
+      // each component CAST from its shortest-round-trip string: DuckDB
+      // types bare decimal literals as DECIMAL(17,16), whose conversion
+      // to double can land 1 ulp off the Spark-side literal; VARCHAR →
+      // DOUBLE parsing is correctly rounded in both engines.
       def planeList(p: Int): String =
-        srpPlanesConst(p).map(_.toString).mkString("[", ", ", "]")
+        srpPlanesConst(p).map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
       def dotPlane(p: Int): String =
         s"""list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
            |      i -> CAST(embedding[i] AS DOUBLE) * (${planeList(p)})[i]), (x, y) -> x + y)""".stripMargin

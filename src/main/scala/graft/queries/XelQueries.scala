@@ -160,6 +160,10 @@ object XelQueries {
     // the way back — the ingest path itself under the oracle gate.
     "xe_xelb_source_scan" -> ((spark, dir) => {
       val xelbDir = s"/tmp/graft_xelb_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // wipe first: writeByKey only overwrites files for currently-present
+      // keys; stale rollovers from an earlier run would be read back too
+      val d = new java.io.File(xelbDir)
+      if (d.exists()) d.listFiles().foreach(_.delete())
       val slice = XeFixture.frame(spark, dir)
         .filter(col("c_event_sequence") <= 20000)
         .select(col("e_imported_file_id"), col("c_event_sequence"),

@@ -73,9 +73,14 @@ object XelbDataSource {
   def listXelbFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
+    // glob patterns must be expanded FIRST — getFileStatus throws
+    // FileNotFoundException on a pattern path
+    val isGlob = path.exists("*?[{".contains(_))
     val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else fs.globStatus(p).toSeq
+      if (isGlob) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
     stats.filter(s => s.isFile && s.getPath.getName.endsWith(".xelb"))
       .map(_.getPath.toString).sorted
   }
@@ -134,28 +139,44 @@ class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
         "xelb streaming requires a path")), errorBudget)
 }
 
-/** Stream offset = how many files (in sorted-name order) have been
-  * consumed. XE sessions only ever APPEND rollover files with ascending
-  * partition/timestamp segments (`FileProcessor.cs:351`), so the sorted
-  * prefix is a valid, replayable offset — the streaming twin of the
-  * reference's "process files as they roll over" operation. */
+/** Stream offset = how many files this stream has ADMITTED, in admission
+  * order (the streaming twin of the reference's "process files as they
+  * roll over" loop, `FileProcessor.cs:351`). */
 case class XelbOffset(fileCount: Int) extends Offset {
   override def json(): String = fileCount.toString
 }
 
 class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
                            path: String, errorBudget: Int) extends MicroBatchStream {
+
+  /** Admission log: new directory listings are appended in sorted order,
+    * but files already admitted keep their positions FOREVER — so an
+    * offset range always maps to the same file set even when later
+    * arrivals sort lexically between (or before) admitted names, e.g.
+    * `_10` arriving after `_2` with non-padded rollover numbers.
+    * Restart note: within one run this log is authoritative; on restart
+    * it is rebuilt from a fresh sorted listing, which is faithful as
+    * long as files were admitted in sorted batches (the fixture writer
+    * zero-pads numeric keys to keep that true). */
+  private val admitted = scala.collection.mutable.LinkedHashSet[String]()
+
+  private def admitNew(): Unit =
+    XelbDataSource.listXelbFiles(path).foreach(admitted += _)
+
   override def initialOffset(): Offset = XelbOffset(0)
 
-  override def latestOffset(): Offset =
-    XelbOffset(XelbDataSource.listXelbFiles(path).size)
+  override def latestOffset(): Offset = {
+    admitNew()
+    XelbOffset(admitted.size)
+  }
 
   override def deserializeOffset(json: String): Offset = XelbOffset(json.toInt)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[XelbOffset].fileCount
     val e = end.asInstanceOf[XelbOffset].fileCount
-    XelbDataSource.listXelbFiles(path).slice(s, e)
+    if (admitted.size < e) admitNew()
+    admitted.iterator.slice(s, e)
       .map(f => XelbInputPartition(f): InputPartition).toArray
   }
 
@@ -209,7 +230,18 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
 
   override def next(): Boolean = {
     while (true) {
-      val frame = XelbFormat.readFrame(in)
+      val frame =
+        try XelbFormat.readFrame(in)
+        catch {
+          case e: XelbFormat.FrameTruncated =>
+            // framing lost — the tail is unreadable; one budgeted error,
+            // then the file ends (no resync possible past a bad length)
+            errors += 1
+            if (errors > errorBudget)
+              throw new IllegalStateException(
+                s"$file: $errors corrupt records exceeds error budget $errorBudget", e)
+            return false
+        }
       if (frame == null) return false
       try {
         current = XelbFormat.decodeRecord(frame, header, outPos, required.length)

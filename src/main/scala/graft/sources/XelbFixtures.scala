@@ -23,8 +23,15 @@ object XelbFixtures {
     Files.createDirectories(Paths.get(dir))
     val keyIdx = df.schema.fieldIndex(keyCol)
     val rows = df.collect().groupBy(_.get(keyIdx))
-    rows.toSeq.sortBy(_._1.toString).map { case (key, rs) =>
-      val file = s"$dir/${sessionName}_${key}_0.xelb"
+    // zero-pad numeric rollover keys: lexical file order must equal
+    // numeric arrival order or streaming offsets would remap at key 10
+    def keyStr(k: Any): String = k match {
+      case n: Long => f"$n%09d"
+      case n: Int => f"$n%09d"
+      case other => other.toString
+    }
+    rows.toSeq.sortBy(r => keyStr(r._1)).map { case (key, rs) =>
+      val file = s"$dir/${sessionName}_${keyStr(key)}_0.xelb"
       val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
       try {
         XelbFormat.writeHeader(out, schema)

@@ -87,14 +87,23 @@ object XelbFormat {
     body.writeTo(out)
   }
 
+  /** The framing itself is broken (bad length prefix, or the file ends
+    * mid-record — e.g. a rollover file still being flushed): the tail of
+    * the file is unreadable, but the failure is contained. */
+  final class FrameTruncated(msg: String) extends java.io.IOException(msg)
+
   /** Read the next record FRAME (length prefix + body bytes) or null at
-    * clean EOF. Framing survives corrupt record bodies — only a corrupt
-    * LENGTH kills the tail of a file, exactly the containment the
+    * clean EOF. Framing survives corrupt record BODIES; a corrupt LENGTH
+    * or truncated tail raises [[FrameTruncated]] so the caller can count
+    * it against the error budget and stop the file — the containment the
     * reference's per-event try/catch relies on (`EventHolder.cs:76-96`). */
   def readFrame(in: DataInputStream): Array[Byte] = {
     val recLen = try in.readInt() catch { case _: EOFException => return null }
+    if (recLen < 0 || recLen > (1 << 28))
+      throw new FrameTruncated(s"corrupt record length $recLen")
     val bytes = new Array[Byte](recLen)
-    in.readFully(bytes)
+    try in.readFully(bytes)
+    catch { case _: EOFException => throw new FrameTruncated(s"file ends mid-record (len $recLen)") }
     bytes
   }
 

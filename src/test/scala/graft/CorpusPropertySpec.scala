@@ -59,6 +59,16 @@ class CorpusPropertySpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("dupClusters on an empty pair set returns empty (clean corpus)") {
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.dupClusters(pairs).count() == 0)
+  }
+
+  test("lshBands rejects non-divisible band configuration") {
+    val sig = Seq((1L, 1L)).toDF("doc_id", "mh0")
+    intercept[IllegalArgumentException](Dedup.lshBands(sig, 13, 3))
+  }
+
   test("kmeansAssign feeds ivfTopK: valid clusters, ANN contract holds") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)

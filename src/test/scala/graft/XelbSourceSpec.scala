@@ -122,6 +122,47 @@ class XelbSourceSpec extends SparkTestBase {
       .collect().map(r => Option(r.get(0))).toSet == Set(None, Some(99L)))
   }
 
+  test("glob paths list files (S3 directory enumeration)") {
+    val viaGlob = spark.read.format("xelb").load(s"$dir/GraftSession_*.xelb")
+    val viaDir = spark.read.format("xelb").load(dir)
+    assert(viaGlob.count() == viaDir.count())
+  }
+
+  test("streaming admission log survives non-lexical arrival order") {
+    import graft.sources.{XelbMicroBatchStream, XelbInputPartition, XelbOffset}
+    val d = Files.createTempDirectory("graft-xelb-order").toString
+    def touch(name: String): Unit = {
+      import spark.implicits._
+      graft.sources.XelbFixtures.writeByKey(
+        Seq((name, 1L)).toDF("k", "v"), "k", d, sessionName = "S")
+    }
+    touch("b"); touch("c")
+    val stream = new XelbMicroBatchStream(
+      spark.read.format("xelb").load(d).schema,
+      spark.read.format("xelb").load(d).schema, d, 100)
+    val o1 = stream.latestOffset()
+    val batch1 = stream.planInputPartitions(XelbOffset(0), o1)
+      .map(_.asInstanceOf[XelbInputPartition].file)
+    // "a" arrives AFTER b/c were admitted but sorts before them
+    touch("a")
+    val o2 = stream.latestOffset()
+    val batch2 = stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[XelbInputPartition].file)
+    assert(batch1.map(f => f.substring(f.lastIndexOf('/'))).toSet ==
+      Set("/S_b_0.xelb", "/S_c_0.xelb"))
+    assert(batch2.map(f => f.substring(f.lastIndexOf('/'))).toSet ==
+      Set("/S_a_0.xelb"), "late-but-lexically-early file must land in the NEW batch only")
+  }
+
+  test("native vector expressions reject non-float arrays at analysis time") {
+    import spark.implicits._
+    val doubles = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+    val err = intercept[Exception](
+      doubles.select(graft.corpus.VectorExpr.normF(col("v"))).collect())
+    assert(err.getMessage.toLowerCase.contains("array"),
+      s"expected type-check failure, got: ${err.getMessage.take(200)}")
+  }
+
   test("nulls round-trip") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-null").toString
