@@ -159,6 +159,22 @@ object Dedup {
       .select("d1", "d2", "n_bands_matched", "jaccard")
   }
 
+  /** Benchmark decontamination — the training-corpus step near-dup dedup
+    * exists to serve: flag training docs sharing any k-shingle with an
+    * eval/benchmark set. Inverted-index semi-join shape: only docs
+    * sharing a shingle ever meet, and the eval side (small by nature)
+    * broadcasts. Returns (doc_id, n_shared_shingles, n_eval_docs_hit). */
+  def contamination(train: DataFrame, eval_ : DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    val trainPost = shinglePostings(train, idCol, textCol, k)
+    val evalPost = shinglePostings(eval_, idCol, textCol, k)
+      .withColumnRenamed("doc_id", "eval_doc_id")
+    trainPost.join(broadcast(evalPost), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("eval_doc_id")).as("n_eval_docs_hit"))
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: every doc in a duplicate cluster maps to the cluster's
     * smallest doc_id (the canonical survivor — what an LLM-corpus dedup

@@ -148,6 +148,35 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Benchmark decontamination: docs from source 'src0' play the eval
+    // set; training docs (all other sources) sharing any 5-shingle with
+    // it are flagged — the step that keeps eval data out of training.
+    "corpus_contamination" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      Dedup.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Source mixing weights — the data-mixture step of a training
+    // pipeline: weight per source ∝ count^0.7 (temperature sampling),
+    // normalized to sum 1. Exact-count inputs → deterministic doubles.
+    "corpus_mixing_weights" -> ((spark, dir) => {
+      val bySource = docs(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_raw"))
+        .withColumn("n_chars_total", col("n_chars_raw").cast("long"))
+        .drop("n_chars_raw")
+      val withW = bySource.withColumn("w_raw", pow(col("n_docs").cast("double"), 0.7))
+      val total = withW.agg(sum(col("w_raw"))).head().getDouble(0)
+      withW.withColumn("mix_weight", round(col("w_raw") / lit(total), 6))
+        .select(col("source"), col("n_docs"), col("n_chars_total"), col("mix_weight"))
+        .orderBy("source")
+    }),
+
     // TF-IDF top terms per doc — the hallmark text-analytics reduction:
     // tf from token occurrences, df across the corpus, top-3 by score.
     // Ranking uses the ROUNDED score so last-ulp ln() differences between
@@ -216,14 +245,20 @@ object CorpusQueries {
       |  FROM documents
       |)""".stripMargin
 
-  private val shingleCte =
-    s"""$tokCte,
-       |sh AS (
+  /** k-shingle CTE body (appended after tokCte): distinct k-grams per doc.
+    * range end is len-k+2 (range is end-exclusive; last window starts at
+    * len-k+1). */
+  private def shingleSql(k: Int): String = {
+    val joinExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""sh AS (
        |  SELECT doc_id,
-       |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-       |  FROM toks WHERE len(ws) >= 3
+       |         unnest(list_distinct(list_transform(range(1, len(ws) - ${k - 2}),
+       |                i -> $joinExpr))) AS shingle
+       |  FROM toks WHERE len(ws) >= $k
        |)""".stripMargin
+  }
+
+  private val shingleCte = s"$tokCte,\n${shingleSql(shingleK)}"
 
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
@@ -505,6 +540,31 @@ object CorpusQueries {
          |)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    "corpus_contamination" ->
+      s"""$tokCte,
+         |${shingleSql(5)},
+         |tp AS (SELECT s.doc_id, s.shingle FROM sh s
+         |       JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+         |ep AS (SELECT s.doc_id AS eval_doc_id, s.shingle FROM sh s
+         |       JOIN documents d USING (doc_id) WHERE d.source = 'src0')
+         |SELECT tp.doc_id,
+         |       count(*) AS n_shared_shingles,
+         |       count(DISTINCT eval_doc_id) AS n_eval_docs_hit
+         |FROM tp JOIN ep USING (shingle)
+         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+
+    "corpus_mixing_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT *, pow(CAST(n_docs AS DOUBLE), 0.7) AS w_raw FROM s
+        |), t AS (SELECT sum(w_raw) AS tot FROM w)
+        |SELECT source, n_docs, n_chars_total,
+        |       round(w_raw / tot, 6) AS mix_weight
+        |FROM w, t ORDER BY source""".stripMargin,
 
     "text_tfidf_topterms" ->
       s"""$tokCte,

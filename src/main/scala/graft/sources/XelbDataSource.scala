@@ -77,10 +77,16 @@ object XelbDataSource {
     // FileNotFoundException on a pattern path
     val isGlob = path.exists("*?[{".contains(_))
     val stats =
-      if (isGlob) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-        .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
-      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
+      try {
+        if (isGlob) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
+        else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      } catch {
+        // a not-yet-existing directory is a valid WRITE target (and an
+        // empty stream source) — not an error
+        case _: java.io.FileNotFoundException => Seq.empty
+      }
     stats.filter(s => s.isFile && s.getPath.getName.endsWith(".xelb"))
       .map(_.getPath.toString).sorted
   }
@@ -95,14 +101,22 @@ object XelbDataSource {
 
 class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100,
                 streamingPath: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"xelb(${files.size} files)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XelbScanBuilder(schema, files, errorBudget,
       streamingPath.orElse(Option(options.get("path"))))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new XelbWriteBuilder(
+      streamingPath.getOrElse(throw new IllegalArgumentException(
+        "xelb write requires a path")), info.schema())
 }
 
 class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: Int,
@@ -258,4 +272,67 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ---- DSv2 write path -------------------------------------------------
+
+/** Batch write: one .xelb rollover file per non-empty partition — the
+  * write-side twin of the file-per-partition read (X1 both directions).
+  * Files are created lazily on the first row, so empty partitions leave
+  * nothing behind; abort deletes the partial file. */
+class XelbWriteBuilder(dir: String, schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new XelbBatchWrite(dir, schema)
+    }
+}
+
+class XelbBatchWrite(dir: String, schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    XelbWriterFactory(dir, schema.toDDL)
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+}
+
+case class XelbWriterFactory(dir: String, schemaDdl: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new XelbDataWriter(
+      f"$dir/part-$partitionId%05d-$taskId.xelb",
+      StructType.fromDDL(schemaDdl), partitionId)
+}
+
+class XelbDataWriter(file: String, schema: StructType, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import java.io.DataOutputStream
+
+  private var out: DataOutputStream = _
+  private val p = new Path(file)
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      out = new DataOutputStream(new java.io.BufferedOutputStream(
+        p.getFileSystem(new Configuration()).create(p, true)))
+      XelbFormat.writeHeader(out, schema)
+    }
+    XelbFormat.writeInternalRecord(out, row, schema)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    p.getFileSystem(new Configuration()).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -87,6 +87,32 @@ object XelbFormat {
     body.writeTo(out)
   }
 
+  /** Serialize one InternalRow (executor-side DSv2 writer) — same wire
+    * layout as [[writeRecord]]; timestamps are already epoch micros in
+    * the internal representation. */
+  def writeInternalRecord(out: DataOutputStream, row: org.apache.spark.sql.catalyst.InternalRow,
+                          schema: StructType): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) b.writeByte(1)
+      else {
+        b.writeByte(0)
+        f.dataType match {
+          case LongType | TimestampType => b.writeLong(row.getLong(i))
+          case DoubleType => b.writeDouble(row.getDouble(i))
+          case StringType =>
+            val bytes = row.getUTF8String(i).getBytes
+            b.writeInt(bytes.length)
+            b.write(bytes)
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      }
+    }
+    out.writeInt(body.size())
+    body.writeTo(out)
+  }
+
   /** The framing itself is broken (bad length prefix, or the file ends
     * mid-record — e.g. a rollover file still being flushed): the tail of
     * the file is unreadable, but the failure is contained. */

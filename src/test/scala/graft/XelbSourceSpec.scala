@@ -163,6 +163,44 @@ class XelbSourceSpec extends SparkTestBase {
       s"expected type-check failure, got: ${err.getMessage.take(200)}")
   }
 
+  test("DSv2 write path: df.write.format(xelb) round-trips, empty partitions skipped") {
+    val d = Files.createTempDirectory("graft-xelb-write").toString + "/out"
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("c_event_sequence"), col("c_session_id"), col("c_duration_us"),
+      col("e_time_of_event_utc"), col("c_statement"), col("event_name"))
+    xe.repartition(8).write.format("xelb").mode("append").save(d)
+    val back = spark.read.format("xelb").load(d)
+    assert(back.count() == xe.count())
+    assert(back.exceptAll(xe).count() == 0 && xe.exceptAll(back).count() == 0)
+    // more partitions than rows → empty partitions must not leave files
+    val tiny = xe.limit(3).repartition(16)
+    val d2 = Files.createTempDirectory("graft-xelb-write2").toString + "/out"
+    tiny.write.format("xelb").mode("append").save(d2)
+    val files = new java.io.File(d2).listFiles().filter(_.getName.endsWith(".xelb"))
+    assert(files.length <= 3 && files.nonEmpty)
+    assert(spark.read.format("xelb").load(d2).count() == 3)
+  }
+
+  test("event catalog views: per-type SQL over the demuxed layout") {
+    val d = Files.createTempDirectory("graft-demux").toString + "/t"
+    val xe = XeFixture.frame(spark, sf("sf0.001"))
+    graft.xel.Pipeline.writeDemuxed(xe, d, graft.xel.XelConfig.default)
+    val views = graft.xel.EventCatalog.registerEventViews(spark, d)
+    assert(views.contains("xel_wait_info") && views.size == 5)
+    val viaSql = spark.sql(
+      """SELECT count(*) AS n, sum(c_duration_us) AS s
+        |FROM xel_wait_info WHERE c_duration_us > 0""".stripMargin).head()
+    val direct = xe.filter(col("event_name") === "wait_info" && col("c_duration_us") > 0)
+      .agg(count(lit(1)), sum(col("c_duration_us"))).head()
+    assert(viaSql.getLong(0) == direct.getLong(0) && viaSql.getLong(1) == direct.getLong(1))
+    // cross-view join through plain SQL — the "full Spark SQL surface"
+    val joined = spark.sql(
+      """SELECT count(*) FROM xel_wait_info w
+        |JOIN xel_all_events a ON w.c_session_id = a.c_session_id
+        |WHERE a.event_name = 'module_start'""".stripMargin).head().getLong(0)
+    assert(joined > 0)
+  }
+
   test("nulls round-trip") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-null").toString
