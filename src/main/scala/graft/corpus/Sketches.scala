@@ -1,0 +1,58 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * KMV (k-minimum-values) distinct-count sketch — the sketch family that
+ * stays DETERMINISTIC across engines: the synopsis is the k smallest
+ * portable hashes ([[TextAnalysis.hash60]]), so Spark and a DuckDB oracle
+ * compute bit-identical estimates (unlike HLL, whose register layouts are
+ * implementation-defined). Estimate: (k-1) / normalized kth-minimum;
+ * groups with fewer than k distinct values report the exact count.
+ *
+ * Two forms:
+ *  - a windowed SQL form in CorpusQueries (`sketch_kmv_distinct`) the
+ *    oracle replays verbatim;
+ *  - [[KmvAggregator]], a typed `Aggregator` (the UDAF surface,
+ *    SURVEY.md §2.10) with an O(k) mergeable buffer — the shape that
+ *    scales: partial sketches merge associatively, so a 100 TB
+ *    distinct-count is one map-side-combined aggregation.
+ */
+object Sketches {
+
+  val TwoPow60: Double = 1152921504606846976.0 // 2^60 as exact double
+
+  def kmvEstimate(k: Int, kthMin: Long): Double =
+    (k - 1).toDouble * TwoPow60 / kthMin.toDouble
+
+  /** Typed KMV aggregator over pre-hashed values (longs in [0, 2^60)).
+    * Buffer = sorted array of ≤ k distinct smallest hashes. */
+  class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Double] {
+    override def zero: Seq[Long] = Seq.empty
+
+    private def insert(buf: Seq[Long], h: Long): Seq[Long] =
+      if (buf.contains(h)) buf
+      else if (buf.size < k) (buf :+ h).sorted
+      else if (h < buf.last) (buf.init :+ h).sorted
+      else buf
+
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: Seq[Long]): Double =
+      if (buf.size < k) buf.size.toDouble
+      else BigDecimal(kmvEstimate(k, buf.last))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column form: `kmvDistinct(64, hash60(col))` in a groupBy().agg(). */
+  def kmvDistinct(k: Int, hash: Column): Column =
+    org.apache.spark.sql.functions.udaf(new KmvAggregator(k)).apply(hash)
+}

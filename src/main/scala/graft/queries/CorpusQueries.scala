@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.corpus.{Dedup, Multimodal, Similarity, TextAnalysis => T}
+import graft.corpus.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,6 +198,34 @@ object CorpusQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // KMV distinct sketch — the deterministic sketch family: synopsis =
+    // k smallest portable hashes, so the ESTIMATE itself sits under the
+    // DuckDB oracle gate (HLL never could). Exact count alongside shows
+    // the error the estimate trades for O(k) mergeable state.
+    "sketch_kmv_distinct" -> ((spark, dir) => {
+      val k = 64
+      // events.parquet carries TIMESTAMP(NANOS); XeFixture.events sets the
+      // legacy nanosAsLong conf so the read succeeds standalone
+      val ev = graft.xel.XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          T.hash60(col("user_id").cast("string")).as("h"))
+        .distinct() // KMV works over the distinct hash set
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val ranked = ev.withColumn("rn", row_number().over(w))
+      val kth = ranked.filter(col("rn") === k)
+        .select(col("event_type"), col("h").as("kth_min"))
+      val exact = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      exact.join(kth, Seq("event_type"), "left")
+        .withColumn("kmv_estimate",
+          when(col("kth_min").isNull, col("exact_distinct").cast("double"))
+            .otherwise(round(lit((k - 1).toDouble * Sketches.TwoPow60) /
+              col("kth_min").cast("double"), 6)))
+        .select(col("event_type"), col("exact_distinct"),
+          coalesce(col("kth_min"), lit(0L)).as("kth_min"), col("kmv_estimate"))
+        .orderBy("event_type")
     }),
 
     // ---- multimodal ----------------------------------------------------
@@ -585,6 +613,28 @@ object CorpusQueries {
          |)
          |SELECT doc_id, rank, term, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      s"""WITH hv AS (
+         |  SELECT DISTINCT event_type,
+         |         ${h60("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), ranked AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hv
+         |), kth AS (
+         |  SELECT event_type, h AS kth_min FROM ranked WHERE rn = 64
+         |), ex AS (
+         |  SELECT event_type, count(*) AS exact_distinct FROM ranked GROUP BY event_type
+         |)
+         |SELECT ex.event_type, ex.exact_distinct,
+         |       coalesce(kth.kth_min, 0) AS kth_min,
+         |       CASE WHEN kth.kth_min IS NULL THEN CAST(exact_distinct AS DOUBLE)
+         |            ELSE round(${63.0 * Sketches.TwoPow60} / CAST(kth.kth_min AS DOUBLE), 6)
+         |       END AS kmv_estimate
+         |FROM ex LEFT JOIN kth USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin,
 
     "mm_byte_histogram" ->
       """WITH media AS (

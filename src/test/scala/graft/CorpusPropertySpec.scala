@@ -69,6 +69,26 @@ class CorpusPropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException](Dedup.lshBands(sig, 13, 3))
   }
 
+  test("KMV Aggregator (UDAF) equals the windowed-SQL sketch form") {
+    import graft.corpus.Sketches
+    val ev = graft.xel.XeFixture.events(spark, sf("sf0.001"))
+      .select($"event_type", T.hash60($"user_id".cast("string")).as("h"))
+      .distinct()
+    val viaAgg = ev.groupBy($"event_type")
+      .agg(Sketches.kmvDistinct(64, $"h").as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaWindow = SparkEntry.queries("sketch_kmv_distinct")(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kmv_estimate")).toMap
+    assert(viaAgg == viaWindow, s"$viaAgg vs $viaWindow")
+    // estimates land within 30% of exact on this cardinality range
+    val exact = ev.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaAgg.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)) / exact(t).toDouble < 0.3,
+        s"$t: est $est vs exact ${exact(t)}")
+    }
+  }
+
   test("kmeansAssign feeds ivfTopK: valid clusters, ANN contract holds") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
