@@ -91,6 +91,23 @@ object RelationalQueries {
         .orderBy("event_name", "rk")
     }),
 
+    // Same result as topk_per_type but through the CUSTOM physical
+    // operator (TopKPerKeyNode → TopKStrategy → partial/final heap
+    // execs): at most k rows per key per partition reach the shuffle and
+    // nothing global-sorts. The window afterwards only ranks the already
+    // k-bounded result.
+    "topk_native_operator" -> ((spark, dir) => {
+      val xe = XeFixture.frame(spark, dir)
+      val top = graft.plans.TopK.perKey(xe, Seq("event_name"),
+        Seq("c_duration_us" -> true, "c_event_sequence" -> false), 3)
+      val w = Window.partitionBy(col("event_name"))
+        .orderBy(col("c_duration_us").desc, col("c_event_sequence"))
+      top.withColumn("rk", row_number().over(w))
+        .select(col("event_name"), col("rk"), col("c_event_sequence"),
+          col("c_duration_us"), col("c_session_id"))
+        .orderBy("event_name", "rk")
+    }),
+
     // Session timeline: lag() deltas per session — gap analysis over the
     // event stream (SURVEY.md §7 phase E "per-session timelines").
     "session_timeline" -> ((spark, dir) => {
@@ -196,6 +213,17 @@ object RelationalQueries {
           |ORDER BY r_name, n_name""".stripMargin,
 
       "topk_per_type" ->
+        s"""$cte
+           |SELECT event_name, rk, c_event_sequence, c_duration_us, c_session_id
+           |FROM (
+           |  SELECT event_name, c_event_sequence, c_duration_us, c_session_id,
+           |         row_number() OVER (PARTITION BY event_name
+           |           ORDER BY c_duration_us DESC, c_event_sequence) AS rk
+           |  FROM xe
+           |) ranked WHERE rk <= 3
+           |ORDER BY event_name, rk""".stripMargin,
+
+      "topk_native_operator" ->
         s"""$cte
            |SELECT event_name, rk, c_event_sequence, c_duration_us, c_session_id
            |FROM (
