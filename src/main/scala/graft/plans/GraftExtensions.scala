@@ -31,6 +31,8 @@ object CollapseTruncation extends Rule[LogicalPlan] {
  * per-session via `spark.experimental.extraOptimizations`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => CollapseTruncation)
+    extensions.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
