@@ -43,6 +43,28 @@ class StreamingSpec extends SparkTestBase {
     assert(q.recentProgress.length > 1) // maxFilesPerTrigger=1 → several batches
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = XeFixture.frame(spark, sf("sf0.001"))
+      .select("c_event_sequence", "e_time_of_event_utc", "event_name")
+      .limit(200)
+    val dir = Files.createTempDirectory("graft-dedup-in").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ck").toString
+    // the same rollover file delivered twice — at-least-once ingestion
+    events.write.parquet(s"$dir/drop1")
+    events.write.parquet(s"$dir/drop2")
+    val stream = EventStream.readEventDir(
+      spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
+      .withWatermark("e_time_of_event_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("c_event_sequence")
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // every event exactly once despite double delivery
+    assert(spark.table("dedup_stream").count() == events.count())
+  }
+
   test("batch rateByMinute agrees with the xe_rate_minute query semantics") {
     val xe = XeFixture.frame(spark, sf("sf0.001"))
     val viaWindow = EventStream.rateByMinute(xe)
