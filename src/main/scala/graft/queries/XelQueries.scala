@@ -178,6 +178,25 @@ object XelQueries {
         .orderBy("event_name")
     }),
 
+    // The canonical XE latency analysis: exact p50/p95/p99 duration per
+    // event type. Spark's `percentile` and DuckDB's `quantile_cont` share
+    // the R-7 interpolation, so exact quantiles hash-match; at 100 TB the
+    // approx_percentile sketch replaces it (same query shape).
+    "xe_duration_quantiles" -> ((spark, dir) => {
+      XeFixture.frame(spark, dir)
+        .groupBy(col("event_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(c_duration_us, array(0.5, 0.95, 0.99))").as("q"),
+          max(col("c_duration_us")).as("max_duration_us"))
+        .select(col("event_name"), col("n"),
+          round(element_at(col("q"), 1), 6).as("p50"),
+          round(element_at(col("q"), 2), 6).as("p95"),
+          round(element_at(col("q"), 3), 6).as("p99"),
+          col("max_duration_us"))
+        .orderBy("event_name")
+    }),
+
     // S7/lineage: per-imported-file load summary — what the tracking table
     // `dbo.tbl_ImportedXEventFiles` answers (`InputParameters.cs:517-563`).
     "xe_lineage" -> ((spark, dir) => {
@@ -316,6 +335,16 @@ object XelQueries {
            |       max(c_event_sequence) AS max_seq
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_duration_quantiles" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       round(quantile_cont(c_duration_us, 0.5), 6) AS p50,
+           |       round(quantile_cont(c_duration_us, 0.95), 6) AS p95,
+           |       round(quantile_cont(c_duration_us, 0.99), 6) AS p99,
+           |       max(c_duration_us) AS max_duration_us
+           |FROM xe GROUP BY event_name ORDER BY event_name""".stripMargin,
 
       "xe_lineage" ->
         s"""$cte
