@@ -56,6 +56,23 @@ object Multimodal {
       conv(substring(h, 9, 2), 16, 10).cast("long").as("first_body_byte"))
   }
 
+  /** Resize STUB — the metadata/byte plumbing of an image resize without
+    * a codec: halve the header dims and keep a proportional prefix of the
+    * body (quarter of the "pixels" for a 2x downscale). A real codec
+    * drops into the body transform; header math and byte accounting are
+    * the real, tested part. */
+  def resizeStub(payload: Column, factor: Int): Column = {
+    val w = conv(substring(hex(payload), 1, 4), 16, 10).cast("int")
+    val h = conv(substring(hex(payload), 5, 4), 16, 10).cast("int")
+    val newW = greatest(w / factor, lit(1)).cast("int")
+    val newH = greatest(h / factor, lit(1)).cast("int")
+    val bodyLen = octet_length(payload) - headerLen
+    val keep = greatest(bodyLen / (factor * factor), lit(1)).cast("int")
+    concat(
+      unhex(concat(lpad(hex(newW), 4, "0"), lpad(hex(newH), 4, "0"))),
+      substring(payload, lit(headerLen + 1), keep))
+  }
+
   /** Frame-sample positions for a video-like payload: every `stride` bytes
     * after the header, up to `maxFrames`. */
   def framePositions(payload: Column, stride: Int, maxFrames: Int): Column = {

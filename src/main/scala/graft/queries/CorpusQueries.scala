@@ -228,6 +228,24 @@ object CorpusQueries {
         .orderBy("event_type")
     }),
 
+    // Multimodal resize (stubbed codec, real byte plumbing): halve dims,
+    // keep a quarter of the body; decode the RESIZED payload back through
+    // the header parser to prove the round-trip.
+    "mm_resize" -> ((spark, dir) => {
+      val withP = Multimodal.withPayload(docs(spark, dir))
+        .withColumn("resized", Multimodal.resizeStub(col("payload"), 2))
+      withP.select(
+        col("doc_id"),
+        col("width"), col("height"),
+        conv(substring(hex(col("resized")), 1, 4), 16, 10).cast("int").as("new_width"),
+        conv(substring(hex(col("resized")), 5, 4), 16, 10).cast("int").as("new_height"),
+        col("resized")) // recompute lengths off the actual resized bytes
+        .select(col("doc_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"),
+          octet_length(col("resized")).cast("long").as("resized_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal ----------------------------------------------------
     // REAL distributed feature extraction over the binary payload (unlike
     // the stubbed codec decode): per-format histogram of high nibbles of
@@ -613,6 +631,22 @@ object CorpusQueries {
          |)
          |SELECT doc_id, rank, term, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         n_chars % 64 + 16 AS width,
+        |         doc_id % 48 + 16 AS height,
+        |         octet_length(encode(text)) AS body
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(width AS INTEGER) AS width,
+        |       CAST(height AS INTEGER) AS height,
+        |       CAST(greatest(width // 2, 1) AS INTEGER) AS new_width,
+        |       CAST(greatest(height // 2, 1) AS INTEGER) AS new_height,
+        |       CAST(4 + greatest(body // 4, 1) AS BIGINT) AS resized_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "sketch_kmv_distinct" ->
       s"""WITH hv AS (
