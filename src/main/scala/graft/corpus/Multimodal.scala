@@ -67,7 +67,9 @@ object Multimodal {
     val newW = greatest(w / factor, lit(1)).cast("int")
     val newH = greatest(h / factor, lit(1)).cast("int")
     val bodyLen = octet_length(payload) - headerLen
-    val keep = greatest(bodyLen / (factor * factor), lit(1)).cast("int")
+    // clamp to the actual body: substring cannot fabricate the guaranteed
+    // byte on an empty body (keeps the DuckDB oracle arithmetic aligned)
+    val keep = least(greatest(bodyLen / (factor * factor), lit(1)), bodyLen).cast("int")
     concat(
       unhex(concat(lpad(hex(newW), 4, "0"), lpad(hex(newH), 4, "0"))),
       substring(payload, lit(headerLen + 1), keep))

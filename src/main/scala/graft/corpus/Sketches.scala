@@ -32,10 +32,13 @@ object Sketches {
     override def zero: Seq[Long] = Seq.empty
 
     private def insert(buf: Seq[Long], h: Long): Seq[Long] =
-      if (buf.contains(h)) buf
+      // fast path first: a full buffer rejects anything >= its max
+      // without the O(k) distinctness scan — the overwhelmingly common
+      // case once the sketch has converged
+      if (buf.size >= k && h >= buf.last) buf
+      else if (buf.contains(h)) buf
       else if (buf.size < k) (buf :+ h).sorted
-      else if (h < buf.last) (buf.init :+ h).sorted
-      else buf
+      else (buf.init :+ h).sorted
 
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
 

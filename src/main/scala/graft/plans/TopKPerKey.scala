@@ -47,6 +47,12 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** rows keep their key clustering — forwarding it lets a downstream
+    * key-partitioned operator (e.g. the ranking window in
+    * topk_native_operator) reuse the exchange instead of re-shuffling */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
@@ -62,8 +68,15 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       iter.foreach { row =>
         val unsafe = row.asInstanceOf[UnsafeRow]
         val key = keyProj(unsafe)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow])
+        // look up with the reused projection row; copy the key only on
+        // first insertion — one allocation per distinct key, not per row
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow]
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(unsafe.copy())
         else if (ord.compare(unsafe, heap.head) < 0) {
           heap.dequeue()

@@ -645,7 +645,7 @@ object CorpusQueries {
         |       CAST(height AS INTEGER) AS height,
         |       CAST(greatest(width // 2, 1) AS INTEGER) AS new_width,
         |       CAST(greatest(height // 2, 1) AS INTEGER) AS new_height,
-        |       CAST(4 + greatest(body // 4, 1) AS BIGINT) AS resized_bytes
+        |       CAST(4 + least(greatest(body // 4, 1), body) AS BIGINT) AS resized_bytes
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "sketch_kmv_distinct" ->

@@ -150,7 +150,7 @@ class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new XelbMicroBatchStream(fileSchema, required,
       streamingPath.getOrElse(throw new IllegalArgumentException(
-        "xelb streaming requires a path")), errorBudget)
+        "xelb streaming requires a path")), errorBudget, checkpointLocation)
 }
 
 /** Stream offset = how many files this stream has ADMITTED, in admission
@@ -161,21 +161,50 @@ case class XelbOffset(fileCount: Int) extends Offset {
 }
 
 class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
-                           path: String, errorBudget: Int) extends MicroBatchStream {
+                           path: String, errorBudget: Int,
+                           checkpointLocation: String = "") extends MicroBatchStream {
 
   /** Admission log: new directory listings are appended in sorted order,
     * but files already admitted keep their positions FOREVER — so an
     * offset range always maps to the same file set even when later
     * arrivals sort lexically between (or before) admitted names, e.g.
-    * `_10` arriving after `_2` with non-padded rollover numbers.
-    * Restart note: within one run this log is authoritative; on restart
-    * it is rebuilt from a fresh sorted listing, which is faithful as
-    * long as files were admitted in sorted batches (the fixture writer
-    * zero-pads numeric keys to keep that true). */
+    * `_10` arriving after `_2` with non-padded rollover numbers. The log
+    * is PERSISTED under the stream's checkpoint location (temp-file +
+    * rename), so a restart replays the exact admission order instead of
+    * rebuilding from a fresh sorted listing that late arrivals may have
+    * reshuffled. */
   private val admitted = scala.collection.mutable.LinkedHashSet[String]()
 
-  private def admitNew(): Unit =
+  private def logPath: Option[Path] =
+    if (checkpointLocation.isEmpty) None
+    else Some(new Path(checkpointLocation, "xelb-admitted.log"))
+
+  // recover the admission order from a prior run
+  logPath.foreach { lp =>
+    val fs = lp.getFileSystem(new Configuration())
+    if (fs.exists(lp)) {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(lp), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach(admitted += _)
+      finally in.close()
+    }
+  }
+
+  private def persistLog(): Unit = logPath.foreach { lp =>
+    val fs = lp.getFileSystem(new Configuration())
+    val tmp = new Path(lp.getParent, lp.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(admitted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(lp, false)
+    fs.rename(tmp, lp)
+  }
+
+  private def admitNew(): Unit = {
+    val before = admitted.size
     XelbDataSource.listXelbFiles(path).foreach(admitted += _)
+    if (admitted.size != before) persistLog()
+  }
 
   override def initialOffset(): Offset = XelbOffset(0)
 
@@ -224,21 +253,26 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
     val p = new Path(file)
     val s = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(new Configuration()).open(p), 4 * 1024 * 1024))
-    header = XelbFormat.readHeader(s)
-    // D6: columns are matched by NAME against this file's own header;
-    // a shared name at a different type is real drift and fails fast.
-    header.fields.foreach { f =>
-      required.fields.find(_.name == f.name).foreach { r =>
-        require(r.dataType == f.dataType,
-          s"schema drift in $file: ${f.name} is ${f.dataType}, table has ${r.dataType}")
+    try {
+      header = XelbFormat.readHeader(s)
+      // D6: columns are matched by NAME (case-insensitively, matching
+      // Spark's default resolution) against this file's own header; a
+      // shared name at a different type is real drift and fails fast.
+      header.fields.foreach { f =>
+        required.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { r =>
+          require(r.dataType == f.dataType,
+            s"schema drift in $file: ${f.name} is ${f.dataType}, table has ${r.dataType}")
+        }
       }
+      s
+    } catch {
+      case e: Throwable => s.close(); throw e // don't leak the handle
     }
-    s
   }
   /** file column index → output slot (or -1): pruning + evolution in one map;
     * output columns this file predates keep their slots null. */
   private val outPos: Array[Int] =
-    header.fieldNames.map(n => required.fieldNames.indexOf(n))
+    header.fieldNames.map(n => required.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
   private var current: InternalRow = _
   private var errors = 0
 
@@ -289,14 +323,38 @@ class XelbWriteBuilder(dir: String, schema: org.apache.spark.sql.types.StructTyp
     }
 }
 
+/** Task output is invisible until job commit: writers emit
+  * `*.xelb.inprogress` (the reader's `.xelb` suffix filter never lists
+  * them); commit renames the survivors, abort deletes them — so a crashed
+  * or speculatively-retried task can never leave a half-written file
+  * that a later scan absorbs. */
+case class XelbCommitMessage(tmp: String, dest: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
 class XelbBatchWrite(dir: String, schema: org.apache.spark.sql.types.StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     XelbWriterFactory(dir, schema.toDDL)
-  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case XelbCommitMessage(tmp, dest) if tmp.nonEmpty =>
+        val t = new Path(tmp)
+        val fs = t.getFileSystem(new Configuration())
+        fs.delete(new Path(dest), false)
+        fs.rename(t, new Path(dest))
+      case _ =>
+    }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case XelbCommitMessage(tmp, _) if tmp.nonEmpty =>
+        val t = new Path(tmp)
+        t.getFileSystem(new Configuration()).delete(t, false)
+      case _ =>
+    }
 }
 
 case class XelbWriterFactory(dir: String, schemaDdl: String)
@@ -313,25 +371,29 @@ class XelbDataWriter(file: String, schema: StructType, partitionId: Int)
   import java.io.DataOutputStream
 
   private var out: DataOutputStream = _
-  private val p = new Path(file)
+  private val tmp = new Path(file + ".inprogress") // not listed by readers
+  private val dest = new Path(file)
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
       out = new DataOutputStream(new java.io.BufferedOutputStream(
-        p.getFileSystem(new Configuration()).create(p, true)))
+        tmp.getFileSystem(new Configuration()).create(tmp, true)))
       XelbFormat.writeHeader(out, schema)
     }
     XelbFormat.writeInternalRecord(out, row, schema)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (out != null) out.close()
-    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+    if (out == null) return XelbCommitMessage("", "") // empty partition
+    out.close()
+    XelbCommitMessage(tmp.toString, dest.toString)
   }
 
   override def abort(): Unit = {
-    if (out != null) out.close()
-    p.getFileSystem(new Configuration()).delete(p, false)
+    if (out != null) {
+      out.close()
+      tmp.getFileSystem(new Configuration()).delete(tmp, false)
+    }
   }
 
   override def close(): Unit = ()

@@ -26,8 +26,13 @@ object XelbFixtures {
     // zero-pad numeric rollover keys: lexical file order must equal
     // numeric arrival order or streaming offsets would remap at key 10
     def keyStr(k: Any): String = k match {
-      case n: Long => f"$n%09d"
-      case n: Int => f"$n%09d"
+      case n: Long =>
+        require(n >= 0, s"rollover keys must be non-negative (got $n): zero-padding " +
+          "cannot make negative numbers sort lexically in numeric order")
+        f"$n%09d"
+      case n: Int =>
+        require(n >= 0, s"rollover keys must be non-negative (got $n)")
+        f"$n%09d"
       case other => other.toString
     }
     rows.toSeq.sortBy(r => keyStr(r._1)).map { case (key, rs) =>

@@ -175,10 +175,14 @@ object XelbFormat {
     * first-seen order; a name reused at a different type is an error
     * (the reference never re-types columns either). */
   def mergeSchemas(schemas: Seq[StructType]): StructType = {
+    // keyed case-insensitively (Spark's default resolution); first-seen
+    // spelling wins, so `duration` and `Duration` across rollovers merge
+    // into one column instead of an ambiguous pair
     val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
     schemas.foreach(_.fields.foreach { f =>
-      out.get(f.name) match {
-        case None => out(f.name) = f.copy(nullable = true)
+      val key = f.name.toLowerCase(java.util.Locale.ROOT)
+      out.get(key) match {
+        case None => out(key) = f.copy(nullable = true)
         case Some(prev) if prev.dataType != f.dataType =>
           throw new IllegalArgumentException(
             s"schema evolution cannot re-type ${f.name}: ${prev.dataType} vs ${f.dataType}")
