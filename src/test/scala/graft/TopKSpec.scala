@@ -48,6 +48,19 @@ class TopKSpec extends SparkTestBase {
       "bounded-heap top-k must not global-sort")
   }
 
+  test("forwarded partitioning: ranking window reuses the top-k exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val q = SparkEntry.queries("topk_native_operator")(spark, sf("sf0.001"))
+    q.collect()
+    val shuffles = flatten(q.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    // one exchange to cluster by key (shared by final top-k AND the
+    // ranking window thanks to outputPartitioning forwarding) + the
+    // deterministic output orderBy — nothing else
+    assert(shuffles.size <= 2,
+      s"window after TopKPerKeyExec must not re-shuffle, got ${shuffles.size} exchanges")
+  }
+
   test("k larger than any group degrades to identity per key") {
     val xe = XeFixture.frame(spark, sf("sf0.001")).limit(50)
     val native = TopK.perKey(xe, Seq("event_name"),
