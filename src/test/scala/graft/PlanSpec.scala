@@ -88,6 +88,24 @@ class PlanSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("dmv_hash_join broadcasts the sampled DMV side") {
+    val nodes = executedNodes(q("dmv_hash_join"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the small DMV sample must broadcast, never shuffle the event side")
+  }
+
+  test("documents scan prunes to the columns the text queries read") {
+    val explained = q("text_token_stats").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemaLines = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemaLines.nonEmpty)
+    // only doc_id and text should be read — never the unused columns
+    readSchemaLines.foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source") && !l.contains("n_chars"),
+        s"unpruned scan: $l")
+    }
+  }
+
   test("dedup exact: map-side partial aggregation before the digest shuffle") {
     val nodes = executedNodes(q("dedup_exact"))
     val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
