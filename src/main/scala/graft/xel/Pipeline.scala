@@ -78,7 +78,7 @@ object Pipeline {
    * widths are limited), binary uses the binary limit — the reference's
    * copy-length bug (`EventHolder.cs:327`) is deliberately not reproduced.
    */
-  def applyWidthLimits(df: DataFrame, cfg: XelConfig, counters: Option[LoadCounters] = None): DataFrame = {
+  def applyWidthLimits(df: DataFrame, cfg: XelConfig): DataFrame = {
     if (!cfg.limitWidths) return df
     import org.apache.spark.sql.types.{BinaryType, StringType}
     val cols = df.schema.fields.map { f =>
@@ -94,6 +94,32 @@ object Pipeline {
       limited.as(f.name)
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /**
+   * A4 truncation counters as ONE declarative pass over the frame —
+   * deliberately not accumulators: accumulator updates from re-executed
+   * tasks double-count (a flaw the reference's lock-guarded ints share
+   * across its retry-less threads); an aggregate is exactly-once by
+   * construction. Returns one row: (n_string_trunc, n_xml_trunc,
+   * n_binary_trunc) for the width limits in `cfg`.
+   */
+  def truncationStats(df: DataFrame, cfg: XelConfig): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val flags = df.schema.fields.collect {
+      case f if f.dataType == StringType && EventSchema.xmlColumns.contains(f.name) =>
+        ("xml", XelFunctions.truncatedFlag(col(f.name), cfg.xmlLimit))
+      case f if f.dataType == StringType && (f.name.startsWith("c_") || f.name.startsWith("a_")) =>
+        ("string", XelFunctions.truncatedFlag(col(f.name), cfg.stringLimit))
+      case f if f.dataType == BinaryType =>
+        ("binary", XelFunctions.truncatedFlag(col(f.name), cfg.binaryLimit))
+    }
+    def total(kind: String) = flags.filter(_._1 == kind).map(_._2)
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    df.agg(
+      sum(total("string")).as("n_string_trunc"),
+      sum(total("xml")).as("n_xml_trunc"),
+      sum(total("binary")).as("n_binary_trunc"))
   }
 
   /**

@@ -61,11 +61,17 @@ class PipelineSpec extends SparkTestBase {
     assert(out.getString(1).length == 6) // xml column → xml limit
     assert(out.getAs[Array[Byte]](2).length == 3) // binary limit (intended semantics)
     assert(out.getString(3) == "keepme") // unprefixed column untouched
+    // A4 counters, one per truncation class, in one declarative pass
+    val stats = Pipeline.truncationStats(df, cfg).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((1L, 1L, 1L)))
   }
 
   test("width limits off: identity") {
     val df = Seq(Tuple1("a" * 5000)).toDF("c_statement")
     val out = Pipeline.applyWidthLimits(df, XelConfig.default).collect()(0)
+    // stats measure what truncation WOULD fire at these limits: 5000 > 1024
+    val stats = Pipeline.truncationStats(df, XelConfig.default).collect()(0)
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == 0L && stats.getLong(2) == 0L)
     assert(out.getString(0).length == 5000)
   }
 
