@@ -235,16 +235,51 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within maxHamming (bit_count of xor). The demo
-    * self-joins the signature table; the 100 TB path buckets signatures by
-    * rotated prefixes so only same-bucket pairs meet. */
+  /** Pigeonhole segments of the 16-bit signature: split into
+    * `maxHamming + 1` disjoint bit ranges (as even as 16 allows). Any two
+    * signatures within Hamming distance `maxHamming` differ in at most
+    * `maxHamming` bits, so at least one of the `maxHamming + 1` segments
+    * carries zero differing bits — i.e. the pair agrees EXACTLY on that
+    * segment. Emitting one (doc_id, seg_idx, seg_bits) row per segment
+    * therefore turns the near-dup pair scan into a plain equi-join with a
+    * complete candidate set — no cartesian product anywhere. */
+  private[corpus] def simhashSegments(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val nSegs = maxHamming + 1
+    require(nSegs >= 1 && nSegs <= 16,
+      s"maxHamming must be in [0, 15] for a 16-bit signature, got $maxHamming")
+    // distribute the 16 bits across segments as evenly as possible
+    val widths = (0 until nSegs).map(i => 16 / nSegs + (if (i < 16 % nSegs) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).init
+    val segs = (0 until nSegs).map { i =>
+      struct(lit(i).as("seg"),
+        shiftright(col("simhash"), starts(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("bits"))
+    }
+    sig.select(col("doc_id"), col("simhash"), explode(array(segs: _*)).as("sb"))
+      .select(col("doc_id"), col("simhash"),
+        col("sb.seg").as("seg"), col("sb.bits").as("bits"))
+  }
+
+  /** SimHash near-dup pairs within maxHamming (bit_count of xor).
+    * Candidates come from the pigeonhole segment equi-join — shuffles are
+    * keyed by (segment index, segment bits), so cost is linear in corpus
+    * size plus the (tiny) same-bucket collision volume, never O(n²). Each
+    * candidate is then verified with the exact Hamming distance. A pair
+    * can collide in several segments, so candidates are deduplicated
+    * before the verify filter. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = simhash16(docs, idCol, textCol)
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // the signature table feeds both equi-join sides — materialize once
+    // instead of re-running the token explode + 16-bit vote twice
+    val sig = simhash16(docs, idCol, textCol).localCheckpoint(false)
+    val seg = simhashSegments(sig, maxHamming)
+    seg.as("a").join(seg.as("b"),
+        col("a.seg") === col("b.seg") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -58,15 +58,26 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    // Memory contract: each task holds (distinct keys in its partition) × k
+    // row copies — the operator is for bounded-cardinality keys (event
+    // types, sessions, tenants). At unbounded per-partition key cardinality
+    // use the window form, which sorts and spills. The heap structure
+    // itself never exceeds k entries per key by construction.
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // children normally emit UnsafeRow, but the contract only promises
+      // InternalRow — convert defensively instead of ClassCastException-ing
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // max-heap by sort position: head = worst row currently kept
       implicit val rowOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => ord.compare(a, b)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
-        val unsafe = row.asInstanceOf[UnsafeRow]
+        val unsafe = row match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
         val key = keyProj(unsafe)
         // look up with the reused projection row; copy the key only on
         // first insertion — one allocation per distinct key, not per row

@@ -350,10 +350,12 @@ object CorpusQueries {
          |       CAST(len(ws) AS INTEGER) AS n_tokens,
          |       CAST(len(list_distinct(ws)) AS INTEGER) AS n_uniq_tokens,
          |       CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS INTEGER) AS total_token_chars,
-         |       round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-         |             / CAST(len(ws) AS DOUBLE), 6) AS mean_token_len,
-         |       round(CAST(len(list_distinct(ws)) AS DOUBLE)
-         |             / CAST(len(ws) AS DOUBLE), 6) AS type_token_ratio
+         |       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |         round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |               / CAST(len(ws) AS DOUBLE), 6) END AS mean_token_len,
+         |       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |         round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |               / CAST(len(ws) AS DOUBLE), 6) END AS type_token_ratio
          |FROM toks JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
@@ -381,11 +383,13 @@ object CorpusQueries {
          |feats AS (
          |  SELECT doc_id,
          |         CAST(len(ws) AS INTEGER) AS n_tokens,
-         |         CAST(len(regexp_extract_all(lower(text),
-         |           '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
-         |           / CAST(len(ws) AS DOUBLE) AS sr,
-         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE) AS nar
+         |         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(lower(text),
+         |             '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |             / CAST(len(ws) AS DOUBLE) END AS sr,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) END AS nar
          |  FROM toks JOIN documents USING (doc_id)
          |)
          |SELECT doc_id, n_tokens,

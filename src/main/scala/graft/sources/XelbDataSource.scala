@@ -179,11 +179,16 @@ class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
     if (checkpointLocation.isEmpty) None
     else Some(new Path(checkpointLocation, "xelb-admitted.log"))
 
-  // recover the admission order from a prior run
+  // recover the admission order from a prior run; if only the temp file
+  // survived a crash mid-swap, it holds a complete, newer log — use it
   logPath.foreach { lp =>
     val fs = lp.getFileSystem(new Configuration())
-    if (fs.exists(lp)) {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(lp), "UTF-8"))
+    val tmp = new Path(lp.getParent, lp.getName + ".tmp")
+    val src = if (fs.exists(lp)) Some(lp)
+              else if (fs.exists(tmp)) Some(tmp)
+              else None
+    src.foreach { p =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).foreach(admitted += _)
       finally in.close()
@@ -191,13 +196,17 @@ class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
   }
 
   private def persistLog(): Unit = logPath.foreach { lp =>
-    val fs = lp.getFileSystem(new Configuration())
+    val conf = new Configuration()
+    val fs = lp.getFileSystem(conf)
     val tmp = new Path(lp.getParent, lp.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(admitted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(lp, false)
-    fs.rename(tmp, lp)
+    // single-op overwriting rename — no delete-then-rename window in which
+    // a driver crash could lose the log entirely (the exact remap hazard
+    // the admission log exists to prevent); throws loudly on failure
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(lp.toUri, conf)
+    fc.rename(tmp, lp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def admitNew(): Unit = {

@@ -45,11 +45,20 @@ object Sessionize {
       sorted.foreach { e =>
         val t = e.ts.getTime
         open match {
+          case Some(s) if t < s.startMs - gapMs =>
+            // within-watermark straggler predating the open session by more
+            // than the gap: it can never merge with it — close it as its own
+            // session. (Stragglers within gap of EACH OTHER also close
+            // individually: re-segmenting the past would need the full event
+            // history, not this operator's O(1) state.)
+            closed ::= SessionSummary(sessionId, 1L, new Timestamp(t), new Timestamp(t))
           case Some(s) if t - s.endMs > gapMs =>
             closed ::= SessionSummary(sessionId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs))
             open = Some(OpenSession(1L, t, t))
           case Some(s) =>
-            open = Some(OpenSession(s.n + 1, s.startMs, math.max(s.endMs, t)))
+            // min() on the start: a late event may fall between the open
+            // session's start and end, or within gap BEFORE its start
+            open = Some(OpenSession(s.n + 1, math.min(s.startMs, t), math.max(s.endMs, t)))
           case None =>
             open = Some(OpenSession(1L, t, t))
         }

@@ -113,4 +113,25 @@ class CorpusSpec extends SparkTestBase {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(got(0).getInt(4) == 0)
   }
+
+  test("simhash pigeonhole equi-join = brute-force all-pairs, several maxHamming") {
+    // a corpus with planted near-dups AND unrelated docs so buckets both
+    // collide and separate; brute force is the ground truth
+    val df = (1L to 24L).map { i =>
+      val fam = i % 4
+      (i, s"w$fam x$fam y$fam z$fam " + (if (i % 2 == 0) "extra tail tok" else "other end"))
+    }.toDF("doc_id", "text")
+    val sig = Dedup.simhash16(df, "doc_id", "text").localCheckpoint(false)
+    for (mh <- Seq(0, 1, 2, 3)) {
+      val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= mh)
+        .select("d1", "d2", "hamming")
+      val fast = Dedup.simhashPairs(df, "doc_id", "text", mh)
+        .select("d1", "d2", "hamming")
+      assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0,
+        s"pigeonhole candidate set incomplete or inflated at maxHamming=$mh")
+    }
+  }
 }

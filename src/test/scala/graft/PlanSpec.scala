@@ -106,6 +106,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_simhash: pigeonhole equi-join — no cartesian/nested-loop join") {
+    val nodes = executedNodes(q("dedup_simhash"))
+    val bad = nodes.filter(n =>
+      n.nodeName.contains("CartesianProduct") ||
+        n.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty,
+      s"simhash pair scan must be an equi-join on (segment, bits), found: ${bad.map(_.nodeName)}")
+  }
+
   test("dedup exact: map-side partial aggregation before the digest shuffle") {
     val nodes = executedNodes(q("dedup_exact"))
     val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))

@@ -115,4 +115,36 @@ class SkewSessionSpec extends SparkTestBase {
       s"session 5's second run should close by timeout, got ${all.mkString(", ")}")
     q.stop()
   }
+
+  test("sessionize: within-watermark stragglers extend the start or close alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // long watermark delay so late events stay admissible across batches
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "10 hours")
+    val q = sessions.writeStream.format("memory").queryName("straggler_out")
+      .outputMode("append").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    // batch 1 opens session 1 at [60, 70]
+    input.addData(SessionEvent(1L, ts(60), "a"), SessionEvent(1L, ts(70), "b"))
+    q.processAllAvailable()
+
+    // batch 2: one straggler within the gap BEFORE the start (merges,
+    // pulling start back) and one more than a gap earlier (closes alone)
+    input.addData(SessionEvent(1L, ts(45), "late_merge"),
+      SessionEvent(1L, ts(1), "late_alone"))
+    q.processAllAvailable()
+
+    // batch 3: far-future event times the open session out
+    input.addData(SessionEvent(2L, ts(5000), "w"))
+    q.processAllAvailable()
+    val closed = spark.table("straggler_out").as[graft.streaming.SessionSummary]
+      .collect().filter(_.session_id == 1L).sortBy(_.start_ts.getTime)
+    assert(closed.exists(s => s.n_events == 1L && s.start_ts == ts(1)),
+      s"pre-gap straggler should close as its own session, got ${closed.mkString(", ")}")
+    assert(closed.exists(s => s.n_events == 3L && s.start_ts == ts(45) && s.end_ts == ts(70)),
+      s"within-gap straggler should min-extend the session start, got ${closed.mkString(", ")}")
+    q.stop()
+  }
 }
