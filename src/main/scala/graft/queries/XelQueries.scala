@@ -20,6 +20,16 @@ object XelQueries {
     * never fire on fixture data). */
   val demoStringLimit = 8
 
+  /** Per-sf scratch directory for XELB round-trip queries, wiped through
+    * the Hadoop filesystem (works for any scheme) so stale rollovers from
+    * a previous run never leak into the read-back. */
+  private def wipedScratchDir(spark: SparkSession, dir: String, tag: String): String = {
+    val path = s"/tmp/graft_xelb_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full reshape: F1 time triple, P6 prefixes, F2 truncation, F5 hash
     // companion (hex at the edge), F8 module statement fix, P1 demux key.
@@ -157,18 +167,18 @@ object XelQueries {
     // S1/S2 through the DataSource V2: round-trip a bounded slice of the
     // stream through XELB rollover files (schema from first file's
     // metadata, one partition per file, pruned decode) and aggregate on
-    // the way back — the ingest path itself under the oracle gate.
+    // the way back — the ingest path itself under the oracle gate. The
+    // write side is the DISTRIBUTED DSv2 writer (file-per-partition,
+    // commit-by-rename), repartitioned by the rollover key — no driver
+    // collect anywhere in the path.
     "xe_xelb_source_scan" -> ((spark, dir) => {
-      val xelbDir = s"/tmp/graft_xelb_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      // wipe first: writeByKey only overwrites files for currently-present
-      // keys; stale rollovers from an earlier run would be read back too
-      val d = new java.io.File(xelbDir)
-      if (d.exists()) d.listFiles().foreach(_.delete())
-      val slice = XeFixture.frame(spark, dir)
+      val xelbDir = wipedScratchDir(spark, dir, "scan")
+      XeFixture.frame(spark, dir)
         .filter(col("c_event_sequence") <= 20000)
         .select(col("e_imported_file_id"), col("c_event_sequence"),
           col("c_session_id"), col("c_duration_us"), col("event_name"))
-      graft.sources.XelbFixtures.writeByKey(slice, "e_imported_file_id", xelbDir)
+        .repartition(col("e_imported_file_id"))
+        .write.format("xelb").mode("append").save(xelbDir)
       spark.read.format("xelb").load(xelbDir)
         .groupBy(col("event_name"))
         .agg(count(lit(1)).as("n"),
@@ -176,6 +186,37 @@ object XelQueries {
           countDistinct(col("c_session_id")).as("n_sessions"),
           max(col("c_event_sequence")).as("max_seq"))
         .orderBy("event_name")
+    }),
+
+    // Full-width XELB ingest: a BinaryType callstack (plus decimal-38
+    // UInt64 companion, boolean, int) written and read through
+    // format("xelb") — the §1.3 type table carried end-to-end through the
+    // binary source into the F6 debugger-command expression. The reference
+    // cannot load a callstack except as varbinary (`EventMetadata.cs:270`,
+    // `EventHolder.cs:226-232`); this is that path, Spark-side.
+    "xe_xelb_callstack" -> ((spark, dir) => {
+      val xelbDir = wipedScratchDir(spark, dir, "cs")
+      XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 10000)
+        .select(
+          col("e_imported_file_id"),
+          col("c_event_sequence"),
+          unhex(concat(F.hashToBinHex(col("a_query_hash")), lit("DEADBEEF")))
+            .as("a_callstack"),
+          col("a_query_hash").cast("decimal(38,0)").as("a_query_hash_dec"),
+          (col("c_duration_us") % 2 === 0).as("c_even_duration"),
+          col("c_session_id").cast("int").as("c_session_id_i"))
+        .repartition(col("e_imported_file_id"))
+        .write.format("xelb").mode("append").save(xelbDir)
+      spark.read.format("xelb").load(xelbDir)
+        .select(
+          col("c_event_sequence"),
+          hex(col("a_callstack")).as("a_callstack_hex"),
+          F.callstackDebugCmd(col("a_callstack"), 8, "ln").as("a_callstack_debugcmd"),
+          col("a_query_hash_dec"),
+          col("c_even_duration"),
+          col("c_session_id_i"))
+        .orderBy("c_event_sequence")
     }),
 
     // The canonical XE latency analysis: exact p50/p95/p99 duration per
@@ -335,6 +376,24 @@ object XelQueries {
            |       max(c_event_sequence) AS max_seq
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_xelb_callstack" ->
+        s"""$cte,
+           |cs AS (
+           |  SELECT c_event_sequence,
+           |         lpad(to_hex(a_query_hash), 16, '0') AS frame_hex,
+           |         a_query_hash,
+           |         c_duration_us % 2 = 0 AS c_even_duration,
+           |         CAST(c_session_id AS INTEGER) AS c_session_id_i
+           |  FROM xe WHERE c_event_sequence <= 10000
+           |)
+           |SELECT c_event_sequence,
+           |       frame_hex || 'DEADBEEF' AS a_callstack_hex,
+           |       'ln ' || ${revPairsSql("frame_hex")} || ';' AS a_callstack_debugcmd,
+           |       CAST(a_query_hash AS DECIMAL(38,0)) AS a_query_hash_dec,
+           |       c_even_duration,
+           |       c_session_id_i
+           |FROM cs ORDER BY c_event_sequence""".stripMargin,
 
       "xe_duration_quantiles" ->
         s"""$cte

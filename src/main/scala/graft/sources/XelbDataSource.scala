@@ -42,13 +42,19 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // S2 sidecar metadata (`XELoader/FileProcessor.cs:280-334`): an
+    // external header file supplies the schema for body-only event files
+    val external = Option(options.get("metadataPath")).map(XelbDataSource.headerOf)
     val files = listFiles(options)
     require(files.nonEmpty, "no .xelb files found")
     // D6 schema evolution: sessions add fields across rollovers — the
     // table schema is the name-keyed union of every file's header (the
     // read-side analogue of EnsureTableSchemaMatches). Headers are a few
     // hundred bytes; reading all of them stays a driver-side triviality.
-    XelbFormat.mergeSchemas(files.map(XelbDataSource.headerOf))
+    val fileSchemas = files.flatMap(XelbDataSource.headerOfOpt)
+    require(fileSchemas.size == files.size || external.isDefined,
+      "directory contains body-only XELB files — supply option(\"metadataPath\", ...)")
+    XelbFormat.mergeSchemas(external.toSeq ++ fileSchemas)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -57,15 +63,17 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
     // `InputParameters.cs:49`): tolerate up to `errorBudget` corrupt
     // record bodies per file, then fail the file.
     // getTable receives the case-SENSITIVE option map — normalize keys
-    val budget = {
-      import scala.jdk.CollectionConverters._
-      properties.asScala.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("errorBudget") => v.toInt
-      }.getOrElse(100)
+    import scala.jdk.CollectionConverters._
+    val budget = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("errorBudget") => v.toInt
+    }.getOrElse(100)
+    // resolved driver-side once; readers get the StructType, not the path
+    val external = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("metadataPath") => XelbDataSource.headerOf(v)
     }
     new XelbTable(schema,
       XelbDataSource.listXelbFiles(properties.get("path")), budget,
-      streamingPath = Option(properties.get("path")))
+      streamingPath = Option(properties.get("path")), external = external)
   }
 }
 
@@ -97,10 +105,19 @@ object XelbDataSource {
       p.getFileSystem(new Configuration()).open(p)))
     try XelbFormat.readHeader(in) finally in.close()
   }
+
+  /** None for body-only (S2 legacy) files. */
+  def headerOfOpt(file: String): Option[StructType] = {
+    val p = new Path(file)
+    val in = new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(new Configuration()).open(p)))
+    try XelbFormat.readHeaderOpt(in) finally in.close()
+  }
 }
 
 class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100,
-                streamingPath: Option[String] = None)
+                streamingPath: Option[String] = None,
+                external: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"xelb(${files.size} files)"
@@ -110,7 +127,7 @@ class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100,
       TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XelbScanBuilder(schema, files, errorBudget,
-      streamingPath.orElse(Option(options.get("path"))))
+      streamingPath.orElse(Option(options.get("path"))), external)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -120,7 +137,8 @@ class XelbTable(schema: StructType, files: Seq[String], errorBudget: Int = 100,
 }
 
 class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: Int,
-                      streamingPath: Option[String] = None)
+                      streamingPath: Option[String] = None,
+                      external: Option[StructType] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fileSchema
 
@@ -130,11 +148,12 @@ class XelbScanBuilder(fileSchema: StructType, files: Seq[String], errorBudget: I
       requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new XelbScan(fileSchema, required, files, errorBudget, streamingPath)
+    new XelbScan(fileSchema, required, files, errorBudget, streamingPath, external)
 }
 
 class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
-               errorBudget: Int, streamingPath: Option[String] = None)
+               errorBudget: Int, streamingPath: Option[String] = None,
+               external: Option[StructType] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -145,12 +164,12 @@ class XelbScan(fileSchema: StructType, required: StructType, files: Seq[String],
     files.map(f => XelbInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XelbReaderFactory(fileSchema, required, errorBudget)
+    new XelbReaderFactory(fileSchema, required, errorBudget, external)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new XelbMicroBatchStream(fileSchema, required,
       streamingPath.getOrElse(throw new IllegalArgumentException(
-        "xelb streaming requires a path")), errorBudget, checkpointLocation)
+        "xelb streaming requires a path")), errorBudget, checkpointLocation, external)
 }
 
 /** Stream offset = how many files this stream has ADMITTED, in admission
@@ -162,7 +181,8 @@ case class XelbOffset(fileCount: Int) extends Offset {
 
 class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
                            path: String, errorBudget: Int,
-                           checkpointLocation: String = "") extends MicroBatchStream {
+                           checkpointLocation: String = "",
+                           external: Option[StructType] = None) extends MicroBatchStream {
 
   /** Admission log: new directory listings are appended in sorted order,
     * but files already admitted keep their positions FOREVER — so an
@@ -233,7 +253,7 @@ class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XelbReaderFactory(fileSchema, required, errorBudget)
+    new XelbReaderFactory(fileSchema, required, errorBudget, external)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -241,11 +261,12 @@ class XelbMicroBatchStream(fileSchema: StructType, required: StructType,
 
 case class XelbInputPartition(file: String) extends InputPartition
 
-class XelbReaderFactory(fileSchema: StructType, required: StructType, errorBudget: Int)
+class XelbReaderFactory(fileSchema: StructType, required: StructType, errorBudget: Int,
+                        external: Option[StructType] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XelbInputPartition].file
-    new XelbPartitionReader(file, fileSchema, required, errorBudget)
+    new XelbPartitionReader(file, fileSchema, required, errorBudget, external)
   }
 }
 
@@ -254,7 +275,7 @@ class XelbReaderFactory(fileSchema: StructType, required: StructType, errorBudge
   * `XELoader/EventHolder.cs:76-96`) — the length-prefixed framing keeps
   * later records reachable; exceeding the budget fails the file. */
 class XelbPartitionReader(file: String, fileSchema: StructType, required: StructType,
-                          errorBudget: Int)
+                          errorBudget: Int, external: Option[StructType] = None)
     extends PartitionReader[InternalRow] {
 
   private var header: StructType = _
@@ -263,7 +284,10 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
     val s = new DataInputStream(new BufferedInputStream(
       p.getFileSystem(new Configuration()).open(p), 4 * 1024 * 1024))
     try {
-      header = XelbFormat.readHeader(s)
+      // S2: a body-only legacy file decodes with the sidecar's schema
+      header = XelbFormat.readHeaderOpt(s).orElse(external).getOrElse(
+        throw new IllegalArgumentException(
+          s"$file is body-only and no metadataPath was supplied"))
       // D6: columns are matched by NAME (case-insensitively, matching
       // Spark's default resolution) against this file's own header; a
       // shared name at a different type is real drift and fails fast.
@@ -300,16 +324,20 @@ class XelbPartitionReader(file: String, fileSchema: StructType, required: Struct
             return false
         }
       if (frame == null) return false
-      try {
-        current = XelbFormat.decodeRecord(frame, header, outPos, required.length)
-        return true
-      } catch {
-        case e: Exception =>
-          errors += 1
-          if (errors > errorBudget)
-            throw new IllegalStateException(
-              s"$file: $errors corrupt records exceeds error budget $errorBudget", e)
+      // E2 per-field tolerance (`XELoader/EventHolder.cs:99-271`): a
+      // corrupt column mid-record keeps the row with the fields that
+      // decoded before the failure; the error still counts against the
+      // per-file budget (E1 semantics unchanged).
+      val (row, errored) =
+        XelbFormat.decodeRecordTolerant(frame, header, outPos, required.length)
+      if (errored) {
+        errors += 1
+        if (errors > errorBudget)
+          throw new IllegalStateException(
+            s"$file: $errors corrupt records exceeds error budget $errorBudget")
       }
+      current = row
+      return true
     }
     false
   }

@@ -141,20 +141,22 @@ object Pipeline {
 
   /**
    * Lineage (S7): per-source-file load summary, the tracking-table analogue.
-   * `file_id` is assigned deterministically by first-seen order of file
-   * names (the reference uses an IDENTITY column; any stable id works for
-   * joining event rows back to files).
+   * `file_id` is a deterministic 60-bit hash of the (unique) file name —
+   * NOT a `row_number` over a global window, which would force every
+   * per-file summary row through one task (a single-partition sort at
+   * millions of rollover files). The reference's IDENTITY column promises
+   * uniqueness, not density; any stable unique id joins event rows back to
+   * their file, and a hash of the name computes where the row already is.
    */
-  def lineage(df: DataFrame, fileCol: String = "source_file"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(fileCol))
+  def lineage(df: DataFrame, fileCol: String = "source_file"): DataFrame =
     df.groupBy(col(fileCol))
       .agg(count(lit(1)).as("n_events"),
         min(col("e_time_of_event_utc")).as("first_event"),
         max(col("e_time_of_event_utc")).as("last_event"))
-      .withColumn("file_id", row_number().over(w))
+      .withColumn("file_id",
+        conv(substring(md5(col(fileCol)), 1, 15), 16, 10).cast("long"))
       .select(col("file_id"), col(fileCol).as("file_name"),
         col("n_events"), col("first_event"), col("last_event"))
-  }
 
   /** E1 — error budget: fail the load when bad rows exceed the per-file
     * budget, else return the good rows. "Bad" is a caller-supplied predicate

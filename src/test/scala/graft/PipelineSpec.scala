@@ -76,14 +76,24 @@ class PipelineSpec extends SparkTestBase {
   }
 
   // --- lineage --------------------------------------------------------------
-  test("lineage assigns stable ids and per-file aggregates") {
+  test("lineage assigns stable unique ids and per-file aggregates, no global sort") {
     val xe = XeFixture.frame(spark, sf("sf0.001"))
       .withColumn("source_file",
         concat(lit("GraftSession_"), $"e_imported_file_id", lit("_20240101.xel")))
-    val lin = Pipeline.lineage(xe).collect()
-    assert(lin.length == 4)
-    assert(lin.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
-    assert(lin.map(_.getLong(2)).sum == 1000L)
+    val lin = Pipeline.lineage(xe)
+    val rows = lin.collect()
+    assert(rows.length == 4)
+    // ids: unique, deterministic across runs (hash of the file name)
+    assert(rows.map(_.getLong(0)).distinct.length == 4)
+    assert(Pipeline.lineage(xe).collect().map(_.getLong(0)).sorted.toSeq ==
+      rows.map(_.getLong(0)).sorted.toSeq)
+    assert(rows.map(_.getLong(2)).sum == 1000L)
+    // scale gate: no single-partition exchange (the old global-window
+    // row_number shape) anywhere in the lineage plan
+    lin.collect() // finalize AQE
+    val singleExchanges = lin.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("Exchange SinglePartition")).toSeq
+    assert(singleExchanges.isEmpty, s"lineage plan has a global sort: $singleExchanges")
   }
 
   // --- E1: error budget -----------------------------------------------------

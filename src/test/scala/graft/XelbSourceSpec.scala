@@ -51,26 +51,67 @@ class XelbSourceSpec extends SparkTestBase {
     assert(n > 0)
   }
 
-  test("corrupt record body is skipped within the error budget (E1)") {
+  test("S2: body-only legacy files read via sidecar metadataPath") {
+    import graft.sources.XelbFormat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-xelb-xem").toString
+    val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
+    // body-only event file (the ≤SQL2008 .xel shape: records, no schema)
+    val f = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$d/Legacy_000000001_0.xelb"))
+    XelbFormat.writeBodyOnlyHeader(f)
+    Seq(Row(1L, "x"), Row(2L, "y")).foreach(XelbFormat.writeRecord(f, _, schema))
+    f.close()
+    // sidecar metadata file (.xem analogue): an XELB header, zero records
+    val m = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$d/legacy.xelbm"))
+    XelbFormat.writeHeader(m, schema)
+    m.close()
+
+    val back = spark.read.format("xelb")
+      .option("metadataPath", s"$d/legacy.xelbm").load(d)
+    assert(back.schema.toDDL == schema.toDDL)
+    assert(back.orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+    // pruning still reaches the body-only decode path
+    assert(back.select("s").orderBy("s").collect().map(_.getString(0)).toSeq ==
+      Seq("x", "y"))
+
+    // without the sidecar the read must fail loudly, not guess a schema
+    val err = intercept[Exception](spark.read.format("xelb").load(d).collect())
+    assert(err.getMessage.contains("metadataPath"))
+  }
+
+  test("corrupt column mid-record keeps earlier fields, nulls the rest (E1+E2)") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-xelb-err").toString
-    val df = Seq((1L, "aaaa", 1L), (1L, "bbbb", 2L), (1L, "cccc", 3L)).toDF("k", "s", "v")
+    val df = Seq((1L, 10L, "aaaa", 100L), (1L, 20L, "bbbb", 200L),
+      (1L, 30L, "cccc", 300L)).toDF("k", "a", "b", "c")
     val Seq(file) = graft.sources.XelbFixtures.writeByKey(df, "k", d)
     // header = 4 magic + 2 version + 4 len + DDL; record 2's body starts
-    // after record 1's frame. Corrupt record 2's string length to a huge
-    // value: framing survives, decode of that record throws.
+    // after record 1's frame. Corrupt record 2's STRING column length to a
+    // huge value: framing survives, decode fails at column b.
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
     val ddlLen = java.nio.ByteBuffer.wrap(bytes, 6, 4).getInt
     val rec1Start = 10 + ddlLen
     val rec1Len = java.nio.ByteBuffer.wrap(bytes, rec1Start, 4).getInt
     val rec2Body = rec1Start + 4 + rec1Len + 4
-    // record layout: nullflag(s)=0, then string length int — corrupt it
-    java.nio.ByteBuffer.wrap(bytes, rec2Body + 1, 4).putInt(0x7fffffff)
+    // record 2 layout: nullflag(a)=0, 8-byte a, nullflag(b)=0, string len
+    java.nio.ByteBuffer.wrap(bytes, rec2Body + 10, 4).putInt(0x7fffffff)
     java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
 
-    val back = spark.read.format("xelb").load(d).orderBy("v")
-    assert(back.collect().map(_.getLong(1)).toSeq == Seq(1L, 3L)) // record 2 skipped
+    // E2 (`EventHolder.cs:99-271`): the corrupt record SURVIVES with the
+    // fields decoded before the failure — a kept, b and c null
+    val rows = spark.read.format("xelb").load(d).orderBy("a").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 10L && rows(0).getString(1) == "aaaa" &&
+      rows(0).getLong(2) == 100L)
+    assert(rows(1).getLong(0) == 20L && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getLong(0) == 30L && rows(2).getString(1) == "cccc" &&
+      rows(2).getLong(2) == 300L)
 
+    // E1 budget semantics unchanged: the partial row still costs one error
     val strict = spark.read.format("xelb").option("errorBudget", 0).load(d)
     val err = intercept[org.apache.spark.SparkException](strict.collect())
     assert(err.getMessage.contains("error budget") ||
