@@ -41,15 +41,73 @@ object JdbcSink {
     * (`EventMetadata.cs:81-128` — the reference's central demux). Event
     * types are few by construction (they are XE event NAMES), so the
     * driver-side distinct is a handful of rows; each per-type write is a
-    * pushed-down filter over the shared frame. Returns the table names. */
+    * pushed-down filter over the shared frame. Each target table is
+    * schema-evolved first (D6, [[ensureTableSchemaMatches]]) so a session
+    * that grew columns across rollovers appends cleanly. Returns the
+    * table names. */
   def demuxAppend(df: DataFrame, url: String,
                   cfg: XelConfig = XelConfig.default): Seq[String] = {
     val types = df.select(col("event_name")).distinct()
       .collect().map(_.getString(0)).sorted
     types.map { t =>
       val table = s"${cfg.schemaName}_$t" // Derby/portable: schema folded into name
-      bulkAppend(df.filter(col("event_name") === t).drop("event_name"), url, table, cfg)
+      val slice = df.filter(col("event_name") === t).drop("event_name")
+      ensureTableSchemaMatches(slice, url, table)
+      bulkAppend(slice, url, table, cfg)
       table
     }.toSeq
+  }
+
+  /** D6 on the JDBC side (`XELoader/EventMetadata.cs:400-455`
+    * `EnsureTableSchemaMatches`): diff the frame's schema against the live
+    * table's columns and `ALTER TABLE … ADD` the missing ones (nullable —
+    * rows loaded before the column existed read NULL, exactly the
+    * reference's back-fill semantics). No-op when the table doesn't exist
+    * yet (the writer's own CREATE covers it). One driver-side metadata
+    * round-trip per table per run — nothing on the data path. Returns the
+    * added column names. */
+  def ensureTableSchemaMatches(df: DataFrame, url: String, table: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // unquoted identifiers are case-normalized by the database; match
+      // case-insensitively like the reference's INFORMATION_SCHEMA diff
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val existing = scala.collection.mutable.Set[String]()
+      while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+      rs.close()
+      if (existing.isEmpty) return Seq.empty // no table yet — CREATE will fit
+      val missing = df.schema.fields.filterNot(f => existing.contains(f.name.toLowerCase))
+      // quote like Spark's own CREATE TABLE does, so the new column's
+      // spelling matches the writer's quoted lowercase convention
+      val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+      missing.map { f =>
+        val stmt = conn.createStatement()
+        try stmt.execute(
+          s"ALTER TABLE $table ADD COLUMN ${quote(f.name)} ${jdbcDdlType(f.dataType, url)}")
+        finally stmt.close()
+        f.name
+      }.toSeq
+    } finally conn.close()
+  }
+
+  /** DDL column type for an ALTER: the url's Spark dialect first (what the
+    * writer itself would CREATE with), portable ANSI fallbacks otherwise. */
+  private def jdbcDdlType(dt: org.apache.spark.sql.types.DataType, url: String): String = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).getJDBCType(dt)
+      .map(_.databaseTypeDefinition)
+      .getOrElse(dt match {
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case ShortType | ByteType => "SMALLINT"
+        case DoubleType => "DOUBLE PRECISION"
+        case FloatType => "REAL"
+        case BooleanType => "BOOLEAN"
+        case TimestampType => "TIMESTAMP"
+        case StringType => "VARCHAR(4000)"
+        case BinaryType => "BLOB"
+        case d: DecimalType => s"DECIMAL(${d.precision.min(31)},${d.scale})"
+        case other => throw new IllegalArgumentException(s"no JDBC DDL mapping for $other")
+      })
   }
 }

@@ -24,6 +24,11 @@ package graft.xel
  *                       we default UTC for determinism)
  * @param schemaName     catalog namespace for event tables (`-s`, "xel")
  * @param appendMode     skip DDL, pure append (`-a`)
+ * @param wipeDatabase   drop the namespace (cascade) before loading (`-w`,
+ *                       the reference's SINGLE_USER+DROP DATABASE path,
+ *                       `InputParameters.cs:400-447`)
+ * @param clearTables    drop per-event tables before loading (`-c`,
+ *                       `EventMetadata.cs:146-160`)
  * @param errorBudget    max tolerated bad events per file before the file
  *                       fails (`-e`, 100)
  * @param batchSize      writer batch size (`-b`, 1,048,576 — columnstore
@@ -43,6 +48,8 @@ final case class XelConfig(
     timezone: String = "UTC",
     schemaName: String = "xel",
     appendMode: Boolean = false,
+    wipeDatabase: Boolean = false,
+    clearTables: Boolean = false,
     errorBudget: Int = 100,
     batchSize: Int = 1048576,
     frameLength: Int = 8,

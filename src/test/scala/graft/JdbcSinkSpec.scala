@@ -35,6 +35,32 @@ class JdbcSinkSpec extends SparkTestBase {
     }
   }
 
+  test("D6 JDBC evolution: new column ALTERed in, pre-existing rows read NULL") {
+    import spark.implicits._
+    val cfg = XelConfig.default
+    // run 1: the session's early rollovers — two columns
+    val v1 = Seq((1L, 10L, "evo_ev"), (2L, 20L, "evo_ev"))
+      .toDF("c_event_sequence", "c_duration_us", "event_name")
+    JdbcSink.demuxAppend(v1, url, cfg)
+    // run 2: the session grew a column mid-capture (the D6 scenario,
+    // `EventMetadata.cs:400-455`) — demuxAppend must ALTER it in
+    val v2 = Seq((3L, 30L, "extra", "evo_ev"))
+      .toDF("c_event_sequence", "c_duration_us", "c_new_field", "event_name")
+    JdbcSink.demuxAppend(v2, url, cfg)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", s"${cfg.schemaName}_evo_ev").load()
+      .orderBy("c_event_sequence").collect()
+    assert(back.length == 3)
+    val newIdx = back.head.fieldIndex("c_new_field")
+    assert(back(0).isNullAt(newIdx) && back(1).isNullAt(newIdx)) // old rows back-fill NULL
+    assert(back(2).getString(newIdx) == "extra")
+
+    // idempotent: a rerun with the same schema ALTERs nothing
+    assert(JdbcSink.ensureTableSchemaMatches(
+      v2.drop("event_name"), url, s"${cfg.schemaName}_evo_ev").isEmpty)
+  }
+
   test("append mode accumulates (reference -a semantics)") {
     val df = XeFixture.frame(spark, sf("sf0.001"))
       .filter(col("event_name") === "wait_info")
