@@ -219,6 +219,41 @@ object XelQueries {
         .orderBy("c_event_sequence")
     }),
 
+    // S1 through the XELN session container: heterogeneous event records
+    // (every event type interleaved in each rollover file, exactly what an
+    // XE session emits) written DISTRIBUTED from the executors, read back
+    // through the metadata-tree-driven union-schema scan with per-record
+    // event-id dispatch, then demuxed by the aggregate — the reference's
+    // central loop (`FileProcessor.cs:224-227` → `EventHolder.cs:54-67`)
+    // as one declarative query.
+    "xe_xel_native_scan" -> ((spark, dir) => {
+      import graft.xel.EventSchema.{EventMeta, FieldMeta, SessionMeta}
+      val xelnDir = wipedScratchDir(spark, dir, "native")
+      val fields = Seq(
+        FieldMeta("session_id", "System.Int64"),
+        FieldMeta("duration_us", "System.Int64"),
+        FieldMeta("statement", "System.String"))
+      val eventTypes = graft.xel.XeFixture.eventNameMap.map(_._2)
+      val meta = SessionMeta(eventTypes.map(EventMeta(_, fields)),
+        actions = Seq(FieldMeta("query_hash", "System.Int64")))
+      val union = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 30000)
+        .select(col("event_name"), col("c_event_sequence"),
+          col("e_time_of_event_utc"), col("c_session_id"),
+          col("c_duration_us"), col("c_statement"), col("a_query_hash"),
+          col("e_imported_file_id"))
+      graft.sources.XelNativeFixtures.writeDistributed(
+        union.repartition(col("e_imported_file_id")), meta, xelnDir)
+      spark.read.format("xelnative").load(xelnDir)
+        .groupBy(col("event_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_duration_us")).as("total_duration_us"),
+          countDistinct(col("c_session_id")).as("n_sessions"),
+          max(col("c_event_sequence")).as("max_seq"),
+          sum(col("a_query_hash")).as("hash_sum"))
+        .orderBy("event_name")
+    }),
+
     // The canonical XE latency analysis: exact p50/p95/p99 duration per
     // event type. Spark's `percentile` and DuckDB's `quantile_cont` share
     // the R-7 interpolation, so exact quantiles hash-match; at 100 TB the
@@ -375,6 +410,17 @@ object XelQueries {
            |       count(DISTINCT c_session_id) AS n_sessions,
            |       max(c_event_sequence) AS max_seq
            |FROM xe WHERE c_event_sequence <= 20000
+           |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_xel_native_scan" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
+           |       count(DISTINCT c_session_id) AS n_sessions,
+           |       max(c_event_sequence) AS max_seq,
+           |       CAST(sum(a_query_hash) AS BIGINT) AS hash_sum
+           |FROM xe WHERE c_event_sequence <= 30000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
 
       "xe_xelb_callstack" ->

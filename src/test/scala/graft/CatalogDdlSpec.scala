@@ -54,7 +54,9 @@ class CatalogDdlSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll 
   test("wipeDatabase (-w) drops the whole namespace first") {
     CatalogDdl.writeDemuxedTables(
       xe.filter(col("event_name") === "wait_info"), cfg.copy(wipeDatabase = true))
-    // only the one table survives the wipe
-    assert(spark.catalog.listTables(cfg.schemaName).count() == 1)
+    // only the one table survives the wipe (listTables also reports other
+    // suites' temp views against every database — exclude them)
+    assert(spark.catalog.listTables(cfg.schemaName)
+      .filter(!_.isTemporary).count() == 1)
   }
 }
