@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means driver heap IS the whole cluster's memory: 32
+  // concurrent tasks × (shuffle exec memory + localCheckpoint blocks).
+  // 8g starved it — GC thrash showed up as dropped executor heartbeats
+  // and 2-5× run-to-run variance on the shuffle-heavy dedup queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -133,16 +133,21 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
     val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint(false)
+    // cand is consumed by FOUR downstream branches (both unioned candDocs
+    // projections — each behind its own broadcast — and the final join).
+    // Unmaterialized, every branch re-runs the band self-join pipeline;
+    // the candidate set is near-dup-sized (tiny), so pin it once.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands_matched"))
+      .localCheckpoint(false)
     // verify: true Jaccard restricted to docs that appear in a candidate
     // pair — at scale this is the difference between re-scanning the whole
     // postings self-join and touching only the (tiny) near-dup fraction.
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val candDocs = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct().localCheckpoint(false)
     val postC = post.join(broadcast(candDocs), Seq("doc_id"))
     val sizes = postC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = postC.as("a").join(postC.as("b"),
@@ -188,8 +193,14 @@ object Dedup {
     // the plan per iteration — 2^N recomputations of the upstream pair
     // pipeline. localCheckpoint materializes the (tiny) label/edge frames;
     // at petabyte scale the same loop uses reliable checkpointing.
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // single pass over the pair pipeline: explode both directions instead
+    // of a two-branch union (which would run the whole upstream
+    // near-dup-pair computation twice before the checkpoint pins it)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(false)
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     var labels = nodes.withColumn("canonical_id", col("doc_id")).localCheckpoint(false)

@@ -213,7 +213,11 @@ object XelQueries {
           col("c_event_sequence"),
           hex(col("a_callstack")).as("a_callstack_hex"),
           F.callstackDebugCmd(col("a_callstack"), 8, "ln").as("a_callstack_debugcmd"),
-          col("a_query_hash_dec"),
+          // the decimal(38,0) rides the binary codec end-to-end (that is
+          // the point of this query); stringify only at the compare edge —
+          // wide decimals survive parquet exactly but lose precision in
+          // the oracle harness's decimal→double dataframe conversion
+          col("a_query_hash_dec").cast("string").as("a_query_hash_dec"),
           col("c_even_duration"),
           col("c_session_id_i"))
         .orderBy("c_event_sequence")
@@ -436,7 +440,7 @@ object XelQueries {
            |SELECT c_event_sequence,
            |       frame_hex || 'DEADBEEF' AS a_callstack_hex,
            |       'ln ' || ${revPairsSql("frame_hex")} || ';' AS a_callstack_debugcmd,
-           |       CAST(a_query_hash AS DECIMAL(38,0)) AS a_query_hash_dec,
+           |       CAST(CAST(a_query_hash AS DECIMAL(38,0)) AS VARCHAR) AS a_query_hash_dec,
            |       c_even_duration,
            |       c_session_id_i
            |FROM cs ORDER BY c_event_sequence""".stripMargin,
