@@ -233,6 +233,32 @@ object Dedup {
     labels
   }
 
+  /** Deterministic stratified sampling — the data-mixture step that
+    * follows dedup in a corpus pipeline: keep a doc iff
+    * hash60(salt|doc_id) mod 100 < pct(source). Pure filter projection
+    * (no shuffle, no RNG): the SAME rows are kept on every run, every
+    * engine, any partitioning — reproducible corpus builds. Rates are
+    * whole percents per stratum; unknown strata use defaultPct. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int,
+                       salt: String): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(hash60(concat(lit(s"$salt|"), col(idCol).cast("string"))), lit(100L)) < pct)
+  }
+
+  /** The end of the dedup story: the kept corpus. Every doc except
+    * non-canonical cluster members (cluster survivor = min doc_id, per
+    * [[dupClusters]]). Anti-join keyed by doc id — at 100 TB the drop
+    * list is near-dup-sized (tiny) and broadcasts. */
+  def survivors(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drops = clusters.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
     * token OCCURRENCES (term frequency = natural weight). Single-pass
     * [[SimHashSig]] kernel — a pure projection (no explode, no 16-sum

@@ -78,6 +78,23 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-family shape): contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, residual whitespace. Every
+    * alternative is anchored to a distinct first-character class AND
+    * ordered longest-capable-first, so Java's leftmost-FIRST alternation
+    * (Spark) and RE2's leftmost-LONGEST (DuckDB) pick identical matches
+    * — no lookarounds, which RE2 lacks. */
+  val bpeishPattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token count a BPE-family tokenizer would produce (pre-tokenization
+    * segments — the unit that budgets LLM training data). Whitespace
+    * token counts under-estimate code/punctuation-heavy text; this is
+    * the standard better proxy. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
   /** Stopword-profile language ID. Scores each candidate language by its
     * stopword hit count over the lowercased text; ties break in fixed
     * order en > de > fr > es; CJK codepoints short-circuit to zh; zero

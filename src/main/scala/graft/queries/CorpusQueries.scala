@@ -91,6 +91,49 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-family pre-tokenizer counts — the unit that budgets LLM
+    // training data. Whitespace counts under-estimate punctuation/code;
+    // side-by-side ratio makes the gap visible per doc.
+    "text_bpe_tokens" -> ((spark, dir) => {
+      val nb = T.bpeTokenCount(col("text"))
+      val nw = T.nTokens(col("text"))
+      docs(spark, dir).select(
+        col("doc_id"),
+        nb.as("n_bpe_tokens"),
+        nw.as("n_ws_tokens"),
+        when(nw === 0, 0.0).otherwise(
+          round(nb.cast("double") / nw.cast("double"), 6)).as("bpe_per_word"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling (post-dedup mixture step):
+    // even-indexed sources keep 50%, odd keep 20% — reproducible row
+    // selection via the portable hash, no RNG anywhere.
+    "corpus_sample_stratified" -> ((spark, dir) => {
+      val rates = (0 until 10).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 50 else 20)).toMap
+      Dedup.stratifiedSample(docs(spark, dir), "doc_id", "source",
+          rates, defaultPct = 10, salt = "mix1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source")
+    }),
+
+    // The kept corpus after near-dup clustering: every doc minus
+    // non-canonical cluster members — what actually ships to training.
+    "dedup_keep" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccardPairs(d, "doc_id", "text", shingleK, jaccardThreshold))
+      Dedup.survivors(d, "doc_id", clusters)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("source")
+    }),
+
     // ---- dedup ---------------------------------------------------------
     "dedup_exact" -> ((spark, dir) => {
       Dedup.exactDupSummary(docs(spark, dir), "text", "source")
@@ -418,6 +461,61 @@ object CorpusQueries {
          |JOIN fp ON d.doc_id = fp.doc_id
          |LEFT JOIN mins ON d.doc_id = mins.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text,
+         |         '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         |         )) AS INTEGER) AS n_bpe_tokens,
+         |       CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+         |       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |         round(CAST(len(regexp_extract_all(text,
+         |           '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         |           )) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) END AS bpe_per_word
+         |FROM toks JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" -> {
+      val rateCase = (0 until 10).map(i =>
+        s"WHEN 'src$i' THEN ${if (i % 2 == 0) 50 else 20}").mkString(" ")
+      s"""WITH sampled AS (
+         |  SELECT * FROM documents
+         |  WHERE ${h60("'mix1|' || CAST(doc_id AS VARCHAR)")} % 100 <
+         |        CASE source $rateCase ELSE 10 END
+         |)
+         |SELECT source, count(*) AS n_sampled,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM sampled GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "dedup_keep" ->
+      s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT d1, d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |),
+         |pairs AS (SELECT d1, d2 FROM joined WHERE jaccard >= $jaccardThreshold),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |clus AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |),
+         |drops AS (SELECT doc_id FROM clus WHERE doc_id <> canonical_id)
+         |SELECT source, count(*) AS n_kept,
+         |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT source,

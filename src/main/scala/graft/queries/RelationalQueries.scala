@@ -173,12 +173,45 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Backward as-of join (graft.operators.AsofJoin): for every click,
+    // the most recent prior purchase by the same user — last-touch
+    // attribution, the canonical event-stream as-of. One shuffle keyed
+    // by user; oracle is DuckDB's native ASOF LEFT JOIN. The right side
+    // is pre-aggregated to unique (user, time) per the operator's tie
+    // contract. Times compare as epoch-micros longs on both engines.
+    "asof_attribution" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("purch_us"))
+        .agg(max(col("value")).as("purch_value"))
+      graft.operators.AsofJoin
+        .backward(clicks, purch, "user_id", "click_us", "purch_us",
+          Seq("purch_us", "purch_value"))
+        .orderBy("event_id")
     })
   )
 
   def oracles: Map[String, String] = {
     val cte = XeFixture.sqlCte
     Map(
+      "asof_attribution" ->
+        """WITH clicks AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS click_us
+          |  FROM events WHERE event_type = 'click'
+          |), purch AS (
+          |  SELECT user_id, epoch_us(ts) AS purch_us, max(value) AS purch_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+          |)
+          |SELECT c.event_id, c.user_id, c.click_us, p.purch_us, p.purch_value
+          |FROM clicks c ASOF LEFT JOIN purch p
+          |  ON c.user_id = p.user_id AND c.click_us >= p.purch_us
+          |ORDER BY c.event_id""".stripMargin,
+
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -106,6 +106,43 @@ class CorpusSpec extends SparkTestBase {
     assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
   }
 
+  test("stratified sample: deterministic, respects per-stratum rate direction") {
+    val df = (1L to 2000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 80, "src1" -> 10)
+    val s1 = Dedup.stratifiedSample(df, "doc_id", "source", rates, 50, "salt")
+    val s2 = Dedup.stratifiedSample(df, "doc_id", "source", rates, 50, "salt")
+    // same rows every run — reproducible corpus builds
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    val bySrc = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") > 3 * bySrc("src1"),
+      s"80% stratum should dominate 10% stratum, got $bySrc")
+    // a different salt draws a different sample
+    val s3 = Dedup.stratifiedSample(df, "doc_id", "source", rates, 50, "other")
+    assert(s1.exceptAll(s3).count() > 0)
+  }
+
+  test("survivors: drops exactly the non-canonical cluster members") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "src")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val kept = Dedup.survivors(docs, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
+  test("bpe-ish token count: contractions, punctuation runs, digit splits") {
+    // exact counts pinned against manual application of the pattern:
+    //  "don't stop" -> ["don", "'t", " stop"]  = 3
+    //  "a  b"       -> ["a", "  ", "b"]        = 3  (letter alt takes at
+    //                  most ONE leading space; the run falls to \s+)
+    //  "x9y"        -> ["x", "9", "y"]         = 3
+    //  "hi!!"       -> ["hi", "!!"]            = 2
+    //  ""           -> []                      = 0
+    val rows = Seq("don't stop", "a  b", "x9y", "hi!!", "").toDF("text")
+    val got = rows.select(T.bpeTokenCount(col("text")).as("n")).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 3, 3, 2, 0))
+  }
+
   test("SimHashSig kernel matches the exploded per-occurrence vote form bit-for-bit") {
     // duplicate tokens on purpose: the TF weight (per-OCCURRENCE votes)
     // is part of the contract

@@ -72,4 +72,28 @@ class JdbcSinkSpec extends SparkTestBase {
       .option("url", url).option("dbtable", "xel_append_t").load()
     assert(back.count() == 2 * n)
   }
+
+  test("D1 probe reports Derby capabilities; D5 index DDL gated on them") {
+    import spark.implicits._
+    val caps = JdbcSink.probeCapabilities(url)
+    assert(caps.product.toLowerCase.contains("derby"))
+    assert(caps.supportsBatchUpdates, "batched writer path requires batch support")
+    assert(caps.supportsIndexDdl, "Derby speaks ANSI CREATE INDEX")
+
+    val cfg = XelConfig.default.copy(schemaName = "ixtest")
+    val df = Seq((1L, 5L, "ix_ev"), (2L, 7L, "ix_ev"))
+      .toDF("c_event_sequence", "c_duration_us", "event_name")
+    val tables = JdbcSink.demuxAppend(df, url, cfg, indexOn = Some("c_event_sequence"))
+    // index exists on the demuxed table (and a second run is idempotent)
+    JdbcSink.demuxAppend(df, url, cfg, indexOn = Some("c_event_sequence"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, tables.head.toUpperCase, false, false)
+      var names = Set.empty[String]
+      while (rs.next()) names += Option(rs.getString("INDEX_NAME")).getOrElse("")
+      rs.close()
+      assert(names.exists(_.equalsIgnoreCase(s"${tables.head}_ix_c_event_sequence")),
+        s"expected seek index, saw $names")
+    } finally conn.close()
+  }
 }
