@@ -205,8 +205,13 @@ object Dedup {
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(false)
-    val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("canonical_id", col("doc_id")).localCheckpoint(false)
+    // round-0 seed: min(self, direct neighbors) comes free with the
+    // node-dedup aggregation — dense near-dup clusters (diameter 1-2)
+    // then converge one propagation round earlier
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("canonical_id"))
+      .select(col("a").as("doc_id"), col("canonical_id"))
+      .localCheckpoint(false)
     // early exit: per-node labels only ever DECREASE under min-propagation,
     // so an unchanged sum(canonical_id) proves a fixpoint — no extra join
     // needed for change detection. coalesce(0): sum over ZERO rows is null

@@ -59,6 +59,19 @@ object TextAnalysis {
       }),
       1)
 
+  /** Raw (non-distinct) word k-grams — the denominator for repetition
+    * scoring, where duplicate windows are the signal [[shingles]]
+    * deliberately removes. Same CSE-binding trick as shingles. */
+  def kgrams(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), ws => {
+        val n = size(ws)
+        when(n < k, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(1), n - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      }),
+      1)
+
   /** Polynomial rolling-hash fingerprint of the first `maxChars` chars of
     * the lowercased text: h = fold(h*131 + code) mod 1e9+7. Intermediate
     * values stay ≤ ~1.3e11, far from int64 overflow, so Spark (Java wrap)

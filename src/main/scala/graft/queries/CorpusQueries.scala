@@ -106,6 +106,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals — the quality filter near-dup
+    // metrics don't cover: duplicate 2/3-gram fraction and duplicate
+    // word fraction WITHIN a doc (boilerplate/looping-text detector).
+    "text_repetition" -> ((spark, dir) => {
+      def repRatio(grams: org.apache.spark.sql.Column) =
+        when(size(grams) === 0, 0.0).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+            size(grams).cast("double"), 6))
+      docs(spark, dir).select(
+        col("doc_id"),
+        repRatio(T.tokens(col("text"))).as("rep_word"),
+        repRatio(T.kgrams(col("text"), 2)).as("rep_2gram"),
+        repRatio(T.kgrams(col("text"), 3)).as("rep_3gram"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling (post-dedup mixture step):
     // even-indexed sources keep 50%, odd keep 20% — reproducible row
     // selection via the portable hash, no RNG anywhere.
@@ -214,8 +230,12 @@ object CorpusQueries {
         .withColumn("n_chars_total", col("n_chars_raw").cast("long"))
         .drop("n_chars_raw")
       val withW = bySource.withColumn("w_raw", pow(col("n_docs").cast("double"), 0.7))
-      val total = withW.agg(sum(col("w_raw"))).head().getDouble(0)
-      withW.withColumn("mix_weight", round(col("w_raw") / lit(total), 6))
+      // normalizer via a global window over the POST-AGGREGATION frame
+      // (one row per source — tiny by construction): single pass, no
+      // driver collect, no second scan of the fact table
+      val wAll = Window.partitionBy()
+      withW
+        .withColumn("mix_weight", round(col("w_raw") / sum(col("w_raw")).over(wAll), 6))
         .select(col("source"), col("n_docs"), col("n_chars_total"), col("mix_weight"))
         .orderBy("source")
     }),
@@ -226,15 +246,17 @@ object CorpusQueries {
     // engines cannot reorder ranks.
     "text_tfidf_topterms" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      val nDocs = d.count()
+      // corpus size as a broadcast 1-row aggregate instead of a driver
+      // count(): the whole query stays one declarative plan
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
       val toks = d.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(df, "term")
+      val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf").cast("double") *
-            log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+            log(col("n_docs_total") / col("df").cast("double")), 6))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       scored.withColumn("rank", row_number().over(w))
@@ -475,6 +497,26 @@ object CorpusQueries {
          |           )) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) END AS bpe_per_word
          |FROM toks JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""$tokCte,
+         |grams AS (
+         |  SELECT doc_id, ws,
+         |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+         |         list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |         round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)
+         |               / CAST(len(ws) AS DOUBLE), 6) END AS rep_word,
+         |       CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+         |         round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(g2)) AS DOUBLE)
+         |               / CAST(len(g2) AS DOUBLE), 6) END AS rep_2gram,
+         |       CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+         |         round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE)
+         |               / CAST(len(g3) AS DOUBLE), 6) END AS rep_3gram
+         |FROM grams ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_stratified" -> {
       val rateCase = (0 until 10).map(i =>

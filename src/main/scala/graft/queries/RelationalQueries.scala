@@ -155,9 +155,13 @@ object RelationalQueries {
     // sessions present in both runs, and only in run 1 (SURVEY.md §7 E).
     "setops_runs" -> ((spark, dir) => {
       val xe = XeFixture.frame(spark, dir)
-      val mid = xe.agg(max(col("c_event_sequence"))).head().getLong(0) / 2
-      val run1 = xe.filter(col("c_event_sequence") <= mid).select("c_session_id").distinct()
-      val run2 = xe.filter(col("c_event_sequence") > mid).select("c_session_id").distinct()
+      // run boundary as a broadcast 1-row aggregate — no driver .head()
+      // and no second pass (the old literal-filter form did push down,
+      // but paid a full blocking scan before the plan even existed)
+      val midDf = xe.agg((max(col("c_event_sequence")) / 2).as("mid"))
+      val tagged = xe.crossJoin(broadcast(midDf))
+      val run1 = tagged.filter(col("c_event_sequence") <= col("mid")).select("c_session_id").distinct()
+      val run2 = tagged.filter(col("c_event_sequence") > col("mid")).select("c_session_id").distinct()
       val both = run1.intersect(run2).withColumn("presence", lit("both"))
       val only1 = run1.except(run2).withColumn("presence", lit("run1_only"))
       val only2 = run2.except(run1).withColumn("presence", lit("run2_only"))

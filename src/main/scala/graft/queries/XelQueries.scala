@@ -24,7 +24,11 @@ object XelQueries {
     * the Hadoop filesystem (works for any scheme) so stale rollovers from
     * a previous run never leak into the read-back. */
   private def wipedScratchDir(spark: SparkSession, dir: String, tag: String): String = {
-    val path = s"/tmp/graft_xelb_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // scratch rollover files live next to the shuffle dirs (tmpfs when
+    // available) — the benched source-scan queries should measure the
+    // source, not this box's virtio disk
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val path = s"$base/graft_xelb_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     path
