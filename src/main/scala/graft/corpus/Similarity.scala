@@ -144,6 +144,52 @@ object Similarity {
       .select("v1", "v2", "cos_sim")
   }
 
+  /** SQ8 scalar quantization: per-vector symmetric int8 codes,
+    * code_i = floor(x_i * 127 / max|x| + 0.5). The 100 TB story: 4×
+    * smaller vectors = 4× less scan/shuffle/broadcast volume for a small
+    * recall hit, and the candidate-scoring dot products become EXACT
+    * integer arithmetic (no IEEE fold-order concerns anywhere until the
+    * final cosine division). floor(x + 0.5) instead of round() because
+    * its half-handling is identical in every engine. Scale cancels in
+    * cosine, so codes alone suffice downstream. */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      // two-step projection: bind the scale ONCE per row (interpreted
+      // HOFs do no CSE — an inline array_max would re-reduce per element)
+      .select(col(idCol), col(vecCol),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("scale"))
+      .select(col(idCol),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("long"))
+          .as("codes"))
+
+  /** Integer dot product / squared norm over code arrays — exact. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Brute-force top-k over SQ8 codes — same plan shape as
+    * [[bruteForceTopK]] (query side broadcast, big side streams once),
+    * but every comparison runs on int8-range integers. */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int): DataFrame = {
+    val coded = sq8Codes(Dedup.fanout(emb), idCol, vecCol)
+      .withColumn("nsq", dotQ(col("codes"), col("codes")))
+    val queries = sq8Codes(emb.filter(queryPred), idCol, vecCol)
+      .withColumn("qnsq", dotQ(col("codes"), col("codes")))
+      .select(col(idCol).as("query_id"), col("codes").as("qcodes"), col("qnsq"))
+    val ranked = coded
+      .select(col(idCol).as("neighbor_id"), col("codes").as("ncodes"), col("nsq"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim_q",
+        round(dotQ(col("qcodes"), col("ncodes")).cast("double") /
+          (sqrt(col("qnsq").cast("double")) * sqrt(col("nsq").cast("double"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_q").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim_q")
+  }
+
   /** Deterministic-init k-means coarse quantizer for a real IVF index:
     * centroids seeded from the k smallest vec_ids, `iters` Lloyd rounds
     * (assign via [[VectorExpr.dotF]]-style native distance, centroid
@@ -159,27 +205,14 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def assignUdf(cs: Array[Array[Double]]) = udf((v: Seq[Float]) => {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0
-        var i = 0
-        val cent = cs(c)
-        while (i < cent.length && i < v.length) {
-          val diff = v(i).toDouble - cent(i)
-          d += diff * diff
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = c } // ties keep the lower cluster id
-        c += 1
-      }
-      best
-    })
+    // assignment = native codegen expression with the (k × dim) centroid
+    // table as a plan reference object — a full-corpus projection that
+    // stays inside whole-stage codegen (ties keep the lower cluster id)
+    def assign(cs: Array[Array[Double]]) =
+      (v: Column) => VectorExpr.nearestCentroidF(v, cs)
 
     var assigned = emb.select(col(idCol), col(vecCol),
-      assignUdf(centroids)(col(vecCol)).as("cluster"))
+      assign(centroids)(col(vecCol)).as("cluster"))
     for (_ <- 1 to iters) {
       val dims = centroids.head.length
       val sums = assigned
@@ -193,7 +226,7 @@ object Similarity {
       }
       centroids = next
       assigned = emb.select(col(idCol), col(vecCol),
-        assignUdf(centroids)(col(vecCol)).as("cluster"))
+        assign(centroids)(col(vecCol)).as("cluster"))
     }
     assigned.select(col(idCol), col("cluster"))
   }

@@ -83,6 +83,63 @@ case class NormF(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object VectorOps2 {
+  /** Index of the squared-L2-nearest centroid; ties keep the lower id.
+    * Same arithmetic order as the UDF it replaces (per-dim diff²,
+    * sequential accumulation) → identical assignments. */
+  def nearestCentroid(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cent = cs(c)
+      val n = math.min(cent.length, v.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/**
+ * k-means assignment as a native expression: the centroid table rides
+ * along as a codegen reference object (like [[MinHashSig]]'s salts), the
+ * scan stays inside whole-stage codegen reading floats in place — no
+ * per-row Tungsten→Seq conversion, no closure. At 100 TB the quantizer
+ * assignment is a full-corpus projection; this keeps it on the codegen
+ * fast path.
+ */
+case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid_f"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps2.nearestCentroid(a.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.corpus.VectorOps2.nearestCentroid($a, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   import org.apache.spark.sql.graft.bridge
 
@@ -91,4 +148,7 @@ object VectorExpr {
 
   def normF(a: Column): Column =
     bridge.column(NormF(bridge.expression(a)))
+
+  def nearestCentroidF(v: Column, centroids: Array[Array[Double]]): Column =
+    bridge.column(NearestCentroidF(bridge.expression(v), centroids))
 }

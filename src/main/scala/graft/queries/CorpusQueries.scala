@@ -194,6 +194,14 @@ object CorpusQueries {
         .orderBy("v1", "v2")
     }),
 
+    // SQ8-quantized ANN: int8 codes, exact integer scoring — the
+    // compressed-vector path (4× less scan/shuffle volume at 100 TB).
+    "ann_topk_sq8" -> ((spark, dir) => {
+      Similarity.sq8TopK(emb(spark, dir), "vec_id", "embedding",
+        col("vec_id") % annQueryStride === 0, annK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- similarity search ---------------------------------------------
     "ann_topk_brute" -> ((spark, dir) => {
       Similarity.bruteForceTopK(emb(spark, dir), "vec_id", "embedding",
@@ -696,6 +704,39 @@ object CorpusQueries {
          |WHERE cos_sim >= $cosineThreshold
          |ORDER BY v1, v2""".stripMargin
     },
+
+    "ann_topk_sq8" ->
+      s"""WITH scales AS (
+         |  SELECT vec_id,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         |         embedding
+         |  FROM embeddings
+         |), coded AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)) AS codes
+         |  FROM scales
+         |), nsq AS (
+         |  SELECT vec_id, codes,
+         |         list_reduce([CAST(0 AS BIGINT)] ||
+         |           list_transform(codes, x -> x * x), (a, b) -> a + b) AS nsq
+         |  FROM coded
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(CAST(list_reduce([CAST(0 AS BIGINT)] ||
+         |             list_transform(range(1, len(a.codes) + 1),
+         |               i -> a.codes[i] * b.codes[i]), (x, y) -> x + y) AS DOUBLE)
+         |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos_sim_q
+         |  FROM (SELECT * FROM nsq WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN nsq b ON a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim_q,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim_q DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim_q FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
 
     "ann_topk_brute" ->
       s"""WITH norms AS (

@@ -75,4 +75,21 @@ class SimilaritySpec extends SparkTestBase {
     val got = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
+
+  test("sq8 codes bounded to [-127,127]; quantized top-k tracks exact top-k") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val codes = Similarity.sq8Codes(emb, "vec_id", "embedding")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("codes")).as("c"))
+      .agg(org.apache.spark.sql.functions.min("c"),
+        org.apache.spark.sql.functions.max("c")).head()
+    assert(codes.getLong(0) >= -127 && codes.getLong(1) <= 127)
+    val pred = org.apache.spark.sql.functions.col("vec_id") % 200 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.sq8TopK(emb, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap > 0.7, s"sq8 recall@10 too low: $overlap")
+  }
 }
