@@ -78,14 +78,17 @@ object TextAnalysis {
     * and DuckDB (overflow-checked) agree. A custom codegen Expression
     * could avoid the per-char array, but the HOF form is already
     * whole-stage-codegen'd and O(maxChars) per row. */
-  def rollingFingerprint(text: Column, maxChars: Int = 200): Column = {
-    val s = substring(lower(trim(text)), 1, maxChars)
-    aggregate(
-      transform(sequence(lit(1), greatest(length(s), lit(1))), i =>
-        ascii(substring(s, i, lit(1))).cast("long")),
-      lit(0L),
-      (h, c) => (h * 131L + c) % 1000000007L)
-  }
+  def rollingFingerprint(text: Column, maxChars: Int = 200): Column =
+    // bind the normalized prefix ONCE as a lambda variable — inlined, the
+    // lower/trim/substring chain would re-run per character (maxChars×/row)
+    element_at(
+      transform(array(substring(lower(trim(text)), 1, maxChars)), s =>
+        aggregate(
+          transform(sequence(lit(1), greatest(length(s), lit(1))), i =>
+            ascii(substring(s, i, lit(1))).cast("long")),
+          lit(0L),
+          (h, c) => (h * 131L + c) % 1000000007L)),
+      1)
 
   /** Count of regex matches — langid/quality building block. */
   def matchCount(text: Column, pattern: String): Column =

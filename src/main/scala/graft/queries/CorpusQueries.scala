@@ -328,10 +328,16 @@ object CorpusQueries {
       val h = substring(hex(col("payload")), 9, 128) // body starts after 4-byte header
       val nFull = least((octet_length(col("payload")) - 4).cast("int"), lit(64))
       withP
+        // bind hex(payload) ONCE as a lambda variable (interpreted HOFs
+        // do no CSE — inlined, the hex would re-run per nibble, 64×/row)
         .withColumn("nibbles",
-          when(nFull <= 0, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), nFull - 1), i =>
-              substring(h, i * lit(2) + 1, lit(1)))))
+          element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
+            val hh = s.getField("h")
+            val n = s.getField("n")
+            when(n <= 0, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(0), n - 1), i =>
+                substring(hh, i * lit(2) + 1, lit(1))))
+          }), 1))
         .select(col("format"), explode(col("nibbles")).as("nibble"))
         .groupBy(col("format"), col("nibble"))
         .agg(count(lit(1)).as("n"))
