@@ -28,6 +28,36 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Streaming last-touch attribution — the stream-stream twin of the
+    * batch `asof_attribution` query (graft.operators.AsofJoin): clicks
+    * join purchases by user within a bounded look-back interval. The
+    * watermarks + the range condition are what make this run forever on
+    * unbounded streams: state for each side is dropped once the event
+    * time falls behind watermark + lookback, so executor state is
+    * O(users active in the window), not O(history). An unbounded as-of
+    * ("most recent EVER") is not expressible with finite state — the
+    * interval bound is the streaming-correct formulation.
+    *
+    * Both inputs must carry (user_id, ts, ...); output = click columns +
+    * the matching purchase's ts/value (inner join: unmatched clicks age
+    * out silently, as in any attribution window). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      lookback: String = "10 minutes",
+                      lateness: String = "2 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purch_ts"),
+        col("value").as("purch_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purch_ts") <= col("click_ts") &&
+        col("purch_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purch_ts"), col("purch_value"))
+  }
+
   /** Per-minute event-rate rollup — the streaming twin of the batch
     * `xe_rate_minute` query. Works on batch frames too (tumbling window ==
     * date_trunc minute). On a stream, pair with [[withLateDataGuard]]. */

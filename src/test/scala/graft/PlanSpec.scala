@@ -120,4 +120,34 @@ class PlanSpec extends SparkTestBase {
     val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
     assert(hashAggs.size >= 2, "expect partial + final aggregate pair")
   }
+
+  test("ann_topk_sq8: the only join is the broadcast query-side probe") {
+    val nodes = executedNodes(q("ann_topk_sq8"))
+    // intentional broadcast nested-loop on the tiny query side; a SHUFFLED
+    // cartesian of the corpus would be the scale-killer variant
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "sq8 probe must broadcast the query side, not cross-product the corpus")
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")) ||
+      nodes.exists(_.nodeName.contains("BroadcastHashJoin")))
+  }
+
+  test("text_bpe_tokens / text_repetition scans prune to doc_id + text") {
+    Seq("text_bpe_tokens", "text_repetition").foreach { name =>
+      val explained = q(name).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val readSchemaLines = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemaLines.nonEmpty)
+      readSchemaLines.foreach { l =>
+        assert(!l.contains("lang") && !l.contains("source") && !l.contains("n_chars"),
+          s"$name unpruned scan: $l")
+      }
+    }
+  }
+
+  test("dedup_keep: the survivor anti-join broadcasts the drop list") {
+    val nodes = executedNodes(q("dedup_keep"))
+    assert(nodes.exists(n => n.nodeName.contains("BroadcastHashJoin") &&
+      n.toString.contains("LeftAnti")),
+      "kept-corpus filter must be a broadcast anti-join, not a shuffled one")
+  }
 }

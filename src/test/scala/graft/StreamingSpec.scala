@@ -76,4 +76,41 @@ class StreamingSpec extends SparkTestBase {
     assert(joined.filter(col("n_w").isNull || col("n_t").isNull ||
       col("n_w") =!= col("n_t") || col("d_w") =!= col("d_t")).count() == 0)
   }
+
+  test("streaming attribution join matches its batch twin on closed windows") {
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+
+    val cDir = Files.createTempDirectory("graft-attr-c").toString
+    val pDir = Files.createTempDirectory("graft-attr-p").toString
+    val ckpt = Files.createTempDirectory("graft-attr-ck").toString
+    clicks.write.parquet(s"$cDir/drop1")
+    purchases.write.parquet(s"$pDir/drop1")
+
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$cDir/drop*")
+    val ps = spark.readStream.schema(purchases.schema).parquet(s"$pDir/drop*")
+    val joined = EventStream.attributionJoin(cs, ps,
+      lookback = "30 minutes", lateness = "5 minutes")
+
+    val q = joined.writeStream
+      .format("memory").queryName("attr_stream").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("attr_stream")
+    val batch = EventStream.attributionJoin(clicks, purchases,
+      lookback = "30 minutes", lateness = "5 minutes")
+    // stream-stream inner join with watermarks: every emitted row is a
+    // true batch-join row, and the bulk of the batch result is emitted
+    // (AvailableNow closes the watermark at end of input)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(got.count().toDouble / batch.count() > 0.8,
+      s"too few rows emitted: ${got.count()} of ${batch.count()}")
+  }
 }
