@@ -137,6 +137,41 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Budgeted quality selection: per source, admit best-quality docs
+    // until a 5000-char budget fills — the curation step between quality
+    // scoring and mixing.
+    "corpus_select_budget" -> ((spark, dir) => {
+      val scored = docs(spark, dir)
+        .withColumn("q", T.qualityScore(col("text")))
+      graft.corpus.Packing.selectWithinBudget(scored, "source", "doc_id",
+          col("q"), col("n_chars"), budget = 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_chars")).as("chars_selected"),
+          round(min(col("q")), 6).as("worst_quality_kept"))
+        .orderBy("source")
+    }),
+
+    // Doc → overlapping fixed-length token chunks (size 32, stride 24):
+    // the training-example split; chunks surface as portable hashes.
+    "corpus_chunk" -> ((spark, dir) => {
+      graft.corpus.Packing.chunk(docs(spark, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Concat-then-chunk packing into 512-token bins, per source: where
+    // each doc lands in the training-sequence stream.
+    "corpus_pack" -> ((spark, dir) => {
+      val withN = docs(spark, dir)
+        .select(col("doc_id"), col("source"), T.nTokens(col("text")).as("n_tokens"))
+      graft.corpus.Packing.packOffsets(withN, "source", "doc_id",
+          col("n_tokens"), binSize = 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("start_off"), col("start_bin"), col("bins_spanned"))
+        .orderBy("source", "doc_id")
+    }),
+
     // The kept corpus after near-dup clustering: every doc minus
     // non-canonical cluster members — what actually ships to training.
     "dedup_keep" -> ((spark, dir) => {
@@ -544,6 +579,69 @@ object CorpusQueries {
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM sampled GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "corpus_select_budget" ->
+      s"""$tokCte,
+         |feats AS (
+         |  SELECT doc_id, source, n_chars,
+         |         CAST(len(ws) AS INTEGER) AS n_tokens,
+         |         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(lower(text),
+         |             '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |             / CAST(len(ws) AS DOUBLE) END AS sr,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) END AS nar
+         |  FROM toks JOIN documents USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, source, n_chars,
+         |         round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |                + least(sr * 10.0, CAST(1 AS DOUBLE))
+         |                + (CAST(1 AS DOUBLE) - least(nar * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) AS q
+         |  FROM feats
+         |), admitted AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, n_chars, q,
+         |           sum(n_chars) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM scored
+         |  ) WHERE cum <= 5000
+         |)
+         |SELECT source, count(*) AS n_selected,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_selected,
+         |       round(min(q), 6) AS worst_quality_kept
+         |FROM admitted GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_chunk" ->
+      s"""$tokCte,
+         |starts AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 24)) AS s
+         |  FROM toks
+         |), chunks AS (
+         |  SELECT doc_id,
+         |         CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+         |         list_slice(ws, s, least(s + 31, len(ws))) AS chunk
+         |  FROM starts
+         |)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(chunk) AS INTEGER) AS chunk_len,
+         |       ${h60("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "corpus_pack" ->
+      s"""$tokCte,
+         |pack AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(ws) AS INTEGER) AS n_tokens,
+         |         CAST(coalesce(sum(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM toks JOIN documents USING (doc_id)
+         |)
+         |SELECT source, doc_id, n_tokens, start_off,
+         |       CAST(start_off // 512 AS BIGINT) AS start_bin,
+         |       CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+         |         (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 END AS BIGINT) AS bins_spanned
+         |FROM pack ORDER BY source, doc_id""".stripMargin,
 
     "dedup_keep" ->
       s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
