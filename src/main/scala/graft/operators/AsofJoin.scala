@@ -58,6 +58,36 @@ object AsofJoin {
       .select(leftCols.map(c => col(s"_asof_row.$c").as(c)) ++
         payloadCols.map(c => col(s"_asof_carried.$c").as(c)): _*)
   }
+
+  /** Forward as-of join — the mirror: for each left row, the EARLIEST
+    * right row with time >= the left row's time ("the next deploy after
+    * this alert"). Same single-shuffle union+window shape, with the
+    * window running from the future backwards: descending time order,
+    * right rows still sorting ahead of same-time left rows (>=). */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(key).as("_asof_k"), col(leftTime).as("_asof_t"),
+      lit(1).as("_asof_prio"),
+      lit(null).cast(StructTypeDdl.of(right.select(payloadCols.map(col): _*)))
+        .as("_asof_pay"),
+      struct(leftCols.map(col): _*).as("_asof_row"))
+    val r = right.select(
+      col(key).as("_asof_k"), col(rightTime).as("_asof_t"),
+      lit(0).as("_asof_prio"),
+      struct(payloadCols.map(col): _*).as("_asof_pay"),
+      lit(null).cast(StructTypeDdl.of(left)).as("_asof_row"))
+    val w = Window.partitionBy(col("_asof_k"))
+      .orderBy(col("_asof_t").desc, col("_asof_prio"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof_carried", last(col("_asof_pay"), ignoreNulls = true).over(w))
+      .filter(col("_asof_prio") === 1)
+      .select(leftCols.map(c => col(s"_asof_row.$c").as(c)) ++
+        payloadCols.map(c => col(s"_asof_carried.$c").as(c)): _*)
+  }
 }
 
 /** DDL string of a DataFrame's schema as a struct type — used to type

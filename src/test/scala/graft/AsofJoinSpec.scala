@@ -82,4 +82,40 @@ class AsofJoinSpec extends SparkTestBase {
     assert(shuffles.nonEmpty && shuffles.size <= 2,
       s"expected the single key shuffle, saw ${shuffles.size}")
   }
+
+  test("forward as-of: earliest right at-or-after each left row, else null") {
+    val got = AsofJoin.forward(clicks, purchases, "user_id", "t", "t",
+        Seq("t", "value"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(100L)),  // tie: purchase AT t=100 matches (>=)
+      (2L, Some(250L)),
+      (3L, None),        // no purchase at/after t=300 for user 10
+      (4L, None),
+      (5L, Some(500L)))) // the later purchase is ahead of t=100
+  }
+
+  test("forward matches a brute-force theta-join reference") {
+    val rnd = new scala.util.Random(11)
+    val l = (1L to 300L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("event_id", "user_id", "t")
+    val r = (1L to 120L).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("user_id", "t", "value")
+      .groupBy("user_id", "t").agg(max("value").as("value"))
+    val fast = AsofJoin.forward(l, r, "user_id", "t", "t", Seq("t", "value"))
+      .withColumnRenamed("t", "lt")
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.t") <= col("r.t"), "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id"))
+          .orderBy(col("r.t").asc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("l.event_id"), col("l.user_id"), col("l.t").as("lt"),
+        col("r.t").as("t"), col("r.value").as("value"))
+    assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
+  }
 }
