@@ -13,8 +13,9 @@ object Bench {
       // shuffle-heavy queries). On a real cluster this is the NVMe-backed
       // spark.local.dirs default — tmpfs is the local-mode equivalent,
       // not a semantics change.
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session startup should not be charged

@@ -16,8 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dirs — see Bench.scala for the why
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -153,15 +153,22 @@ object Similarity {
     * its half-handling is identical in every engine. Scale cancels in
     * cosine, so codes alone suffice downstream. */
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb
-      // two-step projection: bind the scale ONCE per row (interpreted
-      // HOFs do no CSE — an inline array_max would re-reduce per element)
-      .select(col(idCol), col(vecCol),
-        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("scale"))
-      .select(col(idCol),
-        transform(col(vecCol), x =>
-          floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("long"))
-          .as("codes"))
+    emb.select(col(idCol),
+      // bind the scale ONCE as an outer lambda variable — a projected
+      // alias would be re-inlined into the inner lambda by
+      // CollapseProject and the O(d) array_max would re-run per element.
+      // Zero vectors (scale 0) quantize to all-zero codes instead of
+      // NaN; downstream scoring filters them (cosine is undefined there).
+      element_at(
+        transform(
+          array(struct(col(vecCol).as("v"),
+            {
+              val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+              when(mx === 0.0, 1.0).otherwise(mx).as("s")
+            })),
+          p => transform(p.getField("v"), x =>
+            floor(x.cast("double") * 127.0 / p.getField("s") + 0.5).cast("long"))),
+        1).as("codes"))
 
   /** Integer dot product / squared norm over code arrays — exact. */
   private def dotQ(a: Column, b: Column): Column =
@@ -172,10 +179,14 @@ object Similarity {
     * but every comparison runs on int8-range integers. */
   def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int): DataFrame = {
+    // cosine is undefined for zero vectors — both sides drop them (codes
+    // all zero ⇒ squared norm 0), keeping the score NaN-free
     val coded = sq8Codes(Dedup.fanout(emb), idCol, vecCol)
       .withColumn("nsq", dotQ(col("codes"), col("codes")))
+      .filter(col("nsq") > 0)
     val queries = sq8Codes(emb.filter(queryPred), idCol, vecCol)
       .withColumn("qnsq", dotQ(col("codes"), col("codes")))
+      .filter(col("qnsq") > 0)
       .select(col(idCol).as("query_id"), col("codes").as("qcodes"), col("qnsq"))
     val ranked = coded
       .select(col(idCol).as("neighbor_id"), col("codes").as("ncodes"), col("nsq"))

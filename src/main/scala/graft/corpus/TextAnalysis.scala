@@ -40,7 +40,12 @@ object TextAnalysis {
 
   /** Word k-shingles (k consecutive tokens joined by one space), distinct.
     * Docs with fewer than k tokens yield an empty array — callers decide
-    * whether such docs participate in dedup.
+    * whether such docs participate in dedup. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(kgrams(text, k))
+
+  /** Raw (non-distinct) word k-grams — [[shingles]] without the dedup
+    * (repetition scoring needs the duplicate windows shingles removes).
     *
     * Two non-obvious constraints shape the implementation:
     *  - Spark's sequence(a,b) generates a DESCENDING sequence when b<a
@@ -49,19 +54,6 @@ object TextAnalysis {
     *    `element_at(tokens(text), i)` would re-run the regex split per
     *    element reference. Binding the token array as a lambda variable
     *    of an outer single-element transform forces one split per row. */
-  def shingles(text: Column, k: Int): Column =
-    element_at(
-      transform(array(tokens(text)), ws => {
-        val n = size(ws)
-        when(n < k, array().cast("array<string>")).otherwise(
-          array_distinct(transform(sequence(lit(1), n - (k - 1)), i =>
-            concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
-      }),
-      1)
-
-  /** Raw (non-distinct) word k-grams — the denominator for repetition
-    * scoring, where duplicate windows are the signal [[shingles]]
-    * deliberately removes. Same CSE-binding trick as shingles. */
   def kgrams(text: Column, k: Int): Column =
     element_at(
       transform(array(tokens(text)), ws => {

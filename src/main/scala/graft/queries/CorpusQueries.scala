@@ -812,9 +812,11 @@ object CorpusQueries {
     "ann_topk_sq8" ->
       s"""WITH scales AS (
          |  SELECT vec_id,
-         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         |         CASE WHEN mx = 0 THEN 1 ELSE mx END AS scale,
          |         embedding
-         |  FROM embeddings
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |        FROM embeddings)
          |), coded AS (
          |  SELECT vec_id,
          |         list_transform(embedding,
@@ -831,8 +833,8 @@ object CorpusQueries {
          |             list_transform(range(1, len(a.codes) + 1),
          |               i -> a.codes[i] * b.codes[i]), (x, y) -> x + y) AS DOUBLE)
          |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos_sim_q
-         |  FROM (SELECT * FROM nsq WHERE vec_id % $annQueryStride = 0) a
-         |  JOIN nsq b ON a.vec_id <> b.vec_id
+         |  FROM (SELECT * FROM nsq WHERE vec_id % $annQueryStride = 0 AND nsq > 0) a
+         |  JOIN nsq b ON a.vec_id <> b.vec_id AND b.nsq > 0
          |), ranked AS (
          |  SELECT query_id, neighbor_id, cos_sim_q,
          |         CAST(row_number() OVER (PARTITION BY query_id

@@ -97,12 +97,13 @@ object JdbcSink {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val ixName = s"${table}_ix_$ixCol"
-          val rs = conn.getMetaData
-            .getIndexInfo(null, null, table.toUpperCase, false, false)
           var exists = false
-          while (rs.next())
-            exists |= ixName.equalsIgnoreCase(Option(rs.getString("INDEX_NAME")).getOrElse(""))
-          rs.close()
+          foldedCandidates(table).foreach { t =>
+            val rs = conn.getMetaData.getIndexInfo(null, null, t, false, false)
+            while (rs.next())
+              exists |= ixName.equalsIgnoreCase(Option(rs.getString("INDEX_NAME")).getOrElse(""))
+            rs.close()
+          }
           if (!exists) {
             val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
             val stmt = conn.createStatement()
@@ -124,15 +125,22 @@ object JdbcSink {
     * yet (the writer's own CREATE covers it). One driver-side metadata
     * round-trip per table per run — nothing on the data path. Returns the
     * added column names. */
+  /** Unquoted identifiers are case-FOLDED by the database, and the fold
+    * direction is product-specific (Derby/H2 up, Postgres/MySQL down) —
+    * probe metadata under each folding until one matches. */
+  private def foldedCandidates(table: String): Seq[String] =
+    Seq(table.toUpperCase, table.toLowerCase, table).distinct
+
   def ensureTableSchemaMatches(df: DataFrame, url: String, table: String): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      // unquoted identifiers are case-normalized by the database; match
-      // case-insensitively like the reference's INFORMATION_SCHEMA diff
-      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      // match case-insensitively like the reference's INFORMATION_SCHEMA diff
       val existing = scala.collection.mutable.Set[String]()
-      while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
-      rs.close()
+      foldedCandidates(table).iterator.takeWhile(_ => existing.isEmpty).foreach { t =>
+        val rs = conn.getMetaData.getColumns(null, null, t, null)
+        while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+        rs.close()
+      }
       if (existing.isEmpty) return Seq.empty // no table yet — CREATE will fit
       val missing = df.schema.fields.filterNot(f => existing.contains(f.name.toLowerCase))
       // quote like Spark's own CREATE TABLE does, so the new column's
