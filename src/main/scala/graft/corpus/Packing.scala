@@ -66,10 +66,13 @@ object Packing {
     docs
       .withColumn("_n", nTokensCol.cast("long"))
       .withColumn("start_off", coalesce(sum(col("_n")).over(w), lit(0L)))
-      .withColumn("start_bin", (col("start_off") / binSize).cast("long"))
+      // `div` is true integer division on longs — exact at any offset,
+      // matching the oracle's `//`; `/` would round-trip through an IEEE
+      // double (exact only below 2^53)
+      .withColumn("start_bin", expr(s"start_off div $binSize"))
       .withColumn("bins_spanned",
         when(col("_n") === 0, lit(0L)).otherwise(
-          ((col("start_off") + col("_n") - 1) / binSize).cast("long")
+          expr(s"(start_off + _n - 1) div $binSize")
             - col("start_bin") + 1))
       .drop("_n")
   }

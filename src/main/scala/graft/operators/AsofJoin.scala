@@ -54,23 +54,26 @@ object AsofJoin {
                    leftTime: String, rightTime: String,
                    payloadCols: Seq[String], descending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payDdl = structDdl(right.select(payloadCols.map(col): _*))
+    // caller-supplied names are data, not dot-paths: resolve them quoted
+    // so `purchase.value` means the top-level column of that name
+    def qcol(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    val payDdl = structDdl(right.select(payloadCols.map(qcol): _*))
     val rowDdl = structDdl(left)
     // right rows get priority 0 so they sort ahead of left rows at equal
     // time — that is exactly the <= / >= tie inclusion
     val l = left.select(
-      col(key).as("_asof_k"), col(leftTime).as("_asof_t"),
+      qcol(key).as("_asof_k"), qcol(leftTime).as("_asof_t"),
       lit(1).as("_asof_prio"),
       lit(null).cast(payDdl).as("_asof_pay"),
-      struct(leftCols.map(col): _*).as("_asof_row"))
+      struct(leftCols.map(qcol): _*).as("_asof_row"))
     val r = right
       // NULLs never match: a NULL-key/time right row would otherwise sort
       // into a real position and leak its payload onto left rows
-      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .filter(qcol(key).isNotNull && qcol(rightTime).isNotNull)
       .select(
-        col(key).as("_asof_k"), col(rightTime).as("_asof_t"),
+        qcol(key).as("_asof_k"), qcol(rightTime).as("_asof_t"),
         lit(0).as("_asof_prio"),
-        struct(payloadCols.map(col): _*).as("_asof_pay"),
+        struct(payloadCols.map(qcol): _*).as("_asof_pay"),
         lit(null).cast(rowDdl).as("_asof_row"))
     val timeOrder = if (descending) col("_asof_t").desc_nulls_last
                     else col("_asof_t").asc_nulls_first
@@ -85,13 +88,16 @@ object AsofJoin {
         when(leftNull, lit(null).cast(payDdl))
           .otherwise(last(col("_asof_pay"), ignoreNulls = true).over(w)))
       .filter(col("_asof_prio") === 1)
-      .select(leftCols.map(c => col(s"_asof_row.$c").as(c)) ++
-        payloadCols.map(c => col(s"_asof_carried.$c").as(c)): _*)
+      .select(leftCols.map(c => col("_asof_row").getField(c).as(c)) ++
+        payloadCols.map(c => col("_asof_carried").getField(c).as(c)): _*)
   }
 
   /** DDL string of a DataFrame's schema as a struct type — used to type
-    * the null columns on the side that doesn't carry them. */
+    * the null columns on the side that doesn't carry them. Field names
+    * are backtick-quoted (internal backticks doubled) so dots, spaces,
+    * colons, commas in column names survive the DDL round-trip. */
   private def structDdl(df: DataFrame): String =
     "struct<" + df.schema.fields
-      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",") + ">"
+      .map(f => s"`${f.name.replace("`", "``")}`:${f.dataType.sql}")
+      .mkString(",") + ">"
 }

@@ -28,11 +28,18 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
-  /** Streaming last-touch attribution — the stream-stream twin of the
-    * batch `asof_attribution` query (graft.operators.AsofJoin): clicks
-    * join purchases by user within a bounded look-back interval. The
-    * watermarks + the range condition are what make this run forever on
-    * unbounded streams: state for each side is dropped once the event
+  /** Streaming attribution PAIR join — clicks join purchases by user
+    * within a bounded look-back interval. NOTE the semantics: this emits
+    * one row per (click, purchase) pair inside the lookback — a click
+    * with N qualifying purchases emits N rows. Last-touch attribution
+    * (exactly one row per click, the batch `asof_attribution` /
+    * graft.operators.AsofJoin semantics) requires a further per-click
+    * `max(purch_ts)` reduction — see [[lastTouch]], applied downstream
+    * (in `foreachBatch` or on the collected result; a blind sum over
+    * this join's output double-counts).
+    *
+    * The watermarks + the range condition are what make this run forever
+    * on unbounded streams: state for each side is dropped once the event
     * time falls behind watermark + lookback, so executor state is
     * O(users active in the window), not O(history). An unbounded as-of
     * ("most recent EVER") is not expressible with finite state — the
@@ -56,6 +63,20 @@ object EventStream {
         col("purch_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purch_ts"), col("purch_value"))
+  }
+
+  /** Reduce [[attributionJoin]] pairs to last-touch: one row per click,
+    * the most recent qualifying purchase (ties on purch_ts broken by the
+    * larger value, deterministically). Batch/foreachBatch finisher — a
+    * bare groupBy after a stream-stream join is not an append-mode plan,
+    * which is exactly why the pair join and the reduction are separate
+    * steps. */
+  def lastTouch(pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("click_id"))
+      .orderBy(col("purch_ts").desc, col("purch_value").desc)
+    pairs.withColumn("_lt_rn", row_number().over(w))
+      .filter(col("_lt_rn") === 1).drop("_lt_rn")
   }
 
   /** Per-minute event-rate rollup — the streaming twin of the batch

@@ -86,7 +86,10 @@ object JdbcSink {
     val types = df.select(col("event_name")).distinct()
       .collect().map(_.getString(0)).sorted
     types.map { t =>
-      val table = s"${cfg.schemaName}_$t" // Derby/portable: schema folded into name
+      // Derby/portable: schema folded into the name; the event-name part
+      // is data-derived, so fold anything outside [A-Za-z0-9_] to _ —
+      // identifier quoting downstream is belt, this is suspenders
+      val table = s"${cfg.schemaName}_$t".replaceAll("[^A-Za-z0-9_]", "_")
       val slice = df.filter(col("event_name") === t).drop("event_name")
       ensureTableSchemaMatches(slice, url, table)
       bulkAppend(slice, url, table, cfg)
@@ -96,19 +99,28 @@ object JdbcSink {
       indexOn.filter(_ => caps.supportsIndexDdl).foreach { ixCol =>
         val conn = java.sql.DriverManager.getConnection(url)
         try {
-          val ixName = s"${table}_ix_$ixCol"
+          val meta = conn.getMetaData
+          // resolve the stored (case-folded) table name once: quoted
+          // identifiers are case-exact, so the DDL below must use the
+          // case the database actually stored
+          val stored = foldedCandidates(table).find { t =>
+            val rs = meta.getTables(null, null, t, null)
+            try rs.next() finally rs.close()
+          }.getOrElse(table)
+          val ixName = s"${stored}_ix_$ixCol"
           var exists = false
-          foldedCandidates(table).foreach { t =>
-            val rs = conn.getMetaData.getIndexInfo(null, null, t, false, false)
-            while (rs.next())
-              exists |= ixName.equalsIgnoreCase(Option(rs.getString("INDEX_NAME")).getOrElse(""))
-            rs.close()
-          }
+          val rs = meta.getIndexInfo(null, null, stored, false, false)
+          while (rs.next())
+            exists |= ixName.equalsIgnoreCase(Option(rs.getString("INDEX_NAME")).getOrElse(""))
+          rs.close()
           if (!exists) {
+            // the table name derives from data (event_name values): quote
+            // EVERY identifier, not just the column — an event name with
+            // spaces/quotes/metacharacters must not break or inject DDL
             val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
             val stmt = conn.createStatement()
             try stmt.execute(
-              s"CREATE INDEX $ixName ON $table (${quote(ixCol)})")
+              s"CREATE INDEX ${quote(ixName)} ON ${quote(stored)} (${quote(ixCol)})")
             finally stmt.close()
           }
         } finally conn.close()

@@ -118,4 +118,18 @@ class AsofJoinSpec extends SparkTestBase {
         col("r.t").as("t"), col("r.value").as("value"))
     assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
   }
+
+  test("column names with dots/spaces survive the struct round-trip") {
+    val l = clicks.withColumnRenamed("t", "event.time")
+      .withColumnRenamed("event_id", "event id")
+    val r = purchases.withColumnRenamed("value", "purchase.value")
+    val got = AsofJoin.backward(l, r, "user_id", "event.time", "t",
+        Seq("t", "purchase.value"))
+      .orderBy(col("`event id`"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      (1L, Some(1.5)), (2L, Some(1.5)), (3L, Some(2.5)), (4L, None), (5L, None)))
+  }
 }

@@ -113,4 +113,20 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count().toDouble / batch.count() > 0.8,
       s"too few rows emitted: ${got.count()} of ${batch.count()}")
   }
+
+  test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val pairs = EventStream.attributionJoin(clicks, purchases,
+      lookback = "30 minutes", lateness = "5 minutes")
+    val lt = EventStream.lastTouch(pairs)
+    // exactly one row per click, and it carries that click's max purch_ts
+    assert(lt.count() == lt.select("click_id").distinct().count())
+    val maxTs = pairs.groupBy("click_id").agg(max("purch_ts").as("purch_ts"))
+    assert(lt.select("click_id", "purch_ts")
+      .exceptAll(maxTs.select("click_id", "purch_ts")).count() == 0)
+  }
 }
