@@ -160,4 +160,44 @@ object TextAnalysis {
     val cleanOk = lit(1.0) - least(nonAlnumRatio(text) * 5.0, lit(1.0))
     round((lenOk + stopOk + cleanOk) / 3.0, 6)
   }
+
+  // ---- PII scrubbing ------------------------------------------------
+  // Redaction is a standard pre-training step: strip contact details
+  // before anything else sees the text. Patterns are deliberately
+  // conservative and written in the Java∩RE2 common subset (no
+  // lookarounds, no alternation whose leftmost-first vs leftmost-longest
+  // choice could diverge), so the DuckDB oracle reproduces every
+  // replacement byte-for-byte. All of it is regexp_replace/regexp_count
+  // over codegen'd built-ins — a pure projection at any scale.
+
+  /** RFC-ish email: local part @ dotted domain + ≥2-letter TLD. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded; \\b is ASCII in RE2, and the
+    * surrounding text here is ASCII digits/dots either way). */
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International phone: plus-prefixed digit run. Deliberately narrow —
+    * bare digit runs collide with ids/quantities and redaction must not
+    * eat real data. */
+  val phonePattern: String =
+    "\\+\\d{7,15}"
+
+  /** Per-kind PII match counts — the audit side of redaction. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (matchCount(text, emailPattern).cast("long"),
+      matchCount(text, ipv4Pattern).cast("long"),
+      matchCount(text, phonePattern).cast("long"))
+
+  /** Redact emails, then IPv4s, then phones (this order: the earlier
+    * placeholders contain no digits, so later patterns cannot match
+    * inside them). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
 }

@@ -82,6 +82,27 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction audit (TextAnalysis.scrubPii/piiCounts): the fixture
+    // text is synthetic and PII-free, so the query plants deterministic
+    // contact details per doc (identical construction in the oracle),
+    // then counts and scrubs them. The operator under test is the
+    // count + chained-redaction column library; the hash pins every
+    // replacement byte-for-byte across engines.
+    "text_pii_scrub" -> ((spark, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com via 10."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit(".0."),
+        (pmod(col("doc_id"), lit(254L)) + 1L).cast("string"),
+        lit(" or +1555"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      val (ne, ni, np) = T.piiCounts(planted)
+      docs(spark, dir).select(
+        col("doc_id"), ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"),
+        T.hash60(T.scrubPii(planted)).as("scrub_hash"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((spark, dir) => {
       docs(spark, dir).select(
         col("doc_id"),
@@ -513,6 +534,24 @@ object CorpusQueries {
          |              + least(sr * 10.0, CAST(1 AS DOUBLE))
          |              + (CAST(1 AS DOUBLE) - least(nar * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) AS quality_score
          |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com via 10.'
+         |           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |           || CAST(doc_id % 254 + 1 AS VARCHAR)
+         |           || ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${T.emailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${T.ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${T.phonePattern}')) AS BIGINT) AS n_phones,
+         |  ${h60("regexp_replace(regexp_replace(regexp_replace(t, '" + T.emailPattern + "', '<EMAIL>', 'g'), '" +
+              T.ipv4Pattern + "', '<IP>', 'g'), '" + T.phonePattern + "', '<PHONE>', 'g')")} AS scrub_hash
+         |FROM planted ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""$shingleCte,

@@ -197,6 +197,28 @@ object RelationalQueries {
         .backward(clicks, purch, "user_id", "click_us", "purch_us",
           Seq("purch_us", "purch_value"))
         .orderBy("event_id")
+    }),
+
+    // Range join (graft.operators.RangeJoin): every error event opens a
+    // 5-minute incident window; per click, how many windows were active
+    // at that instant — across ALL users, so there is NO equi key and a
+    // naive formulation is a nested-loop join. The operator bucketizes
+    // the time axis (bucket width = window length → each interval
+    // explodes to ≤2 buckets) and equi-joins on the bucket.
+    "range_incidents" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("click_us"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(300000000L)).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, windows, "click_us", "lo", "hi",
+          bucketWidth = 300000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_incidents"),
+          min(col("lo")).as("first_incident_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -215,6 +237,19 @@ object RelationalQueries {
           |FROM clicks c ASOF LEFT JOIN purch p
           |  ON c.user_id = p.user_id AND c.click_us >= p.purch_us
           |ORDER BY c.event_id""".stripMargin,
+
+      "range_incidents" ->
+        """WITH clicks AS (
+          |  SELECT event_id, epoch_us(ts) AS click_us
+          |  FROM events WHERE event_type = 'click'
+          |), win AS (
+          |  SELECT epoch_us(ts) AS lo, epoch_us(ts) + 300000000 AS hi
+          |  FROM events WHERE event_type = 'error'
+          |)
+          |SELECT c.event_id, count(*) AS n_incidents,
+          |       min(w.lo) AS first_incident_us
+          |FROM clicks c JOIN win w ON c.click_us BETWEEN w.lo AND w.hi
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

@@ -194,4 +194,25 @@ class CorpusSpec extends SparkTestBase {
         s"pigeonhole candidate set incomplete or inflated at maxHamming=$mh")
     }
   }
+
+  test("PII scrub: known vectors redact and count correctly") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +4915123456789 today"),
+      (4L, "none here, just words"),
+      (5L, "a@b.co 1.2.3.4 +1234567 all three")
+    ).toDF("doc_id", "text")
+    val (ne, ni, np) = T.piiCounts(col("text"))
+    val got = df.select(col("doc_id"), ne.as("e"), ni.as("i"), np.as("p"),
+        T.scrubPii(col("text")).as("s"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 0L, "mail <EMAIL> now"),
+      (2L, 0L, 2L, 0L, "server <IP> and <IP> up"),
+      (3L, 0L, 0L, 1L, "call <PHONE> today"),
+      (4L, 0L, 0L, 0L, "none here, just words"),
+      (5L, 1L, 1L, 1L, "<EMAIL> <IP> <PHONE> all three")))
+  }
 }

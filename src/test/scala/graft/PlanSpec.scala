@@ -150,4 +150,36 @@ class PlanSpec extends SparkTestBase {
       n.toString.contains("LeftAnti")),
       "kept-corpus filter must be a broadcast anti-join, not a shuffled one")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever this gate pins: when a selective dimension filter
+    // feeds a shuffle join, Catalyst injects a bloom filter built from
+    // the filtered side into the fact scan, so non-joining fact rows die
+    // before the exchange instead of shuffling 100 TB to discard most of
+    // it. Thresholds here only scale the trigger down to fixture size —
+    // at real scale the defaults fire on their own.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> (try Some(conf.get(k)) catch { case _: Exception => None }))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join at fixture size
+      val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      val ord = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      assert(joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected an injected bloom runtime filter on the fact side")
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
