@@ -127,6 +127,17 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary-coverage quality filter (graft.corpus.Vocab): the
+    // deterministic sibling of perplexity filtering — per doc, the
+    // fraction of token occurrences outside the corpus' top-30
+    // vocabulary. Vocab is ≤30 rows by construction → broadcast join.
+    "text_oov_rate" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      graft.corpus.Vocab.oovStats(d, "doc_id", "text",
+          graft.corpus.Vocab.topK(d, "text", 30))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals — the quality filter near-dup
     // metrics don't cover: duplicate 2/3-gram fraction and duplicate
     // word fraction WITHIN a doc (boilerplate/looping-text detector).
@@ -534,6 +545,28 @@ object CorpusQueries {
          |              + least(sr * 10.0, CAST(1 AS DOUBLE))
          |              + (CAST(1 AS DOUBLE) - least(nar * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) AS quality_score
          |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""$tokCte,
+         |occ AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |vocab AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS n FROM occ GROUP BY 1)
+         |  ORDER BY n DESC, tok LIMIT 30
+         |),
+         |stats AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+         |                       THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         |  FROM occ GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+         |       CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6)
+         |       END AS oov_rate
+         |FROM documents d LEFT JOIN stats s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       s"""WITH planted AS (

@@ -219,6 +219,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_incidents"),
           min(col("lo")).as("first_incident_us"))
         .orderBy("event_id")
+    }),
+
+    // Interval-overlap flavor of the range join: 5-minute error windows
+    // vs ±2-minute purchase windows, keyless. Canonical-bucket emission
+    // inside the operator yields each crossing pair exactly once.
+    "range_overlap_windows" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("e_lo"),
+          (unix_micros(col("ts")) + lit(300000000L)).as("e_hi"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select((unix_micros(col("ts")) - lit(120000000L)).as("p_lo"),
+          (unix_micros(col("ts")) + lit(120000000L)).as("p_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(err, purch, "e_lo", "e_hi", "p_lo", "p_hi",
+          bucketWidth = 300000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_purchase_windows"))
+        .orderBy("event_id")
     })
   )
 
@@ -249,6 +268,18 @@ object RelationalQueries {
           |SELECT c.event_id, count(*) AS n_incidents,
           |       min(w.lo) AS first_incident_us
           |FROM clicks c JOIN win w ON c.click_us BETWEEN w.lo AND w.hi
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "range_overlap_windows" ->
+        """WITH err AS (
+          |  SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 300000000 AS hi
+          |  FROM events WHERE event_type = 'error'
+          |), p AS (
+          |  SELECT epoch_us(ts) - 120000000 AS lo, epoch_us(ts) + 120000000 AS hi
+          |  FROM events WHERE event_type = 'purchase'
+          |)
+          |SELECT e.event_id, count(*) AS n_purchase_windows
+          |FROM err e JOIN p ON e.lo <= p.hi AND p.lo <= e.hi
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q1_pricing_summary" ->
