@@ -58,4 +58,51 @@ object Sketches {
   /** Column form: `kmvDistinct(64, hash60(col))` in a groupBy().agg(). */
   def kmvDistinct(k: Int, hash: Column): Column =
     org.apache.spark.sql.functions.udaf(new KmvAggregator(k)).apply(hash)
+
+  /** Sketch-returning variant of [[KmvAggregator]]: same mergeable
+    * buffer, but `finish` hands back the synopsis itself so set
+    * operations can compose sketches AFTER aggregation. */
+  class KmvSketchAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private val inner = new KmvAggregator(k)
+    override def zero: Seq[Long] = inner.zero
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = inner.reduce(buf, h)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = inner.merge(a, b)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def kmvSketch(k: Int, hash: Column): Column =
+    org.apache.spark.sql.functions.udaf(new KmvSketchAggregator(k)).apply(hash)
+
+  // ---- set operations over sketch columns --------------------------
+  // KMV's composability is the reason to pick it over HLL here: the k
+  // smallest hashes of A ∪ B are computable from the two synopses alone,
+  // and every step below is deterministic column algebra — Spark and the
+  // DuckDB oracle agree bit-for-bit. (Standard KMV theory: Beyer et al.,
+  // "On Synopses for Distinct-Value Estimation Under Multiset
+  // Operations", SIGMOD 2007.)
+  import org.apache.spark.sql.functions._
+
+  /** k-min synopsis of the UNION of two sketches. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a sketch array — exact below k. */
+  def kmvEstimateCol(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble * TwoPow60) /
+        element_at(sk, lit(k)).cast("double"), 6))
+
+  /** Intersection estimate: Jaccard fraction of the merged synopsis
+    * present in BOTH input sketches, scaled by the union estimate. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val m = kmvMerge(a, b, k)
+    val both = size(filter(m, h => array_contains(a, h) && array_contains(b, h)))
+    when(size(m) === 0, 0.0).otherwise(
+      round(both.cast("double") / size(m).cast("double") *
+        kmvEstimateCol(m, k), 6))
+  }
 }

@@ -368,6 +368,37 @@ object CorpusQueries {
         .orderBy("event_type")
     }),
 
+    // KMV set operations (Sketches.kmvMerge/kmvIntersectEstimate): union
+    // and intersection distinct-user estimates composed from two bounded
+    // synopses — the sketch algebra that answers "how many users did A
+    // and B" without re-scanning either side. Sketches built with the
+    // mergeable typed Aggregator; every estimate is deterministic column
+    // algebra the oracle replays.
+    "sketch_kmv_setops" -> ((spark, dir) => {
+      val k = 64
+      val ev = graft.xel.XeFixture.events(spark, dir)
+      val h = T.hash60(col("user_id").cast("string"))
+      val a = ev.filter(col("event_type") === "click")
+        .agg(Sketches.kmvSketch(k, h).as("sa"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .agg(Sketches.kmvSketch(k, h).as("sb"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("ha"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hb"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ha") === 1 && col("hb") === 1, 1L).otherwise(0L))
+            .as("exact_intersect"))
+      a.crossJoin(b).crossJoin(exact)
+        .select(
+          Sketches.kmvEstimateCol(col("sa"), k).as("est_clicks"),
+          Sketches.kmvEstimateCol(col("sb"), k).as("est_purchases"),
+          Sketches.kmvEstimateCol(Sketches.kmvMerge(col("sa"), col("sb"), k), k)
+            .as("est_union"),
+          Sketches.kmvIntersectEstimate(col("sa"), col("sb"), k).as("est_intersect"),
+          col("exact_union"), col("exact_intersect"))
+    }),
+
     // Multimodal resize (stubbed codec, real byte plumbing): halve dims,
     // keep a quarter of the body; decode the RESIZED payload back through
     // the header parser to prove the round-trip.
@@ -1032,6 +1063,45 @@ object CorpusQueries {
          |       END AS kmv_estimate
          |FROM ex LEFT JOIN kth USING (event_type)
          |ORDER BY ex.event_type""".stripMargin,
+
+    "sketch_kmv_setops" ->
+      s"""WITH ha AS (
+         |  SELECT DISTINCT ${h60("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type = 'click'
+         |), hb AS (
+         |  SELECT DISTINCT ${h60("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type = 'purchase'
+         |), ska AS (
+         |  SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t
+         |), skb AS (
+         |  SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t
+         |), mm AS (
+         |  SELECT ska.sk AS sa, skb.sk AS sb,
+         |         (list_sort(list_distinct(list_concat(ska.sk, skb.sk))))[1:64] AS mk
+         |  FROM ska, skb
+         |), est AS (
+         |  SELECT sa, sb, mk,
+         |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
+         |         ELSE round(${63.0 * Sketches.TwoPow60} / CAST(sa[64] AS DOUBLE), 6) END AS est_clicks,
+         |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
+         |         ELSE round(${63.0 * Sketches.TwoPow60} / CAST(sb[64] AS DOUBLE), 6) END AS est_purchases,
+         |    CASE WHEN len(mk) < 64 THEN CAST(len(mk) AS DOUBLE)
+         |         ELSE round(${63.0 * Sketches.TwoPow60} / CAST(mk[64] AS DOUBLE), 6) END AS est_union
+         |  FROM mm
+         |), ex AS (
+         |  SELECT count(*) AS exact_union,
+         |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+         |  FROM (SELECT user_id,
+         |               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         |               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+         |        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1) u
+         |)
+         |SELECT est_clicks, est_purchases, est_union,
+         |  CASE WHEN len(mk) = 0 THEN 0.0
+         |       ELSE round(CAST(len(list_filter(mk, x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+         |                  / CAST(len(mk) AS DOUBLE) * est_union, 6) END AS est_intersect,
+         |  ex.exact_union, ex.exact_intersect
+         |FROM est, ex""".stripMargin,
 
     "mm_byte_histogram" ->
       """WITH media AS (

@@ -238,6 +238,35 @@ object RelationalQueries {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_purchase_windows"))
         .orderBy("event_id")
+    }),
+
+    // Ordered-milestone funnel (view → click → purchase): each stage's
+    // time is the earliest at-or-after the previous stage, per user.
+    // Three chained whole-partition window mins share ONE user-keyed
+    // exchange (no orderBy → no sort, no self-joins); the classic
+    // N-self-join funnel formulation shuffles the fact table N times.
+    "events_funnel" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id")
+      ev
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("us") >= col("t_view"),
+            col("us"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("us") >= col("t_click"),
+            col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min("t_view").as("tv"), min("t_click").as("tc"),
+          min("t_purchase").as("tp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("tv")).as("n_viewed"),
+          count(col("tc")).as("n_clicked_after_view"),
+          count(col("tp")).as("n_purchased_after_click"),
+          coalesce(sum(when(col("tp").isNotNull, col("tp") - col("tv"))), lit(0L))
+            .as("total_funnel_us"))
     })
   )
 
@@ -281,6 +310,30 @@ object RelationalQueries {
           |SELECT e.event_id, count(*) AS n_purchase_windows
           |FROM err e JOIN p ON e.lo <= p.hi AND p.lo <= e.hi
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_funnel" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+          |), s1 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_view FROM ev
+          |), s2 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'click' AND us >= t_view THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_click FROM s1
+          |), s3 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t_click THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_purchase FROM s2
+          |), per AS (
+          |  SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+          |         min(t_purchase) AS tp
+          |  FROM s3 GROUP BY 1
+          |)
+          |SELECT count(*) AS n_users, count(tv) AS n_viewed,
+          |       count(tc) AS n_clicked_after_view,
+          |       count(tp) AS n_purchased_after_click,
+          |       CAST(coalesce(sum(CASE WHEN tp IS NOT NULL THEN tp - tv END), 0) AS BIGINT)
+          |         AS total_funnel_us
+          |FROM per""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

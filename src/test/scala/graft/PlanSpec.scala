@@ -151,6 +151,17 @@ class PlanSpec extends SparkTestBase {
       "kept-corpus filter must be a broadcast anti-join, not a shuffled one")
   }
 
+  test("events_funnel: three chained stage windows share one user-keyed exchange") {
+    val nodes = executedNodes(q("events_funnel"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // one hash exchange on user_id feeds all three Window operators and
+    // the per-user aggregate; the only other exchange is the global agg
+    assert(shuffles.size <= 2,
+      s"funnel should shuffle once by user (+final agg), got ${shuffles.size}")
+    assert(nodes.count(_.nodeName.contains("Window")) >= 3,
+      "expected the three chained stage windows")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB lever this gate pins: when a selective dimension filter
     // feeds a shuffle join, Catalyst injects a bloom filter built from
