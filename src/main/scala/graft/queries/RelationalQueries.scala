@@ -267,6 +267,24 @@ object RelationalQueries {
           count(col("tp")).as("n_purchased_after_click"),
           coalesce(sum(when(col("tp").isNotNull, col("tp") - col("tv"))), lit(0L))
             .as("total_funnel_us"))
+    }),
+
+    // Z-order layout audit (graft.operators.ZOrder): cluster lineitem by
+    // the Morton interleave of (partkey, suppkey) and report each coarse
+    // z-bucket's bounding box — the per-file min/max footprint that lets
+    // stats-based skipping prune range predicates on EITHER key once the
+    // table is written in this order.
+    "layout_zorder" -> ((spark, dir) => {
+      val z = graft.operators.ZOrder.zValue(
+        pmod(col("l_partkey"), lit(65536L)),
+        pmod(col("l_suppkey"), lit(65536L)))
+      t(spark, dir, "lineitem")
+        .withColumn("zbucket", shiftright(z, 20))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy("zbucket")
     })
   )
 
@@ -334,6 +352,18 @@ object RelationalQueries {
           |       CAST(coalesce(sum(CASE WHEN tp IS NOT NULL THEN tp - tv END), 0) AS BIGINT)
           |         AS total_funnel_us
           |FROM per""".stripMargin,
+
+      "layout_zorder" ->
+        s"""WITH z AS (
+           |  SELECT l_partkey, l_suppkey,
+           |         ${graft.operators.ZOrder.zOrderSql(
+                        "(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zv
+           |  FROM lineitem
+           |)
+           |SELECT zv >> 20 AS zbucket, count(*) AS n_rows,
+           |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.ZOrder
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue interleaves bits: known vectors") {
+    // bit i of x -> position 2i, bit i of y -> position 2i+1
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 15L, 25L, (1L << 32) - 1))
+  }
+
+  test("zValue equals the generated SQL formula on random input") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).toDF("x", "y")
+    val viaCol = df.select(col("x"), col("y"),
+      ZOrder.zValue(col("x"), col("y")).as("z1"))
+    val viaSql = viaCol.withColumn("z2", expr(ZOrder.zOrderSql("x", "y")))
+    assert(viaSql.filter(col("z1") =!= col("z2")).count() == 0)
+  }
+
+  test("coarse z-buckets bound BOTH dimensions (the file-skipping property)") {
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 5000).map(_ =>
+      (rnd.nextInt(20000).toLong, rnd.nextInt(1000).toLong)).toDF("x", "y")
+    // bucket = z >> 20 → a 1024×1024 z-square: max in-bucket span ≤ 1023
+    // in EACH dimension. A plain sort by x gives y spans the full domain.
+    val spans = df
+      .withColumn("b", shiftright(ZOrder.zValue(col("x"), col("y")), 20))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+    assert(spans.filter(col("sx") > 1023 || col("sy") > 1023).count() == 0)
+  }
+}
