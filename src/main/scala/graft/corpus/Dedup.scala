@@ -81,6 +81,28 @@ object Dedup {
       .select("d1", "d2", "common", "jaccard")
   }
 
+  /** Asymmetric near-dup by shingle CONTAINMENT:
+    * max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold. Catches the quote-inclusion
+    * pairs Jaccard misses — a short doc fully embedded in a long one has
+    * Jaccard |A|/|B| (small) but containment 1.0. Same inverted-index
+    * postings self-join shape as [[jaccardPairs]]; only the denominator
+    * changes, so the scale story is identical. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val post = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+    post.as("a").join(post.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
+      .withColumn("containment",
+        round(greatest(
+          col("common").cast("double") / col("n1").cast("double"),
+          col("common").cast("double") / col("n2").cast("double")), 6))
+      .filter(col("containment") >= threshold)
+      .select("d1", "d2", "common", "containment")
+  }
+
   /** Shingle-keyed self-join → per-pair common count + Jaccard, reading
     * set sizes off the postings themselves (see [[sizedPostings]]). */
   private def pairsFromSizedPostings(post: DataFrame, threshold: Double): DataFrame =

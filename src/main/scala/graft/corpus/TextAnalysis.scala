@@ -161,6 +161,16 @@ object TextAnalysis {
     round((lenOk + stopOk + cleanOk) / 3.0, 6)
   }
 
+  /** Dedup-normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace. Most corpus dedup hashes NORMALIZED text — byte-exact
+    * dedup misses trivial reformat duplicates (case, punctuation,
+    * spacing). Pure regexp_replace chain, identical in DuckDB with the
+    * 'g' flag. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   // ---- PII scrubbing ------------------------------------------------
   // Redaction is a standard pre-training step: strip contact details
   // before anything else sees the text. Patterns are deliberately

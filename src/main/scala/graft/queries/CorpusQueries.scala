@@ -38,6 +38,7 @@ object CorpusQueries {
   val rowsPerBand = 3
   val simhashMaxHamming = 1
   val cosineThreshold = 0.4
+  val containmentThreshold = 0.9
   val annK = 10
   val annQueryStride = 200 // queries = vec_id % 200 == 0
   val srpPlanesPerTable = 4
@@ -226,6 +227,25 @@ object CorpusQueries {
     "dedup_ngram_jaccard" -> ((spark, dir) => {
       Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text", shingleK, jaccardThreshold)
         .orderBy("d1", "d2")
+    }),
+
+    // Asymmetric containment: the quote-inclusion pairs symmetric
+    // Jaccard misses (short doc embedded in a long one).
+    "dedup_containment" -> ((spark, dir) => {
+      Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
+          shingleK, containmentThreshold)
+        .orderBy("d1", "d2")
+    }),
+
+    // Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
+    // whitespace collapsed) vs raw bytes — the gap per source is the
+    // trivial-reformat duplicate mass byte-exact dedup misses.
+    "dedup_exact_normalized" -> ((spark, dir) => {
+      docs(spark, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_raw"),
+          countDistinct(md5(T.normalizeText(col("text")))).as("n_unique_norm"))
+        .orderBy("source")
     }),
 
     "dedup_minhash_lsh" -> ((spark, dir) => {
@@ -794,6 +814,29 @@ object CorpusQueries {
          |SELECT d1, d2, common, jaccard FROM joined
          |WHERE jaccard >= $jaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$shingleCte,
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT d1, d2, common,
+         |         round(greatest(CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE),
+         |                        CAST(common AS DOUBLE) / CAST(s2.n AS DOUBLE)), 6) AS containment
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |)
+         |SELECT d1, d2, common, containment FROM joined
+         |WHERE containment >= $containmentThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_exact_normalized" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_raw,
+        |       CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |         lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
+        |         AS n_unique_norm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""$shingleCte,

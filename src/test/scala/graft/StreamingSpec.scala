@@ -114,6 +114,42 @@ class StreamingSpec extends SparkTestBase {
       s"too few rows emitted: ${got.count()} of ${batch.count()}")
   }
 
+  test("streaming funnel state machine matches the batch window funnel") {
+    import graft.streaming.{Funnel, FunnelEvent}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ck").toString
+    ev.write.parquet(s"$dir/drop1")
+
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/drop*")
+      .as[FunnelEvent]
+    val q = Funnel.funnel(stream).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_stream")
+
+    // batch truth: per user, tv = min view, tc = min click >= tv,
+    // tp = min purchase >= tc; completion iff tp exists
+    val w = Window.partitionBy("user_id")
+    val batch = ev
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && col("ts") >= col("tv"),
+        col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") >= col("tc"),
+        col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("tv").as("t_view"), min("tc").as("t_click"), min("tp").as("t_purchase"))
+      .filter(col("t_purchase").isNotNull)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
     val ev = XeFixture.events(spark, sf("sf0.001"))
     val clicks = ev.filter(col("event_type") === "click")
