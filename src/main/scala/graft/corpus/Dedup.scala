@@ -266,15 +266,21 @@ object Dedup {
     * (no shuffle, no RNG): the SAME rows are kept on every run, every
     * engine, any partitioning — reproducible corpus builds. Rates are
     * whole percents per stratum; unknown strata use defaultPct. */
+  /** The keep-predicate of [[stratifiedSample]] as a standalone Column —
+    * composable into multi-stage pipelines that track per-stage flags
+    * instead of materializing each stage. */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Int],
+                     defaultPct: Int, salt: String): Column = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    pmod(hash60(concat(lit(s"$salt|"), id.cast("string"))), lit(100L)) < pct
+  }
+
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Int], defaultPct: Int,
-                       salt: String): DataFrame = {
-    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
-      when(col(stratumCol) === s, lit(p)).otherwise(acc)
-    }
-    docs.filter(
-      pmod(hash60(concat(lit(s"$salt|"), col(idCol).cast("string"))), lit(100L)) < pct)
-  }
+                       salt: String): DataFrame =
+    docs.filter(stratifiedKeep(col(idCol), col(stratumCol), rates, defaultPct, salt))
 
   /** The end of the dedup story: the kept corpus. Every doc except
     * non-canonical cluster members (cluster survivor = min doc_id, per

@@ -388,6 +388,36 @@ object CorpusQueries {
         .orderBy("event_type")
     }),
 
+    // The whole corpus-prep story in ONE plan — the flagship composition
+    // query: quality filter → normalized-exact dedup (survivor = min
+    // doc_id) → deterministic stratified sample, tracked as per-stage
+    // FLAGS so a single window + a single aggregation report every
+    // stage's survivor count and the final token budget per source. At
+    // scale: one digest-keyed window shuffle + one source-keyed agg —
+    // materializing each stage separately would rescan the corpus 3×.
+    "corpus_pipeline" -> ((spark, dir) => {
+      val rates = (0 until 10).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 50 else 20)).toMap
+      val staged = docs(spark, dir)
+        .withColumn("n_toks", T.nTokens(col("text")))
+        .withColumn("q", T.qualityScore(col("text")) >= 0.5)
+      val ranked = staged.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q"), md5(T.normalizeText(col("text"))))
+          .orderBy(col("doc_id"))))
+      ranked
+        .withColumn("uniq", col("q") && col("rk") === 1)
+        .withColumn("samp", col("uniq") &&
+          Dedup.stratifiedKeep(col("doc_id"), col("source"), rates, 10, "mix1"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("samp"), 1L).otherwise(0L)).as("n_sampled"),
+          coalesce(sum(when(col("samp"), col("n_toks").cast("long"))), lit(0L))
+            .as("sampled_tokens"))
+        .orderBy("source")
+    }),
+
     // KMV set operations (Sketches.kmvMerge/kmvIntersectEstimate): union
     // and intersection distinct-user estimates composed from two bounded
     // synopses — the sketch algebra that answers "how many users did A
@@ -1106,6 +1136,48 @@ object CorpusQueries {
          |       END AS kmv_estimate
          |FROM ex LEFT JOIN kth USING (event_type)
          |ORDER BY ex.event_type""".stripMargin,
+
+    "corpus_pipeline" -> {
+      val pctCase = (0 until 10).map(i =>
+        s"WHEN source = 'src$i' THEN ${if (i % 2 == 0) 50 else 20}")
+        .mkString("CASE ", " ", " ELSE 10 END")
+      s"""$tokCte,
+         |feats AS (
+         |  SELECT doc_id, source, text, CAST(len(ws) AS INTEGER) AS n_toks,
+         |         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(lower(text),
+         |             '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |             / CAST(len(ws) AS DOUBLE) END AS sr,
+         |         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE) END AS nar
+         |  FROM toks JOIN documents USING (doc_id)
+         |), qual AS (
+         |  SELECT doc_id, source, text, n_toks,
+         |         round(((CASE WHEN n_toks BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |                + least(sr * 10.0, CAST(1 AS DOUBLE))
+         |                + (CAST(1 AS DOUBLE) - least(nar * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) >= 0.5 AS q
+         |  FROM feats
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q, md5(trim(regexp_replace(regexp_replace(
+         |      lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rk
+         |  FROM qual
+         |), flags AS (
+         |  SELECT source, n_toks, q,
+         |         (q AND rk = 1) AS uniq,
+         |         (q AND rk = 1 AND
+         |          ${h60("'mix1|' || CAST(doc_id AS VARCHAR)")} % 100 < ($pctCase)) AS samp
+         |  FROM ranked
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(coalesce(sum(CASE WHEN samp THEN n_toks END), 0) AS BIGINT) AS sampled_tokens
+         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "sketch_kmv_setops" ->
       s"""WITH ha AS (
