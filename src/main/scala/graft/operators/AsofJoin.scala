@@ -36,28 +36,42 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoin {
 
-  /** Most recent right at-or-before each left row's time. */
+  /** Most recent right at-or-before each left row's time. `tolerance`
+    * (same units as the time columns) bounds the look-back: a match
+    * farther than `leftTime - tolerance` reads as no match — pandas
+    * merge_asof semantics. */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payloadCols: Seq[String]): DataFrame =
-    join(left, right, key, leftTime, rightTime, payloadCols, descending = false)
+               payloadCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, key, leftTime, rightTime, payloadCols,
+      descending = false, tolerance)
 
   /** Earliest right at-or-after each left row's time — the mirror: the
     * window runs from the future backwards (descending time), right rows
-    * still ahead of same-time left rows. */
+    * still ahead of same-time left rows. `tolerance` bounds the
+    * look-ahead symmetrically. */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              payloadCols: Seq[String]): DataFrame =
-    join(left, right, key, leftTime, rightTime, payloadCols, descending = true)
+              payloadCols: Seq[String],
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, key, leftTime, rightTime, payloadCols,
+      descending = true, tolerance)
 
   private def join(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
-                   payloadCols: Seq[String], descending: Boolean): DataFrame = {
+                   payloadCols: Seq[String], descending: Boolean,
+                   tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     // caller-supplied names are data, not dot-paths: resolve them quoted
     // so `purchase.value` means the top-level column of that name
     def qcol(n: String): Column = col("`" + n.replace("`", "``") + "`")
-    val payDdl = structDdl(right.select(payloadCols.map(qcol): _*))
+    // the carried struct leads with the right row's own time (hidden
+    // field _asof_rt) so a tolerance bound can measure the match gap
+    // after the window pass; payload columns must not use that name
+    require(!payloadCols.contains("_asof_rt"), "payload column name _asof_rt is reserved")
+    val payFields = qcol(rightTime).as("_asof_rt") +: payloadCols.map(qcol)
+    val payDdl = structDdl(right.select(payFields: _*))
     val rowDdl = structDdl(left)
     // right rows get priority 0 so they sort ahead of left rows at equal
     // time — that is exactly the <= / >= tie inclusion
@@ -73,7 +87,7 @@ object AsofJoin {
       .select(
         qcol(key).as("_asof_k"), qcol(rightTime).as("_asof_t"),
         lit(0).as("_asof_prio"),
-        struct(payloadCols.map(qcol): _*).as("_asof_pay"),
+        struct(payFields: _*).as("_asof_pay"),
         lit(null).cast(rowDdl).as("_asof_row"))
     val timeOrder = if (descending) col("_asof_t").desc_nulls_last
                     else col("_asof_t").asc_nulls_first
@@ -87,6 +101,13 @@ object AsofJoin {
       .withColumn("_asof_carried",
         when(leftNull, lit(null).cast(payDdl))
           .otherwise(last(col("_asof_pay"), ignoreNulls = true).over(w)))
+      // tolerance: a carried match whose gap exceeds the bound reads as
+      // no match (pandas merge_asof); gap sign follows the direction
+      .withColumn("_asof_carried", tolerance.fold(col("_asof_carried")) { tol =>
+        val rt = col("_asof_carried").getField("_asof_rt")
+        val gap = if (descending) rt - col("_asof_t") else col("_asof_t") - rt
+        when(gap > tol, lit(null).cast(payDdl)).otherwise(col("_asof_carried"))
+      })
       .filter(col("_asof_prio") === 1)
       .select(leftCols.map(c => col("_asof_row").getField(c).as(c)) ++
         payloadCols.map(c => col("_asof_carried").getField(c).as(c)): _*)

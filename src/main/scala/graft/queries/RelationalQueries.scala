@@ -199,6 +199,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // As-of with a tolerance bound (pandas merge_asof): same attribution
+    // join, but a purchase more than 10 minutes before the click reads
+    // as no match. DuckDB ASOF has no tolerance — the oracle masks the
+    // out-of-bound matches after the join.
+    "asof_tolerance" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("purch_us"))
+        .agg(max(col("value")).as("purch_value"))
+      graft.operators.AsofJoin
+        .backward(clicks, purch, "user_id", "click_us", "purch_us",
+          Seq("purch_us", "purch_value"), tolerance = Some(600000000L))
+        .orderBy("event_id")
+    }),
+
     // Range join (graft.operators.RangeJoin): every error event opens a
     // 5-minute incident window; per click, how many windows were active
     // at that instant — across ALL users, so there is NO equi key and a
@@ -303,6 +321,24 @@ object RelationalQueries {
           |FROM clicks c ASOF LEFT JOIN purch p
           |  ON c.user_id = p.user_id AND c.click_us >= p.purch_us
           |ORDER BY c.event_id""".stripMargin,
+
+      "asof_tolerance" ->
+        """WITH clicks AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS click_us
+          |  FROM events WHERE event_type = 'click'
+          |), purch AS (
+          |  SELECT user_id, epoch_us(ts) AS purch_us, max(value) AS purch_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+          |), aj AS (
+          |  SELECT c.event_id, c.user_id, c.click_us,
+          |         p.purch_us AS pu, p.purch_value AS pv
+          |  FROM clicks c ASOF LEFT JOIN purch p
+          |    ON c.user_id = p.user_id AND c.click_us >= p.purch_us
+          |)
+          |SELECT event_id, user_id, click_us,
+          |       CASE WHEN click_us - pu <= 600000000 THEN pu END AS purch_us,
+          |       CASE WHEN click_us - pu <= 600000000 THEN pv END AS purch_value
+          |FROM aj ORDER BY event_id""".stripMargin,
 
       "range_incidents" ->
         """WITH clicks AS (

@@ -119,6 +119,37 @@ class AsofJoinSpec extends SparkTestBase {
     assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
   }
 
+  test("tolerance bounds the look-back/look-ahead (merge_asof semantics)") {
+    // backward, tol=75: event 1 gap 0 (match), 2 gap 100 (dropped),
+    // 3 gap 50 (match), 4/5 unmatched as ever
+    val gotB = AsofJoin.backward(clicks, purchases, "user_id", "t", "t",
+        Seq("value"), tolerance = Some(75L))
+      .orderBy("event_id")
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(gotB.toSeq == Seq(Some(1.5), None, Some(2.5), None, None))
+    // brute-force cross-check on random data, both directions
+    val rnd = new scala.util.Random(21)
+    val l = (1L to 200L).map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      .toDF("event_id", "user_id", "t")
+    val r = (1L to 80L).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toDouble))
+      .toDF("user_id", "t", "value")
+      .groupBy("user_id", "t").agg(max("value").as("value"))
+    val tol = 40L
+    val fast = AsofJoin.backward(l, r, "user_id", "t", "t", Seq("t", "value"),
+        Some(tol)).withColumnRenamed("t", "lt")
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.t") >= col("r.t") &&
+          col("l.t") - col("r.t") <= tol, "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id"))
+          .orderBy(col("r.t").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("l.event_id"), col("l.user_id"), col("l.t").as("lt"),
+        col("r.t").as("t"), col("r.value").as("value"))
+    assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
+  }
+
   test("column names with dots/spaces survive the struct round-trip") {
     val l = clicks.withColumnRenamed("t", "event.time")
       .withColumnRenamed("event_id", "event id")
