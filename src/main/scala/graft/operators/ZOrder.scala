@@ -47,4 +47,19 @@ object ZOrder {
       s"$sx | $sy"
     }.mkString("(", " | ", ")")
   }
+
+  /** N-dimensional generalization: bit i of dimension d lands at
+    * position i·N + d (round-robin interleave). Total bits·N must fit a
+    * long. [[zValue]] is the N=2 case with (x, y) ordering. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && bits * n <= 63, s"bits*dims must fit a signed long, got $bits*$n")
+    val longs = dims.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (dim, d) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(dim, i).bitwiseAND(lit(1L)), i * n + d))
+      .reduce(_ bitwiseOR _)
+  }
 }

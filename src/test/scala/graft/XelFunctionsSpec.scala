@@ -120,4 +120,35 @@ class XelFunctionsSpec extends SparkTestBase {
     assert(df.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
       Map("module_start" -> "", "module_end" -> "", "rpc_completed" -> "keep"))
   }
+
+  test("approx_percentile is an accurate swap-in for the exact quantiles") {
+    // xe_duration_quantiles uses exact percentile for the oracle gate;
+    // the documented 100 TB path is approx_percentile (bounded-memory
+    // mergeable sketch vs a full per-group sort). This pins the swap-in's
+    // accuracy at fixture scale so the claim is tested, not asserted.
+    import graft.xel.XeFixture
+    val xe = XeFixture.frame(spark, sf("sf0.001"))
+    val both = xe.groupBy($"event_name")
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          "percentile(c_duration_us, array(0.5, 0.95))").as("exact"),
+        org.apache.spark.sql.functions.expr(
+          "approx_percentile(c_duration_us, array(0.5, 0.95), 1000)").as("approx"))
+      .select($"event_name",
+        element_at($"exact", 1).as("e50"), element_at($"approx", 1).as("a50"),
+        element_at($"exact", 2).as("e95"), element_at($"approx", 2).as("a95"))
+      .collect()
+    assert(both.nonEmpty)
+    // 5%: approx_percentile returns an OBSERVED value (no interpolation),
+    // so at ~2k rows/group the inter-sample step dominates the error; at
+    // real scale the sketch's rank bound (1/accuracy = 0.1%) dominates.
+    both.foreach { r =>
+      val (e50, a50) = (r.getDouble(1), r.getLong(2).toDouble)
+      val (e95, a95) = (r.getDouble(3), r.getLong(4).toDouble)
+      assert(math.abs(a50 - e50) <= math.max(0.05 * e50, 1.0),
+        s"${r.getString(0)}: p50 approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) <= math.max(0.05 * e95, 1.0),
+        s"${r.getString(0)}: p95 approx $a95 vs exact $e95")
+    }
+  }
 }

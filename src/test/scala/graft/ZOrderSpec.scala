@@ -25,6 +25,17 @@ class ZOrderSpec extends SparkTestBase {
     assert(viaSql.filter(col("z1") =!= col("z2")).count() == 0)
   }
 
+  test("zValueN: N=2 matches zValue; N=3 places bits round-robin") {
+    val df = Seq((5L, 2L, 1L)).toDF("x", "y", "w")
+    val r = df.select(
+      ZOrder.zValue(col("x"), col("y")).as("z2"),
+      ZOrder.zValueN(Seq(col("x"), col("y")), 16).as("z2n"),
+      ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 4).as("z3")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    // x=101b -> positions 0,6; y=10b -> position 4; w=1b -> position 2
+    assert(r.getLong(2) == ((1L << 0) | (1L << 6) | (1L << 4) | (1L << 2)))
+  }
+
   test("coarse z-buckets bound BOTH dimensions (the file-skipping property)") {
     val rnd = new scala.util.Random(9)
     val df = (1 to 5000).map(_ =>
