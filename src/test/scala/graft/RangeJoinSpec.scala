@@ -67,14 +67,21 @@ class RangeJoinSpec extends SparkTestBase {
     assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
   }
 
-  test("plan: bucketized join is an equi-join, no cartesian/nested-loop") {
-    val df = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 128)
-    df.collect()
-    val nodes = flatten(df.queryExecution.executedPlan)
-    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "range join must not fall back to a nested-loop join")
-    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
-      "range join must not build a cross product")
+  test("plan: bucketized joins are equi-joins, no cartesian/nested-loop") {
+    val overlap = RangeJoin.intervalOverlap(
+      intervals.toDF("a_id", "a_lo", "a_hi"),
+      intervals.toDF("b_id", "b_lo", "b_hi"),
+      "a_lo", "a_hi", "b_lo", "b_hi", 128)
+    for (df <- Seq(
+        RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 128),
+        overlap)) {
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "range join must not fall back to a nested-loop join")
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "range join must not build a cross product")
+    }
   }
 
   test("bucket ids are floor-aligned for negative values") {
