@@ -57,7 +57,12 @@ object Funnel {
       var s = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, done = false))
       var out = List.empty[FunnelCompletion]
       var lastUs = Long.MinValue
-      batch.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+      // tie-break equal timestamps by stage order so a same-instant
+      // view→click→purchase chain completes, matching the batch form's
+      // at-or-after (>=) semantics
+      val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+      batch.toSeq.sortBy(e => (toMicros(e.ts), stageRank.getOrElse(e.event_type, 3)))
+        .foreach { e =>
         val t = toMicros(e.ts)
         lastUs = math.max(lastUs, t)
         if (!s.done) e.event_type match {

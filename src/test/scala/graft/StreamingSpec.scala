@@ -150,6 +150,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming funnel completes a same-instant view→click→purchase chain") {
+    import graft.streaming.{Funnel, FunnelEvent}
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 12:00:00.000001")
+    // deliberately out of stage order in the input: the tie-break sorts
+    // equal timestamps view < click < purchase, matching batch >=
+    val ev = Seq(
+      FunnelEvent(1L, t, "purchase"),
+      FunnelEvent(1L, t, "view"),
+      FunnelEvent(1L, t, "click"),
+      FunnelEvent(2L, t, "click")) // no view first: never completes
+    val dir = Files.createTempDirectory("graft-funnel-tie").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-tie-ck").toString
+    ev.toDF().write.parquet(s"$dir/drop1")
+    val stream = spark.readStream.schema(ev.toDF().schema).parquet(s"$dir/drop*")
+      .as[FunnelEvent]
+    val q = Funnel.funnel(stream).writeStream
+      .format("memory").queryName("funnel_tie").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_tie").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L)
+    assert(got(0).getTimestamp(1) == t && got(0).getTimestamp(3) == t)
+  }
+
   test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
     val ev = XeFixture.events(spark, sf("sf0.001"))
     val clicks = ev.filter(col("event_type") === "click")
