@@ -90,11 +90,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double): DataFrame = {
     val post = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
-    post.as("a").join(post.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"),
-        min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
+    commonWithSizes(post)
       .withColumn("containment",
         round(greatest(
           col("common").cast("double") / col("n1").cast("double"),
@@ -103,14 +99,19 @@ object Dedup {
       .select("d1", "d2", "common", "containment")
   }
 
-  /** Shingle-keyed self-join → per-pair common count + Jaccard, reading
-    * set sizes off the postings themselves (see [[sizedPostings]]). */
-  private def pairsFromSizedPostings(post: DataFrame, threshold: Double): DataFrame =
+  /** The shared pair-generation core of the Jaccard and containment
+    * metrics: shingle-keyed postings self-join → (d1, d2, common, n1,
+    * n2), set sizes read off the postings themselves (see
+    * [[sizedPostings]]). */
+  private def commonWithSizes(post: DataFrame): DataFrame =
     post.as("a").join(post.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"),
         min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
+
+  private def pairsFromSizedPostings(post: DataFrame, threshold: Double): DataFrame =
+    commonWithSizes(post)
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double"), 6))
@@ -260,12 +261,6 @@ object Dedup {
     labels
   }
 
-  /** Deterministic stratified sampling — the data-mixture step that
-    * follows dedup in a corpus pipeline: keep a doc iff
-    * hash60(salt|doc_id) mod 100 < pct(source). Pure filter projection
-    * (no shuffle, no RNG): the SAME rows are kept on every run, every
-    * engine, any partitioning — reproducible corpus builds. Rates are
-    * whole percents per stratum; unknown strata use defaultPct. */
   /** The keep-predicate of [[stratifiedSample]] as a standalone Column —
     * composable into multi-stage pipelines that track per-stage flags
     * instead of materializing each stage. */
@@ -277,6 +272,12 @@ object Dedup {
     pmod(hash60(concat(lit(s"$salt|"), id.cast("string"))), lit(100L)) < pct
   }
 
+  /** Deterministic stratified sampling — the data-mixture step that
+    * follows dedup in a corpus pipeline: keep a doc iff
+    * hash60(salt|doc_id) mod 100 < pct(source). Pure filter projection
+    * (no shuffle, no RNG): the SAME rows are kept on every run, every
+    * engine, any partitioning — reproducible corpus builds. Rates are
+    * whole percents per stratum; unknown strata use defaultPct. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Int], defaultPct: Int,
                        salt: String): DataFrame =

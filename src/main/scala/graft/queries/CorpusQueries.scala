@@ -1187,9 +1187,13 @@ object CorpusQueries {
          |  SELECT DISTINCT ${h60("CAST(user_id AS VARCHAR)")} AS h
          |  FROM events WHERE event_type = 'purchase'
          |), ska AS (
-         |  SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t
+         |  -- coalesce: list() over zero rows is NULL, but the Spark
+         |  -- aggregator's zero is the EMPTY sketch (estimate 0.0)
+         |  SELECT coalesce(list(h ORDER BY h), CAST([] AS BIGINT[])) AS sk
+         |  FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t
          |), skb AS (
-         |  SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t
+         |  SELECT coalesce(list(h ORDER BY h), CAST([] AS BIGINT[])) AS sk
+         |  FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t
          |), mm AS (
          |  SELECT ska.sk AS sa, skb.sk AS sb,
          |         (list_sort(list_distinct(list_concat(ska.sk, skb.sk))))[1:64] AS mk

@@ -85,11 +85,23 @@ object JdbcSink {
     val caps = probeCapabilities(url)
     val types = df.select(col("event_name")).distinct()
       .collect().map(_.getString(0)).sorted
+    // Derby/portable: schema folded into the name; the event-name part is
+    // data-derived, so fold anything outside [A-Za-z0-9_] to _ —
+    // identifier quoting downstream is belt, this is suspenders. Folding
+    // can COLLIDE ('rpc.completed' and 'rpc completed' both fold to
+    // rpc_completed); silently merging two event types into one table
+    // would corrupt the demux, so colliding names get a short digest of
+    // the raw name appended.
+    val folded = types.map(t => t -> s"${cfg.schemaName}_$t".replaceAll("[^A-Za-z0-9_]", "_"))
+    val collisions = folded.groupBy(_._2).filter(_._2.length > 1).keySet
+    val tableFor = folded.map { case (t, name) =>
+      t -> (if (collisions(name))
+        name + "_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      else name)
+    }.toMap
     types.map { t =>
-      // Derby/portable: schema folded into the name; the event-name part
-      // is data-derived, so fold anything outside [A-Za-z0-9_] to _ —
-      // identifier quoting downstream is belt, this is suspenders
-      val table = s"${cfg.schemaName}_$t".replaceAll("[^A-Za-z0-9_]", "_")
+      val table = tableFor(t)
       val slice = df.filter(col("event_name") === t).drop("event_name")
       ensureTableSchemaMatches(slice, url, table)
       bulkAppend(slice, url, table, cfg)
@@ -102,9 +114,15 @@ object JdbcSink {
           val meta = conn.getMetaData
           // resolve the stored (case-folded) table name once: quoted
           // identifiers are case-exact, so the DDL below must use the
-          // case the database actually stored
+          // case the database actually stored. getTables takes a LIKE
+          // pattern, and every generated name contains '_' (a single-char
+          // wildcard) — escape it, or a similarly-named table would
+          // resolve the wrong case
+          val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+          def asPattern(n: String): String =
+            n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
           val stored = foldedCandidates(table).find { t =>
-            val rs = meta.getTables(null, null, t, null)
+            val rs = meta.getTables(null, null, asPattern(t), null)
             try rs.next() finally rs.close()
           }.getOrElse(table)
           val ixName = s"${stored}_ix_$ixCol"

@@ -60,14 +60,7 @@ class AsofJoinSpec extends SparkTestBase {
   }
 
   test("plan: one shuffle keyed by the join key, no cartesian/range join") {
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] = flattenPlan(p)
     val df = AsofJoin.backward(clicks, purchases, "user_id", "t", "t",
       Seq("t", "value"))
     df.collect()

@@ -17,16 +17,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoi
  */
 class PlanSpec extends SparkTestBase {
 
-  /** Full walk of the executed plan, crossing AQE stage boundaries
-    * (query stages hold their subplan in a field, not in children). */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s: QueryStageExec => Seq(s.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = flattenPlan(p)
 
   private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
     df.collect() // materialize the AQE final plan

@@ -9,14 +9,7 @@ import org.apache.spark.sql.functions._
 class RangeJoinSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s: QueryStageExec => Seq(s.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = flattenPlan(p)
 
   // random points and intervals over a shared domain; interval length is
   // a mix of shorter- and longer-than-bucket so both explode shapes run

@@ -8,6 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Full walk of an executed plan, crossing AQE stage boundaries
+    * (query stages hold their subplan in a field, not in children) —
+    * shared by every plan-shape assertion. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
 }
 
 object SparkTestBase {
