@@ -35,6 +35,28 @@ class JdbcSinkSpec extends SparkTestBase {
     }
   }
 
+  test("colliding folded event names get distinct tables, not a silent merge") {
+    import spark.implicits._
+    // 'rpc.completed' and 'rpc completed' both fold to rpc_completed —
+    // without the digest suffix their rows would land in one table
+    val df = Seq(
+      (1L, "rpc.completed"), (2L, "rpc.completed"),
+      (3L, "rpc completed"),
+      (4L, "clean_type")
+    ).toDF("seq", "event_name")
+    val tables = JdbcSink.demuxAppend(df, url, XelConfig.default)
+    assert(tables.size == 3, s"expected 3 distinct tables, got $tables")
+    assert(tables.distinct.size == 3)
+    // the clean name keeps its plain folded form
+    assert(tables.contains("xel_clean_type"))
+    val counts = tables.sorted.map { t =>
+      spark.read.format("jdbc").option("url", url).option("dbtable", t)
+        .load().count()
+    }
+    // one table with 2 rows (rpc.completed), two with 1 row each
+    assert(counts.sorted == Seq(1L, 1L, 2L))
+  }
+
   test("D6 JDBC evolution: new column ALTERed in, pre-existing rows read NULL") {
     import spark.implicits._
     val cfg = XelConfig.default
