@@ -177,6 +177,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got(0).getTimestamp(1) == t && got(0).getTimestamp(3) == t)
   }
 
+  test("KMV sketch aggregates across micro-batches to the batch estimate") {
+    import graft.corpus.{Sketches, TextAnalysis => T}
+    // the mergeable O(k) buffer is the property that matters in
+    // streaming: partial sketches from separate micro-batches must merge
+    // to exactly the batch sketch (KMV is deterministic, so equality is
+    // exact, not approximate)
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("user_id"))
+    val dir = Files.createTempDirectory("graft-kmv").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ck").toString
+    // two drops → at least two micro-batches with maxFilesPerTrigger=1
+    val halves = ev.randomSplit(Array(0.5, 0.5), seed = 42)
+    halves(0).write.parquet(s"$dir/drop1")
+    halves(1).write.parquet(s"$dir/drop2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop*")
+    val agg = stream.groupBy(col("event_type"))
+      .agg(Sketches.kmvDistinct(64,
+        T.hash60(col("user_id").cast("string"))).as("kmv_estimate"))
+    val q = agg.writeStream
+      .format("memory").queryName("kmv_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("kmv_stream")
+    val batch = ev.groupBy(col("event_type"))
+      .agg(Sketches.kmvDistinct(64,
+        T.hash60(col("user_id").cast("string"))).as("kmv_estimate"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
     val ev = XeFixture.events(spark, sf("sf0.001"))
     val clicks = ev.filter(col("event_type") === "click")
