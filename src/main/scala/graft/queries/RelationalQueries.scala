@@ -303,6 +303,63 @@ object RelationalQueries {
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
         .orderBy("zbucket")
+    }),
+
+    // Batch gap-based sessionization (graft.operators.Sessions): per-user
+    // sessions split on >8h idle gaps, with per-session bounds and exact
+    // money totals. One user-keyed exchange feeds both windows AND the
+    // final per-session aggregate — the closed-data twin of the streaming
+    // Sessionize operator.
+    "events_sessionize" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      graft.operators.Sessions.stats(ev, "user_id", "ts", "event_id",
+          gapUs = 28800000000L,
+          extra = Seq(sum(dec(col("value"))).cast("double").as("total_value")))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // JSON payload shredding (§2.8: the reference exposes NO json functions;
+    // the Spark engine surfaces them as first-class): extract props.$.k,
+    // aggregate per event type. get_json_object is codegen'd — the parse
+    // happens inside the scan stage, no UDF.
+    "events_json_extract" -> ((spark, dir) => {
+      XeFixture.events(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
+    // GROUPING SETS beyond rollup: the (status, priority) lattice INCLUDING
+    // the priority-only set rollup can't express, disambiguated by
+    // grouping_id — one shuffle produces all four aggregation levels
+    // (Catalyst expands sets into a single Expand + partial agg, not N scans).
+    "grouping_sets_orders" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Pivot: order status → columns, priorities → rows. Explicit value
+    // list keeps the plan single-pass (no distinct-values pre-scan) and
+    // the output schema static — which is also what the 100 TB plan needs.
+    "pivot_revenue" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .select(col("o_orderpriority"), col("F").as("price_f"),
+          col("O").as("price_o"), col("P").as("price_p"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -505,7 +562,59 @@ object RelationalQueries {
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
           |FROM orders
           |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "events_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, ts_us, value,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |           AS session_seq
+          |  FROM e
+          |)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+          |       max(ts_us) - min(ts_us) AS duration_us,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin,
+
+      "events_json_extract" ->
+        """SELECT event_type,
+          |       count(k) AS n_with_k,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
+          |       count(DISTINCT k) AS n_distinct_k
+          |FROM (SELECT event_type,
+          |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "grouping_sets_orders" ->
+        """SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |       o_orderstatus, o_orderpriority,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "pivot_revenue" ->
+        """SELECT o_orderpriority,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+          |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS price_f,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'O'
+          |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS price_o,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+          |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS price_p
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     )
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Sessions
+import graft.streaming.{SessionEvent, Sessionize}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization (graft.operators.Sessions) — assignment
+  * semantics, agreement with the streaming Sessionize twin, and the
+  * one-exchange plan shape that makes it a single-shuffle operator. */
+class SessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("assign splits on gap, numbers sessions 1-based per key") {
+    val df = Seq(
+      (1L, ts(0), 10L), (1L, ts(5), 11L), (1L, ts(100), 12L),
+      (1L, ts(101), 13L),
+      (2L, ts(0), 20L)
+    ).toDF("user_id", "t", "event_id")
+    val got = Sessions.assign(df, "user_id", "t", "event_id", gapUs = 30L * 60 * 1000000)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L),
+      (1L, 13L, 2L), (2L, 20L, 1L)))
+  }
+
+  test("equal timestamps stay in one session and break ties on the tie column") {
+    val df = Seq((1L, ts(0), 2L), (1L, ts(0), 1L), (1L, ts(0), 3L))
+      .toDF("user_id", "t", "event_id")
+    val got = Sessions.stats(df, "user_id", "t", "event_id", gapUs = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 3L, ts(0).getTime * 1000,
+      ts(0).getTime * 1000, 0L)))
+  }
+
+  test("batch stats matches the streaming Sessionize twin on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(10), "b"),
+      SessionEvent(1L, ts(120), "c"),
+      SessionEvent(2L, ts(3), "d"), SessionEvent(2L, ts(200), "e"),
+      SessionEvent(3L, ts(7), "f"))
+    val gapMs = 30L * 60 * 1000
+
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessionize(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions_batch_twin")
+      .outputMode("append").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    // sentinel far in the future: watermark passes every real session's
+    // end + gap, so the event-time timeout closes them all
+    input.addData(SessionEvent(99L, ts(100000), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_batch_twin")
+      .filter($"session_id" =!= 99L)
+      .select($"session_id", $"n_events",
+        unix_micros($"start_ts").as("start_us"), unix_micros($"end_ts").as("end_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = Sessions.stats(events.toDF(), "session_id", "ts", "event_name",
+        gapUs = gapMs * 1000)
+      .select($"session_id", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.size == 5)
+  }
+
+  test("assign + stats run in ONE exchange (windows and groupBy share the key)") {
+    val df = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (2L, ts(0), 3L))
+      .toDF("user_id", "t", "event_id")
+    val out = Sessions.stats(df, "user_id", "t", "event_id", gapUs = 1000000L)
+    out.collect()
+    val shuffles = flattenPlan(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1,
+      s"expected a single user-keyed exchange, got ${shuffles.size}")
+  }
+}
