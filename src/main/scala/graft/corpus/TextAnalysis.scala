@@ -210,4 +210,40 @@ object TextAnalysis {
         regexp_replace(text, emailPattern, "<EMAIL>"),
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
+
+  // ---- HTML boilerplate stripping -----------------------------------
+  // Web-crawl text arrives wrapped in markup; extraction-to-clean-text is
+  // the first transform of every crawl-derived corpus. Tag/entity handling
+  // is a regexp_replace chain (Java∩RE2 subset, no alternation), so the
+  // whole step is a codegen'd projection — and a DuckDB oracle pins every
+  // output byte.
+
+  /** One HTML tag (open, close, or self-closing, with attributes). `[^>]*`
+    * has a single possible parse — both regex engines agree. */
+  val htmlTagPattern: String = "<[^>]*>"
+
+  /** Markup → clean text: tags become spaces (so `a</p><p>b` does not fuse
+    * into `ab`), then the five core entities decode — `&amp;` LAST, so a
+    * literal `&amp;lt;` yields `&lt;` and is not double-decoded — then
+    * whitespace collapses. */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, htmlTagPattern, " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&nbsp;", " "),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&#39;", "'")
+    trim(regexp_replace(regexp_replace(ent, "&amp;", "&"), "\\s+", " "))
+  }
+
+  /** Fraction of the raw bytes that are tag markup — the text-to-markup
+    * ratio used to drop boilerplate-heavy pages (nav/ad shells carry far
+    * more tag than text). */
+  def markupRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, htmlTagPattern, "")))
+      .cast("double") / length(text).cast("double"), 6)
 }

@@ -1,0 +1,57 @@
+package graft.corpus
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * URL analysis for web-corpus pipelines: host/path extraction, registrable
+ * domain, and canonicalization — the key ingredients of URL-level dedup and
+ * per-domain quality/mixing decisions in a training-data build.
+ *
+ * Everything is regexp built-ins over the Java∩RE2 common subset (no
+ * alternation — Java resolves it leftmost-first, RE2 leftmost-longest — no
+ * lookarounds), so a DuckDB oracle reproduces every extraction
+ * byte-for-byte, and the whole operator is a codegen'd pure projection:
+ * zero shuffles at any corpus size.
+ */
+object Urls {
+
+  /** scheme://HOST — host = authority up to the first `/ ? #`. */
+  val hostPattern: String = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+  /** scheme://host PATH — path = from the first `/` up to `? #`. */
+  val pathPattern: String = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Last two dot-labels of the host — the registrable domain under
+    * single-label public suffixes (com/org/net/…). A full public-suffix
+    * list is a broadcast lookup table at scale; the regex is the
+    * suffix-free core. */
+  val registrableDomainPattern: String = "([A-Za-z0-9-]+\\.[A-Za-z]+)$"
+
+  /** `[?&]utm_xxx=` — tracking-parameter marker (no alternation). */
+  val trackingParamPattern: String = "[?&]utm_[a-z]+="
+
+  def host(url: Column): Column = regexp_extract(url, hostPattern, 1)
+
+  def path(url: Column): Column = regexp_extract(url, pathPattern, 1)
+
+  def registrableDomain(hostCol: Column): Column =
+    regexp_extract(hostCol, registrableDomainPattern, 1)
+
+  def hasTracking(url: Column): Column =
+    TextAnalysis.matchCount(url, trackingParamPattern) > 0
+
+  /** Canonical form for URL-level dedup: lowercase; drop scheme, query
+    * string, fragment, a leading `www.`, and any trailing slash run. The
+    * query string is dropped WHOLESALE (not just utm_*) — the standard
+    * aggressive policy for crawl dedup; callers needing param-preserving
+    * canonicalization filter before this step. Each regex has a single
+    * parse (no alternation), so Java and RE2 agree on every byte. */
+  def canonicalize(url: Column): Column = {
+    val noScheme = regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", "")
+    val noFragment = regexp_replace(noScheme, "#.*", "")
+    val noQuery = regexp_replace(noFragment, "\\?.*", "")
+    val noWww = regexp_replace(noQuery, "^www\\.", "")
+    regexp_replace(noWww, "/+$", "")
+  }
+}

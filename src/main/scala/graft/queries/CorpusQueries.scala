@@ -104,6 +104,53 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML boilerplate stripping over deterministically-planted markup:
+    // every doc is wrapped in a nav/title/entity shell, and the oracle
+    // pins the extracted clean text byte-for-byte (via hash), the tag
+    // count, and the text-to-markup ratio.
+    "text_html_strip" -> ((spark, dir) => {
+      val planted = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav><a href=\"/home\">Home</a></nav><p>"),
+        col("text"),
+        lit("</p><p>&quot;fin&quot; &amp; &lt;done&gt;&nbsp;ok</p>"),
+        lit("<div class=\"ad\">AD</div></body></html>"))
+      docs(spark, dir).select(
+        col("doc_id"),
+        T.matchCount(planted, T.htmlTagPattern).cast("long").as("n_tags"),
+        T.markupRatio(planted).as("markup_ratio"),
+        T.hash60(T.stripHtml(planted)).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + per-domain rollup (graft.corpus.Urls) over
+    // deterministically-planted crawl URLs: host/registrable-domain
+    // extraction, wholesale-query canonical form, tracking-param
+    // detection — then the per-domain dedup numbers a crawl pipeline
+    // feeds into mixing/blocklist decisions. Pure-projection extraction;
+    // ONE shuffle keyed by domain for the rollup.
+    "url_domain_stats" -> ((spark, dir) => {
+      val url = concat(
+        lit("https://www.site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, ".com")
+          .when(pmod(col("doc_id"), lit(3L)) === 1, ".org").otherwise(".net"),
+        lit("/p/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, "?utm_source=feed").otherwise(""),
+        when(pmod(col("doc_id"), lit(5L)) === 0, "#frag").otherwise(""))
+      val U = graft.corpus.Urls
+      docs(spark, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          U.registrableDomain(U.host(col("url"))).as("domain"),
+          U.canonicalize(col("url")).as("canon"),
+          U.hasTracking(col("url")).cast("long").as("tracked"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_unique_canonical"),
+          sum(col("tracked")).as("n_with_tracking"))
+        .orderBy("domain")
+    }),
+
     "text_fingerprint" -> ((spark, dir) => {
       docs(spark, dir).select(
         col("doc_id"),
@@ -666,6 +713,60 @@ object CorpusQueries {
          |  ${h60("regexp_replace(regexp_replace(regexp_replace(t, '" + T.emailPattern + "', '<EMAIL>', 'g'), '" +
               T.ipv4Pattern + "', '<IP>', 'g'), '" + T.phonePattern + "', '<PHONE>', 'g')")} AS scrub_hash
          |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "text_html_strip" -> {
+      // the stripHtml regexp chain, verbatim in DuckDB ('g' = replace-all)
+      val strip =
+        "trim(regexp_replace(regexp_replace(" +
+          "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+          "regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), " +
+          "'&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), " +
+          "'&quot;', '\"', 'g'), '&#39;', '''', 'g'), " +
+          "'&amp;', '&', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |           || '</title></head><body><nav><a href="/home">Home</a></nav><p>'
+         |           || text
+         |           || '</p><p>&quot;fin&quot; &amp; &lt;done&gt;&nbsp;ok</p>'
+         |           || '<div class="ad">AD</div></body></html>' AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  round(CAST(len(t) - len(regexp_replace(t, '<[^>]*>', '', 'g')) AS DOUBLE)
+         |        / CAST(len(t) AS DOUBLE), 6) AS markup_ratio,
+         |  ${h60(strip)} AS clean_hash
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
+
+    "url_domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         |           || CASE WHEN doc_id % 3 = 0 THEN '.com'
+         |                   WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END
+         |           || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+         |           || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END
+         |           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id,
+         |    regexp_extract(
+         |      regexp_extract(url, '${graft.corpus.Urls.hostPattern}', 1),
+         |      '${graft.corpus.Urls.registrableDomainPattern}', 1) AS domain,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+         |      '#.*', ''), '\\?.*', ''), '^www\\.', ''), '/+$$', '') AS canon,
+         |    CASE WHEN len(regexp_extract_all(url,
+         |      '${graft.corpus.Urls.trackingParamPattern}')) > 0
+         |         THEN 1 ELSE 0 END AS tracked
+         |  FROM u
+         |)
+         |SELECT domain, count(*) AS n_docs,
+         |       count(DISTINCT canon) AS n_unique_canonical,
+         |       CAST(sum(tracked) AS BIGINT) AS n_with_tracking
+         |FROM x GROUP BY domain ORDER BY domain""".stripMargin,
 
     "text_fingerprint" ->
       s"""$shingleCte,

@@ -1,0 +1,53 @@
+package graft
+
+import graft.corpus.{TextAnalysis, Urls}
+import org.apache.spark.sql.functions._
+
+/** Known-vector tests for the crawl-side text operators: HTML stripping
+  * and URL canonicalization (graft.corpus.Urls). */
+class UrlsHtmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.cast("string")).head().getString(0)
+
+  test("stripHtml: tags out, entities decoded, whitespace collapsed") {
+    val html = """<html><body><p>a</p><p>b&nbsp;&amp;&nbsp;c</p>""" +
+      """<div class="x">&lt;tag&gt; &quot;q&quot; &#39;s&#39;</div></body></html>"""
+    val got = one(TextAnalysis.stripHtml(lit(html)))
+    assert(got == "a b & c <tag> \"q\" 's'")
+  }
+
+  test("stripHtml: double-encoded &amp;lt; decodes exactly one level") {
+    assert(one(TextAnalysis.stripHtml(lit("x &amp;lt; y"))) == "x &lt; y")
+  }
+
+  test("markupRatio: tag bytes over total bytes") {
+    // "<b>" + "aa" + "</b>" = 3 + 2 + 4 tag/text bytes → 7/9 markup
+    assert(one(TextAnalysis.markupRatio(lit("<b>aa</b>"))).toDouble
+      == math.round(7.0 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("url host / domain / path extraction") {
+    val u = lit("https://www.sub.example.com/a/b?q=1#f")
+    assert(one(Urls.host(u)) == "www.sub.example.com")
+    assert(one(Urls.registrableDomain(Urls.host(u))) == "example.com")
+    assert(one(Urls.path(u)) == "/a/b")
+  }
+
+  test("canonicalize: scheme, www, query, fragment, trailing slash all drop") {
+    assert(one(Urls.canonicalize(
+      lit("HTTPS://WWW.Example.COM/Path/?utm_source=x&a=1#frag"))) ==
+      "example.com/path")
+    // path-less URL and bare host agree
+    assert(one(Urls.canonicalize(lit("http://example.com/"))) == "example.com")
+    assert(one(Urls.canonicalize(lit("http://example.com"))) == "example.com")
+    // www. strips only as a PREFIX label
+    assert(one(Urls.canonicalize(lit("http://wwwx.com/p"))) == "wwwx.com/p")
+  }
+
+  test("hasTracking flags utm params only") {
+    assert(one(Urls.hasTracking(lit("http://a.com/p?utm_source=x"))) == "true")
+    assert(one(Urls.hasTracking(lit("http://a.com/p?id=utm_source"))) == "false")
+  }
+}
