@@ -105,4 +105,94 @@ object Sketches {
       round(both.cast("double") / size(m).cast("double") *
         kmvEstimateCol(m, k), 6))
   }
+
+  // ---- Bloom filter / Count-Min sketch ------------------------------
+  // Same determinism stance as KMV: the hash family is d salted portable
+  // hashes ([[TextAnalysis.hash60Salted]]), so the sketch CONTENT — not
+  // just its estimates — is bit-identical between Spark and a DuckDB
+  // oracle. Each sketch has two forms kept value-equal by SketchesSpec:
+  //  - an explode/groupBy SQL form the oracle replays (used by the
+  //    oracle-gated queries);
+  //  - a typed Aggregator with an O(sketch) mergeable buffer — the shape
+  //    that scales: partial sketches OR/add-merge associatively, so a
+  //    100 TB build is ONE map-side-combined aggregation pass.
+
+  /** The d salted hash positions of a value in a width-m table —
+    * the shared hash family of the Bloom and CMS sketches. A pure
+    * codegen'd projection. */
+  def saltedPositions(value: Column, d: Int, m: Int): Column =
+    array((0 until d).map(i =>
+      pmod(TextAnalysis.hash60Salted(i, value), lit(m.toLong)).cast("int")): _*)
+
+  /** Bloom bitset over position arrays: buffer = m-bit set as m/64 words,
+    * merge = bitwise OR. Input rows are [[saltedPositions]] arrays, so
+    * the hashing stays in codegen and the aggregator is pure bit algebra. */
+  class BloomAggregator(m: Int) extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    private val words = (m + 63) / 64
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(buf: Array[Long], pos: Seq[Int]): Array[Long] = {
+      pos.foreach(p => buf(p >>> 6) |= 1L << (p & 63))
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def bloomAgg(m: Int, positions: Column): Column =
+    org.apache.spark.sql.functions.udaf(new BloomAggregator(m)).apply(positions)
+
+  /** Bits set in a bloom bitset column (array of 64-bit words). */
+  def bloomBitsSet(bitset: Column): Column =
+    aggregate(bitset, org.apache.spark.sql.functions.lit(0L),
+      (acc, w) => acc + bit_count(w))
+
+  /** Membership probe: ALL d positions set ⇒ "maybe present" (one-sided
+    * error — never a false negative). Word/bit indices via bit algebra
+    * (`/` on Spark columns is DOUBLE division); the variable-distance
+    * shift goes through call_function — the SQL shiftleft accepts an
+    * expression count, the Scala wrapper only a literal. */
+  def bloomMightContain(bitset: Column, positions: Column): Column =
+    forall(positions, p =>
+      (element_at(bitset, (shiftright(p, 6) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63))))) =!= 0L)
+
+  /** Count-Min sketch over position arrays: buffer = d×w counter matrix
+    * (row-major), merge = elementwise add. Point estimate = min over the
+    * d rows at the value's positions — always an OVERestimate. */
+  class CmsAggregator(d: Int, w: Int) extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(buf: Array[Long], pos: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < d) { buf(i * w + pos(i)) += 1L; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def cmsAgg(d: Int, w: Int, positions: Column): Column =
+    org.apache.spark.sql.functions.udaf(new CmsAggregator(d, w)).apply(positions)
+
+  /** CMS point estimate for a value's [[saltedPositions]] array against a
+    * row-major d×w sketch column. */
+  def cmsEstimate(sketch: Column, positions: Column, d: Int, w: Int): Column =
+    (0 until d).map(i =>
+        element_at(sketch, lit(i * w) + element_at(positions, i + 1) + 1))
+      .reduce(least(_, _))
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.corpus.{Sketches, TextAnalysis => T}
+import org.apache.spark.sql.functions._
+
+/** Bloom / Count-Min sketches: the mergeable Aggregator form must be
+  * value-equal to the explode/groupBy SQL form the oracle replays, and
+  * each sketch's one-sided error guarantee must hold on real tokens. */
+class BloomCmsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 512
+  private val d = 3
+  private val w = 128
+
+  private lazy val docs = spark.read
+    .parquet(sf("sf0.001") + "/documents.parquet").select("doc_id", "text")
+
+  test("BloomAggregator bitset equals the explode-distinct position set") {
+    val toks = docs.select(explode(T.tokens(col("text"))).as("token")).distinct()
+    val viaSql = toks
+      .select(explode(Sketches.saltedPositions(col("token"), d, m)).as("pos"))
+      .distinct().count()
+    val bitset = toks
+      .agg(Sketches.bloomAgg(m, Sketches.saltedPositions(col("token"), d, m))
+        .as("bs"))
+      .select(Sketches.bloomBitsSet(col("bs")).as("n"), col("bs"))
+    val row = bitset.head()
+    assert(row.getLong(0) == viaSql)
+
+    // no false negatives: every inserted token tests positive
+    val bs = row.getSeq[Long](1)
+    val misses = toks.select(col("token"),
+        Sketches.bloomMightContain(
+          typedLit(bs), Sketches.saltedPositions(col("token"), d, m)).as("hit"))
+      .filter(!col("hit")).count()
+    assert(misses == 0L)
+  }
+
+  test("CmsAggregator matrix point-estimates equal the groupBy-min form and bound exact counts") {
+    val occ = docs.select(explode(T.tokens(col("text"))).as("token"))
+    val sketchRow = occ
+      .agg(Sketches.cmsAgg(d, w, Sketches.saltedPositions(col("token"), d, w))
+        .as("sk")).head()
+    val sk = sketchRow.getSeq[Long](0)
+    assert(sk.sum == occ.count() * d) // every occurrence lands in each row
+
+    val cells = occ
+      .select(posexplode(Sketches.saltedPositions(col("token"), d, w))
+        .as(Seq("i", "pos")))
+      .groupBy("i", "pos").agg(count(lit(1)).as("c"))
+    val exact = occ.groupBy("token").agg(count(lit(1)).as("exact"))
+    val viaAgg = exact.select(col("token"), col("exact"),
+      Sketches.cmsEstimate(typedLit(sk),
+        Sketches.saltedPositions(col("token"), d, w), d, w).as("est_agg"))
+    val viaSql = exact.select(col("token").as("t2"))
+      .withColumn("parr", Sketches.saltedPositions(col("t2"), d, w))
+      .select(col("t2"), posexplode(col("parr")).as(Seq("i", "pos")))
+      .join(cells, Seq("i", "pos"), "left")
+      .groupBy("t2").agg(min(coalesce(col("c"), lit(0L))).as("est_sql"))
+    val joined = viaAgg.join(viaSql, viaAgg("token") === viaSql("t2")).cache()
+    assert(joined.filter(col("est_agg") =!= col("est_sql")).count() == 0)
+    assert(joined.filter(col("est_agg") < col("exact")).count() == 0) // CMS never underestimates
+    joined.unpersist()
+  }
+
+  test("bloom and CMS sketches merge associatively across groups") {
+    // build per-doc-parity partial sketches, merge via the aggregator's
+    // merge path (two-level aggregation), compare with the one-shot build
+    val toks = docs.select(pmod(col("doc_id"), lit(2L)).as("g"),
+      explode(T.tokens(col("text"))).as("token"))
+    val oneShot = toks
+      .agg(Sketches.cmsAgg(d, w, Sketches.saltedPositions(col("token"), d, w)))
+      .head().getSeq[Long](0)
+    val partials = toks.repartition(4, col("g"))
+      .agg(Sketches.cmsAgg(d, w, Sketches.saltedPositions(col("token"), d, w)))
+      .head().getSeq[Long](0)
+    assert(oneShot == partials)
+  }
+}
