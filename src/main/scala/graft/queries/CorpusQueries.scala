@@ -547,8 +547,94 @@ object CorpusQueries {
           size(Multimodal.framePositions(col("payload"), 64, 8)).as("n_frames"): _*)
         .withColumn("byte_len", col("byte_len").cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // Bloom filter as data (Sketches.BloomAggregator is the mergeable
+    // UDAF twin, value-equal by SketchesSpec): per-source token bitset
+    // built with d salted portable hashes, probed with a fixed word list.
+    // One-sided error surfaces directly: n_probes_maybe >= n_probes_actual,
+    // never the reverse. At 100 TB the build is one OR-merged aggregation;
+    // this SQL form is the oracle-replayable explode shape.
+    "sketch_bloom" -> ((spark, dir) => {
+      import spark.implicits._
+      val t0 = docs(spark, dir)
+        .select(col("source"), explode(T.tokens(col("text"))).as("token"))
+        .distinct()
+      val pos = t0.select(col("source"),
+        explode(Sketches.saltedPositions(col("token"), bloomD, bloomM)).as("pos"))
+        .distinct()
+      val bits = pos.groupBy("source").agg(count(lit(1)).as("n_bits_set"))
+      val exact = t0.groupBy("source").agg(count(lit(1)).as("n_distinct_tokens"))
+      val probes = sketchProbes.toDF("probe")
+      val pp = probes.select(col("probe"),
+        explode(array_distinct(
+          Sketches.saltedPositions(col("probe"), bloomD, bloomM))).as("pos"))
+      val ppn = pp.groupBy("probe").agg(count(lit(1)).as("n_pp"))
+      val hit = pos.join(broadcast(pp), "pos")
+        .groupBy("source", "probe").agg(count(lit(1)).as("n_hit"))
+      val maybe = hit.join(broadcast(ppn), "probe")
+        .filter(col("n_hit") === col("n_pp"))
+        .groupBy("source").agg(count(lit(1)).as("n_probes_maybe"))
+      val actual = t0.join(broadcast(probes), t0("token") === probes("probe"))
+        .groupBy("source").agg(count(lit(1)).as("n_probes_actual"))
+      exact.join(bits, Seq("source"))
+        .join(maybe, Seq("source"), "left")
+        .join(actual, Seq("source"), "left")
+        .select(col("source"), col("n_distinct_tokens"), col("n_bits_set"),
+          coalesce(col("n_probes_maybe"), lit(0L)).as("n_probes_maybe"),
+          coalesce(col("n_probes_actual"), lit(0L)).as("n_probes_actual"))
+        .orderBy("source")
+    }),
+
+    // BM25 keyword retrieval (graft.corpus.Search): top-20 docs for a
+    // fixed term set. Inverted-index shape — only query-term occurrences
+    // shuffle; corpus stats reduce to one broadcast row; top-k is a
+    // TakeOrdered, no global sort.
+    "search_bm25" -> ((spark, dir) => {
+      graft.corpus.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
+        bm25Terms, bm25K)
+    }),
+
+    // Count-Min sketch (Sketches.CmsAggregator is the add-merged UDAF
+    // twin): d×w counter matrix over ALL token occurrences, point-probed
+    // with the same fixed word list. CMS guarantees est >= exact — the
+    // overestimate column is the witnessed error, 0 for absent words only
+    // when no collision chain covers all d rows.
+    "sketch_cms" -> ((spark, dir) => {
+      import spark.implicits._
+      val occ = docs(spark, dir).select(explode(T.tokens(col("text"))).as("token"))
+      val cells = occ
+        .select(posexplode(Sketches.saltedPositions(col("token"), cmsD, cmsW))
+          .as(Seq("i", "pos")))
+        .groupBy("i", "pos").agg(count(lit(1)).as("c"))
+      val probes = sketchProbes.toDF("probe")
+      val pp = probes.select(col("probe"),
+        posexplode(Sketches.saltedPositions(col("probe"), cmsD, cmsW))
+          .as(Seq("i", "pos")))
+      val est = pp.join(cells, Seq("i", "pos"), "left")
+        .groupBy("probe").agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+      val exact = occ.join(broadcast(probes), occ("token") === probes("probe"))
+        .groupBy("probe").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("probe"), "left")
+        .select(col("probe"), col("cms_estimate"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .withColumn("overestimate", col("cms_estimate") - col("exact_count"))
+        .orderBy("probe")
     })
   )
+
+  // Bloom/CMS knobs (kept in lockstep with the oracle SQL below); probes
+  // mix in-vocabulary words with zzqx* strings absent by construction.
+  val bloomD = 3
+  val bloomM = 1024
+  val cmsD = 3
+  val cmsW = 256
+  val sketchProbes: Seq[String] =
+    Seq("spark", "table", "agg", "zzqx0", "zzqx1", "zzqx2")
+
+  // BM25 search knobs
+  val bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val bm25K = 20
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -1357,6 +1443,124 @@ object CorpusQueries {
         |       CAST(octet_length(payload) AS BIGINT) AS byte_len,
         |       ('0x' || substring(hex(payload), 9, 2))::BIGINT AS first_body_byte,
         |       CAST(least((octet_length(payload) - 4) // 64, 8) AS INTEGER) AS n_frames
-        |FROM media ORDER BY doc_id""".stripMargin
+        |FROM media ORDER BY doc_id""".stripMargin,
+
+    "sketch_bloom" -> {
+      val probesValues = sketchProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH t0 AS (
+         |  SELECT source,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents
+         |), toks AS (
+         |  SELECT DISTINCT source, unnest(ws) AS token FROM t0
+         |), pos AS (
+         |  SELECT DISTINCT source,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || token")} % $bloomM AS pos
+         |  FROM toks, range($bloomD) s(i)
+         |), bits AS (
+         |  SELECT source, count(*) AS n_bits_set FROM pos GROUP BY 1
+         |), exact AS (
+         |  SELECT source, count(*) AS n_distinct_tokens FROM toks GROUP BY 1
+         |), probes(probe) AS (VALUES $probesValues),
+         |pp AS (
+         |  SELECT DISTINCT probe,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || probe")} % $bloomM AS pos
+         |  FROM probes, range($bloomD) s(i)
+         |), ppn AS (
+         |  SELECT probe, count(*) AS n_pp FROM pp GROUP BY 1
+         |), hit AS (
+         |  SELECT p.source, pp.probe, count(*) AS n_hit
+         |  FROM pos p JOIN pp ON p.pos = pp.pos GROUP BY 1, 2
+         |), maybe AS (
+         |  SELECT source, count(*) AS n_probes_maybe
+         |  FROM hit JOIN ppn USING (probe) WHERE n_hit = n_pp GROUP BY 1
+         |), act AS (
+         |  SELECT source, count(*) AS n_probes_actual
+         |  FROM toks JOIN probes ON token = probe GROUP BY 1
+         |)
+         |SELECT exact.source, n_distinct_tokens, n_bits_set,
+         |       coalesce(n_probes_maybe, 0) AS n_probes_maybe,
+         |       coalesce(n_probes_actual, 0) AS n_probes_actual
+         |FROM exact JOIN bits USING (source)
+         |LEFT JOIN maybe USING (source) LEFT JOIN act USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
+    "sketch_cms" -> {
+      val probesValues = sketchProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH t0 AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents
+         |), occ AS (
+         |  SELECT unnest(ws) AS token FROM t0
+         |), cells AS (
+         |  SELECT s.i AS i,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || token")} % $cmsW AS pos,
+         |         count(*) AS c
+         |  FROM occ, range($cmsD) s(i) GROUP BY 1, 2
+         |), probes(probe) AS (VALUES $probesValues),
+         |pp AS (
+         |  SELECT probe, s.i AS i,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || probe")} % $cmsW AS pos
+         |  FROM probes, range($cmsD) s(i)
+         |), est AS (
+         |  SELECT probe, min(coalesce(c, 0)) AS cms_estimate
+         |  FROM pp LEFT JOIN cells USING (i, pos) GROUP BY 1
+         |), ex AS (
+         |  SELECT probe, count(*) AS exact_count
+         |  FROM occ JOIN probes ON token = probe GROUP BY 1
+         |)
+         |SELECT est.probe,
+         |       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+         |       CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count,
+         |       CAST(cms_estimate - coalesce(exact_count, 0) AS BIGINT) AS overestimate
+         |FROM est LEFT JOIN ex USING (probe)
+         |ORDER BY probe""".stripMargin
+    },
+
+    "search_bm25" -> {
+      // identical expression TREE to Search.bm25TopK: same folded literals
+      // ((k1+1)=2.2, (1-b)=0.25), same operand order, one final round
+      val ts = bm25Terms
+      val inList = ts.map(t => s"'$t'").mkString(", ")
+      def tfCase(i: Int) =
+        s"CAST(sum(CASE WHEN token = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+      def dfCase(i: Int) =
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+      def termScore(i: Int) =
+        s"""CASE WHEN tf_$i > 0 THEN
+           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+           |           / (CAST(df_$i AS DOUBLE) + 0.5))
+           |  * (CAST(tf_$i AS DOUBLE) * 2.2
+           |     / (CAST(tf_$i AS DOUBLE)
+           |        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+           |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+      def matchedCase(i: Int) = s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END"
+      s"""$tokCte,
+         |base AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
+         |corpus AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base
+         |), occ AS (
+         |  SELECT doc_id, dl, unnest(ws) AS token FROM base
+         |), perdoc AS (
+         |  SELECT doc_id, min(dl) AS dl, ${ts.indices.map(tfCase).mkString(", ")}
+         |  FROM occ WHERE token IN ($inList) GROUP BY doc_id
+         |), dfs AS (
+         |  SELECT ${ts.indices.map(dfCase).mkString(", ")} FROM perdoc
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(${ts.indices.map(matchedCase).mkString(" + ")} AS BIGINT)
+         |      AS n_matched_terms,
+         |    round(${ts.indices.map(termScore).mkString("\n+ ")}, 6) AS bm25
+         |  FROM perdoc,
+         |       (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |          AS avgdl FROM corpus) c,
+         |       dfs
+         |)
+         |SELECT doc_id, n_matched_terms, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id LIMIT $bm25K""".stripMargin
+    }
   )
 }
