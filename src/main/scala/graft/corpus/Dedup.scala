@@ -283,6 +283,25 @@ object Dedup {
                        salt: String): DataFrame =
     docs.filter(stratifiedKeep(col(idCol), col(stratumCol), rates, defaultPct, salt))
 
+  /** Weighted sampling without replacement — sequential Poisson sampling
+    * (Ohlsson): priority = u / w with u = hash60(salt|id)/2^60, keep the n
+    * smallest priorities per stratum. Longer/heavier docs are
+    * proportionally more likely to survive, yet the draw is a pure
+    * DETERMINISTIC projection + one per-stratum window — the same rows on
+    * every run, every engine, any partitioning (no RNG). The window
+    * parallelizes per stratum; at 100 TB swap the full sort for a
+    * per-partition top-n pre-filter (TopKPerKey) feeding the same rank. */
+  def ppsSample(docs: DataFrame, idCol: String, stratumCol: String,
+                weight: Column, n: Int, salt: String): DataFrame = {
+    val u = hash60(concat(lit(s"$salt|"), col(idCol).cast("string")))
+      .cast("double") / lit(Sketches.TwoPow60)
+    val priority = u / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(priority, col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** The end of the dedup story: the kept corpus. Every doc except
     * non-canonical cluster members (cluster survivor = min doc_id, per
     * [[dupClusters]]). Anti-join keyed by doc id — at 100 TB the drop

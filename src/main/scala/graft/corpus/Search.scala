@@ -92,4 +92,28 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Inverted-index materialization — the index-build side of retrieval:
+    * per token, document frequency, total term frequency, and the top
+    * document by tf (ties → smaller doc id). `minDf` drops the long tail
+    * so the output is the dictionary-sized head. One token-keyed shuffle
+    * for the tf groupBy; df/top-doc ride the SAME partitioning (token
+    * prefix of the grouping key → no second exchange). */
+  def postingsSummary(docs: DataFrame, idCol: String, textCol: String,
+                      minDf: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("_rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        max(when(col("_rn") === 1, col("doc_id"))).as("top_doc_id"),
+        max(when(col("_rn") === 1, col("tf"))).as("top_tf"))
+      .filter(col("df") >= minDf)
+  }
 }

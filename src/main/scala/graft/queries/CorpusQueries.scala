@@ -586,6 +586,25 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Sequential Poisson (PPS) sampling (Dedup.ppsSample): weighted
+    // sampling without replacement where weight = doc length — the
+    // data-mixture draw that keeps token mass rather than doc count,
+    // deterministic (hash-derived uniforms, no RNG) per stratum.
+    "corpus_sample_pps" -> ((spark, dir) => {
+      Dedup.ppsSample(docs(spark, dir), "doc_id", "source",
+          col("n_chars"), n = 10, salt = "pps")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // Inverted-index head (Search.postingsSummary): per dictionary token,
+    // df / total tf / top document — the index-build data product.
+    "search_postings" -> ((spark, dir) => {
+      graft.corpus.Search.postingsSummary(docs(spark, dir), "doc_id", "text",
+          minDf = 20L)
+        .orderBy("token")
+    }),
+
     // BM25 keyword retrieval (graft.corpus.Search): top-20 docs for a
     // fixed term set. Inverted-index shape — only query-term occurrences
     // shuffle; corpus stats reduce to one broadcast row; top-k is a
@@ -1519,6 +1538,36 @@ object CorpusQueries {
          |FROM est LEFT JOIN ex USING (probe)
          |ORDER BY probe""".stripMargin
     },
+
+    "corpus_sample_pps" ->
+      s"""WITH pri AS (
+         |  SELECT source, doc_id, n_chars,
+         |         (CAST(${h60("'pps|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |          / CAST(1152921504606846976 AS DOUBLE))
+         |         / CAST(n_chars AS DOUBLE) AS priority
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY source ORDER BY priority, doc_id) AS rn
+         |  FROM pri
+         |)
+         |SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "search_postings" ->
+      s"""$tokCte,
+         |occ AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+         |tf AS (SELECT token, doc_id, count(*) AS tf FROM occ GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT token, doc_id, tf, row_number() OVER (
+         |    PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+         |  FROM tf
+         |)
+         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+         |       max(CASE WHEN rn = 1 THEN tf END) AS top_tf
+         |FROM rk GROUP BY 1 HAVING count(*) >= 20
+         |ORDER BY token""".stripMargin,
 
     "search_bm25" -> {
       // identical expression TREE to Search.bm25TopK: same folded literals

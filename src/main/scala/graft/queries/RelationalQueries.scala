@@ -349,6 +349,66 @@ object RelationalQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Cohort retention: users cohorted by first-seen day; per (cohort,
+    // day-offset) distinct returning users at offsets 0/1/3/7. Two
+    // user-keyed aggregations + one broadcast-sized join — the classic
+    // event-analytics rollup the loaded tables exist to serve.
+    "events_retention" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val act = ev.distinct()
+      act.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .filter(col("day_offset").isin(0, 1, 3, 7))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Per-minute rate anomaly detection: minutes whose event count
+    // exceeds mean + 3σ for their type. Variance from exact integer
+    // sums (n·Σc² - (Σc)²) — only the final threshold runs in doubles,
+    // with the same expression shape on both engines.
+    "events_anomaly" -> ((spark, dir) => {
+      val perMin = XeFixture.events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("c"))
+      val stats = perMin.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("mean_c", col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("var_c",
+          (col("n").cast("double") * col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double")))
+      perMin.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_minutes"),
+          round(min(col("mean_c")), 6).as("mean_per_minute"),
+          round(sqrt(min(col("var_c"))), 6).as("std_per_minute"),
+          sum(when(col("c").cast("double") >
+            col("mean_c") + lit(3.0) * sqrt(col("var_c")), 1L).otherwise(0L))
+            .as("n_anomalous"),
+          max(col("c")).as("max_minute_count"))
+        .orderBy("event_type")
+    }),
+
+    // Window-function breadth over per-user lifetime value: ntile decile,
+    // percent_rank, cume_dist — all over ONE deterministic ordering
+    // (total desc, user id tie-break), so every engine ranks identically.
+    "events_value_deciles" -> ((spark, dir) => {
+      val totals = XeFixture.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(dec(col("value"))).cast("double").as("total_value"))
+      val w = Window.orderBy(col("total_value").desc, col("user_id"))
+      totals.select(col("user_id"), col("total_value"),
+          ntile(10).over(w).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("user_id")
+    }),
+
     // Pivot: order status → columns, priorities → rows. Explicit value
     // list keeps the plan single-pass (no distinct-values pre-scan) and
     // the output schema static — which is also what the 100 TB plan needs.
@@ -605,6 +665,56 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "events_retention" ->
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          |f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+          |act AS (SELECT DISTINCT user_id, d FROM ev)
+          |SELECT cohort_day,
+          |       CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM act JOIN f USING (user_id)
+          |WHERE date_diff('day', cohort_day, d) IN (0, 1, 3, 7)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "events_anomaly" ->
+        """WITH pm AS (
+          |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+          |  FROM events GROUP BY 1, 2
+          |), st AS (
+          |  SELECT event_type, count(*) AS n,
+          |         CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+          |  FROM pm GROUP BY 1
+          |), st2 AS (
+          |  SELECT event_type, n, s1, s2,
+          |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+          |         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_c
+          |  FROM st
+          |)
+          |SELECT pm.event_type, min(n) AS n_minutes,
+          |       round(min(mean_c), 6) AS mean_per_minute,
+          |       round(sqrt(min(var_c)), 6) AS std_per_minute,
+          |       CAST(sum(CASE WHEN CAST(c AS DOUBLE) >
+          |                mean_c + 3.0 * sqrt(var_c) THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_anomalous,
+          |       max(c) AS max_minute_count
+          |FROM pm JOIN st2 USING (event_type)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_value_deciles" ->
+        """WITH totals AS (
+          |  SELECT user_id,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |  FROM events GROUP BY 1
+          |)
+          |SELECT user_id, total_value,
+          |       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       round(cume_dist() OVER w, 6) AS cume
+          |FROM totals WINDOW w AS (ORDER BY total_value DESC, user_id)
+          |ORDER BY user_id""".stripMargin,
 
       "pivot_revenue" ->
         """SELECT o_orderpriority,
