@@ -586,6 +586,30 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Bigram-rarity quality score — the deterministic stand-in for
+    // LM-perplexity filtering: docs whose word transitions are mostly
+    // corpus-rare (df<=2) read as noise/garble. Integer counts end-to-end
+    // (no transcendental math); inverted-index shape — the bigram-keyed
+    // shuffle feeds both the corpus counts and the join back, sharing one
+    // exchange.
+    "text_bigram_rarity" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val bg = d.select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
+      val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      val per = bg.join(cnt, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("n") <= 2, 1L).otherwise(0L)).as("nr"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+          coalesce(col("nr"), lit(0L)).as("n_rare"),
+          when(coalesce(col("nb"), lit(0L)) === 0, 0.0)
+            .otherwise(round(col("nr").cast("double") / col("nb").cast("double"), 6))
+            .as("rare_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Sequential Poisson (PPS) sampling (Dedup.ppsSample): weighted
     // sampling without replacement where weight = doc length — the
     // data-mixture draw that keeps token mass rather than doc count,
@@ -1538,6 +1562,28 @@ object CorpusQueries {
          |FROM est LEFT JOIN ex USING (probe)
          |ORDER BY probe""".stripMargin
     },
+
+    "text_bigram_rarity" ->
+      s"""$tokCte,
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ws)),
+         |                i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM toks WHERE len(ws) >= 2
+         |), cnt AS (SELECT bg, count(*) AS n FROM bg GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, count(*) AS nb,
+         |         CAST(sum(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nr
+         |  FROM bg JOIN cnt USING (bg) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(nb, 0) AS n_bigrams,
+         |       coalesce(nr, 0) AS n_rare,
+         |       CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(nr AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+         |       END AS rare_ratio
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_pps" ->
       s"""WITH pri AS (

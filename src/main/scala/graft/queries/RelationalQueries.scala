@@ -349,6 +349,38 @@ object RelationalQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Changelog compaction (CDC latest-state): one surviving row per key,
+    // the most recent by (ts, event_id). The window form shuffles each key
+    // group once — the merge-on-read compaction step of any upsert table.
+    "events_latest_state" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      XeFixture.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Anti-join surface: churn — customers with no order since 2000-01-01,
+    // rolled up per nation. The anti-join's right side prunes to a
+    // key-only projection behind the pushed date filter; nation broadcast.
+    "customers_without_orders" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        .select(col("o_custkey")).distinct()
+      val nat = t(spark, dir, "nation")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_churned_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("churned_acctbal"))
+        .orderBy("n_name")
+    }),
+
     // Cohort retention: users cohorted by first-seen day; per (cohort,
     // day-offset) distinct returning users at offsets 0/1/3/7. Two
     // user-keyed aggregations + one broadcast-sized join — the classic
@@ -665,6 +697,23 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "events_latest_state" ->
+        """SELECT user_id, event_id AS last_event_id,
+          |       epoch_us(ts) AS last_ts_us, event_type AS last_event_type
+          |FROM (SELECT *, row_number() OVER (
+          |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "customers_without_orders" ->
+        """SELECT n_name, count(*) AS n_churned_customers,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS churned_acctbal
+          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderdate >= DATE '2000-01-01')
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
       "events_retention" ->
         """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

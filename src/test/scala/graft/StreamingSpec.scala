@@ -210,6 +210,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("CMS sketch aggregates across micro-batches to the batch matrix") {
+    import graft.corpus.{Sketches, TextAnalysis => T}
+    // add-merge associativity under streaming: per-micro-batch partial
+    // counter matrices must sum to exactly the batch CMS
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("user_id"))
+    val dir = Files.createTempDirectory("graft-cms").toString
+    val ckpt = Files.createTempDirectory("graft-cms-ck").toString
+    val halves = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    halves(0).write.parquet(s"$dir/drop1")
+    halves(1).write.parquet(s"$dir/drop2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop*")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(Sketches.cmsAgg(3, 64,
+          Sketches.saltedPositions(col("user_id").cast("string"), 3, 64))
+          .as("cms"))
+    val q = sketchOf(stream).writeStream
+      .format("memory").queryName("cms_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("cms_stream")
+    val batch = sketchOf(ev)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
     val ev = XeFixture.events(spark, sf("sf0.001"))
     val clicks = ev.filter(col("event_type") === "click")
