@@ -184,4 +184,48 @@ class PlanSpec extends SparkTestBase {
       assert(joined.collect().nonEmpty)
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("grouping_sets_orders: one Expand + one agg exchange, not N scans") {
+    val nodes = executedNodes(q("grouping_sets_orders"))
+    val expands = nodes.filter(_.getClass.getSimpleName.contains("Expand"))
+    assert(expands.size == 1,
+      s"grouping sets should compile to a single Expand, got ${expands.size}")
+    val scans = nodes.filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans.size == 1, s"expected one orders scan, got ${scans.size}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2, // agg exchange + final deterministic sort
+      s"expected <=2 shuffles, got ${shuffles.size}")
+  }
+
+  test("pivot_revenue: explicit values → single scan, single agg pass") {
+    val nodes = executedNodes(q("pivot_revenue"))
+    val scans = nodes.filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans.size == 1,
+      s"pivot with explicit values must not pre-scan for distinct values, got ${scans.size} scans")
+  }
+
+  test("text_bigram_rarity: count join broadcasts (small counts) or reuses the bigram exchange") {
+    // at fixture size AQE broadcasts the distinct-bigram counts (the
+    // occurrence side is then never shuffled for the join); at corpus
+    // scale the same plan degrades gracefully to SMJ with the bigram
+    // exchange built once and reused. Either shape is the right one —
+    // what must NEVER appear is a nested-loop/cartesian join.
+    val nodes = executedNodes(q("text_bigram_rarity"))
+    val reused = nodes.filter(_.getClass.getSimpleName.contains("ReusedExchange"))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(reused.nonEmpty || bhj.nonEmpty,
+      "expected broadcast count join or a reused bigram exchange")
+    val bnlj = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    val cart = nodes.filter(_.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(bnlj.isEmpty && cart.isEmpty)
+  }
+
+  test("search_postings: df/top-doc aggregation adds no second token exchange") {
+    // window (token) and groupBy (token) share the same partitioning:
+    // exactly one token-keyed shuffle + one final sort exchange
+    val nodes = executedNodes(q("search_postings"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3,
+      s"expected tf exchange (+fanout/sort), got ${shuffles.size}")
+  }
 }
