@@ -265,4 +265,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
+
+  /** Multi-probe IVF over a k-means quantizer (FAISS `nprobe`): the data
+    * side is assigned its ONE nearest centroid ([[VectorExpr.nearestCentroidF]],
+    * a codegen projection); each query probes its `nprobe` nearest cells
+    * ([[VectorExpr.nearestCentroidsF]] → explode). Recall rises
+    * monotonically with nprobe and reaches brute force exactly at
+    * nprobe = |centroids| (pinned in SimilaritySpec); scan/shuffle work
+    * scales with nprobe/|centroids| instead of 1. Query side stays
+    * broadcast — the big side still streams once. */
+  def ivfTopKProbes(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], nprobe: Int,
+                    queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(VectorExpr.nearestCentroidsF(col(vecCol), centroids, nprobe))
+          .as("qbucket"),
+        normUdf(col(vecCol)).as("qnrm"))
+    val ranked = Dedup.fanout(emb)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        VectorExpr.nearestCentroidF(col(vecCol), centroids).as("nbucket"),
+        normUdf(col(vecCol)).as("nnrm"))
+      .join(broadcast(queries),
+        col("qbucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
 }

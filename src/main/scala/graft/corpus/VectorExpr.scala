@@ -106,6 +106,44 @@ object VectorOps2 {
     }
     best
   }
+
+  /** The `nprobe` nearest centroid ids in increasing-distance order
+    * (ties → lower id, same contract as [[nearestCentroid]]): insertion
+    * into two fixed-size arrays — O(k·nprobe), no allocation besides the
+    * result. Multi-probe IVF's query-side fan-out. */
+  def nearestCentroids(v: ArrayData, cs: Array[Array[Double]],
+                       nprobe: Int): ArrayData = {
+    val m = math.min(nprobe, cs.length)
+    val ids = new Array[Int](m)
+    val ds = new Array[Double](m)
+    var filled = 0
+    var c = 0
+    while (c < cs.length) {
+      val cent = cs(c)
+      val n = math.min(cent.length, v.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      // strict < : equal distances keep the earlier (lower) id
+      var pos = filled
+      while (pos > 0 && d < ds(pos - 1)) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { ids(j) = ids(j - 1); ds(j) = ds(j - 1); j -= 1 }
+        ids(pos) = c
+        ds(pos) = d
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(ids, filled))
+  }
 }
 
 /**
@@ -140,6 +178,35 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Multi-probe variant of [[NearestCentroidF]]: the nprobe nearest
+  * cluster ids, distance-ordered — the query-side fan-out of multi-probe
+  * IVF. Same codegen-reference-object pattern; output is a small int
+  * array the caller explodes. */
+case class NearestCentroidsF(child: Expression, centroids: Array[Array[Double]],
+                             nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "nearest_centroids_f"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps2.nearestCentroids(a.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.corpus.VectorOps2.nearestCentroids($a, $cRef, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsF =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   import org.apache.spark.sql.graft.bridge
 
@@ -151,4 +218,8 @@ object VectorExpr {
 
   def nearestCentroidF(v: Column, centroids: Array[Array[Double]]): Column =
     bridge.column(NearestCentroidF(bridge.expression(v), centroids))
+
+  def nearestCentroidsF(v: Column, centroids: Array[Array[Double]],
+                        nprobe: Int): Column =
+    bridge.column(NearestCentroidsF(bridge.expression(v), centroids, nprobe))
 }

@@ -70,6 +70,32 @@ class SessionsSpec extends SparkTestBase {
     assert(streamed == batch && batch.size == 5)
   }
 
+  test("property: assign matches a reference fold over 300 random event sets") {
+    // seeded random (key, ts) events; reference = per-key sort + linear
+    // gap fold in plain Scala
+    val rnd = new scala.util.Random(42)
+    val events = Seq.fill(300)(
+      (rnd.nextInt(12).toLong, ts(rnd.nextInt(500).toLong), rnd.nextLong() & 0xffffL))
+      .distinct // unique (key, ts, id) triples keep the tie-break total
+    val gapUs = 45L * 60 * 1000000
+    val expected = events.groupBy(_._1).flatMap { case (k, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        val t = e._2.getTime * 1000
+        if (prev == Long.MinValue || t - prev > gapUs) seq += 1
+        prev = t
+        (k, e._3, seq)
+      }
+    }.toSet
+    val got = Sessions.assign(events.toDF("user_id", "t", "event_id"),
+        "user_id", "t", "event_id", gapUs)
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("assign + stats run in ONE exchange (windows and groupBy share the key)") {
     val df = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (2L, ts(0), 3L))
       .toDF("user_id", "t", "event_id")

@@ -52,6 +52,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).toSet == Set(1L, 4L))
   }
 
+  test("multi-probe IVF: recall grows with nprobe; full probe = brute force") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    // any fixed centroid table works for the recall contract; use the
+    // k-means seed rows (deterministic, spread by construction)
+    val centroids = emb.orderBy($"vec_id").limit(8).select($"embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val pred = col("vec_id") % 40 === 0
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10))
+    def recall(nprobe: Int): Double = {
+      val got = hits(Similarity.ivfTopKProbes(emb, "vec_id", "embedding",
+        centroids, nprobe, pred, 10))
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    val rAll = recall(8)
+    assert(r1 <= r4 + 1e-9 && r4 <= rAll + 1e-9,
+      s"recall must not decrease with nprobe: $r1, $r4, $rAll")
+    assert(rAll == 1.0, s"full probe must equal brute force, recall $rAll")
+    assert(r4 > 0.3, s"nprobe=4 of 8 cells should recover real recall, got $r4")
+  }
+
+  test("nearestCentroidsF returns distance-ordered cells; head = nearestCentroidF") {
+    val cents = Array(Array(1.0, 2.0, 3.0), Array(0.0, 0.0, 0.0),
+      Array(-1.0, 0.5, 0.25), Array(3.0, -2.0, 1.0))
+    val rows = vecs.select($"vec_id",
+      VectorExpr.nearestCentroidF($"embedding", cents).as("one"),
+      VectorExpr.nearestCentroidsF($"embedding", cents, 3).as("many")).collect()
+    rows.foreach { r =>
+      val many = r.getSeq[Int](2)
+      assert(many.length == 3 && many.head == r.getInt(1))
+      assert(many.distinct.length == many.length)
+    }
+    // full-width probe enumerates every cell exactly once
+    val full = vecs.select(
+      VectorExpr.nearestCentroidsF($"embedding", cents, 4).as("all")).collect()
+    full.foreach(r => assert(r.getSeq[Int](0).sorted == Seq(0, 1, 2, 3)))
+  }
+
   test("SRP-LSH pairs are a subset of brute-force pairs with usable recall") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val planes = graft.queries.CorpusQueries.srpPlanesConst
