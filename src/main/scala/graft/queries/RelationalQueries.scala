@@ -349,6 +349,53 @@ object RelationalQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // OHLC downsampling: 5-minute bars per event type — open/close via
+    // min_by/max_by on the unique (ts, event_id) order, bar key by exact
+    // integer µs arithmetic (us - us%300e6; a double division would drift
+    // from the oracle). One (type, bar)-keyed exchange.
+    "events_ohlc" -> ((spark, dir) => {
+      val us = unix_micros(col("ts"))
+      val bar = (us - pmod(us, lit(300000000L))).as("bar_us")
+      val ord = struct(us.as("u"), col("event_id"))
+      XeFixture.events(spark, dir)
+        .groupBy(col("event_type"), bar)
+        .agg(min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("event_type", "bar_us")
+    }),
+
+    // Interval-union coverage (the sweep-line island trick): each error
+    // event opens a 5-minute outage window; per user, merged windows →
+    // number of distinct outage islands + total covered µs. Running max
+    // over the window start order detects island breaks — one user-keyed
+    // exchange feeds both windows and the final rollup, all-integer math.
+    "events_coverage" -> ((spark, dir) => {
+      val iv = XeFixture.events(spark, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("lo"), col("event_id"))
+      val prevMax = max(col("hi")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = iv
+        .withColumn("is_new",
+          when(prevMax.isNull || col("lo") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(min(col("lo")).as("ilo"), max(col("hi")).as("ihi"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ihi") - col("ilo")).as("covered_us"))
+        .orderBy("user_id")
+    }),
+
     // Changelog compaction (CDC latest-state): one surviving row per key,
     // the most recent by (ts, event_id). The window form shuffles each key
     // group once — the merge-on-read compaction step of any upsert table.
@@ -697,6 +744,52 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "events_ohlc" ->
+        """WITH e AS (
+          |  SELECT event_type, event_id, value, epoch_us(ts) AS us,
+          |         epoch_us(ts) - epoch_us(ts) % 300000000 AS bar_us
+          |  FROM events
+          |)
+          |SELECT event_type, bar_us,
+          |       struct_extract(min(struct_pack(u := us, i := event_id, v := value)), 'v') AS open,
+          |       max(value) AS high,
+          |       min(value) AS low,
+          |       struct_extract(max(struct_pack(u := us, i := event_id, v := value)), 'v') AS close,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM e GROUP BY event_type, bar_us
+          |ORDER BY event_type, bar_us""".stripMargin,
+
+      "events_coverage" ->
+        """WITH iv AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS lo,
+          |         epoch_us(ts) + 300000000 AS hi
+          |  FROM events WHERE event_type = 'error'
+          |), marked AS (
+          |  SELECT user_id, lo, hi,
+          |         CASE WHEN max(hi) OVER (PARTITION BY user_id
+          |                ORDER BY lo, event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          |               OR lo > max(hi) OVER (PARTITION BY user_id
+          |                ORDER BY lo, event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |              THEN 1 ELSE 0 END AS is_new,
+          |         event_id
+          |  FROM iv
+          |), islands AS (
+          |  SELECT user_id, lo, hi,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY lo, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |           AS island
+          |  FROM marked
+          |), agg AS (
+          |  SELECT user_id, island, min(lo) AS ilo, max(hi) AS ihi
+          |  FROM islands GROUP BY 1, 2
+          |)
+          |SELECT user_id, count(*) AS n_islands,
+          |       CAST(sum(ihi - ilo) AS BIGINT) AS covered_us
+          |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "events_latest_state" ->
         """SELECT user_id, event_id AS last_event_id,
