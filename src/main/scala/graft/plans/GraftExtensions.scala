@@ -29,10 +29,59 @@ object CollapseTruncation extends Rule[LogicalPlan] {
  * SparkSessionExtensions entry point — activate with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
  * per-session via `spark.experimental.extraOptimizations`.
+ *
+ * Besides the optimizer rule and the TopK planner strategy, the custom
+ * codegen expressions register as SQL functions, so `spark.sql` users
+ * get the same kernels the DataFrame operators use:
+ * `dot_f(a, b)`, `norm_f(a)`, `minhash_sig(shingles, k)`,
+ * `simhash_sig(tokens, bits)`, `callstack_debug_cmd(stack, len, cmd)`.
+ * Int/string parameters must be literals (they are codegen'd constants,
+ * like the reference's fixed frame length).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Integer, IntegerType) => v.intValue
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
+  }
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING parameter, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => CollapseTruncation)
     extensions.injectPlannerStrategy(_ => TopKStrategy)
+
+    extensions.injectFunction(fn("dot_f",
+      "dot_f(a, b) - exact sequential-fold dot product of two float vectors") {
+      case Seq(a, b) => graft.corpus.DotProductF(a, b)
+    })
+    extensions.injectFunction(fn("norm_f",
+      "norm_f(a) - sqrt of the sequential-fold self dot product") {
+      case Seq(a) => graft.corpus.NormF(a)
+    })
+    extensions.injectFunction(fn("minhash_sig",
+      "minhash_sig(shingles, k) - k salted portable minhashes in one pass") {
+      case Seq(a, k) => graft.corpus.MinHashSig(a, litInt(k, "minhash_sig"))
+    })
+    extensions.injectFunction(fn("simhash_sig",
+      "simhash_sig(tokens, bits) - tf-weighted simhash signature") {
+      case Seq(a, b) => graft.corpus.SimHashSig(a, litInt(b, "simhash_sig"))
+    })
+    extensions.injectFunction(fn("callstack_debug_cmd",
+      "callstack_debug_cmd(stack, frame_len, cmd) - F6 debugger command formatter") {
+      case Seq(a, l, c) => graft.xel.CallstackDebugCmd(a,
+        litInt(l, "callstack_debug_cmd"), litStr(c, "callstack_debug_cmd"))
+    })
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions as a WHOLE-SESSION install: a session built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` exposes the custom
+  * codegen kernels as SQL functions and carries the optimizer rule —
+  * the `spark.sql` user surface, not just the DataFrame one. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the test SparkContext; a NEW SparkSession instance is
+      // constructed, so the extensions class is applied
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("SQL functions: dot_f/norm_f match the DataFrame kernels") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        """SELECT dot_f(CAST(array(1.0, 2.0, 3.0) AS array<float>),
+          |             CAST(array(4.0, 5.0, 6.0) AS array<float>)) AS d,
+          |       norm_f(CAST(array(3.0, 4.0) AS array<float>)) AS n""".stripMargin)
+        .head()
+      assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 5.0)
+    }
+  }
+
+  test("SQL minhash_sig/simhash_sig equal the column API") {
+    withExtendedSession { s =>
+      import graft.corpus.{MinHashSig, SimHashSig}
+      import org.apache.spark.sql.functions._
+      val df = s.sql("SELECT array('a b c', 'b c d', 'c d e') AS sh, " +
+        "array('x', 'y', 'x') AS toks")
+      val viaSql = s.sql(
+        "SELECT minhash_sig(array('a b c', 'b c d', 'c d e'), 4) AS mh, " +
+          "simhash_sig(array('x', 'y', 'x'), 16) AS sh16").head()
+      val viaCol = df.select(
+        MinHashSig.toColumn(col("sh"), 4).as("mh"),
+        SimHashSig.toColumn(col("toks"), 16).as("sh16")).head()
+      assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+      assert(viaSql.getLong(1) == viaCol.getLong(1))
+    }
+  }
+
+  test("SQL callstack_debug_cmd formats like the column API") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      val hex = "00FFAA11223344556677889900AABBCC"
+      val viaSql = s.sql(
+        s"SELECT callstack_debug_cmd(unhex('$hex'), 16, 'dc') AS c")
+        .head().getString(0)
+      val viaCol = s.sql(s"SELECT unhex('$hex') AS cs")
+        .select(graft.xel.XelFunctions.callstackDebugCmd(col("cs"), 16, "dc"))
+        .head().getString(0)
+      assert(viaSql == viaCol && viaSql.nonEmpty)
+    }
+  }
+
+  test("non-literal parameters are rejected loudly") {
+    withExtendedSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT minhash_sig(array('a'), CAST(id AS INT)) FROM range(1)")
+          .collect()
+      }
+      assert(e.getMessage.contains("literal INT"))
+    }
+  }
+
+  test("the extended session also carries the CollapseTruncation rule") {
+    withExtendedSession { s =>
+      val df = s.sql(
+        "SELECT substring(substring('abcdefghij', 1, 8), 1, 5) AS t")
+      val substrings = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect {
+          case x: org.apache.spark.sql.catalyst.expressions.Substring => x
+        })
+      assert(substrings.size <= 1)
+      assert(df.head().getString(0) == "abcde")
+    }
+  }
+}
