@@ -246,4 +246,22 @@ object TextAnalysis {
   def markupRatio(text: Column): Column =
     round((length(text) - length(regexp_replace(text, htmlTagPattern, "")))
       .cast("double") / length(text).cast("double"), 6)
+
+  /** Non-overlapping `segLen`-token segments in document order (last one
+    * may be short) — the "line" unit of C4-style repeated-boilerplate
+    * removal when the corpus carries no newline structure. Same bind-once
+    * outer-transform idiom as [[kgrams]] (one tokenize per row); the
+    * `when` guard keeps sequence() from descending on empty docs. Integer
+    * segment count via floor() — exact for any real doc length. */
+  def tokenSegments(text: Column, segLen: Int): Column =
+    element_at(
+      transform(array(tokens(text)), ws => {
+        val n = size(ws)
+        val nSeg = floor((n + lit(segLen - 1)).cast("double") / segLen)
+          .cast("int")
+        when(n === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nSeg), i =>
+            concat_ws(" ", slice(ws, (i - lit(1)) * segLen + 1, lit(segLen)))))
+      }),
+      1)
 }

@@ -586,6 +586,33 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // C4-style repeated-boilerplate removal: non-overlapping 4-token
+    // segments (the "line" unit for newline-free text); any segment
+    // occurring >= 3 times corpus-wide is dropped from every doc, and the
+    // doc is rebuilt in original segment order (hash-pinned). One
+    // segment-keyed exchange for counts, one doc-keyed for the rebuild.
+    "dedup_segments" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val segs = d.select(col("doc_id"),
+        posexplode(T.tokenSegments(col("text"), segDedupLen)).as(Seq("pos", "seg")))
+      val cnt = segs.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
+      val marked = segs.join(cnt, "seg")
+        .withColumn("dropped", col("n_occ") >= segDedupThreshold)
+      val per = marked.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("nseg"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("ndrop"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(
+            when(!col("dropped"), struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("cleaned"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nseg"), lit(0L)).as("n_segments"),
+          coalesce(col("ndrop"), lit(0L)).as("n_dropped"),
+          T.hash60(coalesce(col("cleaned"), lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram-rarity quality score — the deterministic stand-in for
     // LM-perplexity filtering: docs whose word transitions are mostly
     // corpus-rare (df<=2) read as noise/garble. Integer counts end-to-end
@@ -678,6 +705,10 @@ object CorpusQueries {
   // BM25 search knobs
   val bm25Terms: Seq[String] = Seq("spark", "join", "window")
   val bm25K = 20
+
+  // segment-dedup knobs (C4-style repeated-line removal)
+  val segDedupLen = 4
+  val segDedupThreshold = 3
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -1562,6 +1593,32 @@ object CorpusQueries {
          |FROM est LEFT JOIN ex USING (probe)
          |ORDER BY probe""".stripMargin
     },
+
+    "dedup_segments" ->
+      s"""$tokCte,
+         |segs AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(ws[(pos*$segDedupLen+1):least((pos+1)*$segDedupLen, len(ws))], ' ') AS seg
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range((len(ws)+${segDedupLen - 1})//$segDedupLen)) AS pos
+         |        FROM toks)
+         |), cnt AS (SELECT seg, count(*) AS n_occ FROM segs GROUP BY 1),
+         |marked AS (
+         |  SELECT doc_id, pos, seg, n_occ >= $segDedupThreshold AS dropped
+         |  FROM segs JOIN cnt USING (seg)
+         |), per AS (
+         |  SELECT doc_id, count(*) AS nseg,
+         |         CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS ndrop,
+         |         coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |                    FILTER (WHERE NOT dropped), '') AS cleaned
+         |  FROM marked GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(nseg, 0) AS n_segments,
+         |       coalesce(ndrop, 0) AS n_dropped,
+         |       ${h60("coalesce(cleaned, '')")} AS clean_hash
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_bigram_rarity" ->
       s"""$tokCte,

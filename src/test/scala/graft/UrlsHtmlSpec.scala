@@ -50,4 +50,14 @@ class UrlsHtmlSpec extends SparkTestBase {
     assert(one(Urls.hasTracking(lit("http://a.com/p?utm_source=x"))) == "true")
     assert(one(Urls.hasTracking(lit("http://a.com/p?id=utm_source"))) == "false")
   }
+
+  test("tokenSegments: order-preserving fixed windows with a short tail") {
+    import spark.implicits._
+    val got = Seq("a b c d e f g h i j", "a b", "", "   ")
+      .toDF("t").select(TextAnalysis.tokenSegments(col("t"), 4).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c d", "e f g h", "i j"))
+    assert(got(1) == Seq("a b"))
+    assert(got(2) == Seq.empty && got(3) == Seq.empty)
+  }
 }
