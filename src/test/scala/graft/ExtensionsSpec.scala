@@ -14,11 +14,14 @@ class ExtensionsSpec extends SparkTestBase {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      // reuses the test SparkContext; a NEW SparkSession instance is
-      // constructed, so the extensions class is applied
+      // reuses the test SparkContext. withExtensions applies the instance
+      // at session construction — the `spark.sql.extensions` STATIC conf
+      // route only works on the FIRST context of the JVM (an existing
+      // SparkContext's conf is frozen, which is exactly the production
+      // story: set the conf at cluster launch, or use withExtensions).
       val s = SparkSession.builder()
         .master("local[4]")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .withExtensions(new graft.plans.GraftExtensions())
         .config("spark.sql.shuffle.partitions", "4")
         .getOrCreate()
       f(s)
