@@ -82,6 +82,48 @@ object EventStream {
   /** Per-minute event-rate rollup — the streaming twin of the batch
     * `xe_rate_minute` query. Works on batch frames too (tumbling window ==
     * date_trunc minute). On a stream, pair with [[withLateDataGuard]]. */
+  /** Streaming→JDBC exactly-once sink (the §2.9 completion of the S5
+    * bulk-append path): a `foreachBatch` body that makes each micro-batch
+    * append IDEMPOTENT under replay with the standard batch-id discipline
+    * — every row carries its `batch_id`, and the batch's rows are deleted
+    * before (re-)appending, so a retry of a partially-written batch
+    * converges instead of duplicating. Restart-safe together with
+    * checkpointing: the streaming engine replays at-least-once, the
+    * delete-by-batch-id turns that into exactly-once at the sink.
+    * The data append itself is the distributed bulk path
+    * ([[graft.xel.JdbcSink.bulkAppend]] semantics: batched, isolation
+    * NONE); only the per-batch DELETE runs on the driver. */
+  def jdbcIdempotentAppend(url: String, table: String)
+                          (df: DataFrame, batchId: Long): Unit = {
+    val withId = df.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(batchId))
+    // the writer quotes COLUMN identifiers per dialect (so the column is
+    // case-exact), while the table name passes through as written — the
+    // DELETE must quote the same way or Derby folds batch_id to BATCH_ID
+    val qCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier("batch_id")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val exists =
+        try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+        catch { case _: java.sql.SQLException => false }
+      if (exists) {
+        val del = conn.prepareStatement(s"DELETE FROM $table WHERE $qCol = ?")
+        del.setLong(1, batchId)
+        del.executeUpdate()
+        del.close()
+      }
+    } finally conn.close()
+    withId.write
+      .mode("append")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("isolationLevel", "NONE")
+      .option("queryTimeout", 0)
+      .save()
+  }
+
   def rateByMinute(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("e_time_of_event_utc"), "1 minute"), col("event_name"))

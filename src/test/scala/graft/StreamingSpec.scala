@@ -210,6 +210,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming JDBC sink: batch-id idempotence makes replays exactly-once") {
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val events = XeFixture.frame(spark, sf("sf0.001"))
+      .select("e_time_of_event_utc", "event_name", "c_duration_us")
+    val dir = Files.createTempDirectory("graft-jdbc-in").toString
+    val ckpt = Files.createTempDirectory("graft-jdbc-ck").toString
+    events.filter(col("event_name") =!= "wait_info").write.parquet(s"$dir/drop1")
+    events.filter(col("event_name") === "wait_info").write.parquet(s"$dir/drop2")
+
+    val stream = EventStream.readEventDir(
+      spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
+    val rollup = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
+    val q = rollup.writeStream
+      .foreachBatch(EventStream.jdbcIdempotentAppend(url, "stream_rollup") _)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "stream_rollup").load()
+    val total = back.count()
+    assert(total > 0)
+    // every sunk row matches the batch rollup twin
+    val batchTwin = EventStream.rateByMinute(events)
+    assert(back.drop("batch_id").exceptAll(batchTwin).count() == 0)
+
+    // simulate an at-least-once replay of the last batch: same rows, same
+    // batch id → delete-then-append converges, count unchanged
+    val lastBatch = back.agg(max(col("batch_id"))).head().getLong(0)
+    // materialize the replayed rows FIRST — a real replay hands the sink a
+    // fresh source batch, not a lazy self-read of the sink table (which
+    // would re-scan after the idempotence delete)
+    val lazyReplay = back.filter(col("batch_id") === lastBatch).drop("batch_id")
+    val replayRows = spark.createDataFrame(
+      java.util.Arrays.asList(lazyReplay.collect(): _*), lazyReplay.schema)
+    EventStream.jdbcIdempotentAppend(url, "stream_rollup")(replayRows, lastBatch)
+    val after = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "stream_rollup").load().count()
+    assert(after == total, s"replay duplicated rows: $total -> $after")
+  }
+
   test("CMS sketch aggregates across micro-batches to the batch matrix") {
     import graft.corpus.{Sketches, TextAnalysis => T}
     // add-merge associativity under streaming: per-micro-batch partial
