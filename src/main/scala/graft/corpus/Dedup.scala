@@ -298,7 +298,12 @@ object Dedup {
     val priority = u / weight.cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(priority, col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+    // weight <= 0 or NULL = zero inclusion probability, i.e. NOT sampled.
+    // Without this filter Spark's non-ANSI division turns u/0 into NULL,
+    // which sorts FIRST in the ascending priority order — zero-weight
+    // docs would fill the sample, the exact inverse of PPS.
+    docs.filter(weight > 0)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n).drop("_rn")
   }
 

@@ -52,6 +52,9 @@ object Search {
     * besides the matching-doc groupBy). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct == terms,
+      s"duplicate query terms would double-count their score addend: $terms")
     val toks = TextAnalysis.tokens(col(textCol))
     val base = docs.select(col(idCol).as("doc_id"),
       size(toks).as("dl"), toks.as("ws"))

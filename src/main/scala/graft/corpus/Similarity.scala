@@ -252,9 +252,19 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         col(bucketCol).as("qbucket"), normUdf(col(vecCol)).as("qnrm"))
+    ivfRankJoin(emb, idCol, vecCol, col(bucketCol), queries, k)
+  }
+
+  /** Shared IVF tail: bucket equi-join (query side broadcast, big side
+    * streams once), exact cosine on candidates, per-query window top-k.
+    * Both probe variants rank through here so tie-break/scoring can never
+    * diverge between them. */
+  private def ivfRankJoin(emb: DataFrame, idCol: String, vecCol: String,
+                          dataBucket: Column, queries: DataFrame,
+                          k: Int): DataFrame = {
     val ranked = Dedup.fanout(emb)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-        col(bucketCol).as("nbucket"), normUdf(col(vecCol)).as("nnrm"))
+        dataBucket.as("nbucket"), normUdf(col(vecCol)).as("nnrm"))
       .join(broadcast(queries),
         col("qbucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
@@ -282,18 +292,7 @@ object Similarity {
         explode(VectorExpr.nearestCentroidsF(col(vecCol), centroids, nprobe))
           .as("qbucket"),
         normUdf(col(vecCol)).as("qnrm"))
-    val ranked = Dedup.fanout(emb)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-        VectorExpr.nearestCentroidF(col(vecCol), centroids).as("nbucket"),
-        normUdf(col(vecCol)).as("nnrm"))
-      .join(broadcast(queries),
-        col("qbucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    ivfRankJoin(emb, idCol, vecCol,
+      VectorExpr.nearestCentroidF(col(vecCol), centroids), queries, k)
   }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  */
 object Urls {
 
-  /** scheme://HOST — host = authority up to the first `/ ? #`. */
+  /** scheme://AUTHORITY — userinfo@host:port up to the first `/ ? #`. */
   val hostPattern: String = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
   /** scheme://host PATH — path = from the first `/` up to `? #`. */
@@ -31,7 +31,14 @@ object Urls {
   /** `[?&]utm_xxx=` — tracking-parameter marker (no alternation). */
   val trackingParamPattern: String = "[?&]utm_[a-z]+="
 
-  def host(url: Column): Column = regexp_extract(url, hostPattern, 1)
+  /** The HOST alone: authority minus a leading `userinfo@` and a trailing
+    * `:port` — without the strip, any ported/credentialed crawl URL would
+    * fail [[registrableDomain]] and collapse into one empty-domain
+    * bucket. */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_extract(url, hostPattern, 1), "^[^@/]*@", ""),
+      ":[0-9]+$", "")
 
   def path(url: Column): Column = regexp_extract(url, pathPattern, 1)
 

@@ -913,7 +913,9 @@ object CorpusQueries {
          |), x AS (
          |  SELECT doc_id,
          |    regexp_extract(
-         |      regexp_extract(url, '${graft.corpus.Urls.hostPattern}', 1),
+         |      regexp_replace(regexp_replace(
+         |        regexp_extract(url, '${graft.corpus.Urls.hostPattern}', 1),
+         |        '^[^@/]*@', ''), ':[0-9]+$$', ''),
          |      '${graft.corpus.Urls.registrableDomainPattern}', 1) AS domain,
          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          |      regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
@@ -1648,7 +1650,7 @@ object CorpusQueries {
          |         (CAST(${h60("'pps|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
          |          / CAST(1152921504606846976 AS DOUBLE))
          |         / CAST(n_chars AS DOUBLE) AS priority
-         |  FROM documents
+         |  FROM documents WHERE n_chars > 0
          |), r AS (
          |  SELECT source, doc_id, n_chars, row_number() OVER (
          |    PARTITION BY source ORDER BY priority, doc_id) AS rn

@@ -457,10 +457,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
           sum(col("c") * col("c")).as("s2"))
         .withColumn("mean_c", col("s1").cast("double") / col("n").cast("double"))
+        // n=1 guard on BOTH engines: Spark's non-ANSI /0 yields NULL while
+        // DuckDB's IEEE division yields inf — an unguarded single-minute
+        // event type would diverge the oracle hash
         .withColumn("var_c",
-          (col("n").cast("double") * col("s2").cast("double") -
-            col("s1").cast("double") * col("s1").cast("double")) /
-            (col("n").cast("double") * (col("n") - 1).cast("double")))
+          when(col("n") > 1,
+            (col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))))
       perMin.join(broadcast(stats), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(min(col("n")).as("n_minutes"),
@@ -830,9 +834,11 @@ object RelationalQueries {
           |), st2 AS (
           |  SELECT event_type, n, s1, s2,
           |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-          |         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-          |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-          |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_c
+          |         CASE WHEN n > 1 THEN
+          |           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+          |         END AS var_c
           |  FROM st
           |)
           |SELECT pm.event_type, min(n) AS n_minutes,

@@ -82,6 +82,14 @@ object EventStream {
   /** Per-minute event-rate rollup — the streaming twin of the batch
     * `xe_rate_minute` query. Works on batch frames too (tumbling window ==
     * date_trunc minute). On a stream, pair with [[withLateDataGuard]]. */
+  def rateByMinute(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("e_time_of_event_utc"), "1 minute"), col("event_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_duration_us")).as("total_duration_us"))
+      .select(col("window.start").as("minute"), col("event_name"),
+        col("n"), col("total_duration_us"))
+
   /** Streaming→JDBC exactly-once sink (the §2.9 completion of the S5
     * bulk-append path): a `foreachBatch` body that makes each micro-batch
     * append IDEMPOTENT under replay with the standard batch-id discipline
@@ -92,7 +100,9 @@ object EventStream {
     * delete-by-batch-id turns that into exactly-once at the sink.
     * The data append itself is the distributed bulk path
     * ([[graft.xel.JdbcSink.bulkAppend]] semantics: batched, isolation
-    * NONE); only the per-batch DELETE runs on the driver. */
+    * NONE); only the per-batch DELETE runs on the driver. `table` is a
+    * caller-supplied identifier, not data-derived — callers own its
+    * validity (cf. JdbcSink's folding for data-derived names). */
   def jdbcIdempotentAppend(url: String, table: String)
                           (df: DataFrame, batchId: Long): Unit = {
     val withId = df.withColumn("batch_id",
@@ -102,16 +112,29 @@ object EventStream {
     // DELETE must quote the same way or Derby folds batch_id to BATCH_ID
     val qCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       .quoteIdentifier("batch_id")
+    // SQLStates meaning "relation does not exist" (Derby, SQL Server/
+    // MySQL, Postgres). Anything ELSE on the probe must propagate: a
+    // transient failure misread as "missing table" would skip the
+    // idempotence DELETE and turn a replay into silent duplication.
+    val missingTableStates = Set("42X05", "42S02", "42P01")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val exists =
-        try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
-        catch { case _: java.sql.SQLException => false }
+        try {
+          val st = conn.createStatement()
+          try st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+          finally st.close()
+          true
+        } catch {
+          case e: java.sql.SQLException
+              if missingTableStates.contains(e.getSQLState) => false
+        }
       if (exists) {
         val del = conn.prepareStatement(s"DELETE FROM $table WHERE $qCol = ?")
-        del.setLong(1, batchId)
-        del.executeUpdate()
-        del.close()
+        try {
+          del.setLong(1, batchId)
+          del.executeUpdate()
+        } finally del.close()
       }
     } finally conn.close()
     withId.write
@@ -123,14 +146,6 @@ object EventStream {
       .option("queryTimeout", 0)
       .save()
   }
-
-  def rateByMinute(events: DataFrame): DataFrame =
-    events
-      .groupBy(window(col("e_time_of_event_utc"), "1 minute"), col("event_name"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("c_duration_us")).as("total_duration_us"))
-      .select(col("window.start").as("minute"), col("event_name"),
-        col("n"), col("total_duration_us"))
 
   /** Watermark for out-of-order events: state for a minute window is kept
     * `delay` past the max observed event time, then finalized — bounded

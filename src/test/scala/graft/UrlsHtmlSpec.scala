@@ -35,6 +35,15 @@ class UrlsHtmlSpec extends SparkTestBase {
     assert(one(Urls.path(u)) == "/a/b")
   }
 
+  test("host strips userinfo and port so the domain still resolves") {
+    val u = lit("https://alice:pw@shop.example.org:8443/cart")
+    assert(one(Urls.host(u)) == "shop.example.org")
+    assert(one(Urls.registrableDomain(Urls.host(u))) == "example.org")
+    // port-only and plain hosts unaffected
+    assert(one(Urls.host(lit("http://example.com:80/"))) == "example.com")
+    assert(one(Urls.host(lit("http://example.com/"))) == "example.com")
+  }
+
   test("canonicalize: scheme, www, query, fragment, trailing slash all drop") {
     assert(one(Urls.canonicalize(
       lit("HTTPS://WWW.Example.COM/Path/?utm_source=x&a=1#frag"))) ==
