@@ -45,6 +45,24 @@ object Multimodal {
           .otherwise("webp"))
       .withColumn("payload", synthPayload(col("text"), col("width"), col("height")))
 
+  /** Body-byte nibbles of the first `maxBytes` payload bytes as one-char
+    * hex strings — `low=false` gives the high nibble (coarse byte class),
+    * `low=true` the low nibble (fine content signature). The hex string
+    * binds ONCE as a lambda variable (interpreted HOFs do no CSE —
+    * inlined, the hex would re-run per nibble). */
+  def bodyNibbles(payload: Column, maxBytes: Int, low: Boolean): Column = {
+    val h = substring(hex(payload), 9, maxBytes * 2) // body starts after 4-byte header
+    val nFull = least((octet_length(payload) - 4).cast("int"), lit(maxBytes))
+    val off = if (low) 2 else 1
+    element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
+      val hh = s.getField("h")
+      val n = s.getField("n")
+      when(n <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), n - 1), i =>
+          substring(hh, i * lit(2) + off, lit(1))))
+    }), 1)
+  }
+
   /** SQL-expressible decode stub: header fields + payload stats via hex
     * arithmetic (keeps binary at the edges as hex — SURVEY.md §7.4). */
   def decodeStatsSql(payload: Column): Seq[Column] = {

@@ -539,6 +539,59 @@ object CorpusQueries {
         .orderBy("format", "nibble")
     }),
 
+    // Multimodal near-dup: per-payload content signature (16-dim low-
+    // nibble histogram of the first 64 body bytes, exact integer counts)
+    // → candidate pairs from a (format, top-dim, 2nd-dim) equi-join — the
+    // two-term prefix-filter family (Bayardo et al. AllPairs): vectors
+    // this cosine-close must agree on their dominant dimensions, so the
+    // bucket join replaces the all-pairs scan — → exact-cosine verify.
+    // Full prefix filtering would make the candidate set provably
+    // complete at ANY threshold; two terms suffice at 0.995 (pinned
+    // against the unbucketed scan by the oracle construction itself).
+    "mm_near_dup" -> ((spark, dir) => {
+      val withP = Multimodal.withPayload(docs(spark, dir))
+      val digits = "0123456789ABCDEF"
+      // signature as ONE array column; materialized so downstream
+      // argmax/mask references don't re-inline the 16 HOF counters
+      // (CollapseProject would grow the expression tree combinatorially —
+      // t2 references masked references t1 references all 16 filters)
+      val sig = withP
+        .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))
+        .filter(size(col("nibbles")) > 0)
+        .select(col("doc_id"), col("format"),
+          array(digits.map(d =>
+            size(filter(col("nibbles"), x => x === lit(d.toString)))
+              .cast("long")): _*).as("s"))
+        .localCheckpoint(false)
+      // first index of the max (array_position = first occurrence, the
+      // oracle's list_position rule), then of the max with t1 masked out
+      val t1 = array_position(col("s"), array_max(col("s")))
+      val keyed = sig.withColumn("t1", t1)
+        .withColumn("masked", zip_with(col("s"),
+          sequence(lit(1L), lit(16L)),
+          (x, i) => when(i === col("t1"), lit(-1L)).otherwise(x)))
+        .withColumn("t2", array_position(col("masked"), array_max(col("masked"))))
+        .withColumn("nsq",
+          (1 to 16).map(i => element_at(col("s"), i) * element_at(col("s"), i))
+            .reduce(_ + _))
+        .select("doc_id", "format", "s", "t1", "t2", "nsq")
+      val a = keyed.select(col("format"), col("t1"), col("t2"),
+        col("doc_id").as("d1"), col("nsq").as("na"), col("s").as("sa"))
+      val b = keyed.select(col("format"), col("t1"), col("t2"),
+        col("doc_id").as("d2"), col("nsq").as("nb"), col("s").as("sb"))
+      // dot via fixed-order element_at sums — codegen, no interpreted HOF
+      // in the pair loop
+      val dot = (1 to 16).map(i =>
+        element_at(col("sa"), i) * element_at(col("sb"), i)).reduce(_ + _)
+      val cos = round(dot.cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+      a.join(b, Seq("format", "t1", "t2")).filter(col("d1") < col("d2"))
+        .withColumn("dot", dot).withColumn("cos_sig", cos)
+        .filter(col("cos_sig") >= mmNearDupThreshold)
+        .select("format", "d1", "d2", "dot", "cos_sig")
+        .orderBy("format", "d1", "d2")
+    }),
+
     "mm_decode_stats" -> ((spark, dir) => {
       val withP = Multimodal.withPayload(docs(spark, dir))
       withP.select(
@@ -709,6 +762,9 @@ object CorpusQueries {
   // segment-dedup knobs (C4-style repeated-line removal)
   val segDedupLen = 4
   val segDedupThreshold = 3
+
+  // multimodal near-dup threshold (on the 6dp-rounded cosine)
+  val mmNearDupThreshold = 0.995
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -1520,6 +1576,56 @@ object CorpusQueries {
         |       ('0x' || substring(hex(payload), 9, 2))::BIGINT AS first_body_byte,
         |       CAST(least((octet_length(payload) - 4) // 64, 8) AS INTEGER) AS n_frames
         |FROM media ORDER BY doc_id""".stripMargin,
+
+    "mm_near_dup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+         |              WHEN doc_id % 3 = 1 THEN 'jpg'
+         |              ELSE 'webp' END AS format,
+         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+         |  FROM documents
+         |), nib AS (
+         |  SELECT doc_id, format,
+         |         substring(hex(payload), CAST(10 + i * 2 AS INTEGER), 1) AS nibble
+         |  FROM media, range(0, 64) t(i)
+         |  WHERE i < least(octet_length(payload) - 4, 64)
+         |), nibs AS (SELECT doc_id, format, list(nibble) AS ns FROM nib GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, format,
+         |    list_transform(range(0, 16), v ->
+         |      CAST(len(list_filter(ns, x ->
+         |        x = substring('0123456789ABCDEF', CAST(v + 1 AS INTEGER), 1))) AS BIGINT)) AS s
+         |  FROM nibs
+         |), am AS (
+         |  SELECT doc_id, format, s,
+         |    list_position(s, list_max(s)) AS t1,
+         |    list_position(
+         |      list_transform(range(0, 16), v ->
+         |        CASE WHEN CAST(v + 1 AS INTEGER) = list_position(s, list_max(s))
+         |             THEN CAST(-1 AS BIGINT) ELSE s[CAST(v + 1 AS INTEGER)] END),
+         |      list_max(list_transform(range(0, 16), v ->
+         |        CASE WHEN CAST(v + 1 AS INTEGER) = list_position(s, list_max(s))
+         |             THEN CAST(-1 AS BIGINT) ELSE s[CAST(v + 1 AS INTEGER)] END))) AS t2,
+         |    list_sum(list_transform(s, x -> x * x)) AS nsq
+         |  FROM sig
+         |), pairs AS (
+         |  SELECT a.format, a.doc_id AS d1, b.doc_id AS d2,
+         |    list_sum(list_transform(range(0, 16), v ->
+         |      a.s[CAST(v + 1 AS INTEGER)] * b.s[CAST(v + 1 AS INTEGER)])) AS dot,
+         |    a.nsq AS na, b.nsq AS nb
+         |  FROM am a JOIN am b
+         |    ON a.format = b.format AND a.t1 = b.t1 AND a.t2 = b.t2
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT format, d1, d2, CAST(dot AS BIGINT) AS dot,
+         |       round(CAST(dot AS DOUBLE)
+         |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_sig
+         |FROM pairs
+         |WHERE round(CAST(dot AS DOUBLE)
+         |            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= $mmNearDupThreshold
+         |ORDER BY format, d1, d2""".stripMargin,
 
     "sketch_bloom" -> {
       val probesValues = sketchProbes.map(p => s"('$p')").mkString(", ")
