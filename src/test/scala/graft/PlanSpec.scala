@@ -228,4 +228,29 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 3,
       s"expected tf exchange (+fanout/sort), got ${shuffles.size}")
   }
+
+  test("mm_near_dup: candidate generation is an equi-join, never a cartesian") {
+    val nodes = executedNodes(q("mm_near_dup"))
+    val bnlj = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    val cart = nodes.filter(_.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(bnlj.isEmpty && cart.isEmpty,
+      s"prefix-filter bucketing must stay an equi-join, got ${bnlj ++ cart}")
+  }
+
+  test("events_coverage: windows and island rollup share one user exchange") {
+    val nodes = executedNodes(q("events_coverage"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // user-keyed exchange + final orderBy range exchange
+    assert(shuffles.size <= 2,
+      s"expected the sweep to reuse one user-keyed exchange, got ${shuffles.size}")
+  }
+
+  test("events_sessionize family: one key exchange + output sort at most") {
+    for (name <- Seq("events_ohlc", "events_latest_state")) {
+      val nodes = executedNodes(q(name))
+      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 2,
+        s"$name: expected agg/window exchange + sort, got ${shuffles.size}")
+    }
+  }
 }
