@@ -1,0 +1,41 @@
+package graft
+
+import graft.corpus.{Dedup, Search, TextAnalysis => T}
+import graft.operators.Sessions
+import org.apache.spark.sql.functions._
+
+/** Zero-row inputs through the operator surface: a 100 TB pipeline always
+  * has some empty partition/source/day — operators must return empty
+  * frames, not NPE on a missing head() or divide into NaN rows. */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private lazy val noEvents =
+    Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "t", "event_id")
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.8).count() == 0)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text", 1).count() == 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text", 3, 12, 3, 0.8).count() == 0)
+    assert(Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("d1", "d2")).count() == 0)
+    assert(Dedup.ppsSample(noDocs, "doc_id", "source", lit(1L), 5, "s").count() == 0)
+  }
+
+  test("search operators are empty-safe") {
+    assert(Search.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    assert(Search.postingsSummary(noDocs, "doc_id", "text", 1L).count() == 0)
+  }
+
+  test("sessionization of an empty stream is an empty frame") {
+    assert(Sessions.stats(noEvents, "user_id", "t", "event_id", 1000L).count() == 0)
+  }
+
+  test("text analysis columns evaluate on empty input without an action error") {
+    val out = noDocs.select(T.stripHtml(col("text")), T.markupRatio(col("text")),
+      T.tokenSegments(col("text"), 4), T.hash60(col("text")))
+    assert(out.count() == 0)
+  }
+}
