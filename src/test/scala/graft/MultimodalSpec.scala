@@ -62,4 +62,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(0) == Seq() && got(1) == Seq())    // bodies < 64 bytes
     assert(got(2) == Seq(4, 68, 132))             // 200-char body → 3 frames
   }
+
+  test("mm_near_dup prefix-filter candidates lose no pair vs all-pairs at the threshold") {
+    // signatures for the sf0.001 corpus, Scala-side; all-pairs cosine
+    // is the ground truth the (top-dim, 2nd-dim) bucket join must match
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val sigs = Multimodal.withPayload(real)
+      .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))
+      .filter(size(col("nibbles")) > 0)
+      .select($"doc_id", $"format",
+        array("0123456789ABCDEF".map(d =>
+          size(filter(col("nibbles"), x => x === lit(d.toString))).cast("long")): _*)
+          .as("s"))
+      .as[(Long, String, Seq[Long])].collect()
+    val thr = graft.queries.CorpusQueries.mmNearDupThreshold
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val r = dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+      math.round(r * 1e6) / 1e6
+    }
+    val exact = (for {
+      (d1, f1, s1) <- sigs; (d2, f2, s2) <- sigs
+      if f1 == f2 && d1 < d2 && cos(s1, s2) >= thr
+    } yield (f1, d1, d2)).toSet
+    val bucketed = graft.SparkEntry.queries("mm_near_dup")(spark, sf("sf0.001"))
+      .select($"format", $"d1", $"d2").as[(String, Long, Long)].collect().toSet
+    assert(bucketed == exact,
+      s"prefix filter dropped pairs: missing ${exact -- bucketed}, extra ${bucketed -- exact}")
+    assert(exact.nonEmpty, "threshold should catch at least one planted-similar pair")
+  }
 }
