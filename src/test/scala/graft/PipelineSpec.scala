@@ -41,6 +41,15 @@ class PipelineSpec extends SparkTestBase {
     // reading one partition prunes to that type
     val one = spark.read.parquet(dir).filter($"event_name" === "wait_info")
     assert(one.count() == counts("wait_info"))
+    // ...and it prunes AT THE PLAN level: the type predicate becomes a
+    // PartitionFilter on the scan (directories skipped, not row-filtered)
+    // — at 100 TB this is the difference between reading one event type
+    // and reading everything
+    val explained = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters:.*event_name#\\d+ = wait_info".r
+      .findFirstIn(explained).isDefined,
+      s"expected a partition filter on event_name, got:\n$explained")
   }
 
   test("append twice == union of two loads (property from SURVEY §5)") {
