@@ -349,6 +349,44 @@ object RelationalQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // RANGE-frame sliding aggregate: per event, that user's event count
+    // and exact value sum over the trailing 10 minutes — the range frame
+    // (time-bounded, not row-bounded) the rate-limiter/fraud-score
+    // family needs. Frame bounds in integer µs on a numeric ORDER key.
+    "events_rolling_window" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      XeFixture.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m", sum(dec(col("value"))).over(w).cast("double"))
+        .select("event_id", "user_id", "n_10m", "sum_10m")
+        .orderBy("event_id")
+    }),
+
+    // Daily actives: per day, events / distinct actives / first-time
+    // users / running total of known users. The cumulative distinct is
+    // the first-seen-flag + running-sum trick — no windowed
+    // countDistinct exists on either engine.
+    "events_daily_active" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_id"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+      val daily = ev.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_active"))
+      val newbies = firstSeen.groupBy(col("first_d").as("d"))
+        .agg(count(lit(1)).as("n_new"))
+      val wcum = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(newbies, Seq("d"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum(col("n_new")).over(wcum))
+        .orderBy("d")
+    }),
+
     // OHLC downsampling: 5-minute bars per event type — open/close via
     // min_by/max_by on the unique (ts, event_id) order, bar key by exact
     // integer µs arithmetic (us - us%300e6; a double division would drift
@@ -748,6 +786,31 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "events_rolling_window" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+          |)
+          |SELECT event_id, user_id,
+          |       count(*) OVER w AS n_10m,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY us
+          |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
+
+      "events_daily_active" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, event_id FROM events
+          |), fs AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY 1),
+          |daily AS (
+          |  SELECT d, count(*) AS n_events, count(DISTINCT user_id) AS n_active
+          |  FROM ev GROUP BY 1
+          |), nb AS (SELECT first_d AS d, count(*) AS n_new FROM fs GROUP BY 1)
+          |SELECT d, n_events, n_active, coalesce(n_new, 0) AS n_new,
+          |       CAST(sum(coalesce(n_new, 0)) OVER (
+          |         ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+          |FROM daily LEFT JOIN nb USING (d) ORDER BY d""".stripMargin,
 
       "events_ohlc" ->
         """WITH e AS (
