@@ -46,10 +46,31 @@ object Bench {
       val t2 = once(); cleanup()
       name -> math.min(t1, t2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jnum(v: Double): String = f"$v%.3f"
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: the harness captures only a
+    // ~2000-char tail of stdout, and an 80+-query map at full double
+    // precision overflows it, clipping the JSON line mid-object (rounds
+    // 4 and 5 both lost the bench total this way). The stdout line keeps
+    // the total plus a fixed headline subset and stays well under the
+    // capture window; bench_detail.json carries everything.
+    val detail = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val headline = Seq(
+      "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+      "ann_topk_ivf", "search_bm25", "text_quality",
+      "events_sessionize", "asof_attribution", "mm_near_dup",
+      "xe_demux_counts", "xe_xelb_source_scan")
+    val hq = headline.flatMap(k => results.get(k).map(k -> _))
+    // stop() BEFORE the println: shutdown-time WARN lines (ContextCleaner,
+    // checkpointed-RDD unpersist) must not land after the JSON line inside
+    // the harness's capture window.
     spark.stop()
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(hq)},"sf":"$sfDir"}""")
   }
 }

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
  */
 object Urls {
 
-  /** scheme://AUTHORITY — userinfo@host:port up to the first `/ ? #`. */
-  val hostPattern: String = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+  /** scheme://AUTHORITY — userinfo@host:port up to the first `/ ? #`.
+    * Scheme class is case-insensitive ([A-Za-z]): RFC 3986 schemes are, and
+    * [[canonicalize]] lowercases before its scheme strip — a lowercase-only
+    * class here would send `HTTPS://x.com` to the empty-domain bucket while
+    * canonicalize handled it fine. */
+  val hostPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 
   /** scheme://host PATH — path = from the first `/` up to `? #`. */
-  val pathPattern: String = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+  val pathPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 
   /** Last two dot-labels of the host — the registrable domain under
     * single-label public suffixes (com/org/net/…). A full public-suffix

@@ -54,31 +54,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal STRING parameter, got $other")
   }
 
-  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+  /** Wraps each builder with an arity gate: a wrong-argument-count SQL call
+    * surfaces as an IllegalArgumentException naming the function and the
+    * expected count, not a bare scala.MatchError from the partial function. */
+  private def fn(name: String, arity: Int, usage: String)
+      (builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val checked: Seq[Expression] => Expression = { args =>
+      if (args.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument${if (arity == 1) "" else "s"}, got ${args.length}")
+      builder(args)
+    }
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), checked)
+  }
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => CollapseTruncation)
     extensions.injectPlannerStrategy(_ => TopKStrategy)
 
-    extensions.injectFunction(fn("dot_f",
+    extensions.injectFunction(fn("dot_f", 2,
       "dot_f(a, b) - exact sequential-fold dot product of two float vectors") {
       case Seq(a, b) => graft.corpus.DotProductF(a, b)
     })
-    extensions.injectFunction(fn("norm_f",
+    extensions.injectFunction(fn("norm_f", 1,
       "norm_f(a) - sqrt of the sequential-fold self dot product") {
       case Seq(a) => graft.corpus.NormF(a)
     })
-    extensions.injectFunction(fn("minhash_sig",
+    extensions.injectFunction(fn("minhash_sig", 2,
       "minhash_sig(shingles, k) - k salted portable minhashes in one pass") {
       case Seq(a, k) => graft.corpus.MinHashSig(a, litInt(k, "minhash_sig"))
     })
-    extensions.injectFunction(fn("simhash_sig",
+    extensions.injectFunction(fn("simhash_sig", 2,
       "simhash_sig(tokens, bits) - tf-weighted simhash signature") {
       case Seq(a, b) => graft.corpus.SimHashSig(a, litInt(b, "simhash_sig"))
     })
-    extensions.injectFunction(fn("callstack_debug_cmd",
+    extensions.injectFunction(fn("callstack_debug_cmd", 3,
       "callstack_debug_cmd(stack, frame_len, cmd) - F6 debugger command formatter") {
       case Seq(a, l, c) => graft.xel.CallstackDebugCmd(a,
         litInt(l, "callstack_debug_cmd"), litStr(c, "callstack_debug_cmd"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.corpus.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -541,20 +541,28 @@ object CorpusQueries {
 
     // Multimodal near-dup: per-payload content signature (16-dim low-
     // nibble histogram of the first 64 body bytes, exact integer counts)
-    // → candidate pairs from a (format, top-dim, 2nd-dim) equi-join — the
-    // two-term prefix-filter family (Bayardo et al. AllPairs): vectors
-    // this cosine-close must agree on their dominant dimensions, so the
-    // bucket join replaces the all-pairs scan — → exact-cosine verify.
-    // Full prefix filtering would make the candidate set provably
-    // complete at ANY threshold; two terms suffice at 0.995 (pinned
-    // against the unbucketed scan by the oracle construction itself).
+    // → candidate pairs from COMPLETE Bayardo/AllPairs prefix filtering
+    // → exact-cosine verify. Each vector is indexed on its dims sorted by
+    // value desc (dim asc tie-break), cut at the shortest prefix whose
+    // SUFFIX 2-norm is < (t/2)·‖s‖: if cos(x,y) ≥ t and the prefixes were
+    // disjoint, cos = Σ_{P(x)}x̂ᵢŷᵢ + Σ_{S(x)}x̂ᵢŷᵢ where every P(x) dim
+    // falls in S(y), so Cauchy-Schwarz bounds each term by a suffix norm
+    // < t/2 — contradiction. The (format, dim) postings equi-join is
+    // therefore a provably complete candidate generator at ANY threshold
+    // (earlier rounds' two-term bucket key missed swapped/near-tied top
+    // dims), and the ORACLE is the unpruned all-pairs scan — parity
+    // verifies candidate completeness, not just score agreement.
     "mm_near_dup" -> ((spark, dir) => {
       val withP = Multimodal.withPayload(docs(spark, dir))
       val digits = "0123456789ABCDEF"
-      // signature as ONE array column; materialized so downstream
-      // argmax/mask references don't re-inline the 16 HOF counters
-      // (CollapseProject would grow the expression tree combinatorially —
-      // t2 references masked references t1 references all 16 filters)
+      // signature frame behind a repartition barrier: (1) CollapseProject
+      // can't re-inline the 16 HOF counters into every downstream prefix
+      // expression (inlined, the chained references grow the tree
+      // combinatorially and hang analysis), and (2) the postings
+      // self-join's two branches share this ONE exchange via
+      // ReuseExchange — corpus scanned and signature computed once, with
+      // recomputable lineage (no pinned localCheckpoint blocks to lose on
+      // executor failure, nothing left in the block store afterwards).
       val sig = withP
         .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))
         .filter(size(col("nibbles")) > 0)
@@ -562,30 +570,47 @@ object CorpusQueries {
           array(digits.map(d =>
             size(filter(col("nibbles"), x => x === lit(d.toString)))
               .cast("long")): _*).as("s"))
-        .localCheckpoint(false)
-      // first index of the max (array_position = first occurrence, the
-      // oracle's list_position rule), then of the max with t1 masked out
-      val t1 = array_position(col("s"), array_max(col("s")))
-      val keyed = sig.withColumn("t1", t1)
-        .withColumn("masked", zip_with(col("s"),
-          sequence(lit(1L), lit(16L)),
-          (x, i) => when(i === col("t1"), lit(-1L)).otherwise(x)))
-        .withColumn("t2", array_position(col("masked"), array_max(col("masked"))))
-        .withColumn("nsq",
-          (1 to 16).map(i => element_at(col("s"), i) * element_at(col("s"), i))
-            .reduce(_ + _))
-        .select("doc_id", "format", "s", "t1", "t2", "nsq")
-      val a = keyed.select(col("format"), col("t1"), col("t2"),
+        .repartition(col("doc_id"))
+      // (value, dim) packed into one sortable long — counts are ≤ 64, so
+      // key = (64-v)*16 + (dim-1); ascending sort = value desc, dim asc.
+      // Keeps the whole prefix computation on array<long> (no structs).
+      val sortedKeys = sort_array(transform(sequence(lit(1), lit(16)), i =>
+        (lit(64L) - element_at(col("s"), i.cast("int"))) * lit(16L)
+          + i.cast("long") - lit(1L)))
+      def sqOf(key: Column): Column = {
+        val v = lit(64L) - shiftright(key, 4)
+        v * v
+      }
+      def suffixSq(sk: Column, k: Column): Column =
+        aggregate(slice(sk, k + lit(1), lit(16)), lit(0L), (acc, key) => acc + sqOf(key))
+      // smallest prefix length whose suffix squared mass is < (t/2)²·nsq —
+      // suffixSq(k) is decreasing in k, so it's 1 + #{k : suffix still ≥ cut}
+      val suffixCut = (mmNearDupThreshold / 2) * (mmNearDupThreshold / 2)
+      val nsq = (1 to 16).map(i =>
+        element_at(col("s"), i) * element_at(col("s"), i)).reduce(_ + _)
+      val keyed = sig
+        .withColumn("nsq", nsq)
+        .withColumn("sk", sortedKeys)
+        .withColumn("plen", lit(1) + size(filter(sequence(lit(1), lit(15)), k =>
+          suffixSq(col("sk"), k).cast("double") >= lit(suffixCut) * col("nsq").cast("double"))))
+      val posted = keyed.select(col("format"), col("doc_id"), col("s"), col("nsq"),
+        explode(transform(slice(col("sk"), lit(1), col("plen")),
+          key => pmod(key, lit(16L)))).as("dim"))
+      val a = posted.select(col("format"), col("dim"),
         col("doc_id").as("d1"), col("nsq").as("na"), col("s").as("sa"))
-      val b = keyed.select(col("format"), col("t1"), col("t2"),
+      val b = posted.select(col("format"), col("dim"),
         col("doc_id").as("d2"), col("nsq").as("nb"), col("s").as("sb"))
+      // a pair sharing several prefix dims matches once per shared dim —
+      // dedup on the pair key before the verify arithmetic
+      val cand = a.join(b, Seq("format", "dim")).filter(col("d1") < col("d2"))
+        .dropDuplicates("format", "d1", "d2")
       // dot via fixed-order element_at sums — codegen, no interpreted HOF
       // in the pair loop
       val dot = (1 to 16).map(i =>
         element_at(col("sa"), i) * element_at(col("sb"), i)).reduce(_ + _)
       val cos = round(dot.cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
-      a.join(b, Seq("format", "t1", "t2")).filter(col("d1") < col("d2"))
+      cand
         .withColumn("dot", dot).withColumn("cos_sig", cos)
         .filter(col("cos_sig") >= mmNearDupThreshold)
         .select("format", "d1", "d2", "dot", "cos_sig")
@@ -705,7 +730,7 @@ object CorpusQueries {
     // df / total tf / top document — the index-build data product.
     "search_postings" -> ((spark, dir) => {
       graft.corpus.Search.postingsSummary(docs(spark, dir), "doc_id", "text",
-          minDf = 20L)
+          minDf = postingsMinDf)
         .orderBy("token")
     }),
 
@@ -758,6 +783,10 @@ object CorpusQueries {
   // BM25 search knobs
   val bm25Terms: Seq[String] = Seq("spark", "join", "window")
   val bm25K = 20
+
+  // postings-summary dictionary floor — interpolated into BOTH the Spark
+  // call and the oracle's HAVING so the two sides can't silently desync
+  val postingsMinDf = 20L
 
   // segment-dedup knobs (C4-style repeated-line removal)
   val segDedupLen = 4
@@ -1600,24 +1629,18 @@ object CorpusQueries {
          |  FROM nibs
          |), am AS (
          |  SELECT doc_id, format, s,
-         |    list_position(s, list_max(s)) AS t1,
-         |    list_position(
-         |      list_transform(range(0, 16), v ->
-         |        CASE WHEN CAST(v + 1 AS INTEGER) = list_position(s, list_max(s))
-         |             THEN CAST(-1 AS BIGINT) ELSE s[CAST(v + 1 AS INTEGER)] END),
-         |      list_max(list_transform(range(0, 16), v ->
-         |        CASE WHEN CAST(v + 1 AS INTEGER) = list_position(s, list_max(s))
-         |             THEN CAST(-1 AS BIGINT) ELSE s[CAST(v + 1 AS INTEGER)] END))) AS t2,
          |    list_sum(list_transform(s, x -> x * x)) AS nsq
          |  FROM sig
          |), pairs AS (
+         |  -- UNPRUNED all-pairs scan: the ground truth the Spark side's
+         |  -- prefix-filter candidate generator must reproduce exactly —
+         |  -- parity here proves candidate completeness, not just scoring
          |  SELECT a.format, a.doc_id AS d1, b.doc_id AS d2,
          |    list_sum(list_transform(range(0, 16), v ->
          |      a.s[CAST(v + 1 AS INTEGER)] * b.s[CAST(v + 1 AS INTEGER)])) AS dot,
          |    a.nsq AS na, b.nsq AS nb
          |  FROM am a JOIN am b
-         |    ON a.format = b.format AND a.t1 = b.t1 AND a.t2 = b.t2
-         |   AND a.doc_id < b.doc_id
+         |    ON a.format = b.format AND a.doc_id < b.doc_id
          |)
          |SELECT format, d1, d2, CAST(dot AS BIGINT) AS dot,
          |       round(CAST(dot AS DOUBLE)
@@ -1777,7 +1800,7 @@ object CorpusQueries {
          |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
          |       max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
          |       max(CASE WHEN rn = 1 THEN tf END) AS top_tf
-         |FROM rk GROUP BY 1 HAVING count(*) >= 20
+         |FROM rk GROUP BY 1 HAVING count(*) >= $postingsMinDf
          |ORDER BY token""".stripMargin,
 
     "search_bm25" -> {

@@ -75,6 +75,21 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("wrong arity is an IllegalArgumentException naming the function") {
+    withExtendedSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT dot_f(array(CAST(1.0 AS FLOAT)))").collect()
+      }
+      assert(e.getMessage.contains("dot_f expects 2 arguments, got 1"),
+        s"expected the arity gate, got: ${e.getMessage}")
+      val e3 = intercept[Exception] {
+        s.sql("SELECT norm_f()").collect()
+      }
+      assert(e3.getMessage.contains("norm_f expects 1 argument, got 0"),
+        s"expected the arity gate, got: ${e3.getMessage}")
+    }
+  }
+
   test("non-literal parameters are rejected loudly") {
     withExtendedSession { s =>
       val e = intercept[Exception] {

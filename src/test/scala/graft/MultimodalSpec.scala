@@ -64,8 +64,12 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("mm_near_dup prefix-filter candidates lose no pair vs all-pairs at the threshold") {
-    // signatures for the sf0.001 corpus, Scala-side; all-pairs cosine
-    // is the ground truth the (top-dim, 2nd-dim) bucket join must match
+    // signatures for the sf0.001 corpus, Scala-side; all-pairs cosine is
+    // the ground truth the sorted-dim suffix-norm prefix filter must
+    // match. The generator is PROVABLY complete at any threshold (suffix
+    // 2-norm < t/2 on both sides of a disjoint-prefix pair caps the
+    // cosine below t), and the DuckDB oracle is the unpruned all-pairs
+    // scan — so this spec and the oracle both test completeness on data.
     val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val sigs = Multimodal.withPayload(real)
       .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))

@@ -234,7 +234,18 @@ class PlanSpec extends SparkTestBase {
     val bnlj = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
     val cart = nodes.filter(_.getClass.getSimpleName.contains("CartesianProduct"))
     assert(bnlj.isEmpty && cart.isEmpty,
-      s"prefix-filter bucketing must stay an equi-join, got ${bnlj ++ cart}")
+      s"prefix-filter postings must stay an equi-join, got ${bnlj ++ cart}")
+  }
+
+  test("mm_near_dup: postings self-join branches reuse one signature exchange") {
+    // the repartition barrier below the posting fan-out must be computed
+    // once and ReusedExchange'd into the second branch — otherwise the
+    // corpus is scanned and the 16-counter signature built twice
+    val nodes = executedNodes(q("mm_near_dup"))
+    val reused = nodes.filter(_.getClass.getSimpleName.contains("ReusedExchange"))
+    assert(reused.nonEmpty,
+      s"expected a ReusedExchange for the shared signature frame, got node kinds: " +
+        nodes.map(_.getClass.getSimpleName).distinct.mkString(", "))
   }
 
   test("events_coverage: windows and island rollup share one user exchange") {

@@ -35,6 +35,16 @@ class UrlsHtmlSpec extends SparkTestBase {
     assert(one(Urls.path(u)) == "/a/b")
   }
 
+  test("host/path accept uppercase schemes like canonicalize does") {
+    // schemes are case-insensitive (RFC 3986); a lowercase-only pattern
+    // would send HTTPS:// URLs to the empty-domain bucket while
+    // canonicalize (which lowercases first) handled them fine
+    val u = lit("HTTPS://Example.com/x?q=1")
+    assert(one(Urls.host(u)) == "Example.com")
+    assert(one(Urls.registrableDomain(Urls.host(u))) == "Example.com")
+    assert(one(Urls.path(u)) == "/x")
+  }
+
   test("host strips userinfo and port so the domain still resolves") {
     val u = lit("https://alice:pw@shop.example.org:8443/cart")
     assert(one(Urls.host(u)) == "shop.example.org")

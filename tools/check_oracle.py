@@ -3,7 +3,9 @@
 output parquet under OUTDIR, run the matching oracle SQL from
 oracle_sql.json in DuckDB over the sf tables, and compare sorted rows.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [q1,q2,...]
+The optional third arg restricts the check to those queries (matching
+Verify's own query-list arg for targeted runs).
 """
 import json
 import math
@@ -12,6 +14,7 @@ import sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -35,6 +38,8 @@ def canon(rows, cols):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         got_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_cols = [d[0].lower() for d in got_rel.description]
