@@ -206,14 +206,17 @@ object Dedup {
         countDistinct(col("eval_doc_id")).as("n_eval_docs_hit"))
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc in a duplicate cluster maps to the cluster's
-    * smallest doc_id (the canonical survivor — what an LLM-corpus dedup
-    * actually keeps). `iterations` bounds work deterministically; near-dup
-    * clusters are dense (diameter 1–2), so the default converges with
-    * room to spare. Each iteration is one distributed join+min — no
+  /** Connected components over near-dup pairs by min-label propagation
+    * WITH pointer doubling: every doc in a duplicate cluster maps to the
+    * cluster's smallest doc_id (the canonical survivor — what an
+    * LLM-corpus dedup actually keeps). The loop runs to the checksum
+    * fixpoint — pointer doubling makes that O(log diameter) rounds, so
+    * `iterations` is a safety cap (50 covers diameter 2⁵⁰), not a
+    * correctness knob: dense near-dup clusters exit after a round or two,
+    * and chain-shaped clusters of any realistic length converge long
+    * before the cap. Each round is two distributed joins + a min — no
     * driver-side graph. Returns (doc_id, canonical_id). */
-  def dupClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+  def dupClusters(pairs: DataFrame, iterations: Int = 50): DataFrame = {
     // Iterative plans MUST cut lineage each round: labels_i references
     // labels_{i-1} twice (union + join), so an unmaterialized loop doubles
     // the plan per iteration — 2^N recomputations of the upstream pair
@@ -245,13 +248,36 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
+      // min label among direct neighbors, joined back LEFT so isolated
+      // or already-minimal nodes keep their label — a join + least()
+      // instead of a union + re-aggregate (same propagation semantics;
+      // a Union whose branches share the checkpointed labels frame trips
+      // Catalyst's constraint rewriting on duplicate attribute ids)
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b2"),
-          col("b") === col("b2"))
-        .select(col("a").as("doc_id"), col("canonical_id"))
-      labels = labels.union(viaNeighbor)
-        .groupBy(col("doc_id"))
-        .agg(min(col("canonical_id")).as("canonical_id"))
+        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a"))
+        .agg(min(col("canonical_id")).as("nbr_min"))
+      val propagated = labels
+        .join(viaNeighbor, col("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
+        // EAGER: feeds both sides of the doubling self-join; the round's
+        // checksum action forces computation anyway
+        .localCheckpoint()
+      // pointer doubling: also adopt the label OF the current label —
+      // each round then doubles the hop distance a label has travelled,
+      // so convergence is O(log diameter) instead of O(diameter). Dense
+      // near-dup clusters (diameter 1-2) still exit after one round;
+      // chain-shaped clusters (doc i ~ doc i+1, arbitrary length) no
+      // longer outrun a fixed round budget. The label frame is tiny
+      // (two longs per node), so the extra self-join is noise next to
+      // the edge propagation.
+      labels = propagated.as("x")
+        .join(propagated.as("y"), col("x.canonical_id") === col("y.doc_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.canonical_id"),
+            coalesce(col("y.canonical_id"), col("x.canonical_id"))).as("canonical_id"))
         .localCheckpoint(false)
       val cur = checksum(labels)
       converged = cur == prev
@@ -317,31 +343,41 @@ object Dedup {
     docs.join(broadcast(drops), Seq(idCol), "left_anti")
   }
 
-  /** 16-bit SimHash: per bit b, majority vote of token-hash bit b over all
-    * token OCCURRENCES (term frequency = natural weight). Single-pass
-    * [[SimHashSig]] kernel — a pure projection (no explode, no 16-sum
+  /** Default SimHash width: 60 bits — the full portable-hash width (15
+    * hex chars of MD5 ↔ DuckDB BIGINT-safe). At maxHamming=1 the two
+    * pigeonhole segments then carry 30 bits ≈ 10⁹ bucket values each, so
+    * bucket sizes stay O(n / 2³⁰) and the candidate equi-join is linear
+    * at any corpus size; a 16-bit signature's segments held only 2⁸
+    * values and degenerated toward O(n²/256) per segment. */
+  val simhashDefaultBits = 60
+
+  /** SimHash signature: per bit b, majority vote of token-hash bit b over
+    * all token OCCURRENCES (term frequency = natural weight). Single-pass
+    * [[SimHashSig]] kernel — a pure projection (no explode, no per-bit-sum
     * groupBy shuffle), value-identical to the exploded SQL vote form the
     * DuckDB oracle uses (pinned by CorpusSpec). */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashSig(docs: DataFrame, idCol: String, textCol: String,
+                 nBits: Int = simhashDefaultBits): DataFrame =
     fanout(docs)
       .select(col(idCol).as("doc_id"),
-        SimHashSig.toColumn(tokens(col(textCol)), 16).as("simhash"))
+        SimHashSig.toColumn(tokens(col(textCol)), nBits).as("simhash"))
       .filter(col("simhash").isNotNull)
 
-  /** Pigeonhole segments of the 16-bit signature: split into
-    * `maxHamming + 1` disjoint bit ranges (as even as 16 allows). Any two
+  /** Pigeonhole segments of the signature: split the `nBits` bits into
+    * `maxHamming + 1` disjoint ranges (as even as nBits allows). Any two
     * signatures within Hamming distance `maxHamming` differ in at most
     * `maxHamming` bits, so at least one of the `maxHamming + 1` segments
     * carries zero differing bits — i.e. the pair agrees EXACTLY on that
     * segment. Emitting one (doc_id, seg_idx, seg_bits) row per segment
     * therefore turns the near-dup pair scan into a plain equi-join with a
     * complete candidate set — no cartesian product anywhere. */
-  private[corpus] def simhashSegments(sig: DataFrame, maxHamming: Int): DataFrame = {
+  private[corpus] def simhashSegments(sig: DataFrame, maxHamming: Int,
+                                      nBits: Int): DataFrame = {
     val nSegs = maxHamming + 1
-    require(nSegs >= 1 && nSegs <= 16,
-      s"maxHamming must be in [0, 15] for a 16-bit signature, got $maxHamming")
-    // distribute the 16 bits across segments as evenly as possible
-    val widths = (0 until nSegs).map(i => 16 / nSegs + (if (i < 16 % nSegs) 1 else 0))
+    require(nSegs >= 1 && nSegs <= nBits,
+      s"maxHamming must be in [0, ${nBits - 1}] for a $nBits-bit signature, got $maxHamming")
+    // distribute the bits across segments as evenly as possible
+    val widths = (0 until nSegs).map(i => nBits / nSegs + (if (i < nBits % nSegs) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _).init
     val segs = (0 until nSegs).map { i =>
       struct(lit(i).as("seg"),
@@ -361,11 +397,14 @@ object Dedup {
     * can collide in several segments, so candidates are deduplicated
     * before the verify filter. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    // the signature table feeds both equi-join sides — materialize once
-    // instead of re-running the token explode + 16-bit vote twice
-    val sig = simhash16(docs, idCol, textCol).localCheckpoint(false)
-    val seg = simhashSegments(sig, maxHamming)
+                   maxHamming: Int, nBits: Int = simhashDefaultBits): DataFrame = {
+    // the signature table feeds both equi-join sides through a repartition
+    // barrier: ReuseExchange computes the token explode + per-bit vote
+    // ONCE and replays the exchange for the second branch, with fully
+    // recomputable lineage (localCheckpoint would pin executor-local
+    // blocks that are unrecoverable after an executor loss)
+    val sig = simhashSig(docs, idCol, textCol, nBits).repartition(col("doc_id"))
+    val seg = simhashSegments(sig, maxHamming, nBits)
     seg.as("a").join(seg.as("b"),
         col("a.seg") === col("b.seg") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -37,6 +37,9 @@ object CorpusQueries {
   val numHashes = 12
   val rowsPerBand = 3
   val simhashMaxHamming = 1
+  // signature width shared by Dedup.simhashSig and the oracle's per-bit
+  // vote columns; 60 = the full portable-hash width (15 hex MD5 chars)
+  val simhashBits = Dedup.simhashDefaultBits
   val cosineThreshold = 0.4
   val containmentThreshold = 0.9
   val annK = 10
@@ -306,7 +309,7 @@ object CorpusQueries {
     "dedup_clusters" -> ((spark, dir) => {
       val pairs = Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
         shingleK, jaccardThreshold)
-      Dedup.dupClusters(pairs, iterations = 8).orderBy("doc_id")
+      Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
     "dedup_simhash" -> ((spark, dir) => {
@@ -1270,13 +1273,13 @@ object CorpusQueries {
          |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
          |), votes AS (
          |  SELECT doc_id,
-         |         ${(0 until 16).map(b =>
+         |         ${(0 until simhashBits).map(b =>
                     s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
                     .mkString(",\n         ")}
          |  FROM tk GROUP BY doc_id
          |), sig AS (
          |  SELECT doc_id,
-         |         CAST(${(0 until 16).map(b =>
+         |         CAST(${(0 until simhashBits).map(b =>
                     s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
          |  FROM votes
          |)

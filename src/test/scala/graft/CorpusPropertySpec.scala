@@ -59,6 +59,17 @@ class CorpusPropertySpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("dupClusters: a long chain converges via pointer doubling, not round count") {
+    // a path graph 1-2-3-...-40 (diameter 39): plain min-propagation
+    // needs 39 rounds, pointer doubling needs ~log2(39). The low cap
+    // proves the doubling does the work, not the budget.
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L),
+      s"chain did not collapse to its minimum: ${got.filter(_._2 != 1L)}")
+  }
+
   test("dupClusters on an empty pair set returns empty (clean corpus)") {
     val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.dupClusters(pairs).count() == 0)

@@ -148,18 +148,19 @@ class CorpusSpec extends SparkTestBase {
     // is part of the contract
     val docs = Seq((1L, "a b c d e f a a b"), (2L, "x y z w v u t s x"),
       (3L, "lone"), (4L, " ")).toDF("doc_id", "text")
-    val fast = Dedup.simhash16(docs, "doc_id", "text")
+    val nb = Dedup.simhashDefaultBits
+    val fast = Dedup.simhashSig(docs, "doc_id", "text")
     val slow = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       .withColumn("h", T.hash60(col("tok")))
       .groupBy(col("doc_id"))
-      .agg((0 until 16).map(b =>
+      .agg((0 until nb).map(b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)).as(s"v$b")).head,
-        (1 until 16).map(b =>
+        (1 until nb).map(b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)).as(s"v$b")): _*)
       .select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until nb).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
     assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
     // doc 4 has no tokens: absent from both forms
@@ -181,7 +182,7 @@ class CorpusSpec extends SparkTestBase {
       val fam = i % 4
       (i, s"w$fam x$fam y$fam z$fam " + (if (i % 2 == 0) "extra tail tok" else "other end"))
     }.toDF("doc_id", "text")
-    val sig = Dedup.simhash16(df, "doc_id", "text").localCheckpoint(false)
+    val sig = Dedup.simhashSig(df, "doc_id", "text").localCheckpoint(false)
     for (mh <- Seq(0, 1, 2, 3)) {
       val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
