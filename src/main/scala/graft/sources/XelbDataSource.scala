@@ -35,11 +35,9 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
     * per-file headers are still validated against it at read time. */
   override def supportsExternalMetadata(): Boolean = true
 
-  private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("xelb source requires a path"))
-    XelbDataSource.listXelbFiles(path)
-  }
+  private def listFiles(options: CaseInsensitiveStringMap): Seq[String] =
+    XelbDataSource.pathsOf(options.get("path"), options.get("paths"))
+      .flatMap(XelbDataSource.listXelbFiles).distinct.sorted
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // S2 sidecar metadata (`XELoader/FileProcessor.cs:280-334`): an
@@ -72,12 +70,30 @@ class XelbDataSource extends TableProvider with DataSourceRegister {
       case (k, v) if k.equalsIgnoreCase("metadataPath") => XelbDataSource.headerOf(v)
     }
     new XelbTable(schema,
-      XelbDataSource.listXelbFiles(properties.get("path")), budget,
+      XelbDataSource.pathsOf(properties.get("path"), properties.get("paths"))
+        .flatMap(XelbDataSource.listXelbFiles).distinct.sorted,
+      budget,
       streamingPath = Option(properties.get("path")), external = external)
   }
 }
 
 object XelbDataSource {
+
+  /** `load(p1, p2, …)` arrives as a Jackson-serialized array under the
+    * `paths` option while `load(p)` uses `path` — accept both, exactly as
+    * the builtin file sources do (a rollover-set reader must take an
+    * explicit file list: the reference's directory mode filters discovery
+    * by session pattern BEFORE handing files to the loader,
+    * `FileProcessor.cs:94-117`). */
+  def pathsOf(path: String, pathsJson: String): Seq[String] = {
+    val multi = Option(pathsJson).map { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }.getOrElse(Seq.empty)
+    val all = multi ++ Option(path).toSeq
+    if (all.isEmpty) throw new IllegalArgumentException("xelb source requires a path")
+    all
+  }
   def listXelbFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -277,6 +293,11 @@ class XelbReaderFactory(fileSchema: StructType, required: StructType, errorBudge
 class XelbPartitionReader(file: String, fileSchema: StructType, required: StructType,
                           errorBudget: Int, external: Option[StructType] = None)
     extends PartitionReader[InternalRow] {
+
+  // expose the file to input_file_name()/input_file_block_*() — the
+  // builtin file sources set this holder per task; without it a custom
+  // DSv2 reader reports "" and any per-file lineage collapses to one row
+  org.apache.spark.sql.graft.bridge.setInputFile(file)
 
   private var header: StructType = _
   private val in: DataInputStream = {

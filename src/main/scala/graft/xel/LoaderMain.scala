@@ -1,0 +1,300 @@
+package graft.xel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end CLI driver — the reference's `Main` + `ProcessFiles`
+ * lifecycle (`XELoader/FileProcessor.cs:23-79`, `InputParameters.cs:63-301`,
+ * `TrackStatus.cs:45-63`) as one arg-parsed invocation:
+ *
+ *   parse flags → discover files → (unless -a) namespace DDL + tracking
+ *   table → read → width limits → demux load → lineage/tracking write →
+ *   final statistics report.
+ *
+ * Flag surface mirrors the reference's single-letter concatenated style
+ * (`-D/path`, `-b1048576` — value glued to the letter, `InputParameters
+ * .cs:70-233`), with Spark-side re-homing where the original is
+ * SQL-Server-physical:
+ *
+ *   -f<file>    one input file                       (-f)
+ *   -m<xem>     metadata sidecar for the file pair   (-m; XELB option
+ *               `metadataPath`, missing sidecar fails loudly)
+ *   -D<dir>     input directory                      (-D)
+ *   -p<pat>     file wildcard within -D              (-p, default *.xelb —
+ *               the container stand-in for *.xel)
+ *   -o<dir>     demux target directory (parquet at rest). The reference's
+ *               "-S server" rehomes to one of -o (files) / -S (JDBC) /
+ *               -C (catalog) — same decision, Spark-shaped targets.
+ *   -S<url>     JDBC url target (JdbcSink.demuxAppend knob-for-knob path)
+ *   -C          write managed catalog tables (CatalogDdl.writeDemuxedTables)
+ *   -s<schema>  namespace / table-name prefix        (-s, default xel)
+ *   -a          append: skip ALL DDL                 (-a)
+ *   -c          clear event tables before load       (-c)
+ *   -w          wipe the namespace first             (-w)
+ *   -b<n>       writer batch size                    (-b, default 1,048,576)
+ *   -t<n>       advisory parallelism → shuffle partitions (-t; the
+ *               reference caps at min(cpus, 16), Spark schedules tasks)
+ *   -z<zone>    timezone for e_time_of_event_local   (-z, default UTC)
+ *   -L<n> -X<n> -B<n>  string/XML/binary width limits (-L -X -B)
+ *   -l          limit widths (the reference's "disable LOB on columnstore"
+ *               is precisely what makes its width limits bite,
+ *               `EventHolder.cs:277-281`)
+ *   -e<n>       per-file error budget                (-e, default 100)
+ *   -h<n> -j<cmd>  callstack frame length / debugger command (-h -j)
+ *   -I<kind>    RowStore|ColumnStore — accepted and recorded; parquet is
+ *               columnar at rest and rows are sequence-clustered within
+ *               files either way (D5 analogue)
+ *   -V          verbose (stack traces on failure)
+ *   -?          help
+ *
+ * Deliberately absent (SQL-Server-physical, no Spark meaning): -U/-P/-T/-E
+ * (credentials/TLS live in the JDBC url), -R read-ahead (vectorized reader
+ * + OS readahead), -x store-XML-as-string (parquet strings are unbounded),
+ * -v version tag (unused in the reference too).
+ */
+object LoaderMain {
+
+  final case class LoaderArgs(
+      cfg: XelConfig = XelConfig.default,
+      inputFile: Option[String] = None,
+      xemFile: Option[String] = None,
+      inputDir: Option[String] = None,
+      pattern: String = "*.xelb",
+      patternExplicit: Boolean = false,
+      outDir: Option[String] = None,
+      jdbcUrl: Option[String] = None,
+      catalogTables: Boolean = false,
+      indexType: Option[String] = None,
+      threads: Option[Int] = None,
+      verbose: Boolean = false,
+      help: Boolean = false)
+
+  /** The reference's final `PrintStatistics` block plus the tracking-table
+    * content (`TrackStatus.cs:45-63`, `EventHolder.cs:478-511`): everything
+    * a run reports, returned as data so callers/tests assert on it instead
+    * of scraping the console. */
+  final case class LoaderReport(
+      filePattern: String,
+      filesProcessed: Long,
+      eventsLoaded: Long,
+      tablesLoaded: Long,
+      tableNames: Seq[String],
+      errors: Long,
+      stringTruncations: Long,
+      xmlTruncations: Long,
+      binaryTruncations: Long,
+      elapsedMs: Long)
+
+  /** `InputParameters.ProcessInputParameters` analogue: single-letter flags,
+    * value concatenated. Unknown flags are ignored (the reference's switch
+    * has an empty default). Returns Left(message) on unusable input. */
+  def parseArgs(args: Array[String]): Either[String, LoaderArgs] = {
+    var a = LoaderArgs()
+    args.foreach { arg =>
+      if (arg.length < 2 || arg.charAt(0) != '-') ()
+      else {
+        val v = arg.substring(2)
+        arg.charAt(1) match {
+          case '?' => a = a.copy(help = true)
+          case 'f' => a = a.copy(inputFile = Some(v))
+          case 'm' => a = a.copy(xemFile = Some(v))
+          case 'D' => a = a.copy(inputDir = Some(v.replaceAll("[\\\\\"]+$", "")))
+          case 'p' => a = a.copy(pattern = v, patternExplicit = true)
+          case 'o' => a = a.copy(outDir = Some(v))
+          case 'S' => a = a.copy(jdbcUrl = Some(v))
+          case 'C' => a = a.copy(catalogTables = true)
+          case 's' => a = a.copy(cfg = a.cfg.copy(schemaName = v))
+          case 'a' => a = a.copy(cfg = a.cfg.copy(appendMode = true))
+          case 'c' => a = a.copy(cfg = a.cfg.copy(clearTables = true))
+          case 'w' => a = a.copy(cfg = a.cfg.copy(wipeDatabase = true))
+          case 'b' => a = a.copy(cfg = a.cfg.copy(batchSize = v.toInt))
+          case 't' => a = a.copy(threads = Some(v.toInt))
+          case 'z' => a = a.copy(cfg = a.cfg.copy(timezone = v))
+          case 'L' => a = a.copy(cfg = a.cfg.copy(stringLimit = v.toInt))
+          case 'X' => a = a.copy(cfg = a.cfg.copy(xmlLimit = v.toInt))
+          case 'B' => a = a.copy(cfg = a.cfg.copy(binaryLimit = v.toInt))
+          case 'l' => a = a.copy(cfg = a.cfg.copy(limitWidths = true))
+          case 'e' => a = a.copy(cfg = a.cfg.copy(errorBudget = v.toInt))
+          case 'h' => a = a.copy(cfg = a.cfg.copy(frameLength = v.toInt))
+          case 'j' => a = a.copy(cfg = a.cfg.copy(frameCommand = v))
+          case 'I' =>
+            if (v != "RowStore" && v != "ColumnStore")
+              return Left(s"-I accepts RowStore or ColumnStore, got: $v")
+            a = a.copy(indexType = Some(v))
+          case 'V' => a = a.copy(verbose = true)
+          case _ => () // reference: unknown flags fall through silently
+        }
+      }
+    }
+    if (a.help) Right(a)
+    else if (a.inputFile.isEmpty && a.inputDir.isEmpty)
+      Left("an input is required: -f<file> or -D<directory> " +
+        "[the reference's two required parameters are file location and server]")
+    else if (a.outDir.isEmpty && a.jdbcUrl.isEmpty && !a.catalogTables)
+      Left("a target is required: -o<dir>, -S<jdbcUrl> or -C (catalog tables)")
+    else if (a.xemFile.nonEmpty && a.inputFile.isEmpty)
+      Left("-m (metadata sidecar) only applies to single-file input (-f), as in the reference")
+    else Right(a)
+  }
+
+  val helpText: String =
+    """XELoader-on-Spark — bulk-load XE event files into demuxed tables
+      |  input:   -f<file> | -D<dir> [-p<pattern>] [-m<xemSidecar>]
+      |  target:  -o<dir> | -S<jdbcUrl> | -C (catalog tables)   [-s<schema>]
+      |  ddl:     -a append (skip DDL) | -c clear tables | -w wipe namespace
+      |  shaping: -z<zone> -L<strLimit> -X<xmlLimit> -B<binLimit> -l (limit widths)
+      |  load:    -b<batchSize> -e<errorBudget> -t<threads> -I<RowStore|ColumnStore>
+      |  misc:    -h<frameLen> -j<debuggerCmd> -V verbose -? help""".stripMargin
+
+  /** File discovery — `ProcessFiles` (`FileProcessor.cs:81-147`): explicit
+    * file, or directory + wildcard; with the default pattern the session's
+    * leading pattern is derived from the first file and narrows the match
+    * (`GetLeadingFilePattern`, `FileProcessor.cs:97-110`). Returns the
+    * files and the pattern in use. */
+  def discoverFiles(a: LoaderArgs): (Seq[java.io.File], String) = {
+    a.inputFile match {
+      case Some(f) =>
+        val file = new java.io.File(f)
+        require(file.isFile, s"input file not found: $f")
+        (Seq(file), file.getName)
+      case None =>
+        val dir = new java.io.File(a.inputDir.get)
+        require(dir.isDirectory, s"input directory not found: ${a.inputDir.get}")
+        val all = Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+          .sortBy(_.getName).toSeq
+        val byFlag = all.filter(f =>
+          f.getName.matches(Pipeline.wildcardToRegex(a.pattern)))
+        require(byFlag.nonEmpty,
+          s"no files matching ${a.pattern} under ${a.inputDir.get}")
+        if (a.patternExplicit) (byFlag, a.pattern)
+        else {
+          // default pattern: narrow to the first file's session, as the
+          // reference does (rollover sets from several sessions can share
+          // a directory; loading them interleaved was its original bug)
+          val lead = Pipeline.leadingFilePattern(
+            byFlag.head.getName.replaceAll("\\.xelb$", ".xel")) match {
+            case Right(p) => p + "_*"
+            case Left(_) => a.pattern // non-rollover names: keep the glob
+          }
+          val narrowed = byFlag.filter(_.getName.matches(Pipeline.wildcardToRegex(
+            lead + a.pattern.dropWhile(_ == '*'))))
+          (if (narrowed.nonEmpty) narrowed else byFlag, lead)
+        }
+    }
+  }
+
+  /** The `Main` lifecycle with the session supplied (tests pass theirs;
+    * [[main]] builds one). Returns the statistics report. */
+  def run(spark: SparkSession, a: LoaderArgs): LoaderReport = {
+    val t0 = System.nanoTime()
+    val cfg = a.cfg
+    a.threads.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", math.max(1, n)))
+
+    val (files, patternInUse) = discoverFiles(a)
+
+    // DDL phase — skipped wholesale in append mode (FileProcessor.cs:35-49)
+    if (a.catalogTables) CatalogDdl.ensureNamespace(spark, cfg)
+
+    // read: XELB rollover container (the .xel stand-in) or a parquet dir
+    val isParquet = files.forall(_.getName.endsWith(".parquet"))
+    val reader = spark.read.format(if (isParquet) "parquet" else "xelb")
+      .option("errorBudget", cfg.errorBudget)
+    val withMeta = a.xemFile.fold(reader)(m => reader.option("metadataPath", m))
+    val frame = withMeta.load(files.map(_.getAbsolutePath): _*)
+      .withColumn("source_file", input_file_name())
+
+    require(frame.columns.contains("event_name"),
+      s"input lacks the demux key event_name: ${frame.columns.mkString(", ")}")
+
+    val shaped = Pipeline.applyWidthLimits(frame, cfg)
+
+    // truncation counters (A4) — one aggregate pass, exactly-once
+    val trunc = Pipeline.truncationStats(frame.drop("source_file"), cfg).head()
+    def cnt(i: Int): Long = if (trunc.isNullAt(i)) 0L else trunc.getLong(i)
+
+    // load phase: demux by event type into the chosen target
+    val forWrite = shaped.drop("source_file")
+    val tables: Seq[String] =
+      if (a.jdbcUrl.isDefined)
+        JdbcSink.demuxAppend(forWrite, a.jdbcUrl.get, cfg,
+          indexOn = a.indexType.collect {
+            case "RowStore" if forWrite.columns.contains("c_event_sequence") =>
+              "c_event_sequence"
+          })
+      else if (a.catalogTables)
+        CatalogDdl.writeDemuxedTables(forWrite, cfg)
+      else {
+        val counts = Pipeline.writeDemuxed(forWrite, a.outDir.get, cfg,
+          mode = if (cfg.appendMode) "append"
+                 else if (cfg.clearTables) "overwrite" else "append")
+        counts.select(col("event_name")).collect().map(_.getString(0)).sorted.toSeq
+      }
+
+    // tracking phase (S7/D4): the dbo.tbl_ImportedXEventFiles analogue —
+    // per-file aggregates plus the run timestamp, appended next to the data
+    // (or left to the JDBC caller's tracking database)
+    val lineage = Pipeline.lineage(shaped)
+      .withColumn("loaded_at", current_timestamp())
+    a.outDir.foreach(dir => lineage.write.mode("append").parquet(s"$dir/_lineage"))
+
+    val nEvents = frame.count()
+    LoaderReport(
+      filePattern = patternInUse,
+      filesProcessed = files.size.toLong,
+      eventsLoaded = nEvents,
+      tablesLoaded = tables.size.toLong,
+      tableNames = tables,
+      errors = 0L, // parse-level errors under budget are dropped by the source
+      stringTruncations = cnt(0),
+      xmlTruncations = cnt(1),
+      binaryTruncations = cnt(2),
+      elapsedMs = (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** `TrackStatus.PrintStatistics` analogue (`TrackStatus.cs:45-63`). */
+  def formatReport(r: LoaderReport): String =
+    s"""*** Statistics for Import ***
+       | Files imported with leading pattern : ${r.filePattern}
+       | Time taken to process all files     : ${r.elapsedMs} ms
+       | Total number of files processed     : ${r.filesProcessed}
+       | Total number of events processed    : ${r.eventsLoaded}
+       | Total number of tables processed    : ${r.tablesLoaded}
+       | Total number of errors encountered  : ${r.errors}
+       | Total Strings truncated             : ${r.stringTruncations}
+       | Total XML truncated                 : ${r.xmlTruncations}
+       | Total Binary truncated              : ${r.binaryTruncations}""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    parseArgs(args) match {
+      case Left(msg) =>
+        Console.err.println(s"*** There is a problem with the parameters supplied ***")
+        Console.err.println(s"    $msg")
+        Console.err.println(helpText)
+        sys.exit(1)
+      case Right(a) if a.help =>
+        println(helpText)
+      case Right(a) =>
+        val spark = SparkSession.builder()
+          .appName("xeloader-spark")
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        try {
+          val report = run(spark, a)
+          println(formatReport(report))
+        } catch {
+          case e: Throwable =>
+            Console.err.println(s"***  Exception encountered  ***")
+            Console.err.println(s"Exception message : ${e.getMessage}")
+            if (a.verbose) e.printStackTrace(Console.err)
+            else Console.err.println("Use -V parameter for detailed stack trace")
+            spark.stop()
+            sys.exit(1)
+        }
+        spark.stop()
+    }
+  }
+}

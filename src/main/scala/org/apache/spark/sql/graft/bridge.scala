@@ -13,6 +13,12 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Expose the current input file to `input_file_name()` from a custom
+    * DSv2 PartitionReader — the builtin file sources set this holder per
+    * split; it is `private[spark]`, so the one-line hop lives here. */
+  def setInputFile(file: String): Unit =
+    org.apache.spark.rdd.InputFileBlockHolder.set(file, 0, -1)
+
   /** Wrap a custom LogicalPlan as a DataFrame — `Dataset.ofRows` is
     * `private[sql]` in Spark 4; custom-operator libraries need this one
     * hop to hand their logical nodes back to the session. */

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.XelbFixtures
+import graft.xel.{LoaderMain, XeFixture}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end test of the CLI driver lifecycle (LoaderMain): flag parsing
+  * against the reference's single-letter concatenated style, file
+  * discovery with session-pattern narrowing, the demux load, the lineage
+  * tracking write, and the final statistics report. */
+class LoaderMainSpec extends SparkTestBase {
+
+  /** A rollover set of 4 .xelb files from the sf0.001 events fixture. */
+  private lazy val inputDir: String = {
+    val d = Files.createTempDirectory("graft-loader-in").toString
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("e_imported_file_id"), col("c_event_sequence"), col("c_session_id"),
+      col("c_duration_us"), col("e_time_of_event_utc"), col("c_statement"),
+      col("event_name"))
+    XelbFixtures.writeByKey(xe, "e_imported_file_id", d)
+    d
+  }
+
+  test("parseArgs: reference-style concatenated flags land in the config") {
+    val Right(a) = LoaderMain.parseArgs(Array(
+      "-D/tmp/in\\", "-p*.xelb", "-o/tmp/out", "-sxe2", "-b4096", "-t8",
+      "-zUTC", "-L100", "-X200", "-B50", "-l", "-e5", "-h16", "-jdc", "-w",
+      "-IColumnStore", "-V")): @unchecked
+    assert(a.inputDir.contains("/tmp/in")) // trailing backslash trimmed (-D)
+    assert(a.pattern == "*.xelb" && a.patternExplicit)
+    assert(a.outDir.contains("/tmp/out"))
+    assert(a.cfg.schemaName == "xe2" && a.cfg.batchSize == 4096)
+    assert(a.threads.contains(8) && a.cfg.timezone == "UTC")
+    assert(a.cfg.stringLimit == 100 && a.cfg.xmlLimit == 200 && a.cfg.binaryLimit == 50)
+    assert(a.cfg.limitWidths && a.cfg.errorBudget == 5)
+    assert(a.cfg.frameLength == 16 && a.cfg.frameCommand == "dc")
+    assert(a.cfg.wipeDatabase && a.indexType.contains("ColumnStore") && a.verbose)
+  }
+
+  test("parseArgs: missing input or target is a loud error, -? is help") {
+    assert(LoaderMain.parseArgs(Array("-o/tmp/out")).isLeft)         // no input
+    assert(LoaderMain.parseArgs(Array("-D/tmp/in")).isLeft)          // no target
+    assert(LoaderMain.parseArgs(Array("-m/x.xem", "-D/d", "-o/o")).isLeft) // -m needs -f
+    assert(LoaderMain.parseArgs(Array("-IB-Tree", "-D/d", "-o/o")).isLeft) // bad -I
+    val Right(h) = LoaderMain.parseArgs(Array("-?")): @unchecked
+    assert(h.help)
+  }
+
+  test("end-to-end: directory of rollover files -> demuxed parquet + lineage + stats") {
+    val outDir = Files.createTempDirectory("graft-loader-out").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(Array(s"-D$inputDir", s"-o$outDir")): @unchecked
+    val report = LoaderMain.run(spark, a)
+
+    val orig = XeFixture.frame(spark, sf("sf0.001"))
+    assert(report.filesProcessed == 4)
+    assert(report.eventsLoaded == orig.count())
+    assert(report.tablesLoaded == 5 && report.tableNames.size == 5)
+    // default pattern derived the session's leading pattern (P3)
+    assert(report.filePattern == "GraftSession_*")
+
+    // demuxed data at rest, partitioned by event type
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == orig.count())
+    assert(back.select("event_name").distinct().count() == 5)
+
+    // tracking write: one lineage row per input file with event counts
+    val lin = spark.read.parquet(s"$outDir/_lineage")
+    assert(lin.count() == 4)
+    assert(lin.agg(sum("n_events")).head().getLong(0) == orig.count())
+    assert(lin.columns.contains("loaded_at"))
+
+    // statistics block renders every counter (TrackStatus analogue)
+    val text = LoaderMain.formatReport(report)
+    assert(text.contains("Total number of files processed     : 4"))
+    assert(text.contains(s"Total number of events processed    : ${orig.count()}"))
+  }
+
+  test("width limits (-l -L) truncate and count in the report") {
+    val outDir = Files.createTempDirectory("graft-loader-out2").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(
+      Array(s"-D$inputDir", s"-o$outDir", "-l", "-L8")): @unchecked
+    val report = LoaderMain.run(spark, a)
+    // c_statement strings longer than 8 chars got truncated and counted
+    assert(report.stringTruncations > 0)
+    val back = spark.read.parquet(outDir)
+    val maxLen = back.agg(max(length(col("c_statement")))).head().getInt(0)
+    assert(maxLen <= 8, s"c_statement must be truncated to 8 chars, max is $maxLen")
+  }
+
+  test("single-file input (-f) loads just that rollover file") {
+    val file = new java.io.File(inputDir).listFiles().filter(
+      _.getName.endsWith(".xelb")).sortBy(_.getName).head
+    val outDir = Files.createTempDirectory("graft-loader-out3").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(
+      Array(s"-f${file.getAbsolutePath}", s"-o$outDir")): @unchecked
+    val report = LoaderMain.run(spark, a)
+    assert(report.filesProcessed == 1)
+    assert(report.filePattern == file.getName)
+    assert(report.eventsLoaded > 0 &&
+      report.eventsLoaded < XeFixture.frame(spark, sf("sf0.001")).count())
+  }
+
+  test("JDBC target (-S): demux lands in Derby via the bulk sink") {
+    val url = "jdbc:derby:memory:graftloader;create=true"
+    val Right(a) = LoaderMain.parseArgs(
+      Array(s"-D$inputDir", s"-S$url")): @unchecked
+    val report = LoaderMain.run(spark, a)
+    assert(report.tablesLoaded == 5)
+    val t = report.tableNames.head
+    val back = spark.read.format("jdbc").option("url", url).option("dbtable", t).load()
+    assert(back.count() > 0)
+    assert(!back.columns.contains("event_name")) // table name IS the demux key
+  }
+}
