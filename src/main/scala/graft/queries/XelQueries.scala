@@ -237,18 +237,29 @@ object XelQueries {
     "xe_xel_native_scan" -> ((spark, dir) => {
       import graft.xel.EventSchema.{EventMeta, FieldMeta, SessionMeta}
       val xelnDir = wipedScratchDir(spark, dir, "native")
+      // severity is a MAP-TYPED field (F7): the wire stores the 2-byte
+      // map key, the metadata carries key→display, and the scan surfaces
+      // the resolved display string — putting the resolution round-trip
+      // under the oracle gate (a wrong lookup breaks the hash compare)
+      val severityMap = Seq(0 -> "low", 1 -> "medium", 2 -> "high", 3 -> "critical")
       val fields = Seq(
         FieldMeta("session_id", "System.Int64"),
         FieldMeta("duration_us", "System.Int64"),
-        FieldMeta("statement", "System.String"))
+        FieldMeta("statement", "System.String"),
+        FieldMeta("severity", graft.xel.EventSchema.MapValueClr, severityMap))
       val eventTypes = graft.xel.XeFixture.eventNameMap.map(_._2)
       val meta = SessionMeta(eventTypes.map(EventMeta(_, fields)),
         actions = Seq(FieldMeta("query_hash", "System.Int64")))
+      val sevDisplay = severityMap.foldRight(lit(null).cast("string")) {
+        case ((k, d), acc) =>
+          when(pmod(col("c_session_id"), lit(4L)) === k, lit(d)).otherwise(acc)
+      }
       val union = XeFixture.frame(spark, dir)
         .filter(col("c_event_sequence") <= 30000)
         .select(col("event_name"), col("c_event_sequence"),
           col("e_time_of_event_utc"), col("c_session_id"),
-          col("c_duration_us"), col("c_statement"), col("a_query_hash"),
+          col("c_duration_us"), col("c_statement"),
+          sevDisplay.as("c_severity"), col("a_query_hash"),
           col("e_imported_file_id"))
       graft.sources.XelNativeFixtures.writeDistributed(
         union.repartition(col("e_imported_file_id")), meta, xelnDir)
@@ -258,7 +269,10 @@ object XelQueries {
           sum(col("c_duration_us")).as("total_duration_us"),
           countDistinct(col("c_session_id")).as("n_sessions"),
           max(col("c_event_sequence")).as("max_seq"),
-          sum(col("a_query_hash")).as("hash_sum"))
+          sum(col("a_query_hash")).as("hash_sum"),
+          countDistinct(col("c_severity")).as("n_severities"),
+          sum(when(col("c_severity") === "critical", 1L).otherwise(0L))
+            .as("n_critical"))
         .orderBy("event_name")
     }),
 
@@ -427,7 +441,12 @@ object XelQueries {
            |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
            |       count(DISTINCT c_session_id) AS n_sessions,
            |       max(c_event_sequence) AS max_seq,
-           |       CAST(sum(a_query_hash) AS BIGINT) AS hash_sum
+           |       CAST(sum(a_query_hash) AS BIGINT) AS hash_sum,
+           |       count(DISTINCT CASE c_session_id % 4
+           |         WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
+           |         WHEN 2 THEN 'high' ELSE 'critical' END) AS n_severities,
+           |       CAST(sum(CASE WHEN c_session_id % 4 = 3 THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_critical
            |FROM xe WHERE c_event_sequence <= 30000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
 

@@ -133,9 +133,15 @@ class XelNativePartitionReader(file: String, required: StructType, errorBudget: 
   private val seqSlot = slot("c_event_sequence")
   private val tsSlot = slot("e_time_of_event_utc")
 
-  /** Per event id: cached name, and (type, outSlot) per field in wire
-    * order; outSlot −1 = skip (pruned, or P4-dropped action). */
-  private case class Dispatch(name: UTF8String, fields: Array[(DataType, Int)])
+  /** Per event id: cached name, and (type, outSlot, mapTable) per field in
+    * wire order; outSlot −1 = skip (pruned, or P4-dropped action);
+    * mapTable non-null = F7 MapValue field — the wire holds a 2-byte map
+    * key resolved to its display string through the metadata table (the
+    * SDK's `MapValue.ToString()`, `EventHolder.cs:137-141`); a key absent
+    * from the table surfaces as its decimal text, the lossless fallback
+    * for stale metadata. */
+  private case class Dispatch(name: UTF8String,
+                              fields: Array[(DataType, Int, Map[Int, UTF8String])])
   private val actionCols: Array[(DataType, Int)] = nm.meta.actions.map { a =>
     (graft.xel.EventSchema.sparkType(a.clrType),
       slot(graft.xel.XelFunctions.actionCol(a.name)))
@@ -145,7 +151,10 @@ class XelNativePartitionReader(file: String, required: StructType, errorBudget: 
       UTF8String.fromString(e.name),
       e.fields.map { f =>
         (graft.xel.EventSchema.sparkType(f.clrType),
-          slot(graft.xel.XelFunctions.fieldCol(f.name)))
+          slot(graft.xel.XelFunctions.fieldCol(f.name)),
+          if (f.isMapValue)
+            f.mapValues.map { case (k, d) => k -> UTF8String.fromString(d) }.toMap
+          else null)
       }.toArray)
   }
 
@@ -179,10 +188,16 @@ class XelNativePartitionReader(file: String, required: StructType, errorBudget: 
           haveRow = true // header decoded — E2 keeps the row from here on
           var i = 0
           while (i < d.fields.length) {
-            val (dt, at) = d.fields(i)
+            val (dt, at, mapTable) = d.fields(i)
             if (chunkIn.readByte() != 1) {
-              val v = XelNativeFormat.readValue(chunkIn, dt, at >= 0, chunkBound)
-              if (at >= 0) out(at) = v
+              if (mapTable != null) {
+                val key = chunkIn.readUnsignedShort() // fixed 2 bytes even when pruned
+                if (at >= 0)
+                  out(at) = mapTable.getOrElse(key, UTF8String.fromString(key.toString))
+              } else {
+                val v = XelNativeFormat.readValue(chunkIn, dt, at >= 0, chunkBound)
+                if (at >= 0) out(at) = v
+              }
             }
             i += 1
           }

@@ -74,9 +74,20 @@ object XelNativeFixtures {
       chunk.writeLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
       e.fields.foreach { f =>
         val i = idx(XelFunctions.fieldCol(f.name))
-        val dt = EventSchema.sparkType(f.clrType)
         if (i < 0 || row.isNullAt(i)) chunk.writeByte(1)
-        else { chunk.writeByte(0); XelNativeFormat.writeValue(chunk, dt, row.get(i)) }
+        else if (f.isMapValue) {
+          // columns surface the DISPLAY text; the wire stores the 2-byte
+          // map key, reverse-resolved through the metadata table
+          val display = row.get(i).toString
+          val key = f.mapValues.collectFirst { case (k, d) if d == display => k }
+            .getOrElse(throw new IllegalArgumentException(
+              s"value '$display' not in map field ${f.name}'s metadata table"))
+          chunk.writeByte(0); chunk.writeShort(key)
+        }
+        else {
+          val dt = EventSchema.sparkType(f.clrType)
+          chunk.writeByte(0); XelNativeFormat.writeValue(chunk, dt, row.get(i))
+        }
       }
       meta.actions.foreach { a =>
         val i = idx(XelFunctions.actionCol(a.name))

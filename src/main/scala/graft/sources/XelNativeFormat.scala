@@ -76,7 +76,16 @@ object XelNativeFormat {
       out.writeShort(packageOf.getOrElse(e.name, 0))
       writeStr(out, e.name)
       out.writeShort(e.fields.size)
-      e.fields.foreach { f => writeStr(out, f.name); writeStr(out, f.clrType) }
+      e.fields.foreach { f =>
+        writeStr(out, f.name); writeStr(out, f.clrType)
+        // MapValue fields carry their key→display table IN the metadata
+        // (XE's dm_xe_map_values): records then store a 2-byte key where
+        // strings would repeat the display text per row
+        if (f.isMapValue) {
+          out.writeShort(f.mapValues.size)
+          f.mapValues.foreach { case (k, d) => out.writeShort(k); writeStr(out, d) }
+        }
+      }
     }
     out.writeShort(meta.actions.size)
     meta.actions.foreach { a => writeStr(out, a.name); writeStr(out, a.clrType) }
@@ -98,7 +107,15 @@ object XelNativeFormat {
       val pkgIdx = in.readUnsignedShort()
       require(pkgIdx < packages.size, s"event package index $pkgIdx out of range")
       val name = readStr(in)
-      val fields = Seq.fill(in.readUnsignedShort())(FieldMeta(readStr(in), readStr(in)))
+      val fields = Seq.fill(in.readUnsignedShort()) {
+        val fname = readStr(in)
+        val clr = readStr(in)
+        val maps =
+          if (clr == EventSchema.MapValueClr)
+            Seq.fill(in.readUnsignedShort())((in.readUnsignedShort(), readStr(in)))
+          else Nil
+        FieldMeta(fname, clr, maps)
+      }
       id -> EventMeta(name, fields)
     }
     val actions = Seq.fill(in.readUnsignedShort())(FieldMeta(readStr(in), readStr(in)))

@@ -17,9 +17,23 @@ import org.apache.spark.sql.types._
  */
 object EventSchema {
 
+  /** The CLR name of XE's map-typed values: the wire carries an integer
+    * map KEY; the session metadata carries the key→display table, and the
+    * SDK's `MapValue.ToString()` hands loaders the resolved display text
+    * (`XELoader/EventHolder.cs:137-141`). */
+  val MapValueClr = "Microsoft.SqlServer.XEvent.MapValue"
+
   /** One field/action descriptor: name + XE CLR type name as the metadata
-    * reports it (e.g. "System.UInt64", "Microsoft.SqlServer.XEvent.XMLData"). */
-  final case class FieldMeta(name: String, clrType: String)
+    * reports it (e.g. "System.UInt64", "Microsoft.SqlServer.XEvent.XMLData").
+    * For [[MapValueClr]] fields, `mapValues` is the key→display table from
+    * the metadata tree (XE's dm_xe_map_values analogue); displays must be
+    * distinct so a display round-trips to one key. */
+  final case class FieldMeta(name: String, clrType: String,
+                             mapValues: Seq[(Int, String)] = Nil) {
+    require(clrType != MapValueClr || mapValues.map(_._2).distinct.size == mapValues.size,
+      s"map field $name has duplicate display values")
+    def isMapValue: Boolean = clrType == MapValueClr
+  }
 
   /** One event type: name + payload fields. Actions live session-wide. */
   final case class EventMeta(name: String, fields: Seq[FieldMeta])

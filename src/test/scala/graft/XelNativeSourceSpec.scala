@@ -130,6 +130,77 @@ class XelNativeSourceSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("error budget")))
   }
 
+  test("F7 MapValue: wire carries the 2-byte key, reader resolves the display (incl. stale-key fallback)") {
+    // a map-typed field with its key→display table in the session
+    // metadata (EventHolder.cs:137-141: the SDK hands loaders
+    // MapValue.ToString(), i.e. the resolved display text)
+    val waitMap = Seq(0 -> "PAGEIOLATCH_SH", 1 -> "SOS_SCHEDULER_YIELD", 7 -> "LCK_M_X")
+    val mMeta = SessionMeta(
+      events = Seq(EventMeta("wait_info", Seq(
+        FieldMeta("wait_class", graft.xel.EventSchema.MapValueClr, waitMap),
+        FieldMeta("duration", "System.Int64")))),
+      actions = Nil)
+    val schema = StructType(Seq(
+      StructField("event_name", StringType, nullable = false),
+      StructField("c_event_sequence", LongType),
+      StructField("e_time_of_event_utc", TimestampType),
+      StructField("c_wait_class", StringType),
+      StructField("c_duration", LongType)))
+    val rows = Seq(
+      Row("wait_info", 1L, ts(1), "LCK_M_X", 10L),
+      Row("wait_info", 2L, ts(2), "PAGEIOLATCH_SH", 20L),
+      Row("wait_info", 3L, ts(3), null, 30L))
+    val d = Files.createTempDirectory("graft-xeln-map").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(1L +: r.toSeq: _*)), 1),
+      StructType(StructField("k", LongType) +: schema.fields))
+    val Seq(file) = XelNativeFixtures.writeByKey(df, mMeta, "k", d)
+
+    val back = spark.read.format("xelnative").load(d)
+      .orderBy("c_event_sequence")
+      .select("c_wait_class", "c_duration").collect()
+    assert(back.map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("LCK_M_X"), Some("PAGEIOLATCH_SH"), None))
+
+    // the wire really holds keys, not strings: displays appear exactly
+    // once in the file (in the metadata table), never per record
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(text.indexOf("LCK_M_X") == text.lastIndexOf("LCK_M_X"))
+
+    // stale metadata: a key outside the table surfaces as its decimal
+    // text (lossless), not an error or a silent null — patch record 1's
+    // key (value 7) to 9; the key bytes are the 2 bytes after the
+    // null-flag of the first field of the first record
+    val keyOff = text.indexOf("LCK_M_X") // inside metadata; record keys follow
+    val idx = {
+      // locate the first record: u16 eventId(0) + i64 seq(1) starts right
+      // after the 4-byte chunk length; find chunk by scanning for seq 1
+      // pattern — simpler: find the two-byte key 0x0007 after the header
+      val headerEnd = keyOff + "LCK_M_X".length + 2 /*str len of duration name*/
+      bytes.indexOfSlice(Seq[Byte](0, 7), headerEnd)
+    }
+    assert(idx > 0, "expected the 2-byte key 0x0007 in the first record")
+    bytes(idx + 1) = 9
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+    // the Hadoop local FS wrote a .crc sidecar; this test patches the
+    // DATA deliberately, so drop the checksum to reach our own path
+    val pf = new java.io.File(file)
+    new java.io.File(pf.getParent, "." + pf.getName + ".crc").delete()
+    val patched = spark.read.format("xelnative").load(d)
+      .orderBy("c_event_sequence").select("c_wait_class").collect()
+    assert(patched(0).getString(0) == "9", "stale key must surface as decimal text")
+
+    // writer rejects a display absent from the metadata table
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "wait_info", 9L, ts(9), "NOT_IN_MAP", 1L)), 1),
+      StructType(StructField("k", LongType) +: schema.fields))
+    val e = intercept[Exception](
+      XelNativeFixtures.writeByKey(bad, mMeta, "k",
+        Files.createTempDirectory("graft-xeln-map2").toString))
+    assert(e.getMessage.contains("not in map field"))
+  }
+
   test("distributed writer: executors write rollover files, scan fans out per file") {
     val d = Files.createTempDirectory("graft-xeln-dist").toString
     val rows = (1 to 50).map { i =>
