@@ -518,15 +518,49 @@ object RelationalQueries {
     // Window-function breadth over per-user lifetime value: ntile decile,
     // percent_rank, cume_dist — all over ONE deterministic ordering
     // (total desc, user id tie-break), so every engine ranks identically.
+    //
+    // NOT a global `Window.orderBy` (which funnels every user through one
+    // task — the classic 100 TB scale-killer): the ordering key is unique,
+    // so rank == row_number with no cume_dist peers, and a global row
+    // number decomposes into a two-pass rank — range-partition on the
+    // ordering, row_number within each (parallel) partition, plus the
+    // broadcast count of rows in all earlier partitions. The per-partition
+    // counts are shuffle.partitions-many rows — legitimately driver-sized.
+    // ntile/percent_rank/cume_dist are then closed-form in (row, n).
     "events_value_deciles" -> ((spark, dir) => {
+      import org.apache.spark.storage.StorageLevel
       val totals = XeFixture.events(spark, dir)
         .groupBy(col("user_id"))
         .agg(sum(dec(col("value"))).cast("double").as("total_value"))
-      val w = Window.orderBy(col("total_value").desc, col("user_id"))
-      totals.select(col("user_id"), col("total_value"),
-          ntile(10).over(w).as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+      // persist the range-partitioned frame so the counts job and the main
+      // job rank the SAME materialization (boundary sampling runs once)
+      val ranged = totals
+        .repartitionByRange(col("total_value").desc, col("user_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+        .tail.zip(counts).map { case ((p, end), (_, c)) => (p, end - c) }
+      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+      val localW = Window.partitionBy(col("pid"))
+        .orderBy(col("total_value").desc, col("user_id"))
+      // exact ntile(k): the first n%k tiles get ceil(n/k) rows, the rest
+      // floor(n/k) — closed form below matches SQL ntile row-for-row
+      val k = 10L
+      val q = n / k; val rem = n % k; val cut = (q + 1) * rem
+      val rn = row_number().over(localW).cast("long") + col("off")
+      val decile = when(lit(q) === 0L, rn)
+        .when(rn <= cut, ceil(rn.cast("double") / lit((q + 1).toDouble)))
+        .otherwise(lit(rem) + ceil((rn - lit(cut)).cast("double") / lit(q.toDouble)))
+      val pctRank = if (n > 1) (rn - lit(1L)).cast("double") / lit((n - 1).toDouble)
+                    else lit(0.0)
+      ranged.join(offDf, Seq("pid"))
+        .select(col("user_id"), col("total_value"),
+          decile.cast("int").as("decile"),
+          round(pctRank, 6).as("pct_rank"),
+          round(rn.cast("double") / lit(n.toDouble), 6).as("cume"))
         .orderBy("user_id")
     }),
 

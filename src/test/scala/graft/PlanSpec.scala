@@ -256,6 +256,20 @@ class PlanSpec extends SparkTestBase {
       s"expected the sweep to reuse one user-keyed exchange, got ${shuffles.size}")
   }
 
+  test("events_value_deciles: two-pass rank — no single-partition sort/window") {
+    // the global-window formulation (`Window.orderBy` with no partitionBy)
+    // funnels every user through ONE task; the two-pass rank must leave no
+    // SinglePartition exchange anywhere in the plan
+    val nodes = executedNodes(q("events_value_deciles"))
+    val single = nodes.filter(n =>
+      n.toString.linesIterator.next().contains("SinglePartition"))
+    assert(single.isEmpty,
+      s"found single-partition nodes: ${single.map(_.nodeName)}")
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.forall(!_.toString.linesIterator.next().contains("windowspecdefinition()")),
+      "no window may run with an empty partition spec")
+  }
+
   test("events_sessionize family: one key exchange + output sort at most") {
     for (name <- Seq("events_ohlc", "events_latest_state")) {
       val nodes = executedNodes(q(name))
