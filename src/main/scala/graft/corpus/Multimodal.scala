@@ -1,6 +1,7 @@
 package graft.corpus
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A media payload row: opaque bytes + typed metadata. The 100 TB design
@@ -61,6 +62,101 @@ object Multimodal {
         .otherwise(transform(sequence(lit(0), n - 1), i =>
           substring(hh, i * lit(2) + off, lit(1))))
     }), 1)
+  }
+
+  /** Overlapping byte `gram`-grams (big-endian packed into a long, e.g.
+    * g=3 → b₁·65536+b₂·256+b₃) over the first `maxBytes` body bytes —
+    * each gram read as 2·g hex chars at once. Grams, not single bytes,
+    * because the near-dup signature must have RARE features for the
+    * prefix filter to post: on this corpus even a doc's rarest single
+    * byte appears in ~40% of same-format docs (posting buckets of 40-80
+    * at n=167/format) and its rarest bigram in ~25% — its rarest TRIGRAM
+    * appears in ≤ 4 (measured candidates: 24k bytes / 7.5k bigrams / 247
+    * trigrams at sf0.01). Same one-shot hex binding as [[bodyNibbles]]
+    * (interpreted HOFs do no CSE — inlined, the hex would re-run per
+    * gram). */
+  def bodyGrams(payload: Column, maxBytes: Int, gram: Int): Column = {
+    val h = substring(hex(payload), 9, maxBytes * 2) // body starts after 4-byte header
+    val nFull = least((octet_length(payload) - 4).cast("int"), lit(maxBytes))
+    element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
+      val hh = s.getField("h")
+      val n = s.getField("n")
+      when(n <= gram - 1, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), n - gram), i =>
+          conv(substring(hh, i * lit(2) + 1, lit(2 * gram)), 16, 10).cast("long")))
+    }), 1)
+  }
+
+  /** Sparse byte-gram histogram of the first `maxBytes` body bytes: one
+    * row per (doc_id, format, dim, cnt). Built as explode + groupBy — a
+    * map-side-combined aggregation, the shape that scales (never a
+    * per-row dense projection). Bodies shorter than `gram` bytes produce
+    * no rows, matching the oracle's `WHERE i < least(...)` generator. */
+  def gramHistogram(media: DataFrame, maxBytes: Int = 64, gram: Int = 3): DataFrame =
+    media.select(col("doc_id"), col("format"),
+        explode(bodyGrams(col("payload"), maxBytes, gram)).as("dim"))
+      .groupBy("doc_id", "format", "dim").agg(count(lit(1)).as("cnt"))
+
+  /** Near-dup signature frame: per doc, the sparse histogram entries
+    * sorted by the GLOBAL dim order (document-frequency asc, dim asc) +
+    * squared norm `nsq` + prefix length `plen`.
+    *
+    * Completeness bound (one-sided suffix-norm prefix filter): fix any
+    * total order on dims shared by all docs of a format, and give each
+    * doc the shortest prefix of its (order-sorted) nonzero dims whose
+    * remaining suffix satisfies ‖x_S‖ < t·‖x‖. If two docs share NO
+    * prefix dim, let x be the one whose prefix ends earlier in the global
+    * order. At every position ≤ end(P(x)): x nonzero ⇒ dim ∈ P(x), and
+    * y nonzero ⇒ dim ∈ P(y) (y's prefix is contiguous in the same order
+    * and extends at least as far) — disjointness zeroes every product.
+    * Past end(P(x)), Cauchy-Schwarz gives Σ x_d·y_d ≤ ‖x_S‖·‖y‖ <
+    * t·‖x‖·‖y‖. So cos(x,y) < t: any pair at ≥ t shares a prefix dim.
+    * Unlike the symmetric t/2 bound (prefix mass > (1−t²/4)·nsq ≈ 75%),
+    * this needs prefix mass > (1−t²)·nsq ≈ 1% at t=0.995 — 1-3 dims.
+    * Ordering by df asc makes those the doc's RAREST dims, so posting
+    * buckets are small by construction (AllPairs' frequency heuristic,
+    * Bayardo et al., WWW'07).
+    *
+    * The suffix cut compares in exact integer arithmetic
+    * (suffixSq·10¹² ≥ round(t²·10¹²)·nsq — both ≤ 4·10¹⁵ for 64-byte
+    * histograms, nsq ≤ 62²), so no float rounding can shave the prefix
+    * short. */
+  def nearDupSignatures(hist: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = hist.groupBy("format", "dim").agg(count(lit(1)).as("df"))
+    // ≤ formats · distinct-grams-in-corpus rows — vocabulary-bounded
+    // (tens of thousands here, ≤ the 2²⁴ dim space at any corpus size).
+    // No broadcast hint: AQE picks broadcast while it fits and falls back
+    // to a shuffle join on the same (format, dim) key when it doesn't —
+    // the algorithm is unchanged either way.
+    val keyed = hist.join(dfreq, Seq("format", "dim"))
+      .groupBy("doc_id", "format")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("dim"), col("cnt")))).as("e"),
+        sum(col("cnt") * col("cnt")).as("nsq"))
+    val p = size(col("e"))
+    def sqOf(s: Column): Column = s.getField("cnt") * s.getField("cnt")
+    def suffixSq(k: Column): Column =
+      aggregate(slice(col("e"), k + lit(1), p), lit(0L), (acc, s) => acc + sqOf(s))
+    val t2num = math.round(threshold * threshold * 1e12)
+    // suffixSq is decreasing in k: plen = 1 + #{k : suffix still ≥ cut}
+    keyed.withColumn("plen",
+      when(p <= 1, lit(1)).otherwise(
+        lit(1) + size(filter(sequence(lit(1), p - 1), k =>
+          suffixSq(k) * lit(1000000000000L) >= lit(t2num) * col("nsq")))))
+  }
+
+  /** Candidate pairs from the prefix postings — id-only rows (16 bytes)
+    * through the join and the pair-dedup shuffle; signatures re-attach
+    * AFTER dedup. Complete for cos ≥ threshold by the bound above. */
+  def nearDupCandidates(sig: DataFrame): DataFrame = {
+    val posted = sig.select(col("format"), col("doc_id"),
+      explode(transform(slice(col("e"), lit(1), col("plen")),
+        s => s.getField("dim"))).as("dim"))
+    val a = posted.select(col("format"), col("dim"), col("doc_id").as("d1"))
+    val b = posted.select(col("format"), col("dim"), col("doc_id").as("d2"))
+    a.join(b, Seq("format", "dim")).filter(col("d1") < col("d2"))
+      .select("format", "d1", "d2")
+      .dropDuplicates("format", "d1", "d2")
   }
 
   /** SQL-expressible decode stub: header fields + payload stats via hex

@@ -542,78 +542,44 @@ object CorpusQueries {
         .orderBy("format", "nibble")
     }),
 
-    // Multimodal near-dup: per-payload content signature (16-dim low-
-    // nibble histogram of the first 64 body bytes, exact integer counts)
-    // → candidate pairs from COMPLETE Bayardo/AllPairs prefix filtering
-    // → exact-cosine verify. Each vector is indexed on its dims sorted by
-    // value desc (dim asc tie-break), cut at the shortest prefix whose
-    // SUFFIX 2-norm is < (t/2)·‖s‖: if cos(x,y) ≥ t and the prefixes were
-    // disjoint, cos = Σ_{P(x)}x̂ᵢŷᵢ + Σ_{S(x)}x̂ᵢŷᵢ where every P(x) dim
-    // falls in S(y), so Cauchy-Schwarz bounds each term by a suffix norm
-    // < t/2 — contradiction. The (format, dim) postings equi-join is
-    // therefore a provably complete candidate generator at ANY threshold
-    // (earlier rounds' two-term bucket key missed swapped/near-tied top
-    // dims), and the ORACLE is the unpruned all-pairs scan — parity
-    // verifies candidate completeness, not just score agreement.
+    // Multimodal near-dup: per-payload content signature (byte-TRIGRAM
+    // histogram of the first 64 body bytes, exact integer counts, stored
+    // SPARSE over the 2²⁴ dim space) → candidate pairs from a one-sided
+    // suffix-norm prefix filter under the global (document-frequency asc,
+    // dim asc) dim order → exact-cosine verify on the deduped id pairs.
+    // Provably complete at the threshold (proof at
+    // Multimodal.nearDupSignatures): a pair at cos ≥ t must share a
+    // PREFIX dim, and at t=0.995 a prefix only needs squared mass
+    // > (1−t²)·nsq ≈ 1% — each doc posts just its 1-3 RAREST trigrams,
+    // which trigram sparsity makes genuinely rare across docs (measured
+    // posting buckets ≤ 4 docs at sf0.01, vs 40-80 for single bytes). This
+    // replaces the round-6 symmetric t/2 filter over a 16-dim signature,
+    // whose prefixes covered ~75% of a near-uniform signature's mass and
+    // degenerated into an effective cartesian (86 s at sf0.1). The ORACLE
+    // stays the unpruned all-pairs ground truth (sparse inner-product
+    // form) — parity verifies candidate completeness, not just scoring.
     "mm_near_dup" -> ((spark, dir) => {
       val withP = Multimodal.withPayload(docs(spark, dir))
-      val digits = "0123456789ABCDEF"
-      // signature frame behind a repartition barrier: (1) CollapseProject
-      // can't re-inline the 16 HOF counters into every downstream prefix
-      // expression (inlined, the chained references grow the tree
-      // combinatorially and hang analysis), and (2) the postings
-      // self-join's two branches share this ONE exchange via
-      // ReuseExchange — corpus scanned and signature computed once, with
-      // recomputable lineage (no pinned localCheckpoint blocks to lose on
-      // executor failure, nothing left in the block store afterwards).
-      val sig = withP
-        .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))
-        .filter(size(col("nibbles")) > 0)
-        .select(col("doc_id"), col("format"),
-          array(digits.map(d =>
-            size(filter(col("nibbles"), x => x === lit(d.toString)))
-              .cast("long")): _*).as("s"))
-        .repartition(col("doc_id"))
-      // (value, dim) packed into one sortable long — counts are ≤ 64, so
-      // key = (64-v)*16 + (dim-1); ascending sort = value desc, dim asc.
-      // Keeps the whole prefix computation on array<long> (no structs).
-      val sortedKeys = sort_array(transform(sequence(lit(1), lit(16)), i =>
-        (lit(64L) - element_at(col("s"), i.cast("int"))) * lit(16L)
-          + i.cast("long") - lit(1L)))
-      def sqOf(key: Column): Column = {
-        val v = lit(64L) - shiftright(key, 4)
-        v * v
-      }
-      def suffixSq(sk: Column, k: Column): Column =
-        aggregate(slice(sk, k + lit(1), lit(16)), lit(0L), (acc, key) => acc + sqOf(key))
-      // smallest prefix length whose suffix squared mass is < (t/2)²·nsq —
-      // suffixSq(k) is decreasing in k, so it's 1 + #{k : suffix still ≥ cut}
-      val suffixCut = (mmNearDupThreshold / 2) * (mmNearDupThreshold / 2)
-      val nsq = (1 to 16).map(i =>
-        element_at(col("s"), i) * element_at(col("s"), i)).reduce(_ + _)
-      val keyed = sig
-        .withColumn("nsq", nsq)
-        .withColumn("sk", sortedKeys)
-        .withColumn("plen", lit(1) + size(filter(sequence(lit(1), lit(15)), k =>
-          suffixSq(col("sk"), k).cast("double") >= lit(suffixCut) * col("nsq").cast("double"))))
-      val posted = keyed.select(col("format"), col("doc_id"), col("s"), col("nsq"),
-        explode(transform(slice(col("sk"), lit(1), col("plen")),
-          key => pmod(key, lit(16L)))).as("dim"))
-      val a = posted.select(col("format"), col("dim"),
-        col("doc_id").as("d1"), col("nsq").as("na"), col("s").as("sa"))
-      val b = posted.select(col("format"), col("dim"),
-        col("doc_id").as("d2"), col("nsq").as("nb"), col("s").as("sb"))
-      // a pair sharing several prefix dims matches once per shared dim —
-      // dedup on the pair key before the verify arithmetic
-      val cand = a.join(b, Seq("format", "dim")).filter(col("d1") < col("d2"))
-        .dropDuplicates("format", "d1", "d2")
-      // dot via fixed-order element_at sums — codegen, no interpreted HOF
-      // in the pair loop
-      val dot = (1 to 16).map(i =>
-        element_at(col("sa"), i) * element_at(col("sb"), i)).reduce(_ + _)
-      val cos = round(dot.cast("double") /
+      val hist = Multimodal.gramHistogram(withP, 64, 3)
+      val sig = Multimodal.nearDupSignatures(hist, mmNearDupThreshold)
+      val cand = Multimodal.nearDupCandidates(sig)
+      // signatures re-attach AFTER the pair dedup: the candidate join and
+      // dropDuplicates shuffle 16-byte id rows, never the histograms
+      val m = sig.select(col("doc_id"), col("format"),
+        map_from_entries(transform(col("e"),
+          s => struct(s.getField("dim"), s.getField("cnt")))).as("m"),
+        col("nsq"))
+      val dot = aggregate(
+        map_values(map_zip_with(col("ma"), col("mb"),
+          (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
+        lit(0L), (acc, v) => acc + v)
+      val cos = round(col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
       cand
+        .join(m.select(col("format"), col("doc_id").as("d1"),
+          col("m").as("ma"), col("nsq").as("na")), Seq("format", "d1"))
+        .join(m.select(col("format"), col("doc_id").as("d2"),
+          col("m").as("mb"), col("nsq").as("nb")), Seq("format", "d2"))
         .withColumn("dot", dot).withColumn("cos_sig", cos)
         .filter(col("cos_sig") >= mmNearDupThreshold)
         .select("format", "d1", "d2", "dot", "cos_sig")
@@ -1618,32 +1584,35 @@ object CorpusQueries {
          |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
          |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
          |  FROM documents
-         |), nib AS (
+         |), byt AS (
+         |  -- byte trigram (b1*65536+b2*256+b3) at each of the first 62 body positions
          |  SELECT doc_id, format,
-         |         substring(hex(payload), CAST(10 + i * 2 AS INTEGER), 1) AS nibble
-         |  FROM media, range(0, 64) t(i)
-         |  WHERE i < least(octet_length(payload) - 4, 64)
-         |), nibs AS (SELECT doc_id, format, list(nibble) AS ns FROM nib GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT doc_id, format,
-         |    list_transform(range(0, 16), v ->
-         |      CAST(len(list_filter(ns, x ->
-         |        x = substring('0123456789ABCDEF', CAST(v + 1 AS INTEGER), 1))) AS BIGINT)) AS s
-         |  FROM nibs
+         |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 6))::BIGINT AS dim
+         |  FROM media, range(0, 62) t(i)
+         |  WHERE i < least(octet_length(payload) - 6, 62)
+         |), present AS (
+         |  SELECT doc_id, format, dim, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM byt GROUP BY 1, 2, 3
          |), am AS (
-         |  SELECT doc_id, format, s,
-         |    list_sum(list_transform(s, x -> x * x)) AS nsq
-         |  FROM sig
-         |), pairs AS (
-         |  -- UNPRUNED all-pairs scan: the ground truth the Spark side's
-         |  -- prefix-filter candidate generator must reproduce exactly —
-         |  -- parity here proves candidate completeness, not just scoring
+         |  SELECT doc_id, format, CAST(sum(cnt * cnt) AS BIGINT) AS nsq
+         |  FROM present GROUP BY 1, 2
+         |), pd AS (
+         |  -- UNPRUNED all-pairs ground truth in sparse inner-product form:
+         |  -- every dim of every doc is posted (no prefix filter), so every
+         |  -- pair with dot > 0 is scored, and a pair with no shared dim has
+         |  -- dot = 0 < t. Parity against this proves the Spark side's
+         |  -- prefix-filter candidate generator is complete, not just that
+         |  -- scoring agrees on surviving candidates.
          |  SELECT a.format, a.doc_id AS d1, b.doc_id AS d2,
-         |    list_sum(list_transform(range(0, 16), v ->
-         |      a.s[CAST(v + 1 AS INTEGER)] * b.s[CAST(v + 1 AS INTEGER)])) AS dot,
-         |    a.nsq AS na, b.nsq AS nb
-         |  FROM am a JOIN am b
-         |    ON a.format = b.format AND a.doc_id < b.doc_id
+         |         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+         |  FROM present a JOIN present b
+         |    ON a.format = b.format AND a.dim = b.dim AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3
+         |), pairs AS (
+         |  SELECT pd.format, pd.d1, pd.d2, pd.dot, x.nsq AS na, y.nsq AS nb
+         |  FROM pd
+         |  JOIN am x ON pd.format = x.format AND pd.d1 = x.doc_id
+         |  JOIN am y ON pd.format = y.format AND pd.d2 = y.doc_id
          |)
          |SELECT format, d1, d2, CAST(dot AS BIGINT) AS dot,
          |       round(CAST(dot AS DOUBLE)

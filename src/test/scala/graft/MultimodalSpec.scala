@@ -64,36 +64,53 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("mm_near_dup prefix-filter candidates lose no pair vs all-pairs at the threshold") {
-    // signatures for the sf0.001 corpus, Scala-side; all-pairs cosine is
-    // the ground truth the sorted-dim suffix-norm prefix filter must
-    // match. The generator is PROVABLY complete at any threshold (suffix
-    // 2-norm < t/2 on both sides of a disjoint-prefix pair caps the
-    // cosine below t), and the DuckDB oracle is the unpruned all-pairs
-    // scan — so this spec and the oracle both test completeness on data.
-    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    val sigs = Multimodal.withPayload(real)
-      .withColumn("nibbles", Multimodal.bodyNibbles(col("payload"), 64, low = true))
-      .filter(size(col("nibbles")) > 0)
-      .select($"doc_id", $"format",
-        array("0123456789ABCDEF".map(d =>
-          size(filter(col("nibbles"), x => x === lit(d.toString))).cast("long")): _*)
-          .as("s"))
-      .as[(Long, String, Seq[Long])].collect()
+    // sparse byte-trigram-histogram signatures for the sf0.01 corpus;
+    // all-pairs cosine is the ground truth the df-ordered one-sided
+    // suffix-norm prefix filter must match. The generator is PROVABLY
+    // complete at the threshold (proof at Multimodal.nearDupSignatures:
+    // a disjoint-prefix pair has cos < t), and the DuckDB oracle is the
+    // unpruned all-pairs scan — this spec and the oracle both test
+    // completeness on data.
+    val real = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val sigs = Multimodal.gramHistogram(Multimodal.withPayload(real), 64, 3)
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((id, f), rows) =>
+        (id, f, rows.map(r => r._3 -> r._4).toMap)
+      }.toSeq
     val thr = graft.queries.CorpusQueries.mmNearDupThreshold
-    def cos(a: Seq[Long], b: Seq[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
-      val r = dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
-        math.sqrt(b.map(x => x * x).sum.toDouble))
+    def cos(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.iterator.map { case (d, x) => x * b.getOrElse(d, 0L) }.sum.toDouble
+      val r = dot / (math.sqrt(a.valuesIterator.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.valuesIterator.map(x => x * x).sum.toDouble))
       math.round(r * 1e6) / 1e6
     }
     val exact = (for {
       (d1, f1, s1) <- sigs; (d2, f2, s2) <- sigs
       if f1 == f2 && d1 < d2 && cos(s1, s2) >= thr
     } yield (f1, d1, d2)).toSet
-    val bucketed = graft.SparkEntry.queries("mm_near_dup")(spark, sf("sf0.001"))
+    val bucketed = graft.SparkEntry.queries("mm_near_dup")(spark, sf("sf0.01"))
       .select($"format", $"d1", $"d2").as[(String, Long, Long)].collect().toSet
     assert(bucketed == exact,
       s"prefix filter dropped pairs: missing ${exact -- bucketed}, extra ${bucketed -- exact}")
     assert(exact.nonEmpty, "threshold should catch at least one planted-similar pair")
+  }
+
+  test("mm_near_dup candidate volume is output-bound, not quadratic") {
+    // round 6 shipped a join-TYPE gate ("never a cartesian") that passed
+    // while the plan was effectively cartesian: ~plen·n²/2 candidates
+    // through a 48-value join key. This is the join-SELECTIVITY gate: the
+    // prefix postings must generate candidates linear in n (each doc
+    // posts only its few rarest dims), never a quadratic blowup. At
+    // sf0.01 n=500 docs → the old plan generated >300k candidates; the
+    // df-ordered one-sided filter must stay under 4·n.
+    val real = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val hist = Multimodal.gramHistogram(Multimodal.withPayload(real), 64, 3)
+    val sig = Multimodal.nearDupSignatures(
+      hist, graft.queries.CorpusQueries.mmNearDupThreshold)
+    val n = sig.count()
+    val cands = Multimodal.nearDupCandidates(sig).count()
+    assert(cands <= 4 * n,
+      s"candidate generation is quadratic again: $cands candidates for $n docs")
   }
 }
