@@ -46,7 +46,10 @@ object Bench {
       val t2 = once(); cleanup()
       name -> math.min(t1, t2)
     }
-    def jnum(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" interpolation formats with the JVM default locale,
+    // and a comma-decimal locale (de_DE …) would make this invalid JSON
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -528,39 +528,55 @@ object RelationalQueries {
     // counts are shuffle.partitions-many rows — legitimately driver-sized.
     // ntile/percent_rank/cume_dist are then closed-form in (row, n).
     "events_value_deciles" -> ((spark, dir) => {
-      import org.apache.spark.storage.StorageLevel
       val totals = XeFixture.events(spark, dir)
         .groupBy(col("user_id"))
         .agg(sum(dec(col("value"))).cast("double").as("total_value"))
-      // persist the range-partitioned frame so the counts job and the main
-      // job rank the SAME materialization (boundary sampling runs once)
+      // ONE job, no persist, no driver collect (round 6 pinned this frame
+      // with a persist that was never released — a block-store leak in any
+      // long-lived session): the counts branch and the rank branch hang
+      // off the SAME range exchange, which ReuseExchange materializes once
+      // (plan-gated), so boundary sampling runs once and `pid` agrees
+      // across branches by construction. The explicit partition count
+      // keeps AQE from re-coalescing the two reads differently — pid is
+      // assigned AFTER the shuffle read, so branch-divergent coalescing
+      // would desync the offsets.
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = totals
-        .repartitionByRange(col("total_value").desc, col("user_id"))
+        .repartitionByRange(nPart, col("total_value").desc, col("user_id"))
         .withColumn("pid", spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // per-partition counts: shuffle.partitions-many rows — tiny. Prefix
+      // offsets via a triangle join over those rows (no global window: a
+      // SinglePartition sort anywhere in this plan is what the two-pass
+      // rank exists to avoid, and the gate asserts its absence).
       val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
-        .tail.zip(counts).map { case ((p, end), (_, c)) => (p, end - c) }
-      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("pid", "off"))
+      val tot = counts.agg(sum(col("cnt")).cast("long").as("n"))
+      val off = counts.as("a")
+        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+        .crossJoin(broadcast(tot)) // 1-row total fans onto ≤ nPart rows
       val localW = Window.partitionBy(col("pid"))
         .orderBy(col("total_value").desc, col("user_id"))
       // exact ntile(k): the first n%k tiles get ceil(n/k) rows, the rest
-      // floor(n/k) — closed form below matches SQL ntile row-for-row
+      // floor(n/k) — closed form below matches SQL ntile row-for-row,
+      // with (q, rem, cut) as columns of the broadcast offsets frame
       val k = 10L
-      val q = n / k; val rem = n % k; val cut = (q + 1) * rem
+      val n = col("n")
+      val q = floor(n / lit(k)).cast("long")
+      val rem = n % lit(k)
+      val cut = (q + lit(1L)) * rem
       val rn = row_number().over(localW).cast("long") + col("off")
-      val decile = when(lit(q) === 0L, rn)
-        .when(rn <= cut, ceil(rn.cast("double") / lit((q + 1).toDouble)))
-        .otherwise(lit(rem) + ceil((rn - lit(cut)).cast("double") / lit(q.toDouble)))
-      val pctRank = if (n > 1) (rn - lit(1L)).cast("double") / lit((n - 1).toDouble)
-                    else lit(0.0)
-      ranged.join(offDf, Seq("pid"))
+      val decile = when(q === 0L, rn)
+        .when(rn <= cut, ceil(rn.cast("double") / (q + lit(1L)).cast("double")))
+        .otherwise(rem + ceil((rn - cut).cast("double") / q.cast("double")))
+      val pctRank = when(n > 1L,
+        (rn - lit(1L)).cast("double") / (n - lit(1L)).cast("double"))
+        .otherwise(lit(0.0))
+      ranged.join(broadcast(off), Seq("pid"))
         .select(col("user_id"), col("total_value"),
           decile.cast("int").as("decile"),
           round(pctRank, 6).as("pct_rank"),
-          round(rn.cast("double") / lit(n.toDouble), 6).as("cume"))
+          round(rn.cast("double") / n.cast("double"), 6).as("cume"))
         .orderBy("user_id")
     }),
 

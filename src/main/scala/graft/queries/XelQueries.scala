@@ -192,6 +192,34 @@ object XelQueries {
         .orderBy("event_name")
     }),
 
+    // §3.1 `Main` lifecycle under the ORACLE gate: materialize a bounded
+    // rollover set, run the CLI driver end-to-end (discovery with
+    // session-pattern narrowing → width-limited load → demux write →
+    // lineage → final statistics) and return the stats block as one row.
+    // The DuckDB twin recomputes every counter from the same slice of
+    // `events` — so files/events/tables/truncations are all checked, not
+    // just smoke-asserted in sbt.
+    "xe_loader_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      val inDir = wipedScratchDir(spark, dir, "loader_in")
+      val outDir = wipedScratchDir(spark, dir, "loader_out") + "/demux"
+      val slice = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 20000)
+        .select(col("e_imported_file_id"), col("c_event_sequence"),
+          col("c_session_id"), col("c_duration_us"), col("e_time_of_event_utc"),
+          col("c_statement"), col("event_name"))
+      graft.sources.XelbFixtures.writeByKey(slice, "e_imported_file_id", inDir)
+      val args = graft.xel.LoaderMain.parseArgs(Array(
+        s"-D$inDir", s"-o$outDir", "-l", s"-L$demoStringLimit"))
+        .fold(m => throw new IllegalStateException(s"loader args must parse: $m"), identity)
+      val r = graft.xel.LoaderMain.run(spark, args)
+      Seq((r.filePattern, r.filesProcessed, r.eventsLoaded, r.tablesLoaded,
+          r.errors, r.stringTruncations, r.xmlTruncations, r.binaryTruncations))
+        .toDF("file_pattern", "files_processed", "events_loaded",
+          "tables_loaded", "errors_encountered", "string_truncations",
+          "xml_truncations", "binary_truncations")
+    }),
+
     // Full-width XELB ingest: a BinaryType callstack (plus decimal-38
     // UInt64 companion, boolean, int) written and read through
     // format("xelb") — the §1.3 type table carried end-to-end through the
@@ -433,6 +461,19 @@ object XelQueries {
            |       max(c_event_sequence) AS max_seq
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_loader_stats" ->
+        s"""$cte
+           |SELECT 'GraftSession_*' AS file_pattern,
+           |       CAST(count(DISTINCT e_imported_file_id) AS BIGINT) AS files_processed,
+           |       CAST(count(*) AS BIGINT) AS events_loaded,
+           |       CAST(count(DISTINCT event_name) AS BIGINT) AS tables_loaded,
+           |       CAST(0 AS BIGINT) AS errors_encountered,
+           |       CAST(sum(CASE WHEN length(c_statement) > $demoStringLimit
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS string_truncations,
+           |       CAST(0 AS BIGINT) AS xml_truncations,
+           |       CAST(0 AS BIGINT) AS binary_truncations
+           |FROM xe WHERE c_event_sequence <= 20000""".stripMargin,
 
       "xe_xel_native_scan" ->
         s"""$cte

@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
  *   -l          limit widths (the reference's "disable LOB on columnstore"
  *               is precisely what makes its width limits bite,
  *               `EventHolder.cs:277-281`)
+ *   -x          store XML as unbounded strings — exempt XML columns from
+ *               the width policy (`InputParameters.cs:169-173` →
+ *               `EventMetadata.cs:372-375`; without this, a ported command
+ *               line using -x would silently get truncated XML)
  *   -e<n>       per-file error budget                (-e, default 100)
  *   -h<n> -j<cmd>  callstack frame length / debugger command (-h -j)
  *   -I<kind>    RowStore|ColumnStore — accepted and recorded; parquet is
@@ -50,8 +54,7 @@ import org.apache.spark.sql.functions._
  *
  * Deliberately absent (SQL-Server-physical, no Spark meaning): -U/-P/-T/-E
  * (credentials/TLS live in the JDBC url), -R read-ahead (vectorized reader
- * + OS readahead), -x store-XML-as-string (parquet strings are unbounded),
- * -v version tag (unused in the reference too).
+ * + OS readahead), -v version tag (unused in the reference too).
  */
 object LoaderMain {
 
@@ -91,10 +94,20 @@ object LoaderMain {
     * has an empty default). Returns Left(message) on unusable input. */
   def parseArgs(args: Array[String]): Either[String, LoaderArgs] = {
     var a = LoaderArgs()
+    var numErr: Option[String] = None
     args.foreach { arg =>
       if (arg.length < 2 || arg.charAt(0) != '-') ()
       else {
         val v = arg.substring(2)
+        // numeric flags route through the same friendly usage-error path
+        // as missing input/target — a bare `-b` or `-bfoo` must not throw
+        // NumberFormatException out of the parser
+        def num(flag: Char): Int = v.toIntOption.getOrElse {
+          if (numErr.isEmpty)
+            numErr = Some(s"-$flag expects an integer, got: " +
+              (if (v.isEmpty) "<nothing>" else s"'$v'"))
+          0
+        }
         arg.charAt(1) match {
           case '?' => a = a.copy(help = true)
           case 'f' => a = a.copy(inputFile = Some(v))
@@ -108,15 +121,16 @@ object LoaderMain {
           case 'a' => a = a.copy(cfg = a.cfg.copy(appendMode = true))
           case 'c' => a = a.copy(cfg = a.cfg.copy(clearTables = true))
           case 'w' => a = a.copy(cfg = a.cfg.copy(wipeDatabase = true))
-          case 'b' => a = a.copy(cfg = a.cfg.copy(batchSize = v.toInt))
-          case 't' => a = a.copy(threads = Some(v.toInt))
+          case 'b' => a = a.copy(cfg = a.cfg.copy(batchSize = num('b')))
+          case 't' => a = a.copy(threads = Some(num('t')))
           case 'z' => a = a.copy(cfg = a.cfg.copy(timezone = v))
-          case 'L' => a = a.copy(cfg = a.cfg.copy(stringLimit = v.toInt))
-          case 'X' => a = a.copy(cfg = a.cfg.copy(xmlLimit = v.toInt))
-          case 'B' => a = a.copy(cfg = a.cfg.copy(binaryLimit = v.toInt))
+          case 'L' => a = a.copy(cfg = a.cfg.copy(stringLimit = num('L')))
+          case 'X' => a = a.copy(cfg = a.cfg.copy(xmlLimit = num('X')))
+          case 'B' => a = a.copy(cfg = a.cfg.copy(binaryLimit = num('B')))
           case 'l' => a = a.copy(cfg = a.cfg.copy(limitWidths = true))
-          case 'e' => a = a.copy(cfg = a.cfg.copy(errorBudget = v.toInt))
-          case 'h' => a = a.copy(cfg = a.cfg.copy(frameLength = v.toInt))
+          case 'x' => a = a.copy(cfg = a.cfg.copy(xmlUnbounded = true))
+          case 'e' => a = a.copy(cfg = a.cfg.copy(errorBudget = num('e')))
+          case 'h' => a = a.copy(cfg = a.cfg.copy(frameLength = num('h')))
           case 'j' => a = a.copy(cfg = a.cfg.copy(frameCommand = v))
           case 'I' =>
             if (v != "RowStore" && v != "ColumnStore")
@@ -128,6 +142,7 @@ object LoaderMain {
       }
     }
     if (a.help) Right(a)
+    else if (numErr.nonEmpty) Left(numErr.get)
     else if (a.inputFile.isEmpty && a.inputDir.isEmpty)
       Left("an input is required: -f<file> or -D<directory> " +
         "[the reference's two required parameters are file location and server]")
@@ -144,6 +159,7 @@ object LoaderMain {
       |  target:  -o<dir> | -S<jdbcUrl> | -C (catalog tables)   [-s<schema>]
       |  ddl:     -a append (skip DDL) | -c clear tables | -w wipe namespace
       |  shaping: -z<zone> -L<strLimit> -X<xmlLimit> -B<binLimit> -l (limit widths)
+      |           -x (XML as unbounded strings, exempt from width limits)
       |  load:    -b<batchSize> -e<errorBudget> -t<threads> -I<RowStore|ColumnStore>
       |  misc:    -h<frameLen> -j<debuggerCmd> -V verbose -? help""".stripMargin
 
@@ -210,9 +226,18 @@ object LoaderMain {
 
     val shaped = Pipeline.applyWidthLimits(frame, cfg)
 
-    // truncation counters (A4) — one aggregate pass, exactly-once
-    val trunc = Pipeline.truncationStats(frame.drop("source_file"), cfg).head()
-    def cnt(i: Int): Long = if (trunc.isNullAt(i)) 0L else trunc.getLong(i)
+    // truncation counters (A4) — one aggregate pass, exactly-once; only
+    // when widths are limited: with -l absent applyWidthLimits is a no-op,
+    // so the counters must read zero (the reference counts truncations
+    // that HAPPENED, not would-have-happened) and the extra source scan
+    // is skipped entirely
+    val trunc = if (cfg.limitWidths)
+      Some(Pipeline.truncationStats(frame.drop("source_file"), cfg).head())
+    else None
+    def cnt(i: Int): Long = trunc match {
+      case Some(row) if !row.isNullAt(i) => row.getLong(i)
+      case _ => 0L
+    }
 
     // load phase: demux by event type into the chosen target
     val forWrite = shaped.drop("source_file")
@@ -226,9 +251,12 @@ object LoaderMain {
       else if (a.catalogTables)
         CatalogDdl.writeDemuxedTables(forWrite, cfg)
       else {
+        // a plain run must not silently duplicate data when rerun into an
+        // existing -o dir: append is reserved for -a, -c means replace,
+        // and the default fails loudly on a non-empty target
         val counts = Pipeline.writeDemuxed(forWrite, a.outDir.get, cfg,
           mode = if (cfg.appendMode) "append"
-                 else if (cfg.clearTables) "overwrite" else "append")
+                 else if (cfg.clearTables) "overwrite" else "errorifexists")
         counts.select(col("event_name")).collect().map(_.getString(0)).sorted.toSeq
       }
 

@@ -85,7 +85,9 @@ object Pipeline {
       val c = col(f.name)
       val limited = f.dataType match {
         case StringType if EventSchema.xmlColumns.contains(f.name) =>
-          XelFunctions.truncate(c, cfg.xmlLimit)
+          // -x: XML rehomed to an unbounded string type — exempt from the
+          // width policy even when limits are on (EventMetadata.cs:372-375)
+          if (cfg.xmlUnbounded) c else XelFunctions.truncate(c, cfg.xmlLimit)
         case StringType if f.name.startsWith("c_") || f.name.startsWith("a_") =>
           XelFunctions.truncate(c, cfg.stringLimit)
         case BinaryType => XelFunctions.truncate(c, cfg.binaryLimit)
@@ -107,7 +109,8 @@ object Pipeline {
   def truncationStats(df: DataFrame, cfg: XelConfig): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     val flags = df.schema.fields.collect {
-      case f if f.dataType == StringType && EventSchema.xmlColumns.contains(f.name) =>
+      case f if f.dataType == StringType && EventSchema.xmlColumns.contains(f.name)
+          && !cfg.xmlUnbounded =>
         ("xml", XelFunctions.truncatedFlag(col(f.name), cfg.xmlLimit))
       case f if f.dataType == StringType && (f.name.startsWith("c_") || f.name.startsWith("a_")) =>
         ("string", XelFunctions.truncatedFlag(col(f.name), cfg.stringLimit))

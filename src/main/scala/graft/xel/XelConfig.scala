@@ -20,6 +20,11 @@ package graft.xel
  *                       truncates only on ColumnStore-without-LOB targets
  *                       (`EventHolder.cs:277-281`); Parquet has no width
  *                       limits, so default false and oracle queries opt in
+ * @param xmlUnbounded   store XML columns as unlimited strings even when
+ *                       widths are limited (`-x`: the reference forces
+ *                       XML → nvarchar(max), `InputParameters.cs:169-173`,
+ *                       which exempts those columns from the width policy,
+ *                       `EventMetadata.cs:372-375`)
  * @param timezone       zone for `e_time_of_event_local` (`-z`, system local;
  *                       we default UTC for determinism)
  * @param schemaName     catalog namespace for event tables (`-s`, "xel")
@@ -45,6 +50,7 @@ final case class XelConfig(
     xmlLimit: Int = 4000,
     binaryLimit: Int = 1024,
     limitWidths: Boolean = false,
+    xmlUnbounded: Boolean = false,
     timezone: String = "UTC",
     schemaName: String = "xel",
     appendMode: Boolean = false,

@@ -88,6 +88,61 @@ class LoaderMainSpec extends SparkTestBase {
     assert(maxLen <= 8, s"c_statement must be truncated to 8 chars, max is $maxLen")
   }
 
+  test("parseArgs: malformed numeric flags hit the friendly usage path, not an exception") {
+    // a bare -b or -bfoo must produce the same Left/usage error as a
+    // missing input — never a NumberFormatException out of the parser
+    assert(LoaderMain.parseArgs(Array("-bfoo", "-D/d", "-o/o")).isLeft)
+    assert(LoaderMain.parseArgs(Array("-b", "-D/d", "-o/o")).isLeft)
+    assert(LoaderMain.parseArgs(Array("-t1x", "-D/d", "-o/o")).isLeft)
+    assert(LoaderMain.parseArgs(Array("-L", "-D/d", "-o/o")).isLeft)
+    val Left(msg) = LoaderMain.parseArgs(Array("-e12.5", "-D/d", "-o/o")): @unchecked
+    assert(msg.contains("-e") && msg.contains("12.5"))
+  }
+
+  test("-x exempts XML columns from width limits (InputParameters.cs:169-173)") {
+    // c_data is XML-classed (EventSchema.xmlColumns): under -l -X8 it
+    // truncates and counts; adding -x stores it unbounded and the XML
+    // counter reads zero — the reference's XML→nvarchar(max) rehoming
+    val xmlDir = Files.createTempDirectory("graft-loader-xml-in").toString
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("e_imported_file_id"), col("c_event_sequence"), col("c_session_id"),
+      col("c_duration_us"), col("e_time_of_event_utc"), col("event_name"))
+      .withColumn("c_data", concat(lit("<x>"), col("c_session_id"), lit("</x>")))
+    XelbFixtures.writeByKey(xe, "e_imported_file_id", xmlDir)
+
+    val out1 = Files.createTempDirectory("graft-loader-xml-o1").toString + "/demux"
+    val Right(a1) = LoaderMain.parseArgs(
+      Array(s"-D$xmlDir", s"-o$out1", "-l", "-X8")): @unchecked
+    val r1 = LoaderMain.run(spark, a1)
+    assert(r1.xmlTruncations > 0)
+    assert(spark.read.parquet(out1)
+      .agg(max(length(col("c_data")))).head().getInt(0) <= 8)
+
+    val out2 = Files.createTempDirectory("graft-loader-xml-o2").toString + "/demux"
+    val Right(a2) = LoaderMain.parseArgs(
+      Array(s"-D$xmlDir", s"-o$out2", "-l", "-X8", "-x")): @unchecked
+    assert(a2.cfg.limitWidths && a2.cfg.xmlUnbounded)
+    val r2 = LoaderMain.run(spark, a2)
+    assert(r2.xmlTruncations == 0)
+    assert(spark.read.parquet(out2)
+      .agg(max(length(col("c_data")))).head().getInt(0) > 8)
+  }
+
+  test("plain rerun into an existing -o dir fails loudly; -a appends; counters zero without -l") {
+    val outDir = Files.createTempDirectory("graft-loader-rerun").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(Array(s"-D$inputDir", s"-o$outDir")): @unchecked
+    val r1 = LoaderMain.run(spark, a)
+    // without -l nothing was truncated — the report must say so (and the
+    // truncation-stats scan is skipped entirely)
+    assert(r1.stringTruncations == 0 && r1.xmlTruncations == 0 && r1.binaryTruncations == 0)
+    // a verbatim rerun would silently duplicate every row under append —
+    // the plain-run default must refuse instead
+    intercept[Exception] { LoaderMain.run(spark, a) }
+    val Right(ap) = LoaderMain.parseArgs(Array(s"-D$inputDir", s"-o$outDir", "-a")): @unchecked
+    LoaderMain.run(spark, ap) // -a is the explicit opt-in to append
+    assert(spark.read.parquet(outDir).count() == 2 * r1.eventsLoaded)
+  }
+
   test("single-file input (-f) loads just that rollover file") {
     val file = new java.io.File(inputDir).listFiles().filter(
       _.getName.endsWith(".xelb")).sortBy(_.getName).head

@@ -263,11 +263,37 @@ class PlanSpec extends SparkTestBase {
     val nodes = executedNodes(q("events_value_deciles"))
     val single = nodes.filter(n =>
       n.toString.linesIterator.next().contains("SinglePartition"))
-    assert(single.isEmpty,
-      s"found single-partition nodes: ${single.map(_.nodeName)}")
+    // the one SinglePartition shape that is fine: the exchange under a
+    // GLOBAL scalar aggregate (grouping keys=[]) — here the ≤ nPart
+    // partition-count rows collapsing to the 1-row total. Any other
+    // single-partition node (a global sort, a window over everything, a
+    // data funnel) is the O(n)-through-one-task shape this gate exists
+    // to forbid.
+    val funnels = single.filterNot { n =>
+      n.nodeName.contains("Exchange") &&
+        n.children.exists(c => c.toString.linesIterator.next().contains("keys=[]"))
+    }
+    assert(funnels.isEmpty,
+      s"found single-partition data funnels: ${funnels.map(_.nodeName)}")
     val windows = nodes.filter(_.nodeName.contains("Window"))
     assert(windows.forall(!_.toString.linesIterator.next().contains("windowspecdefinition()")),
       "no window may run with an empty partition spec")
+  }
+
+  test("events_value_deciles: one shared range exchange, nothing pinned") {
+    // round 6 kept counts and ranks consistent by persisting the ranged
+    // frame — and never unpersisted it (a block-store leak per invocation
+    // in a long-lived session). The one-job form must instead share the
+    // range exchange via ReuseExchange (boundary sampling runs once, pid
+    // agrees across branches) and leave NOTHING in the block store.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = q("events_value_deciles")
+    val nodes = executedNodes(df)
+    assert(nodes.exists(_.getClass.getSimpleName.contains("ReusedExchange")),
+      s"counts and rank branches must share one range exchange, got: " +
+        nodes.map(_.getClass.getSimpleName).distinct.mkString(", "))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"query left persistent RDDs behind: $leaked")
   }
 
   test("events_sessionize family: one key exchange + output sort at most") {
