@@ -684,6 +684,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style LM quality score: an add-one-smoothed bigram model
+    // TRAINED ON THE CORPUS ITSELF scores each doc by its mean smoothed
+    // conditional probability — the perplexity-proxy filter of a training
+    // -data pipeline (high score = phrasing the corpus has seen; low =
+    // boilerplate-free novel or garbage text). Each term is fixed-point
+    // INTEGER arithmetic, floor(10⁶·(B+1)/(U+V)) via `div` — bit-exact in
+    // both engines — with ONE double division at the end (the repo's
+    // no-raw-double-sums rule; a log-likelihood formulation would sum
+    // libm doubles and desync the hash gate). At 100 TB: two
+    // vocabulary-bounded count frames + the same token exchange shape as
+    // text_tfidf; V broadcasts as a 1-row aggregate.
+    "text_lm_score" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val bg = d.select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val uni = d.select(explode(T.tokens(col("text"))).as("w"))
+      val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("un"))
+      val vdf = uni.agg(countDistinct(col("w")).as("v"))
+      val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+      val per = bg
+        .join(bcnt, "bg")
+        .join(ucnt, col("w1") === col("w"))
+        .crossJoin(broadcast(vdf)) // 1-row vocab size onto the pair stream
+        .withColumn("term", expr("((bn + 1) * 1000000) div (un + v)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_sum"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+            .otherwise(round(col("lm_sum").cast("double") /
+              col("n_bigrams").cast("double"), 6))
+            .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // Sequential Poisson (PPS) sampling (Dedup.ppsSample): weighted
     // sampling without replacement where weight = doc length — the
     // data-mixture draw that keeps token mass rather than doc count,
@@ -1744,6 +1781,35 @@ object CorpusQueries {
          |       END AS rare_ratio
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""$tokCte,
+         |uni AS (SELECT unnest(ws) AS w FROM toks),
+         |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS un FROM uni GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM uni),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ws)),
+         |                i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM toks WHERE len(ws) >= 2
+         |), bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bn FROM bg GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, count(*) AS nb,
+         |         CAST(sum(((bn + 1) * 1000000) // (un + v)) AS BIGINT) AS lm_sum
+         |  FROM bg b
+         |  JOIN bcnt USING (bg)
+         |  JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.w
+         |  CROSS JOIN vv
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(nb, 0) AS n_bigrams,
+         |       coalesce(lm_sum, 0) AS lm_sum,
+         |       CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(lm_sum AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+         |       END AS lm_score
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_sample_pps" ->
       s"""WITH pri AS (
