@@ -60,6 +60,34 @@ object Similarity {
       .select("v1", "v2", "cos_sim")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * prune near-duplicate EMBEDDINGS within coarse clusters — the
+    * cluster-then-prune shape that makes semantic dedup tractable at
+    * corpus scale, because the quadratic pairwise term is bounded by the
+    * cluster size, not the corpus size (grow the cluster count with the
+    * corpus to hold that bound). `bucketCol` is the coarse cluster id —
+    * a [[kmeansAssign]] output, or any precomputed partition label.
+    * Survivor rule: keep a vector iff no LOWER-id vector in the same
+    * cluster has cosine ≥ threshold (deterministic, order-free min-id
+    * canonicalization — one equi-join + anti-join, no iterative
+    * clustering needed). */
+  def semDedupSurvivors(emb: DataFrame, idCol: String, vecCol: String,
+                        bucketCol: String, threshold: Double): DataFrame = {
+    // norms feed both self-join sides — same materialize-once pattern as
+    // Dedup.jaccardPairs postings
+    val withNorm = Dedup.fanout(emb)
+      .select(col(idCol), col(bucketCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+      .localCheckpoint(false)
+    val a = withNorm.select(col(bucketCol).as("b"), col(idCol).as("v1"),
+      col(vecCol).as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col(bucketCol).as("b"), col(idCol).as("v2"),
+      col(vecCol).as("e2"), col("nrm").as("n2"))
+    val drops = a.join(b, Seq("b")).filter(col("v1") < col("v2"))
+      .filter(cosineFast(col("e1"), col("n1"), col("e2"), col("n2")) >= threshold)
+      .select(col("v2").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Exact brute-force top-k neighbors for a query subset. The query side
     * is broadcast (it is small by construction), so the big side streams
     * once with no shuffle before the per-query top-k. */

@@ -352,6 +352,20 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup: semantic near-duplicate pruning within coarse clusters
+    // (the fixture `label` stands in for the k-means assignment, as in
+    // ann_topk_ivf) — survivors after dropping every vector with a
+    // lower-id cluster-mate at cosine ≥ threshold. The cluster-scoped
+    // self-join bounds the quadratic term by cluster size at any corpus
+    // size — the property that distinguishes this from
+    // dedup_embedding_cosine's exact all-pairs baseline.
+    "dedup_semantic" -> ((spark, dir) => {
+      Similarity.semDedupSurvivors(emb(spark, dir), "vec_id", "embedding",
+          "label", cosineThreshold)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     // Benchmark decontamination: docs from source 'src0' play the eval
     // set; training docs (all other sources) sharing any 5-shingle with
     // it are flagged — the step that keeps eval data out of training.
@@ -1304,6 +1318,19 @@ object CorpusQueries {
          |SELECT v1, v2, cos_sim FROM pairs
          |WHERE cos_sim >= $cosineThreshold
          |ORDER BY v1, v2""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
+         |), drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM norms a JOIN norms b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round($cosDot / (a.nrm * b.nrm), 6) >= $cosineThreshold
+         |)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY e.vec_id""".stripMargin,
 
     "dedup_embedding_lsh" -> {
       // each component CAST from its shortest-round-trip string: DuckDB

@@ -96,6 +96,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(exact.nonEmpty, "threshold should catch at least one planted-similar pair")
   }
 
+  test("near-dup prefix filter loses no pair at ANY threshold (property, random corpora)") {
+    // the completeness proof (Multimodal.nearDupSignatures) is threshold-
+    // generic; this drives it on seeded random corpora with planted
+    // one-character mutations, at thresholds from near-exact (prefix =
+    // 1-3 rarest dims) down to 0.5 (prefix mass > 75% — the posting-heavy
+    // regime). Candidates must be a superset of the UNROUNDED all-pairs
+    // matches in every case.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "qx")
+    val base = Seq.fill(60)(
+      Seq.fill(8 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val mutated = base.take(30).map { t =>
+      val i = rnd.nextInt(t.length)
+      t.updated(i, if (t(i) == 'a') 'o' else 'a')
+    }
+    val corpus = (base ++ mutated).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, t.length.toLong) }.toDF("doc_id", "text", "n_chars")
+    val hist = Multimodal.gramHistogram(Multimodal.withPayload(corpus), 64, 3)
+    val sigs = hist.as[(Long, String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((id, f), rows) => (id, f, rows.map(r => r._3 -> r._4).toMap) }.toSeq
+    def cosRaw(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.iterator.map { case (d, x) => x * b.getOrElse(d, 0L) }.sum.toDouble
+      dot / (math.sqrt(a.valuesIterator.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.valuesIterator.map(x => x * x).sum.toDouble))
+    }
+    for (t <- Seq(0.995, 0.9, 0.8, 0.5)) {
+      val exact = (for {
+        (d1, f1, s1) <- sigs; (d2, f2, s2) <- sigs
+        if f1 == f2 && d1 < d2 && cosRaw(s1, s2) >= t
+      } yield (f1, d1, d2)).toSet
+      val cands = Multimodal.nearDupCandidates(Multimodal.nearDupSignatures(hist, t))
+        .select($"format", $"d1", $"d2").as[(String, Long, Long)].collect().toSet
+      assert(exact.subsetOf(cands),
+        s"threshold $t: prefix filter dropped ${exact -- cands}")
+      assert(exact.nonEmpty, s"threshold $t should catch planted mutations")
+    }
+  }
+
   test("mm_near_dup candidate volume is output-bound, not quadratic") {
     // round 6 shipped a join-TYPE gate ("never a cartesian") that passed
     // while the plan was effectively cartesian: ~plen·n²/2 candidates

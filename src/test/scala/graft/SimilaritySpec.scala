@@ -133,4 +133,31 @@ class SimilaritySpec extends SparkTestBase {
     val overlap = (exact intersect quant).size.toDouble / exact.size
     assert(overlap > 0.7, s"sq8 recall@10 too low: $overlap")
   }
+
+  test("semDedupSurvivors: min-id survivor per within-cluster near-dup group") {
+    // vecs 0 and 1 share label 0 at cos > 0.99 -> 1 is dropped (lower id
+    // survives); everything else is below any reasonable threshold
+    val kept = Similarity.semDedupSurvivors(vecs, "vec_id", "embedding",
+        "label", threshold = 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+    // the survivor rule matches the brute-force definition: drop x iff
+    // some lower-id same-label y has cos(x, y) >= t
+    val all = vecs.as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (t <- Seq(0.5, 0.95, 0.999)) {
+      val expect = all.filter { case (id, v, l) =>
+        !all.exists { case (id2, v2, l2) =>
+          l2 == l && id2 < id && math.round(cos(v2, v) * 1e6) / 1e6 >= t }
+      }.map(_._1).toSet
+      val got = Similarity.semDedupSurvivors(vecs, "vec_id", "embedding",
+          "label", t)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(got == expect, s"t=$t")
+    }
+  }
 }
