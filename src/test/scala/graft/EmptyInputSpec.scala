@@ -38,4 +38,24 @@ class EmptyInputSpec extends SparkTestBase {
       T.tokenSegments(col("text"), 4), T.hash60(col("text")))
     assert(out.count() == 0)
   }
+
+  test("multimodal near-dup pipeline is empty-safe end to end") {
+    import graft.corpus.Multimodal
+    val noMedia = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    val hist = Multimodal.gramHistogram(Multimodal.withPayload(noMedia), 64, 3)
+    assert(hist.count() == 0)
+    val sig = Multimodal.nearDupSignatures(hist, 0.995)
+    assert(sig.count() == 0)
+    assert(Multimodal.nearDupCandidates(sig).count() == 0)
+    // 1-2 byte bodies (shorter than a trigram) drop out, not crash
+    val tiny = Seq((1L, "ab", 2L), (2L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    assert(Multimodal.gramHistogram(Multimodal.withPayload(tiny), 64, 3).count() == 0)
+  }
+
+  test("semantic dedup survives an empty embedding set") {
+    import graft.corpus.Similarity
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.semDedupSurvivors(noVecs, "vec_id", "embedding",
+      "label", 0.9).count() == 0)
+  }
 }
