@@ -296,6 +296,32 @@ class PlanSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"query left persistent RDDs behind: $leaked")
   }
 
+  test("dedup_semantic: cluster-scoped equi-join, broadcast drop list, no cartesian") {
+    val nodes = executedNodes(q("dedup_semantic"))
+    val bad = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct") ||
+        n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty,
+      s"within-cluster pruning must stay an equi-join on the cluster id, got $bad")
+    // the survivor anti-join's drop list is near-dup-sized — it must broadcast
+    def anti(kind: String) = nodes.filter(n =>
+      n.getClass.getSimpleName.contains(kind) &&
+        n.toString.linesIterator.next().contains("LeftAnti"))
+    assert(anti("BroadcastHashJoin").nonEmpty,
+      "survivor anti-join must be a broadcast hash join")
+    assert(anti("SortMergeJoin").isEmpty,
+      "drop list must never be big enough to sort-merge")
+  }
+
+  test("text_lm_score: scans prune to doc_id + text") {
+    val explained = q("text_lm_score").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    assert(schemas.forall(s => !s.contains("lang") && !s.contains("source")),
+      s"LM scoring reads only doc_id/text, got: ${schemas.mkString("; ")}")
+  }
+
   test("events_sessionize family: one key exchange + output sort at most") {
     for (name <- Seq("events_ohlc", "events_latest_state")) {
       val nodes = executedNodes(q(name))
