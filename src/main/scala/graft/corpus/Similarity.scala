@@ -238,7 +238,17 @@ object Similarity {
     * Feed the result to [[ivfTopK]] as the bucket column. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    emb.select(col(idCol),
+      VectorExpr.nearestCentroidF(col(vecCol), centroids).as("cluster"))
+  }
+
+  /** The Lloyd training loop behind [[kmeansAssign]], exposed for callers
+    * that need the centroid table itself (PQ sub-quantizers): seeded from
+    * the k smallest ids, `iters` rounds of assignment (native codegen
+    * expression) + per-dimension means. Deterministic given the data. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = emb
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
@@ -247,14 +257,10 @@ object Similarity {
     // assignment = native codegen expression with the (k × dim) centroid
     // table as a plan reference object — a full-corpus projection that
     // stays inside whole-stage codegen (ties keep the lower cluster id)
-    def assign(cs: Array[Array[Double]]) =
-      (v: Column) => VectorExpr.nearestCentroidF(v, cs)
-
-    var assigned = emb.select(col(idCol), col(vecCol),
-      assign(centroids)(col(vecCol)).as("cluster"))
     for (_ <- 1 to iters) {
-      val dims = centroids.head.length
-      val sums = assigned
+      val sums = emb.select(
+          VectorExpr.nearestCentroidF(col(vecCol), centroids).as("cluster"),
+          col(vecCol))
         .select(col("cluster"), posexplode(col(vecCol)))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -264,10 +270,123 @@ object Similarity {
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
       }
       centroids = next
-      assigned = emb.select(col(idCol), col(vecCol),
-        assign(centroids)(col(vecCol)).as("cluster"))
     }
-    assigned.select(col(idCol), col("cluster"))
+    centroids
+  }
+
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split the vector into `m`
+    * equal subspaces and train an independent kSub-centroid quantizer per
+    * subspace via [[kmeansCentroids]]. Returns m × kSub × (dim/m) driver-
+    * side doubles — a few KB, inlined into downstream plans as literals. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, kSub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { j =>
+      kmeansCentroids(
+        emb.select(col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as("sub")),
+        idCol, "sub", kSub, iters)
+    }
+  }
+
+  /** PQ codes: per vector, the nearest sub-centroid id in each subspace —
+    * m small ints (bytes at rest). A 64-dim float vector (256 B)
+    * compresses to m = 4 bytes: the 64× shrink is what lets a
+    * billion-vector index live in memory while the floats stay on disk
+    * for optional re-ranking. Pure projection — codes pipeline inside the
+    * scan stage. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    emb.select(col(idCol).as("vec_id"),
+      array(codebooks.indices.map(j =>
+        VectorExpr.nearestCentroidF(
+          slice(col(vecCol), j * dsub + 1, dsub), codebooks(j)).cast("int")): _*)
+        .as("codes"))
+  }
+
+  /** L2-normalize the vector column in place (floats, zero-safe). PQ for
+    * COSINE ranking must quantize the normalized vectors — ADC
+    * approximates the raw inner product, and on unnormalized data that
+    * ranking diverges from cosine by the norm spread, swamping the
+    * quantization error (measured: recall@5 0.14 raw vs 0.70
+    * normalized on the fixture). The norm binds to a column first —
+    * referencing it inside the transform lambda keeps it computed once
+    * (interpreted HOFs do no CSE). */
+  private def l2Normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.withColumn("_nrm", normUdf(col(vecCol)))
+      .withColumn(vecCol, transform(col(vecCol), x =>
+        when(col("_nrm") === 0.0, lit(0.0f))
+          .otherwise((x.cast("double") / col("_nrm")).cast("float"))))
+      .drop("_nrm")
+
+  /** ADC top-k (asymmetric distance computation): each query precomputes
+    * an m × kSub lookup table of subspace dot products ONCE against the
+    * literal codebooks; every candidate then costs m table lookups + adds
+    * instead of a dim-length float dot — over the m-byte codes, not the
+    * full vectors. The queries (vector + LUT) broadcast; the code table
+    * streams once. Vectors are L2-normalized first so ADC approximates
+    * cosine. Approximate by construction: recall floor vs the exact
+    * scan is pinned in `SimilaritySpec`, the same contract as SQ8/IVF. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+             m: Int, kSub: Int, iters: Int, topK: Int): DataFrame = {
+    val embN = l2Normalized(emb, idCol, vecCol)
+    val codebooks = pqCodebooks(embN, idCol, vecCol, m, kSub, iters)
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // per-query LUT: lut[j][c] = <q_j, centroid[j][c]> — m·kSub·dsub work
+    // once per QUERY, amortized over every candidate it scores
+    val lut = transform(cbLit, (jarr, j) =>
+      transform(jarr, cvec =>
+        aggregate(
+          zip_with(slice(col("qvec"), j * lit(dsub) + 1, lit(dsub)), cvec,
+            (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x)))
+    val queries = embN.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("lut", lut)
+      .select("query_id", "lut")
+    val approx = aggregate(
+      zip_with(col("lut"), col("codes"), (jarr, c) => element_at(jarr, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = pqCodes(Dedup.fanout(embN), idCol, vecCol, codebooks)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score", approx)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "adc_score")
+  }
+
+  /** PQ with exact re-ranking — the production pattern: the ADC pass over
+    * m-byte codes produces a `shortlist` of candidates per query, then
+    * ONLY those rows join back to their full float vectors for an exact
+    * cosine re-rank. At a billion vectors the codes fit in memory and the
+    * floats stay on disk; the re-rank touches shortlist·queries vectors,
+    * not the corpus. Recall is the shortlist's (monotone ≥ plain ADC
+    * top-k), scoring is exact. */
+  def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, m: Int, kSub: Int, iters: Int,
+                     topK: Int, shortlist: Int): DataFrame = {
+    val cand = pqTopK(emb, idCol, vecCol, queryPred, m, kSub, iters, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val withNorm = emb.select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+    val scored = cand
+      .join(broadcast(withNorm.filter(queryPred).select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), col("nrm").as("qnrm"))), Seq("query_id"))
+      .join(withNorm.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec"), col("nrm").as("nnrm")), Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
   /** IVF-style top-k: probe only vectors in the query's coarse bucket

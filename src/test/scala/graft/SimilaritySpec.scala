@@ -160,4 +160,41 @@ class SimilaritySpec extends SparkTestBase {
       assert(got == expect, s"t=$t")
     }
   }
+
+  test("PQ: codes compress to m in-range ids; ADC recall floors; re-rank recovers") {
+    val real = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val (m, kSub, iters) = (32, 16, 3)
+    val cb = Similarity.pqCodebooks(real, "vec_id", "embedding", m, kSub, iters)
+    assert(cb.length == m && cb.forall(_.length == kSub))
+    val codes = Similarity.pqCodes(real, "vec_id", "embedding", cb).collect()
+    assert(codes.forall(_.getSeq[Int](1).size == m))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < kSub)))
+
+    val qPred = col("vec_id") % 10 === 0
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSet(Similarity.bruteForceTopK(real, "vec_id", "embedding", qPred, 5))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q => (got.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 5)
+        .sum / exact.size
+
+    // plain ADC over 32-byte codes (8x compression of the 64-dim floats):
+    // the fixture's near-random embeddings are PQ's worst case — measured
+    // 0.62, floor with margin
+    val adc = topSet(Similarity.pqTopK(real, "vec_id", "embedding", qPred,
+      m, kSub, iters, 5))
+    assert(recall(adc) >= 0.45, s"ADC recall@5 ${recall(adc)}")
+
+    // exact re-rank over a 25-candidate shortlist: measured 0.97
+    val rr = topSet(Similarity.pqTopKReranked(real, "vec_id", "embedding", qPred,
+      m, kSub, iters, 5, 25))
+    assert(recall(rr) >= 0.85, s"re-ranked recall@5 ${recall(rr)}")
+    assert(recall(rr) >= recall(adc), "re-ranking must never lose recall")
+
+    // deterministic end to end (seeded init, fixed iteration count)
+    val again = topSet(Similarity.pqTopK(real, "vec_id", "embedding", qPred,
+      m, kSub, iters, 5))
+    assert(again == adc)
+  }
 }
