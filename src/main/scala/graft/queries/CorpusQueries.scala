@@ -352,6 +352,18 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ + exact re-rank: ADC over m-byte codes shortlists candidates,
+    // full-float cosine re-ranks only those. No SQL oracle: the Lloyd
+    // codebook means are double sums whose accumulation order differs
+    // between engines, so the driver records the rows-only check; the
+    // recall floors vs the exact scan are pinned in `SimilaritySpec`.
+    "ann_topk_pq" -> ((spark, dir) => {
+      Similarity.pqTopKReranked(emb(spark, dir), "vec_id", "embedding",
+        col("vec_id") % annQueryStride === 0,
+        m = 16, kSub = 16, iters = 3, topK = annK, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup: semantic near-duplicate pruning within coarse clusters
     // (the fixture `label` stands in for the k-means assignment, as in
     // ann_topk_ivf) — survivors after dropping every vector with a

@@ -70,6 +70,7 @@ object LoaderMain {
       catalogTables: Boolean = false,
       indexType: Option[String] = None,
       threads: Option[Int] = None,
+      readAhead: String = "y",
       verbose: Boolean = false,
       help: Boolean = false)
 
@@ -136,6 +137,12 @@ object LoaderMain {
             if (v != "RowStore" && v != "ColumnStore")
               return Left(s"-I accepts RowStore or ColumnStore, got: $v")
             a = a.copy(indexType = Some(v))
+          // -R<y|n> (`InputParameters.cs:149-151`, default "y"): the
+          // reference spawns a per-file sequential-scan thread
+          // (`FileProcessor.cs:188-192`). Accepted + recorded here but a
+          // deliberate no-op: the vectorized Parquet reader and OS
+          // readahead already overlap I/O with decode (SURVEY §2.1 S4).
+          case 'R' => a = a.copy(readAhead = v)
           case 'V' => a = a.copy(verbose = true)
           case _ => () // reference: unknown flags fall through silently
         }
@@ -161,7 +168,8 @@ object LoaderMain {
       |  shaping: -z<zone> -L<strLimit> -X<xmlLimit> -B<binLimit> -l (limit widths)
       |           -x (XML as unbounded strings, exempt from width limits)
       |  load:    -b<batchSize> -e<errorBudget> -t<threads> -I<RowStore|ColumnStore>
-      |  misc:    -h<frameLen> -j<debuggerCmd> -V verbose -? help""".stripMargin
+      |  misc:    -h<frameLen> -j<debuggerCmd> -R<y|n> (read-ahead; accepted,
+      |           delegated to the columnar reader) -V verbose -? help""".stripMargin
 
   /** File discovery — `ProcessFiles` (`FileProcessor.cs:81-147`): explicit
     * file, or directory + wildcard; with the default pattern the session's

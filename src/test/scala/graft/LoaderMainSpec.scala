@@ -26,7 +26,7 @@ class LoaderMainSpec extends SparkTestBase {
     val Right(a) = LoaderMain.parseArgs(Array(
       "-D/tmp/in\\", "-p*.xelb", "-o/tmp/out", "-sxe2", "-b4096", "-t8",
       "-zUTC", "-L100", "-X200", "-B50", "-l", "-e5", "-h16", "-jdc", "-w",
-      "-IColumnStore", "-V")): @unchecked
+      "-IColumnStore", "-Rn", "-V")): @unchecked
     assert(a.inputDir.contains("/tmp/in")) // trailing backslash trimmed (-D)
     assert(a.pattern == "*.xelb" && a.patternExplicit)
     assert(a.outDir.contains("/tmp/out"))
@@ -36,6 +36,10 @@ class LoaderMainSpec extends SparkTestBase {
     assert(a.cfg.limitWidths && a.cfg.errorBudget == 5)
     assert(a.cfg.frameLength == 16 && a.cfg.frameCommand == "dc")
     assert(a.cfg.wipeDatabase && a.indexType.contains("ColumnStore") && a.verbose)
+    // -R accepted and recorded (reference default "y"); no-op by design
+    assert(a.readAhead == "n")
+    val Right(d) = LoaderMain.parseArgs(Array("-D/d", "-o/o")): @unchecked
+    assert(d.readAhead == "y")
   }
 
   test("parseArgs: missing input or target is a loud error, -? is help") {
