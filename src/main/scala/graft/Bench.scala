@@ -24,7 +24,11 @@ object Bench {
     // Two timed passes per query, report the min: the box shares a host
     // (nonzero steal time), so a single pass can be 2-5× inflated by a
     // neighbor's burst. Min-of-2 is the standard noise floor estimator.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // targeted iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (the driver never sets it, so the recorded bench is full)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val picked = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = picked.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

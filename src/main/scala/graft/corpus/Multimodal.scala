@@ -72,20 +72,12 @@ object Multimodal {
     * byte appears in ~40% of same-format docs (posting buckets of 40-80
     * at n=167/format) and its rarest bigram in ~25% — its rarest TRIGRAM
     * appears in ≤ 4 (measured candidates: 24k bytes / 7.5k bigrams / 247
-    * trigrams at sf0.01). Same one-shot hex binding as [[bodyNibbles]]
-    * (interpreted HOFs do no CSE — inlined, the hex would re-run per
-    * gram). */
-  def bodyGrams(payload: Column, maxBytes: Int, gram: Int): Column = {
-    val h = substring(hex(payload), 9, maxBytes * 2) // body starts after 4-byte header
-    val nFull = least((octet_length(payload) - 4).cast("int"), lit(maxBytes))
-    element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
-      val hh = s.getField("h")
-      val n = s.getField("n")
-      when(n <= gram - 1, array().cast("array<long>"))
-        .otherwise(transform(sequence(lit(0), n - gram), i =>
-          conv(substring(hh, i * lit(2) + 1, lit(2 * gram)), 16, 10).cast("long")))
-    }), 1)
-  }
+    * trigrams at sf0.01). Native codegen expression over the raw bytes
+    * ([[SparseSigExpr.bodyGramsL]]) — the earlier hex-string HOF form was
+    * value-identical but allocated a string per gram and carried a
+    * nested-lambda tree through every Catalyst pass. */
+  def bodyGrams(payload: Column, maxBytes: Int, gram: Int): Column =
+    SparseSigExpr.bodyGramsL(payload, maxBytes, gram)
 
   /** Sparse byte-gram histogram of the first `maxBytes` body bytes: one
     * row per (doc_id, format, dim, cnt). Built as explode + groupBy — a
@@ -133,16 +125,14 @@ object Multimodal {
       .agg(
         sort_array(collect_list(struct(col("df"), col("dim"), col("cnt")))).as("e"),
         sum(col("cnt") * col("cnt")).as("nsq"))
-    val p = size(col("e"))
-    def sqOf(s: Column): Column = s.getField("cnt") * s.getField("cnt")
-    def suffixSq(k: Column): Column =
-      aggregate(slice(col("e"), k + lit(1), p), lit(0L), (acc, s) => acc + sqOf(s))
     val t2num = math.round(threshold * threshold * 1e12)
-    // suffixSq is decreasing in k: plen = 1 + #{k : suffix still ≥ cut}
+    // plen = 1 + #{k ∈ 1..p−1 : suffixSq(k) ≥ cut}, suffixSq(k) =
+    // nsq − prefixSq(k): one O(p) running-prefix pass inside a native
+    // codegen expression. The interpreted-HOF form (slice + aggregate
+    // per k) was O(p²) per doc AND planner-hostile — its inlined lambda
+    // tree cost more in Catalyst passes than the query's execution.
     keyed.withColumn("plen",
-      when(p <= 1, lit(1)).otherwise(
-        lit(1) + size(filter(sequence(lit(1), p - 1), k =>
-          suffixSq(k) * lit(1000000000000L) >= lit(t2num) * col("nsq")))))
+      SparseSigExpr.prefixLenL(col("e"), col("nsq"), t2num))
   }
 
   /** Candidate pairs from the prefix postings — id-only rows (16 bytes)

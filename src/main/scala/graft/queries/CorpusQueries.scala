@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.corpus.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis => T}
+import graft.corpus.{Dedup, Multimodal, Similarity, Sketches, SparseSigExpr, TextAnalysis => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -587,26 +587,27 @@ object CorpusQueries {
     "mm_near_dup" -> ((spark, dir) => {
       val withP = Multimodal.withPayload(docs(spark, dir))
       val hist = Multimodal.gramHistogram(withP, 64, 3)
+      // the signature chain (histogram → df join → per-doc sort) feeds
+      // four plan arms (two posting sides, two verify sides) — pin it
+      // once; lazy localCheckpoint, same pattern as Dedup.jaccardPairs
       val sig = Multimodal.nearDupSignatures(hist, mmNearDupThreshold)
+        .localCheckpoint(false)
       val cand = Multimodal.nearDupCandidates(sig)
       // signatures re-attach AFTER the pair dedup: the candidate join and
-      // dropDuplicates shuffle 16-byte id rows, never the histograms
-      val m = sig.select(col("doc_id"), col("format"),
-        map_from_entries(transform(col("e"),
-          s => struct(s.getField("dim"), s.getField("cnt")))).as("m"),
-        col("nsq"))
-      val dot = aggregate(
-        map_values(map_zip_with(col("ma"), col("mb"),
-          (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
-        lit(0L), (acc, v) => acc + v)
+      // dropDuplicates shuffle 16-byte id rows, never the histograms.
+      // The dot is a native merge over the (df, dim)-sorted entry arrays
+      // — one plan leaf instead of the map_zip_with lambda tree whose
+      // Catalyst passes used to dominate this query's wall time.
+      val m = sig.select(col("doc_id"), col("format"), col("e"), col("nsq"))
       val cos = round(col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
       cand
         .join(m.select(col("format"), col("doc_id").as("d1"),
-          col("m").as("ma"), col("nsq").as("na")), Seq("format", "d1"))
+          col("e").as("ea"), col("nsq").as("na")), Seq("format", "d1"))
         .join(m.select(col("format"), col("doc_id").as("d2"),
-          col("m").as("mb"), col("nsq").as("nb")), Seq("format", "d2"))
-        .withColumn("dot", dot).withColumn("cos_sig", cos)
+          col("e").as("eb"), col("nsq").as("nb")), Seq("format", "d2"))
+        .withColumn("dot", SparseSigExpr.sortedDotL(col("ea"), col("eb")))
+        .withColumn("cos_sig", cos)
         .filter(col("cos_sig") >= mmNearDupThreshold)
         .select("format", "d1", "d2", "dot", "cos_sig")
         .orderBy("format", "d1", "d2")
