@@ -277,18 +277,51 @@ object Similarity {
   /** Product-quantization codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): split the vector into `m`
     * equal subspaces and train an independent kSub-centroid quantizer per
-    * subspace via [[kmeansCentroids]]. Returns m × kSub × (dim/m) driver-
-    * side doubles — a few KB, inlined into downstream plans as literals. */
+    * subspace. Returns m × kSub × (dim/m) driver-side doubles — a few KB,
+    * inlined into downstream plans as literals.
+    *
+    * All m sub-quantizers train JOINTLY — one distributed job per Lloyd
+    * round scores every subspace's assignment in a single projection and
+    * aggregates all m×kSub centroid sums in one (subspace, cluster, pos)
+    * groupBy. The per-subspace math is unchanged (each subspace's update
+    * reads only its own slice), but m sequential training loops would
+    * cost m·iters scheduled jobs; at m=16 that fixed per-job overhead —
+    * not compute — dominated the whole PQ query (measured 12.2 s → ~2 s
+    * at sf0.1 on local[32]). Same lesson at cluster scale: driver-side
+    * loops must batch their per-round work into one job, not one per
+    * model component. */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, kSub: Int, iters: Int): Array[Array[Array[Double]]] = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).toArray.map { j =>
-      kmeansCentroids(
-        emb.select(col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as("sub")),
-        idCol, "sub", kSub, iters)
+    // seeds: the kSub smallest-id vectors, sliced per subspace — exactly
+    // the seeds the per-subspace kmeansCentroids(slice) form would pick
+    val seedRows = emb.orderBy(col(idCol)).limit(kSub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val subStructs = array((0 until m).map { j =>
+        val sub = slice(col(vecCol), j * dsub + 1, dsub)
+        struct(lit(j).as("j"),
+          VectorExpr.nearestCentroidF(sub, books(j)).as("c"),
+          sub.as("sub"))
+      }: _*)
+      val sums = emb.select(explode(subStructs).as("s"))
+        .select(col("s.j").as("j"), col("s.c").as("c"),
+          posexplode(col("s.sub")))
+        .groupBy(col("j"), col("c"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      books = next
     }
+    books
   }
 
   /** PQ codes: per vector, the nearest sub-centroid id in each subspace —
