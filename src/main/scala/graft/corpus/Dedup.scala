@@ -102,6 +102,32 @@ object Dedup {
       .select("d1", "d2", "common", "containment")
   }
 
+  /** Incremental-ingest dedup: near-dup Jaccard pairs between an
+    * existing STORE corpus and a newly arriving BATCH — the production
+    * shape of continuous corpus building, where re-pairing the whole
+    * corpus on every ingest (what [[jaccardPairs]] over store∪batch
+    * would do) is O(corpus) work for O(batch) new data. The join is the
+    * same shingle-keyed inverted index, but asymmetric: store postings ⋈
+    * batch postings, so candidate volume is bounded by the BATCH side's
+    * postings. At 100 TB the store postings are a persisted table
+    * bucketed by shingle — only the (small) batch side shuffles, and the
+    * store is read once per ingest, never self-joined. Returns
+    * (store_id, batch_id, common, jaccard ≥ threshold). */
+  def incrementalPairs(store: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, k: Int, threshold: Double): DataFrame = {
+    val sp = sizedPostings(store, idCol, textCol, k)
+    val bp = sizedPostings(batch, idCol, textCol, k)
+    sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("store_id", "batch_id", "common", "jaccard")
+  }
+
   /** The shared pair-generation core of the Jaccard and containment
     * metrics: shingle-keyed postings self-join → (d1, d2, common, n1,
     * n2), set sizes read off the postings themselves (see

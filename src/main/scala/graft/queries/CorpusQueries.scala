@@ -317,6 +317,50 @@ object CorpusQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Incremental-ingest dedup (Dedup.incrementalPairs): the new BATCH
+    // (doc_id ≡ 4 mod 5 — a fifth of the corpus, standing in for today's
+    // crawl) deduped against the existing STORE without re-pairing the
+    // store against itself. Per batch doc: how many store near-dups it
+    // hit, the best Jaccard, and the admission verdict. At scale the
+    // store postings are a persisted shingle-bucketed table — ingest
+    // work is O(batch), not O(corpus).
+    "dedup_incremental" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val isBatch = col("doc_id") % 5 === 4
+      val pairs = Dedup.incrementalPairs(d.filter(!isBatch), d.filter(isBatch),
+        "doc_id", "text", shingleK, jaccardThreshold)
+      val per = pairs.groupBy(col("batch_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_store_dups"), max(col("jaccard")).as("best_jaccard"))
+      d.filter(isBatch).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_store_dups"), lit(0L)).as("n_store_dups"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          when(col("n_store_dups").isNull, 1L).otherwise(0L).as("admitted"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware survivor selection: same near-dup clusters as
+    // dedup_clusters, but the kept doc per cluster is the HIGHEST-
+    // QUALITY member (ties → smallest doc_id), not the smallest id —
+    // what a production dedup actually keeps when members differ (the
+    // clean original vs the ad-wrapped scrape). One row per cluster.
+    "dedup_keep_best" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccardPairs(d, "doc_id", "text", shingleK, jaccardThreshold))
+      val members = clusters.join(
+        d.select(col("doc_id"), T.qualityScore(col("text")).as("q")), Seq("doc_id"))
+      val w = Window.partitionBy(col("canonical_id"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      members.withColumn("rn", row_number().over(w))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+          max(when(col("rn") === 1, col("q"))).as("best_quality"))
+        .orderBy("canonical_id")
+    }),
+
     "dedup_embedding_cosine" -> ((spark, dir) => {
       Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", cosineThreshold)
         .orderBy("v1", "v2")
@@ -745,6 +789,36 @@ object CorpusQueries {
             .otherwise(round(col("lm_sum").cast("double") /
               col("n_bigrams").cast("double"), 6))
             .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): score
+    // each doc by how much its unigrams look like a TARGET domain
+    // (sources src0-src4 here) relative to the whole corpus. Per-token
+    // ratio in fixed-point INTEGER arithmetic — floor(10⁶·(tc+1)/(ac+1))
+    // via `div`, add-one smoothed; the global normalizer T/A is constant
+    // across docs, so it drops out of any rank/selection use. No doubles
+    // anywhere → hash-gate safe. At 100 TB: one token-keyed count
+    // exchange + the occurrence join — the text_tfidf shape; the weight
+    // table is vocabulary-bounded.
+    "corpus_importance" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val occ = d.select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2", "src3", "src4").as("is_target"),
+        explode(T.tokens(col("text"))).as("w"))
+      val cnt = occ.groupBy(col("w")).agg(
+        count(lit(1)).as("ac"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
+      val per = occ.join(cnt, "w")
+        .withColumn("r", expr("((tc + 1) * 1000000) div (ac + 1)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("imp_sum"))
+      d.select(col("doc_id"), col("source")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("imp_sum"), lit(0L)).as("imp_sum"),
+          coalesce(expr("imp_sum div n_tokens"), lit(0L)).as("imp_mean"))
         .orderBy("doc_id")
     }),
 
@@ -1320,6 +1394,79 @@ object CorpusQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $simhashMaxHamming
          |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_incremental" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS store_id, b.doc_id AS batch_id, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT store_id, batch_id,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON store_id = s1.doc_id
+         |  JOIN sizes s2 ON batch_id = s2.doc_id
+         |),
+         |hits AS (
+         |  SELECT batch_id AS doc_id, count(*) AS n_store_dups, max(jaccard) AS best_jaccard
+         |  FROM pairs WHERE jaccard >= $jaccardThreshold GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(h.n_store_dups, 0) AS BIGINT) AS n_store_dups,
+         |       coalesce(h.best_jaccard, 0.0) AS best_jaccard,
+         |       CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 5 = 4
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+         |$jaccardTail,
+         |joined AS (
+         |  SELECT d1, d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |),
+         |pairs AS (SELECT d1, d2 FROM joined WHERE jaccard >= $jaccardThreshold),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |clus AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round(((CASE WHEN len(ws) BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |                + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |                    CAST(len(regexp_extract_all(lower(text),
+         |                      '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |                      / CAST(len(ws) AS DOUBLE) END) * 10.0, CAST(1 AS DOUBLE))
+         |                + (CAST(1 AS DOUBLE) - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |                      / CAST(length(text) AS DOUBLE) END) * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6) AS q
+         |  FROM toks JOIN documents USING (doc_id)
+         |),
+         |ranked AS (
+         |  SELECT c.canonical_id, c.doc_id, qual.q,
+         |         row_number() OVER (PARTITION BY c.canonical_id
+         |                            ORDER BY qual.q DESC, c.doc_id) AS rn
+         |  FROM clus c JOIN qual USING (doc_id)
+         |)
+         |SELECT canonical_id,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+         |       max(CASE WHEN rn = 1 THEN q END) AS best_quality
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH norms AS (
          |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
@@ -1849,6 +1996,29 @@ object CorpusQueries {
          |            ELSE round(CAST(lm_sum AS DOUBLE) / CAST(nb AS DOUBLE), 6)
          |       END AS lm_score
          |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_importance" ->
+      s"""$tokCte,
+         |occ AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         |tgt AS (SELECT doc_id,
+         |               source IN ('src0','src1','src2','src3','src4') AS is_target
+         |        FROM documents),
+         |cnt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS ac,
+         |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |  FROM occ JOIN tgt USING (doc_id) GROUP BY 1
+         |),
+         |per AS (
+         |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(((tc + 1) * 1000000) // (ac + 1)) AS BIGINT) AS imp_sum
+         |  FROM occ JOIN cnt USING (w) GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.source,
+         |       coalesce(p.n_tokens, 0) AS n_tokens,
+         |       coalesce(p.imp_sum, 0) AS imp_sum,
+         |       CAST(coalesce(p.imp_sum // p.n_tokens, 0) AS BIGINT) AS imp_mean
+         |FROM documents d LEFT JOIN per p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_sample_pps" ->

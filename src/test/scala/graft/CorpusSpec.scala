@@ -216,4 +216,31 @@ class CorpusSpec extends SparkTestBase {
       (4L, 0L, 0L, 0L, "none here, just words"),
       (5L, 1L, 1L, 1L, "<EMAIL> <IP> <PHONE> all three")))
   }
+
+  test("incrementalPairs ≡ full self-join pairs restricted to store×batch") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // store
+      (2L, "a b c d e f g"),   // store dup of 1 — within-store pair must NOT appear
+      (3L, "m n o p q r s"),   // store, unique
+      (4L, "a b c d e f g"),   // batch (4 % 5 == 4), dup of 1 and 2
+      (9L, "p q r s t u v")    // batch, unique
+    ).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 5 === 4
+    val inc = Dedup.incrementalPairs(docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text", 3, 0.8)
+      .select("store_id", "batch_id").as[(Long, Long)].collect().toSet
+    // ground truth: the full self-join's pairs, reoriented to (store, batch)
+    val storeIds = Set(1L, 2L, 3L); val batchIds = Set(4L, 9L)
+    val fullPairs: Set[(Long, Long)] = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val expected = fullPairs.flatMap { case (a, b) =>
+      if (storeIds(a) && batchIds(b)) Some((a, b))
+      else if (batchIds(a) && storeIds(b)) Some((b, a))
+      else None
+    }
+    assert(inc == expected && inc == Set((1L, 4L), (2L, 4L)))
+    // empty batch → empty result, no failure
+    assert(Dedup.incrementalPairs(docs, docs.filter(lit(false)),
+      "doc_id", "text", 3, 0.8).isEmpty)
+  }
 }
