@@ -330,4 +330,22 @@ class PlanSpec extends SparkTestBase {
         s"$name: expected agg/window exchange + sort, got ${shuffles.size}")
     }
   }
+
+  test("dedup_incremental: store×batch stays a shingle equi-join, no cartesian") {
+    val nodes = executedNodes(q("dedup_incremental"))
+    val bad = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct") ||
+        n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty,
+      s"incremental dedup must meet docs only through shared shingles, got $bad")
+  }
+
+  test("corpus_importance: scans prune to doc_id + source + text") {
+    val explained = q("corpus_importance").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    assert(schemas.forall(s => !s.contains("lang") && !s.contains("n_chars")),
+      s"importance scoring reads only doc_id/source/text, got: ${schemas.mkString("; ")}")
+  }
 }
