@@ -109,6 +109,33 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Metadata-filtered ANN — the retrieval pattern where a query carries
+    * a structured predicate ("only docs with license X / label Y")
+    * alongside the vector. The filter applies BEFORE scoring (pre-filter):
+    * post-filtering a plain top-k under-fills k whenever the predicate
+    * removes ranked neighbors, and silently changes recall. At 100 TB the
+    * predicate prunes the corpus scan itself (partition/row-group
+    * pruning on the metadata column) — only matching vectors are ever
+    * scored or shuffled; the query side broadcasts exactly as in
+    * [[bruteForceTopK]]. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, corpusPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        normUdf(col(vecCol)).as("qnrm"))
+    val ranked = Dedup.fanout(emb.filter(corpusPred))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        normUdf(col(vecCol)).as("nnrm"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    ranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
     * LSH: component (p,d) is derived from md5("p|d") mapped into [-1, 1).
     * Generated ONCE on the driver and inlined as plan literals — the

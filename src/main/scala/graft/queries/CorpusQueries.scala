@@ -396,6 +396,17 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Metadata-filtered ANN (Similarity.filteredTopK): top-k restricted
+    // to corpus vectors passing a structured predicate (even labels
+    // here), applied BEFORE scoring — post-filtering a plain top-k
+    // under-fills k and shifts recall. At scale the predicate prunes the
+    // corpus scan itself; only matching vectors are scored.
+    "ann_topk_filtered" -> ((spark, dir) => {
+      Similarity.filteredTopK(emb(spark, dir), "vec_id", "embedding",
+        col("vec_id") % annQueryStride === 0, col("label") % 2 === 0, annK)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ + exact re-rank: ADC over m-byte codes shortlists candidates,
     // full-float cosine re-ranks only those. No SQL oracle: the Lloyd
     // codebook means are double sums whose accumulation order differs
@@ -850,6 +861,35 @@ object CorpusQueries {
         bm25Terms, bm25K)
     }),
 
+    // Hybrid retrieval: BM25 keyword list ⊕ vector top-k (query = doc 0's
+    // embedding) fused by reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09): rrf = Σ 1/(60 + rank), absent list contributes 0. The
+    // RAG-retrieval shape — each leg is the existing scale-safe operator
+    // (inverted-index BM25, broadcast-query ANN); fusion itself touches
+    // only the two ≤bm25K-row lists, so it costs nothing at any corpus
+    // size. Ranks are deterministic (score desc, id) in both engines;
+    // the fused score is a fixed-order two-term double sum, rounded.
+    "search_hybrid_rrf" -> ((spark, dir) => {
+      val text = graft.corpus.Search.bm25TopK(docs(spark, dir), "doc_id", "text",
+          bm25Terms, bm25K)
+        .withColumn("text_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("text_rank"))
+      val vec = Similarity.bruteForceTopK(emb(spark, dir), "vec_id", "embedding",
+          col("vec_id") === 0, bm25K)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      text.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("text_rank"), lit(0)).as("text_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(rrfOffset) + col("text_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfOffset) + col("vec_rank")), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(rrfK)
+    }),
+
     // Count-Min sketch (Sketches.CmsAggregator is the add-merged UDAF
     // twin): d×w counter matrix over ALL token occurrences, point-probed
     // with the same fixed word list. CMS guarantees est >= exact — the
@@ -890,6 +930,10 @@ object CorpusQueries {
   // BM25 search knobs
   val bm25Terms: Seq[String] = Seq("spark", "join", "window")
   val bm25K = 20
+  // RRF fusion: final list size and the standard rank-offset constant
+  // (Cormack et al., SIGIR'09 — 60 dampens high-rank dominance)
+  val rrfK = 10
+  val rrfOffset = 60
 
   // postings-summary dictionary floor — interpolated into BOTH the Spark
   // call and the oracle's HAVING so the two sides can't silently desync
@@ -957,6 +1001,49 @@ object CorpusQueries {
     """sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (x, y) -> x + y))""".stripMargin
+
+  /** BM25 scoring CTE chain (ends in `bm25_scored`) — identical
+    * expression TREE to Search.bm25TopK: same folded literals
+    * ((k1+1)=2.2, (1-b)=0.25), same operand order, one final round.
+    * Shared by the plain `search_bm25` oracle and the RRF fusion. */
+  private lazy val bm25ScoredCte: String = {
+    val ts = bm25Terms
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    def tfCase(i: Int) =
+      s"CAST(sum(CASE WHEN token = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+    def dfCase(i: Int) =
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    def termScore(i: Int) =
+      s"""CASE WHEN tf_$i > 0 THEN
+         |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+         |           / (CAST(df_$i AS DOUBLE) + 0.5))
+         |  * (CAST(tf_$i AS DOUBLE) * 2.2
+         |     / (CAST(tf_$i AS DOUBLE)
+         |        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+         |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    def matchedCase(i: Int) = s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END"
+    s"""$tokCte,
+       |base AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
+       |corpus AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base
+       |), occ AS (
+       |  SELECT doc_id, dl, unnest(ws) AS token FROM base
+       |), perdoc AS (
+       |  SELECT doc_id, min(dl) AS dl, ${ts.indices.map(tfCase).mkString(", ")}
+       |  FROM occ WHERE token IN ($inList) GROUP BY doc_id
+       |), dfs AS (
+       |  SELECT ${ts.indices.map(dfCase).mkString(", ")} FROM perdoc
+       |), bm25_scored AS (
+       |  SELECT doc_id,
+       |    CAST(${ts.indices.map(matchedCase).mkString(" + ")} AS BIGINT)
+       |      AS n_matched_terms,
+       |    round(${ts.indices.map(termScore).mkString("\n+ ")}, 6) AS bm25
+       |  FROM perdoc,
+       |       (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |          AS avgdl FROM corpus) c,
+       |       dfs
+       |)""".stripMargin
+  }
 
   private val mhCols = (0 until numHashes).map(i =>
     s"min(${h60(s"'$i|' || shingle")}) AS mh$i").mkString(",\n         ")
@@ -1578,6 +1665,24 @@ object CorpusQueries {
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
 
+    "ann_topk_filtered" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN (SELECT * FROM norms WHERE label % 2 = 0) b
+         |    ON a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
     "ann_topk_ivf" ->
       s"""WITH norms AS (
          |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
@@ -2051,47 +2156,44 @@ object CorpusQueries {
          |FROM rk GROUP BY 1 HAVING count(*) >= $postingsMinDf
          |ORDER BY token""".stripMargin,
 
-    "search_bm25" -> {
-      // identical expression TREE to Search.bm25TopK: same folded literals
-      // ((k1+1)=2.2, (1-b)=0.25), same operand order, one final round
-      val ts = bm25Terms
-      val inList = ts.map(t => s"'$t'").mkString(", ")
-      def tfCase(i: Int) =
-        s"CAST(sum(CASE WHEN token = '${ts(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
-      def dfCase(i: Int) =
-        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
-      def termScore(i: Int) =
-        s"""CASE WHEN tf_$i > 0 THEN
-           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
-           |           / (CAST(df_$i AS DOUBLE) + 0.5))
-           |  * (CAST(tf_$i AS DOUBLE) * 2.2
-           |     / (CAST(tf_$i AS DOUBLE)
-           |        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
-           |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
-      def matchedCase(i: Int) = s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END"
-      s"""$tokCte,
-         |base AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
-         |corpus AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base
-         |), occ AS (
-         |  SELECT doc_id, dl, unnest(ws) AS token FROM base
-         |), perdoc AS (
-         |  SELECT doc_id, min(dl) AS dl, ${ts.indices.map(tfCase).mkString(", ")}
-         |  FROM occ WHERE token IN ($inList) GROUP BY doc_id
-         |), dfs AS (
-         |  SELECT ${ts.indices.map(dfCase).mkString(", ")} FROM perdoc
-         |), scored AS (
+    "search_bm25" ->
+      s"""$bm25ScoredCte
+         |SELECT doc_id, n_matched_terms, bm25 FROM bm25_scored
+         |ORDER BY bm25 DESC, doc_id LIMIT $bm25K""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      s"""$bm25ScoredCte,
+         |tr AS (
          |  SELECT doc_id,
-         |    CAST(${ts.indices.map(matchedCase).mkString(" + ")} AS BIGINT)
-         |      AS n_matched_terms,
-         |    round(${ts.indices.map(termScore).mkString("\n+ ")}, 6) AS bm25
-         |  FROM perdoc,
-         |       (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
-         |          AS avgdl FROM corpus) c,
-         |       dfs
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS text_rank
+         |  FROM (SELECT * FROM bm25_scored ORDER BY bm25 DESC, doc_id LIMIT $bm25K)
+         |),
+         |qv AS (SELECT embedding AS qvec, $normSql AS qnrm
+         |       FROM embeddings WHERE vec_id = 0),
+         |vscore AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(e.embedding) + 1),
+         |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+         |             (x, y) -> x + y)
+         |           / (q.qnrm * sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(e.embedding) + 1),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+         |             (x, y) -> x + y))), 6) AS cos_sim
+         |  FROM embeddings e, qv q WHERE e.vec_id <> 0
+         |),
+         |vr AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS vec_rank
+         |  FROM (SELECT * FROM vscore ORDER BY cos_sim DESC, doc_id LIMIT $bm25K)
+         |),
+         |fused AS (
+         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |         CAST(coalesce(text_rank, 0) AS INTEGER) AS text_rank,
+         |         CAST(coalesce(vec_rank, 0) AS INTEGER) AS vec_rank,
+         |         round(coalesce(CAST(1 AS DOUBLE) / ($rrfOffset + text_rank), 0.0)
+         |             + coalesce(CAST(1 AS DOUBLE) / ($rrfOffset + vec_rank), 0.0), 6) AS rrf
+         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
          |)
-         |SELECT doc_id, n_matched_terms, bm25 FROM scored
-         |ORDER BY bm25 DESC, doc_id LIMIT $bm25K""".stripMargin
-    }
+         |SELECT doc_id, text_rank, vec_rank, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT $rrfK""".stripMargin
   )
 }
