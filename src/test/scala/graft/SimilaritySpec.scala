@@ -45,6 +45,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.sortBy(_.getInt(1)).head.getLong(2) == 1L)  // nearest is the near-dup
   }
 
+  test("filteredTopK: predicate pre-filters, differs from post-filtering") {
+    // corpus restricted to label==0 (ids 0,1,4); query 0 → neighbors 1,4
+    val got = Similarity.filteredTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, col("label") === 0, 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 4L),
+      "every neighbor must satisfy the corpus predicate; k under-fills honestly")
+    // post-filtering the UNfiltered top-2 instead would keep only vec 1:
+    // vec 3 (label 1) outranks vec 4, then dies to the filter — the
+    // under-filled, recall-shifted list pre-filtering exists to avoid
+    val post = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, 2).join(vecs.filter(col("label") === 0)
+        .select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+    assert(post.count() == 1)
+  }
+
   test("ivfTopK only probes the query's bucket") {
     val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
       col("vec_id") === 0, 3).collect()
