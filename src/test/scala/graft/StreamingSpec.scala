@@ -65,6 +65,36 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_stream").count() == events.count())
   }
 
+  test("streaming ingest admission: stream-static anti-join matches batch twin") {
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val store = all.filter(col("doc_id") % 5 =!= 4)
+    val newDocs = all.filter(col("doc_id") % 5 === 4)
+    // the arriving drop replays three store texts under fresh ids —
+    // exactly what at-least-once crawl re-delivery looks like
+    val replayed = store.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val arriving = newDocs.unionByName(replayed)
+    val dir = Files.createTempDirectory("graft-ingest-in").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ck").toString
+    arriving.write.parquet(s"$dir/drop1")
+    val digests = graft.streaming.IngestDedup.storeDigests(store, "text")
+    val admitted = graft.streaming.IngestDedup.admit(
+      spark.readStream.schema(arriving.schema).parquet(s"$dir/drop*"),
+      digests, "text")
+    val q = admitted.writeStream.format("memory").queryName("ingest_admit")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ingest_admit").select("doc_id")
+    // admit() is source-agnostic — the batch run on the same drop is the oracle
+    val exp = graft.streaming.IngestDedup.admit(arriving, digests, "text")
+      .select("doc_id")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    // the three replayed texts were refused; planted ids never surface
+    val gotIds = got.collect().map(_.getLong(0)).toSet
+    assert(replayed.collect().map(_.getLong(0)).forall(id => !gotIds(id)))
+  }
+
   test("batch rateByMinute agrees with the xe_rate_minute query semantics") {
     val xe = XeFixture.frame(spark, sf("sf0.001"))
     val viaWindow = EventStream.rateByMinute(xe)
