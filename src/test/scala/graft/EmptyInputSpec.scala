@@ -58,4 +58,25 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.semDedupSurvivors(noVecs, "vec_id", "embedding",
       "label", 0.9).count() == 0)
   }
+
+  test("incremental dedup with an empty store admits everything") {
+    val batch = Seq((1L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.incrementalPairs(noDocs, batch, "doc_id", "text", 3, 0.8)
+      .count() == 0)
+  }
+
+  test("filtered ANN with a nothing-matching predicate returns empty") {
+    import graft.corpus.Similarity
+    val vecs = Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.filteredTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0, col("label") === 99, 5).count() == 0)
+  }
+
+  test("streaming ingest admission against an empty store admits the batch") {
+    import graft.streaming.IngestDedup
+    val batch = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    assert(IngestDedup.admit(batch,
+      IngestDedup.storeDigests(noDocs, "text"), "text").count() == 1)
+  }
 }
