@@ -549,6 +549,28 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Corpus card — the per-source datasheet a corpus release ships
+    // with (docs, token mass, normalized-unique count = dup-rate
+    // complement, mean quality, language mix), computed in ONE pass +
+    // one source-keyed agg. Mean quality is a fixed-point INTEGER mean
+    // (round(q·10⁶) summed, one integer division) — a raw double sum
+    // would desync the hash gate (accumulation order).
+    "corpus_card" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+        .withColumn("n_toks", T.nTokens(col("text")).cast("long"))
+        .withColumn("qfp",
+          round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
+        .withColumn("nd", md5(T.normalizeText(col("text"))))
+        .withColumn("lang_pred", T.langId(col("text")))
+      d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("nd")).as("n_unique_norm"),
+          expr("sum(qfp) div count(1)").as("mean_quality_fp"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")
+    }),
+
     // KMV set operations (Sketches.kmvMerge/kmvIntersectEstimate): union
     // and intersection distinct-user estimates composed from two bounded
     // synopses — the sketch algebra that answers "how many users did A
@@ -2102,6 +2124,44 @@ object CorpusQueries {
          |       END AS lm_score
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_card" ->
+      s"""$tokCte,
+         |feats AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(ws) AS BIGINT) AS n_toks,
+         |         CAST(round(round(((CASE WHEN len(ws) BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |                + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |                    CAST(len(regexp_extract_all(lower(text),
+         |                      '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+         |                      / CAST(len(ws) AS DOUBLE) END) * 10.0, CAST(1 AS DOUBLE))
+         |                + (CAST(1 AS DOUBLE) - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |                      / CAST(length(text) AS DOUBLE) END) * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6)
+         |              * 1000000, 0) AS BIGINT) AS qfp,
+         |         md5(trim(regexp_replace(regexp_replace(
+         |           lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS nd,
+         |         $langCounts,
+         |         len(regexp_extract_all(text, '${T.cjkPattern}')) AS c_zh
+         |  FROM toks JOIN documents d USING (doc_id)
+         |),
+         |pred AS (
+         |  SELECT source, n_toks, qfp, nd,
+         |         CASE WHEN c_zh > 0 THEN 'zh'
+         |              WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+         |              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         |              WHEN c_de = greatest(c_de, c_fr, c_es) THEN 'de'
+         |              WHEN c_fr = greatest(c_fr, c_es) THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM feats
+         |)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |       CAST(count(DISTINCT nd) AS BIGINT) AS n_unique_norm,
+         |       CAST(sum(qfp) // count(*) AS BIGINT) AS mean_quality_fp,
+         |       CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_importance" ->
       s"""$tokCte,
