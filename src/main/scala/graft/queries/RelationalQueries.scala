@@ -406,6 +406,21 @@ object RelationalQueries {
         .orderBy("event_type", "bar_us")
     }),
 
+    // Salted two-stage aggregation (corpus.Skew.saltedSumCount) under
+    // the oracle gate: the skew-mitigation path must return EXACTLY the
+    // plain groupBy's answer — partials per (key, salt) spread a hot key
+    // over saltBuckets reducers, stage 2 recombines. DECIMAL partials
+    // keep the two-stage sum associative (a raw double two-stage sum
+    // could differ from the one-stage oracle by accumulation order).
+    "events_salted_agg" -> ((spark, dir) => {
+      graft.corpus.Skew.saltedSumCount(XeFixture.events(spark, dir),
+          col("event_type"), dec(col("value")), saltBuckets = 8)
+        .select(col("k").as("event_type"),
+          col("total").cast("double").as("total_value"),
+          col("n").as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Interval-union coverage (the sweep-line island trick): each error
     // event opens a 5-minute outage window; per user, merged windows →
     // number of distinct outage islands + total covered µs. Running max
@@ -816,6 +831,12 @@ object RelationalQueries {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin,
+
+      "events_salted_agg" ->
+        """SELECT event_type,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+          |       count(*) AS n_events
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "events_json_extract" ->
         """SELECT event_type,
