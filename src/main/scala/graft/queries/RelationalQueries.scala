@@ -199,6 +199,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click matched to the EARLIEST purchase at or
+    // after it — the conversion-lag direction (backward answers "what
+    // drove this?", forward answers "what did this lead to?"). Same
+    // union+window single-pass plan, descending time.
+    "asof_forward" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("purch_us"))
+        .agg(max(col("value")).as("purch_value"))
+      graft.operators.AsofJoin
+        .forward(clicks, purch, "user_id", "click_us", "purch_us",
+          Seq("purch_us", "purch_value"))
+        .orderBy("event_id")
+    }),
+
     // As-of with a tolerance bound (pandas merge_asof): same attribution
     // join, but a purchase more than 10 minutes before the click reads
     // as no match. DuckDB ASOF has no tolerance — the oracle masks the
@@ -623,6 +641,19 @@ object RelationalQueries {
           |SELECT c.event_id, c.user_id, c.click_us, p.purch_us, p.purch_value
           |FROM clicks c ASOF LEFT JOIN purch p
           |  ON c.user_id = p.user_id AND c.click_us >= p.purch_us
+          |ORDER BY c.event_id""".stripMargin,
+
+      "asof_forward" ->
+        """WITH clicks AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS click_us
+          |  FROM events WHERE event_type = 'click'
+          |), purch AS (
+          |  SELECT user_id, epoch_us(ts) AS purch_us, max(value) AS purch_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+          |)
+          |SELECT c.event_id, c.user_id, c.click_us, p.purch_us, p.purch_value
+          |FROM clicks c ASOF LEFT JOIN purch p
+          |  ON c.user_id = p.user_id AND c.click_us <= p.purch_us
           |ORDER BY c.event_id""".stripMargin,
 
       "asof_tolerance" ->
