@@ -62,4 +62,16 @@ object ZOrder {
     } yield shiftleft(shiftright(dim, i).bitwiseAND(lit(1L)), i * n + d))
       .reduce(_ bitwiseOR _)
   }
+
+  /** [[zValueN]] as ANSI SQL over column expressions — the same single
+    * formula both engines compute, as with [[zOrderSql]]. */
+  def zOrderSqlN(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && bits * n <= 63, s"bits*dims must fit a signed long, got $bits*$n")
+    (for {
+      i <- 0 until bits
+      (d, di) <- dims.zipWithIndex
+    } yield s"((($d >> $i) & 1) << ${i * n + di})").mkString("(", " | ", ")")
+  }
 }

@@ -323,6 +323,26 @@ object RelationalQueries {
         .orderBy("zbucket")
     }),
 
+    // 3-dim z-order layout (ZOrder.zValueN): round-robin interleave of
+    // (part, supp, order) key bits — the (key, key, time)-style
+    // clustering a fact table wants when scans filter on ANY of three
+    // dims; per-z-bucket bounding boxes are the min/max footprints
+    // stats-based file skipping would prune against.
+    "layout_zorder3" -> ((spark, dir) => {
+      val z = graft.operators.ZOrder.zValueN(Seq(
+        pmod(col("l_partkey"), lit(65536L)),
+        pmod(col("l_suppkey"), lit(65536L)),
+        pmod(col("l_orderkey"), lit(65536L))), 16)
+      t(spark, dir, "lineitem")
+        .withColumn("zbucket", shiftright(z, 36))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          min(col("l_orderkey")).as("min_ord"), max(col("l_orderkey")).as("max_ord"))
+        .orderBy("zbucket")
+    }),
+
     // Batch gap-based sessionization (graft.operators.Sessions): per-user
     // sessions split on >8h idle gaps, with per-session bounds and exact
     // money totals. One user-keyed exchange feeds both windows AND the
@@ -733,6 +753,20 @@ object RelationalQueries {
            |SELECT zv >> 20 AS zbucket, count(*) AS n_rows,
            |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
            |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "layout_zorder3" ->
+        s"""WITH z AS (
+           |  SELECT l_partkey, l_suppkey, l_orderkey,
+           |         ${graft.operators.ZOrder.zOrderSqlN(Seq(
+                        "(l_partkey % 65536)", "(l_suppkey % 65536)",
+                        "(l_orderkey % 65536)"), 16)} AS zv
+           |  FROM lineitem
+           |)
+           |SELECT zv >> 36 AS zbucket, count(*) AS n_rows,
+           |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+           |       min(l_orderkey) AS min_ord, max(l_orderkey) AS max_ord
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q1_pricing_summary" ->
