@@ -31,6 +31,29 @@ object CorpusQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** DSIR-style per-doc importance scores (see `corpus_importance` for
+    * the full rationale): add-one-smoothed unigram likelihood ratio vs
+    * the TARGET sources, fixed-point integers end-to-end. Shared by the
+    * scoring query and the top-N selection query. */
+  private def importanceScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val occ = d.select(col("doc_id"),
+      col("source").isin("src0", "src1", "src2", "src3", "src4").as("is_target"),
+      explode(T.tokens(col("text"))).as("w"))
+    val cnt = occ.groupBy(col("w")).agg(
+      count(lit(1)).as("ac"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
+    val per = occ.join(cnt, "w")
+      .withColumn("r", expr("((tc + 1) * 1000000) div (ac + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("imp_sum"))
+    d.select(col("doc_id"), col("source")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("imp_sum"), lit(0L)).as("imp_sum"),
+        coalesce(expr("imp_sum div n_tokens"), lit(0L)).as("imp_mean"))
+  }
+
   // shared knobs (kept in lockstep with the oracle SQL below)
   val shingleK = 3
   val jaccardThreshold = 0.8
@@ -835,24 +858,21 @@ object CorpusQueries {
     // anywhere → hash-gate safe. At 100 TB: one token-keyed count
     // exchange + the occurrence join — the text_tfidf shape; the weight
     // table is vocabulary-bounded.
-    "corpus_importance" -> ((spark, dir) => {
-      val d = docs(spark, dir)
-      val occ = d.select(col("doc_id"),
-        col("source").isin("src0", "src1", "src2", "src3", "src4").as("is_target"),
-        explode(T.tokens(col("text"))).as("w"))
-      val cnt = occ.groupBy(col("w")).agg(
-        count(lit(1)).as("ac"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
-      val per = occ.join(cnt, "w")
-        .withColumn("r", expr("((tc + 1) * 1000000) div (ac + 1)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("imp_sum"))
-      d.select(col("doc_id"), col("source")).join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("imp_sum"), lit(0L)).as("imp_sum"),
-          coalesce(expr("imp_sum div n_tokens"), lit(0L)).as("imp_mean"))
-        .orderBy("doc_id")
+    "corpus_importance" -> ((spark, dir) =>
+      importanceScores(spark, dir).orderBy("doc_id")),
+
+    // The DSIR SELECTION step the scores exist for: keep the top-5 docs
+    // per source by mean importance (ties → smallest doc_id) — the
+    // resampling draw that tilts the mixture toward the target domain.
+    // One extra source-keyed window over the scored frame.
+    "corpus_select_importance" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("imp_mean").desc, col("doc_id"))
+      importanceScores(spark, dir)
+        .withColumn("sel_rank", row_number().over(w))
+        .filter(col("sel_rank") <= 5)
+        .select(col("source"), col("sel_rank"), col("doc_id"), col("imp_mean"))
+        .orderBy("source", "sel_rank")
     }),
 
     // Sequential Poisson (PPS) sampling (Dedup.ppsSample): weighted
@@ -1066,6 +1086,32 @@ object CorpusQueries {
        |       dfs
        |)""".stripMargin
   }
+
+  /** DSIR importance-score CTE chain (ends in `imp`) — shared by the
+    * scoring oracle and the top-N selection oracle. */
+  private val importanceCte: String =
+    s"""$tokCte,
+       |occ AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+       |tgt AS (SELECT doc_id,
+       |               source IN ('src0','src1','src2','src3','src4') AS is_target
+       |        FROM documents),
+       |cnt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS ac,
+       |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
+       |  FROM occ JOIN tgt USING (doc_id) GROUP BY 1
+       |),
+       |per AS (
+       |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(((tc + 1) * 1000000) // (ac + 1)) AS BIGINT) AS imp_sum
+       |  FROM occ JOIN cnt USING (w) GROUP BY 1
+       |),
+       |imp AS (
+       |  SELECT d.doc_id, d.source,
+       |         coalesce(p.n_tokens, 0) AS n_tokens,
+       |         coalesce(p.imp_sum, 0) AS imp_sum,
+       |         CAST(coalesce(p.imp_sum // p.n_tokens, 0) AS BIGINT) AS imp_mean
+       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |)""".stripMargin
 
   private val mhCols = (0 until numHashes).map(i =>
     s"min(${h60(s"'$i|' || shingle")}) AS mh$i").mkString(",\n         ")
@@ -2164,27 +2210,20 @@ object CorpusQueries {
          |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_importance" ->
-      s"""$tokCte,
-         |occ AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-         |tgt AS (SELECT doc_id,
-         |               source IN ('src0','src1','src2','src3','src4') AS is_target
-         |        FROM documents),
-         |cnt AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS ac,
-         |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
-         |  FROM occ JOIN tgt USING (doc_id) GROUP BY 1
-         |),
-         |per AS (
-         |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |         CAST(sum(((tc + 1) * 1000000) // (ac + 1)) AS BIGINT) AS imp_sum
-         |  FROM occ JOIN cnt USING (w) GROUP BY 1
+      s"""$importanceCte
+         |SELECT doc_id, source, n_tokens, imp_sum, imp_mean
+         |FROM imp ORDER BY doc_id""".stripMargin,
+
+    "corpus_select_importance" ->
+      s"""$importanceCte,
+         |ranked AS (
+         |  SELECT source, doc_id, imp_mean,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY imp_mean DESC, doc_id) AS INTEGER) AS sel_rank
+         |  FROM imp
          |)
-         |SELECT d.doc_id, d.source,
-         |       coalesce(p.n_tokens, 0) AS n_tokens,
-         |       coalesce(p.imp_sum, 0) AS imp_sum,
-         |       CAST(coalesce(p.imp_sum // p.n_tokens, 0) AS BIGINT) AS imp_mean
-         |FROM documents d LEFT JOIN per p USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |SELECT source, sel_rank, doc_id, imp_mean FROM ranked
+         |WHERE sel_rank <= 5 ORDER BY source, sel_rank""".stripMargin,
 
     "corpus_sample_pps" ->
       s"""WITH pri AS (
