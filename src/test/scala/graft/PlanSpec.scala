@@ -340,6 +340,27 @@ class PlanSpec extends SparkTestBase {
       s"incremental dedup must meet docs only through shared shingles, got $bad")
   }
 
+  test("corpus_card: one corpus pass — distinct-agg exchanges + sort only") {
+    // count(DISTINCT nd) plans as the standard two-phase distinct agg:
+    // partial keyed (source, nd) → final keyed source, then the output
+    // sort — 3 exchanges, all source-keyed, ONE pass over the corpus.
+    // More would mean the datasheet re-scanned or re-keyed the data.
+    val nodes = executedNodes(q("corpus_card"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3,
+      s"expected distinct-agg pair + sort, got ${shuffles.size}")
+  }
+
+  test("events_salted_agg: exactly the two-stage exchange shape") {
+    // stage 1 keyed by (type, salt), stage 2 by type, plus the output
+    // sort — more exchanges would mean the salting re-shuffled rows it
+    // already spread
+    val nodes = executedNodes(q("events_salted_agg"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 3,
+      s"expected salted partial + recombine + sort, got ${shuffles.size}")
+  }
+
   test("corpus_importance: scans prune to doc_id + source + text") {
     val explained = q("corpus_importance").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
