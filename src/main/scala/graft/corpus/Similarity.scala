@@ -301,11 +301,48 @@ object Similarity {
     centroids
   }
 
+  /** Fixed-point scale for the PQ pipeline: normalized components lie in
+    * [-1, 1], so |round(x·2²⁰)| ≤ 2²⁰ < 2²⁴ — every quantized value is
+    * EXACTLY representable as a float, every subspace distance
+    * (≤ dsub·2⁴²) and ADC score (≤ m·2⁴²) exactly as a double. With all
+    * PQ arithmetic on integers, sums are associative: training gives the
+    * same codebooks on any partitioning (local[32] or 1000 executors),
+    * and the DuckDB oracle can replay the whole pipeline bit-for-bit
+    * with BIGINT sums. */
+  private val pqScale: Int = 1 << 20
+
+  /** Round half away from zero — the semantics of both Spark SQL
+    * `round(double)` (BigDecimal HALF_UP) and DuckDB `round(double)`.
+    * (`math.round` rounds half UP — toward +∞ — which disagrees on
+    * negative .5 ties.) Safe from fp-boundary misrounds here: inputs are
+    * s/n with |s| ≤ n·2²⁰ and n ≤ corpus size, so the true rational is
+    * either exactly on a .5 boundary (representable, both engines round
+    * away from zero) or at least 1/(2n) away — far beyond double error. */
+  private def roundHalfAway(d: Double): Double =
+    if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)
+
+  /** `qvec`: the L2-normalized vector quantized to fixed-point integers
+    * (stored as floats — exact, see [[pqScale]]). Zero vectors quantize
+    * to all-zero. PQ for COSINE ranking must quantize the normalized
+    * vectors — ADC approximates the raw inner product, and on
+    * unnormalized data that ranking diverges from cosine by the norm
+    * spread, swamping the quantization error (measured: recall@5 0.14
+    * raw vs 0.70 normalized on the fixture). */
+  private def pqQuantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.withColumn("_nrm", normUdf(col(vecCol)))
+      .withColumn("qvec", transform(col(vecCol), x =>
+        when(col("_nrm") === 0.0, lit(0.0f))
+          .otherwise(round(x.cast("double") / col("_nrm") * pqScale.toDouble)
+            .cast("float"))))
+      .drop("_nrm")
+
   /** Product-quantization codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): split the vector into `m`
     * equal subspaces and train an independent kSub-centroid quantizer per
-    * subspace. Returns m × kSub × (dim/m) driver-side doubles — a few KB,
-    * inlined into downstream plans as literals.
+    * subspace. Returns m × kSub × (dim/m) driver-side doubles (integral
+    * fixed-point values, see [[pqScale]]) — a few KB, inlined into
+    * downstream plans as literals. Empty input → m empty books (callers
+    * degrade to an empty result frame).
     *
     * All m sub-quantizers train JOINTLY — one distributed job per Lloyd
     * round scores every subspace's assignment in a single projection and
@@ -316,35 +353,47 @@ object Similarity {
     * not compute — dominated the whole PQ query (measured 12.2 s → ~2 s
     * at sf0.1 on local[32]). Same lesson at cluster scale: driver-side
     * loops must batch their per-round work into one job, not one per
-    * model component. */
+    * model component.
+    *
+    * Determinism: quantized components are integers, so the per-round
+    * `sum` is an exact LONG sum — associative, partition-order-free —
+    * and the centroid update rounds s/n back to an integer. Training is
+    * reproducible on any cluster shape, and the DuckDB oracle replays it
+    * exactly (unrolled iterations, BIGINT sums). */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, kSub: Int, iters: Int): Array[Array[Array[Double]]] = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = emb.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
+    val dim = dimRow.get.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
+    val embQ = pqQuantized(emb, idCol, vecCol)
     // seeds: the kSub smallest-id vectors, sliced per subspace — exactly
     // the seeds the per-subspace kmeansCentroids(slice) form would pick
-    val seedRows = emb.orderBy(col(idCol)).limit(kSub)
-      .select(col(vecCol)).collect()
+    val seedRows = embQ.orderBy(col(idCol)).limit(kSub)
+      .select(col("qvec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
     for (_ <- 1 to iters) {
       val subStructs = array((0 until m).map { j =>
-        val sub = slice(col(vecCol), j * dsub + 1, dsub)
+        val sub = slice(col("qvec"), j * dsub + 1, dsub)
         struct(lit(j).as("j"),
           VectorExpr.nearestCentroidF(sub, books(j)).as("c"),
           sub.as("sub"))
       }: _*)
-      val sums = emb.select(explode(subStructs).as("s"))
+      val sums = embQ.select(explode(subStructs).as("s"))
         .select(col("s.j").as("j"), col("s.c").as("c"),
           posexplode(col("s.sub")))
         .groupBy(col("j"), col("c"), col("pos"))
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
+      // empty clusters keep their previous centroid (the COALESCE the
+      // oracle's LEFT JOIN mirrors)
       val next = books.map(_.map(_.clone()))
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          roundHalfAway(r.getLong(3).toDouble / r.getLong(4))
       }
       books = next
     }
@@ -356,46 +405,38 @@ object Similarity {
     * compresses to m = 4 bytes: the 64× shrink is what lets a
     * billion-vector index live in memory while the floats stay on disk
     * for optional re-ranking. Pure projection — codes pipeline inside the
-    * scan stage. */
+    * scan stage. Quantizes internally ([[pqQuantized]]) so assignment
+    * runs in the same exact-integer space the books were trained in. */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
               codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val dsub = codebooks(0)(0).length
-    emb.select(col(idCol).as("vec_id"),
+    pqQuantized(emb, idCol, vecCol).select(col(idCol).as("vec_id"),
       array(codebooks.indices.map(j =>
         VectorExpr.nearestCentroidF(
-          slice(col(vecCol), j * dsub + 1, dsub), codebooks(j)).cast("int")): _*)
+          slice(col("qvec"), j * dsub + 1, dsub), codebooks(j)).cast("int")): _*)
         .as("codes"))
   }
-
-  /** L2-normalize the vector column in place (floats, zero-safe). PQ for
-    * COSINE ranking must quantize the normalized vectors — ADC
-    * approximates the raw inner product, and on unnormalized data that
-    * ranking diverges from cosine by the norm spread, swamping the
-    * quantization error (measured: recall@5 0.14 raw vs 0.70
-    * normalized on the fixture). The norm binds to a column first —
-    * referencing it inside the transform lambda keeps it computed once
-    * (interpreted HOFs do no CSE). */
-  private def l2Normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.withColumn("_nrm", normUdf(col(vecCol)))
-      .withColumn(vecCol, transform(col(vecCol), x =>
-        when(col("_nrm") === 0.0, lit(0.0f))
-          .otherwise((x.cast("double") / col("_nrm")).cast("float"))))
-      .drop("_nrm")
 
   /** ADC top-k (asymmetric distance computation): each query precomputes
     * an m × kSub lookup table of subspace dot products ONCE against the
     * literal codebooks; every candidate then costs m table lookups + adds
     * instead of a dim-length float dot — over the m-byte codes, not the
     * full vectors. The queries (vector + LUT) broadcast; the code table
-    * streams once. Vectors are L2-normalized first so ADC approximates
-    * cosine. Approximate by construction: recall floor vs the exact
-    * scan is pinned in `SimilaritySpec`, the same contract as SQ8/IVF. */
+    * streams once. Vectors are L2-normalized then fixed-point quantized
+    * ([[pqQuantized]]) so ADC approximates cosine AND every score is an
+    * exact integer-valued double — deterministic on any cluster shape
+    * and replayable by the DuckDB oracle. Approximate by construction:
+    * recall floor vs the exact scan is pinned in `SimilaritySpec`, the
+    * same contract as SQ8/IVF. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
              m: Int, kSub: Int, iters: Int, topK: Int): DataFrame = {
-    val embN = l2Normalized(emb, idCol, vecCol)
-    val codebooks = pqCodebooks(embN, idCol, vecCol, m, kSub, iters)
+    val codebooks = pqCodebooks(emb, idCol, vecCol, m, kSub, iters)
+    if (codebooks.exists(_.isEmpty))  // empty corpus → empty result, typed
+      return emb.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("adc_score")).limit(0)
     val dsub = codebooks(0)(0).length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val embQ = pqQuantized(emb, idCol, vecCol)
     // per-query LUT: lut[j][c] = <q_j, centroid[j][c]> — m·kSub·dsub work
     // once per QUERY, amortized over every candidate it scores
     val lut = transform(cbLit, (jarr, j) =>
@@ -404,14 +445,14 @@ object Similarity {
           zip_with(slice(col("qvec"), j * lit(dsub) + 1, lit(dsub)), cvec,
             (a, b) => a.cast("double") * b),
           lit(0.0), (acc, x) => acc + x)))
-    val queries = embN.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val queries = embQ.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("qvec"))
       .withColumn("lut", lut)
       .select("query_id", "lut")
     val approx = aggregate(
       zip_with(col("lut"), col("codes"), (jarr, c) => element_at(jarr, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val scored = pqCodes(Dedup.fanout(embN), idCol, vecCol, codebooks)
+    val scored = pqCodes(Dedup.fanout(emb), idCol, vecCol, codebooks)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_score", approx)

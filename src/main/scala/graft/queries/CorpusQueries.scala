@@ -67,6 +67,12 @@ object CorpusQueries {
   val containmentThreshold = 0.9
   val annK = 10
   val annQueryStride = 200 // queries = vec_id % 200 == 0
+  // PQ pipeline parameters, shared by the query and its oracle
+  val pqM = 16
+  val pqKSub = 16
+  val pqIters = 3
+  val pqShortlist = 50
+  val pqScaleSql = 1048576 // = Similarity.pqScale (2^20 fixed-point)
   val srpPlanesPerTable = 4
   /** 16 hyperplanes (4 tables × 4 bits) over the 64-dim fixture space. */
   val srpPlanesConst: Array[Array[Double]] = Similarity.srpPlanes(16, 64)
@@ -431,14 +437,17 @@ object CorpusQueries {
     }),
 
     // PQ + exact re-rank: ADC over m-byte codes shortlists candidates,
-    // full-float cosine re-ranks only those. No SQL oracle: the Lloyd
-    // codebook means are double sums whose accumulation order differs
-    // between engines, so the driver records the rows-only check; the
-    // recall floors vs the exact scan are pinned in `SimilaritySpec`.
+    // full-float cosine re-ranks only those. The whole pipeline runs in
+    // fixed-point integer space (Similarity.pqScale): Lloyd sums are
+    // exact longs (associative — same codebooks on any partitioning),
+    // so the DuckDB oracle replays training + ADC bit-for-bit with
+    // BIGINT sums and the result hash-matches. Recall floors vs the
+    // exact scan are additionally pinned in `SimilaritySpec`.
     "ann_topk_pq" -> ((spark, dir) => {
       Similarity.pqTopKReranked(emb(spark, dir), "vec_id", "embedding",
         col("vec_id") % annQueryStride === 0,
-        m = 16, kSub = 16, iters = 3, topK = annK, shortlist = 50)
+        m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
+        shortlist = pqShortlist)
         .orderBy("query_id", "rank")
     }),
 
@@ -1043,6 +1052,36 @@ object CorpusQueries {
     """sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (x, y) -> x + y))""".stripMargin
+
+  /** One unrolled Lloyd round per iteration for the PQ oracle: assign
+    * every (vector, subspace) to its nearest centroid by EXACT integer
+    * squared distance (BIGINT sums — associative, so DuckDB's execution
+    * order is irrelevant), then update centroids as round(sum/count),
+    * keeping the previous centroid for empty clusters (the LEFT JOIN /
+    * COALESCE mirrors Similarity.pqCodebooks' clone-then-overwrite). */
+  private def pqIterCtes(iters: Int): String = (1 to iters).map { i =>
+    val prev = s"cent${i - 1}"
+    s"""dist$i AS (
+       |  SELECT qs.vec_id, qs.j, ct.c,
+       |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
+       |  FROM qs JOIN $prev ct ON ct.j = qs.j AND ct.pos = qs.pos
+       |  GROUP BY 1, 2, 3
+       |), asg$i AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM dist$i) WHERE rn = 1
+       |), sums$i AS (
+       |  SELECT a.j, a.c, qs.pos, sum(qs.xq) AS s, count(*) AS n
+       |  FROM asg$i a JOIN qs ON qs.vec_id = a.vec_id AND qs.j = a.j
+       |  GROUP BY 1, 2, 3
+       |), cent$i AS (
+       |  SELECT p.j, p.c, p.pos,
+       |         COALESCE(CAST(round(CAST(s.s AS DOUBLE) / s.n) AS BIGINT), p.cv) AS cv
+       |  FROM $prev p LEFT JOIN sums$i s
+       |    ON s.j = p.j AND s.c = p.c AND s.pos = p.pos
+       |)""".stripMargin
+  }.mkString(", ")
 
   /** BM25 scoring CTE chain (ends in `bm25_scored`) — identical
     * expression TREE to Search.bm25TopK: same folded literals
@@ -1764,6 +1803,70 @@ object CorpusQueries {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    // Full replay of the deterministic PQ pipeline (Similarity.pqTopKReranked):
+    // fixed-point quantization (2^20), pqIters unrolled Lloyd rounds with
+    // exact BIGINT sums, integer ADC shortlist, exact-cosine re-rank.
+    "ann_topk_pq" ->
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), qlong AS (
+         |  SELECT vec_id, len(embedding) AS dim,
+         |         unnest(range(0, len(embedding))) AS idx,
+         |         unnest(list_transform(embedding, x ->
+         |           CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+         |                ELSE CAST(round(CAST(x AS DOUBLE) / nrm * $pqScaleSql.0) AS BIGINT)
+         |           END)) AS xq
+         |  FROM nrm
+         |), qs AS (
+         |  SELECT vec_id, CAST(idx // (dim // $pqM) AS INTEGER) AS j,
+         |         CAST(idx % (dim // $pqM) AS INTEGER) AS pos, xq
+         |  FROM qlong
+         |), seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $pqKSub)
+         |), cent0 AS (
+         |  SELECT s.c, qs.j, qs.pos, qs.xq AS cv
+         |  FROM seeds s JOIN qs ON qs.vec_id = s.vec_id
+         |), ${pqIterCtes(pqIters)}, codesd AS (
+         |  SELECT qs.vec_id, qs.j, ct.c,
+         |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
+         |  FROM qs JOIN cent$pqIters ct ON ct.j = qs.j AND ct.pos = qs.pos
+         |  GROUP BY 1, 2, 3
+         |), codes AS (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         |    FROM codesd) WHERE rn = 1
+         |), lut AS (
+         |  SELECT qq.vec_id AS query_id, ct.j, ct.c, sum(qq.xq * ct.cv) AS lv
+         |  FROM qs qq JOIN cent$pqIters ct ON ct.j = qq.j AND ct.pos = qq.pos
+         |  WHERE qq.vec_id % $annQueryStride = 0
+         |  GROUP BY 1, 2, 3
+         |), adc AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.lv) AS adc_score
+         |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
+         |  WHERE cd.vec_id <> l.query_id
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_score DESC, neighbor_id) AS rn
+         |    FROM adc) WHERE rn <= $pqShortlist
+         |), rer AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM short s JOIN nrm a ON a.vec_id = s.query_id
+         |               JOIN nrm b ON b.vec_id = s.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM rer
          |)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,

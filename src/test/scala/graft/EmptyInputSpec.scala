@@ -73,6 +73,17 @@ class EmptyInputSpec extends SparkTestBase {
       col("vec_id") === 0, col("label") === 99, 5).count() == 0)
   }
 
+  test("PQ ANN on an empty embedding set returns empty, not NoSuchElement") {
+    import graft.corpus.Similarity
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    val adc = Similarity.pqTopK(noVecs, "vec_id", "embedding",
+      col("vec_id") % 2 === 0, m = 2, kSub = 4, iters = 1, topK = 3)
+    assert(adc.count() == 0)
+    assert(Similarity.pqTopKReranked(noVecs, "vec_id", "embedding",
+      col("vec_id") % 2 === 0, m = 2, kSub = 4, iters = 1, topK = 3,
+      shortlist = 5).count() == 0)
+  }
+
   test("streaming ingest admission against an empty store admits the batch") {
     import graft.streaming.IngestDedup
     val batch = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
