@@ -192,6 +192,33 @@ object XelQueries {
         .orderBy("event_name")
     }),
 
+    // S1 through the PUBLIC XML export format (sys.fn_xe_file_target_read_file
+    // / SSMS event export — the one ingest format a real XE user can bring
+    // without the proprietary SDK): write a rollover set of <events>
+    // documents, read it back through the xexml DSv2 source (per-file
+    // fan-out, type mapping from <type name=…/>, timestamp attribute →
+    // e_time_of_event_utc), and demux-aggregate — the XML ingest path
+    // itself under the oracle gate.
+    "xe_xml_source_scan" -> ((spark, dir) => {
+      val xmlDir = wipedScratchDir(spark, dir, "xml")
+      val slice = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 20000)
+        .select(col("e_imported_file_id"), col("e_time_of_event_utc"),
+          col("c_event_sequence"), col("c_session_id"), col("c_duration_us"),
+          col("c_statement"), col("event_name"), col("a_query_hash"))
+      graft.sources.XeXmlFixtures.writeByKey(slice, "e_imported_file_id", xmlDir)
+      spark.read.format("xexml").load(xmlDir)
+        .groupBy(col("event_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_duration_us")).as("total_duration_us"),
+          countDistinct(col("c_session_id")).as("n_sessions"),
+          max(col("c_event_sequence")).as("max_seq"),
+          sum(col("a_query_hash")).as("hash_sum"),
+          countDistinct(col("c_statement")).as("n_statements"),
+          max(col("e_time_of_event_utc")).as("last_event"))
+        .orderBy("event_name")
+    }),
+
     // §3.1 `Main` lifecycle under the ORACLE gate: materialize a bounded
     // rollover set, run the CLI driver end-to-end (discovery with
     // session-pattern narrowing → width-limited load → demux write →
@@ -459,6 +486,19 @@ object XelQueries {
            |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
            |       count(DISTINCT c_session_id) AS n_sessions,
            |       max(c_event_sequence) AS max_seq
+           |FROM xe WHERE c_event_sequence <= 20000
+           |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_xml_source_scan" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
+           |       count(DISTINCT c_session_id) AS n_sessions,
+           |       max(c_event_sequence) AS max_seq,
+           |       CAST(sum(a_query_hash) AS BIGINT) AS hash_sum,
+           |       count(DISTINCT c_statement) AS n_statements,
+           |       max(e_time_of_event_utc) AS last_event
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
 

@@ -221,9 +221,13 @@ object LoaderMain {
     // DDL phase — skipped wholesale in append mode (FileProcessor.cs:35-49)
     if (a.catalogTables) CatalogDdl.ensureNamespace(spark, cfg)
 
-    // read: XELB rollover container (the .xel stand-in) or a parquet dir
-    val isParquet = files.forall(_.getName.endsWith(".parquet"))
-    val reader = spark.read.format(if (isParquet) "parquet" else "xelb")
+    // read: XELB rollover container (the .xel stand-in), the public XML
+    // event-export format, or a parquet dir — dispatched on extension
+    val fmt =
+      if (files.forall(_.getName.endsWith(".parquet"))) "parquet"
+      else if (files.forall(_.getName.endsWith(".xml"))) "xexml"
+      else "xelb"
+    val reader = spark.read.format(fmt)
       .option("errorBudget", cfg.errorBudget)
     val withMeta = a.xemFile.fold(reader)(m => reader.option("metadataPath", m))
     val frame = withMeta.load(files.map(_.getAbsolutePath): _*)

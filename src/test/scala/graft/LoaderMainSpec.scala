@@ -80,6 +80,34 @@ class LoaderMainSpec extends SparkTestBase {
     assert(text.contains(s"Total number of events processed    : ${orig.count()}"))
   }
 
+  test("end-to-end: directory of .xml event exports loads through the same lifecycle") {
+    val inDir = Files.createTempDirectory("graft-loader-xml-in").toString
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("e_imported_file_id"), col("c_event_sequence"), col("c_session_id"),
+      col("c_duration_us"), col("e_time_of_event_utc"), col("c_statement"),
+      col("event_name"))
+    graft.sources.XeXmlFixtures.writeByKey(xe, "e_imported_file_id", inDir)
+    val outDir = Files.createTempDirectory("graft-loader-xml-out").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(
+      Array(s"-D$inDir", "-p*.xml", s"-o$outDir")): @unchecked
+    val report = LoaderMain.run(spark, a)
+    val orig = XeFixture.frame(spark, sf("sf0.001"))
+    assert(report.filesProcessed == 4)
+    assert(report.eventsLoaded == orig.count())
+    assert(report.tablesLoaded == 5)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == orig.count())
+    // typed columns survived the XML round trip into the demuxed store
+    assert(back.schema("c_duration_us").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.schema("e_time_of_event_utc").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.agg(sum("c_duration_us")).head().getLong(0) ==
+      orig.agg(sum("c_duration_us")).head().getLong(0))
+    val lin = spark.read.parquet(s"$outDir/_lineage")
+    assert(lin.count() == 4)
+  }
+
   test("width limits (-l -L) truncate and count in the report") {
     val outDir = Files.createTempDirectory("graft-loader-out2").toString + "/demux"
     val Right(a) = LoaderMain.parseArgs(
