@@ -67,13 +67,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val headline = Seq(
-      "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-      "ann_topk_ivf", "search_bm25", "text_quality",
-      "events_sessionize", "asof_attribution", "mm_near_dup",
-      "xe_demux_counts", "xe_xelb_source_scan")
-    val hq = headline.flatMap(k => results.get(k).map(k -> _))
+    // Parsed headline = the SLOWEST 30 queries (∪ anything ≥ 0.5 s): the
+    // driver-visible subset must be where regressions can actually hide —
+    // a fixed hand-picked list let a slow non-headline query drift
+    // unnoticed (round-7 verdict). 30 entries ≈ 900 chars stays inside
+    // the harness's ~2000-char stdout capture; the full map is in
+    // bench_detail.json either way.
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val hq = (bySlowest.take(30) ++ bySlowest.drop(30).filter(_._2 >= 0.5))
+      .sortBy(-_._2)
     // stop() BEFORE the println: shutdown-time WARN lines (ContextCleaner,
     // checkpointed-RDD unpersist) must not land after the JSON line inside
     // the harness's capture window.

@@ -82,6 +82,30 @@ class CorpusSpec extends SparkTestBase {
     assert(got(0).getDouble(3) == 1.0)
   }
 
+  test("clustersTable: one build per artifact dir, readers reuse it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters")
+      .toString + "/art"
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val first = Dedup.clustersTable(corpus, "doc_id", "text", 3, 0.5, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // artifact ≡ the direct chain it materializes
+    val direct = Dedup.dupClusters(
+        Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == direct && first.nonEmpty)
+    // a second consumer passing a DIFFERENT corpus still gets the stored
+    // artifact — proof the postings→pairs→clusters chain ran ONCE (the
+    // by-name docs argument is never even evaluated on the read path)
+    val other = Seq((9L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val second = Dedup.clustersTable(other, "doc_id", "text", 3, 0.5, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == first)
+  }
+
   test("minhash LSH finds the planted near-dup and skips unrelated docs") {
     val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
     val df = Seq(
