@@ -125,7 +125,11 @@ object Multimodal {
       .agg(
         sort_array(collect_list(struct(col("df"), col("dim"), col("cnt")))).as("e"),
         sum(col("cnt") * col("cnt")).as("nsq"))
-    val t2num = math.round(threshold * threshold * 1e12)
+    // floor, not round: the strict suffix cut needs t2num ≤ t²·10¹² for
+    // the completeness proof to hold at ANY nsq — round could land one
+    // integer unit ABOVE the true t² and silently miss boundary-exact
+    // pairs for callers with larger maxBytes than the 64-byte default
+    val t2num = math.floor(threshold * threshold * 1e12).toLong
     // plen = 1 + #{k ∈ 1..p−1 : suffixSq(k) ≥ cut}, suffixSq(k) =
     // nsq − prefixSq(k): one O(p) running-prefix pass inside a native
     // codegen expression. The interpreted-HOF form (slice + aggregate

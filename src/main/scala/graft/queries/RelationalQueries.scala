@@ -593,6 +593,13 @@ object RelationalQueries {
       // keeps AQE from re-coalescing the two reads differently — pid is
       // assigned AFTER the shuffle read, so branch-divergent coalescing
       // would desync the offsets.
+      // CONFIG SENSITIVITY (round-7 advice): correctness of the pid
+      // offsets rests on ReuseExchange deduplicating this range exchange.
+      // If reuse were disabled (spark.sql.exchangeReuseEnabled=false) or
+      // a future planner change split the branches, each would re-SAMPLE
+      // range boundaries independently and pids could desync silently.
+      // The PlanSpec gate asserts exactly-one range exchange under the
+      // shipped config; flip that gate first if you touch this plan.
       val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = totals
         .repartitionByRange(nPart, col("total_value").desc, col("user_id"))

@@ -247,6 +247,43 @@ object XelQueries {
           "xml_truncations", "binary_truncations")
     }),
 
+    // D6 schema evolution through the WHOLE CLI lifecycle: generation 1
+    // (base columns) loads first; generation 2 arrives with a NEW column
+    // (the mid-session ALTER the reference handles via diff-and-ALTER,
+    // `EventMetadata.cs:400-455`) and appends with -a. The merged store
+    // must back-fill generation-1 rows with NULL for the added column —
+    // the oracle checks exactly that split, so a wrong merge (dropped
+    // column, misaligned rows, non-null garbage) breaks the hash.
+    "xe_evolution_load" -> ((spark, dir) => {
+      val inDir1 = wipedScratchDir(spark, dir, "evo_in1")
+      val inDir2 = wipedScratchDir(spark, dir, "evo_in2")
+      val outDir = wipedScratchDir(spark, dir, "evo_out") + "/demux"
+      val base = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 20000)
+        .select(col("e_imported_file_id"), col("c_event_sequence"),
+          col("c_session_id"), col("c_duration_us"),
+          col("e_time_of_event_utc"), col("event_name"))
+      val gen1 = base.filter(col("e_imported_file_id").isin(1L, 2L))
+      val gen2 = base.filter(col("e_imported_file_id").isin(3L, 4L))
+        .withColumn("c_extra_flag", col("c_session_id") % 2 === 0)
+      graft.sources.XelbFixtures.writeByKey(gen1, "e_imported_file_id", inDir1)
+      graft.sources.XelbFixtures.writeByKey(gen2, "e_imported_file_id", inDir2)
+      def load(in: String, extra: String*): Unit =
+        graft.xel.LoaderMain.run(spark,
+          graft.xel.LoaderMain.parseArgs(Array(s"-D$in", s"-o$outDir") ++ extra)
+            .fold(m => throw new IllegalStateException(m), identity))
+      load(inDir1)
+      load(inDir2, "-a")
+      spark.read.option("mergeSchema", "true").parquet(outDir)
+        .groupBy(col("event_name"))
+        .agg(count(lit(1)).as("n"),
+          // non-null count: generation-1 rows MUST read back as NULL
+          count(col("c_extra_flag")).as("n_evolved_rows"),
+          sum(when(col("c_extra_flag"), 1L).otherwise(0L)).as("n_extra_true"),
+          countDistinct(col("c_session_id")).as("n_sessions"))
+        .orderBy("event_name")
+    }),
+
     // Full-width XELB ingest: a BinaryType callstack (plus decimal-38
     // UInt64 companion, boolean, int) written and read through
     // format("xelb") — the §1.3 type table carried end-to-end through the
@@ -486,6 +523,19 @@ object XelQueries {
            |       CAST(sum(c_duration_us) AS BIGINT) AS total_duration_us,
            |       count(DISTINCT c_session_id) AS n_sessions,
            |       max(c_event_sequence) AS max_seq
+           |FROM xe WHERE c_event_sequence <= 20000
+           |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_evolution_load" ->
+        s"""$cte
+           |SELECT event_name,
+           |       count(*) AS n,
+           |       count(CASE WHEN e_imported_file_id IN (3, 4)
+           |                  THEN 1 END) AS n_evolved_rows,
+           |       CAST(sum(CASE WHEN e_imported_file_id IN (3, 4)
+           |                      AND c_session_id % 2 = 0
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extra_true,
+           |       count(DISTINCT c_session_id) AS n_sessions
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
 

@@ -35,4 +35,57 @@ object IngestDedup {
     stream.withColumn("digest", md5(col(textCol)))
       .join(digests, Seq("digest"), "left_anti")
       .drop("digest")
+
+  /** The digest store as a growing parquet directory of per-batch
+    * partitions (`batch=<id>/`) — the read side of [[admitLoop]]'s
+    * append. Absent/empty store → an empty digest frame (first ingest
+    * admits everything). `excludeBatch` drops ONE batch partition from
+    * the view: [[admitLoop]] passes its own batch id so a REPLAYED batch
+    * never sees the digests its previous (possibly partial) attempt
+    * recorded — without the exclusion, replay would self-refuse every
+    * row and overwrite its corpus partition with nothing (data loss
+    * exactly when the engine is trying to recover it). */
+  def storeDirDigests(spark: org.apache.spark.sql.SparkSession,
+                      digestDir: String,
+                      excludeBatch: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(digestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasBatches)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType))))
+    else {
+      val all = spark.read.parquet(digestDir) // `batch` = partition column
+      excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
+        .select(col("digest"))
+    }
+  }
+
+  /** The CLOSED ingest loop as a foreachBatch sink: each micro-batch is
+    * admitted against the digest store AS OF batch start, the admitted
+    * docs land in the corpus, and their digests append to the store —
+    * so the NEXT batch refuses anything this batch admitted. Both writes
+    * go to per-batch directories (`batch=<id>/`) with overwrite: a
+    * replayed batch overwrites itself instead of duplicating — the
+    * filesystem-native form of [[EventStream.jdbcIdempotentAppend]]'s
+    * delete-by-batch-id discipline (exactly-once at the sink under the
+    * engine's at-least-once replay). Digests are re-projected from the
+    * just-committed corpus partition, not the in-flight frame, so the
+    * store can never record a digest whose doc failed to land. */
+  def admitLoop(textCol: String, digestDir: String, corpusDir: String)
+               (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val admitted = admit(batch,
+      storeDirDigests(spark, digestDir, excludeBatch = Some(batchId)), textCol)
+    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    // explicit schema: an all-refused batch leaves a partless directory,
+    // which schema inference would reject but a schema'd read treats as
+    // the empty frame it is
+    spark.read.schema(admitted.schema).parquet(s"$corpusDir/batch=$batchId")
+      .select(md5(col(textCol)).as("digest")).distinct()
+      .write.mode("overwrite").parquet(s"$digestDir/batch=$batchId")
+  }
 }

@@ -53,8 +53,9 @@ import org.apache.spark.sql.functions._
  *   -?          help
  *
  * Deliberately absent (SQL-Server-physical, no Spark meaning): -U/-P/-T/-E
- * (credentials/TLS live in the JDBC url), -R read-ahead (vectorized reader
- * + OS readahead), -v version tag (unused in the reference too).
+ * (credentials/TLS live in the JDBC url), -v version tag (unused in the
+ * reference too). (-R read-ahead IS parsed — see the flag table above —
+ * as a documented no-op.)
  */
 object LoaderMain {
 

@@ -95,6 +95,51 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed.collect().map(_.getLong(0)).forall(id => !gotIds(id)))
   }
 
+  test("closed ingest loop: batch 2 refuses what batch 1 admitted; replay converges") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val dropDir = Files.createTempDirectory("graft-loop-in").toString
+    val ckpt = Files.createTempDirectory("graft-loop-ck").toString
+    val digestDir = Files.createTempDirectory("graft-loop-dg").toString + "/store"
+    val corpusDir = Files.createTempDirectory("graft-loop-co").toString + "/corpus"
+    val schema = Seq((0L, "x", "s")).toDF("doc_id", "text", "source").schema
+
+    def runAvailable(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$dropDir/drop*")
+        .writeStream
+        .foreachBatch(IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: two new docs — both admitted, digests recorded
+    Seq((1L, "doc alpha body", "s"), (2L, "doc beta body", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dropDir/drop1")
+    runAvailable()
+    val after1 = spark.read.schema(schema).parquet(s"$corpusDir/batch=*")
+    assert(after1.count() == 2)
+
+    // batch 2: a dup of batch 1's admit (same text, new id) + one new doc
+    // — the CLOSED loop refuses the dup without any static store supplied
+    Seq((10L, "doc alpha body", "s"), (3L, "doc gamma body", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dropDir/drop2")
+    runAvailable()
+    val after2 = spark.read.schema(schema).parquet(s"$corpusDir/batch=*")
+    assert(after2.count() == 3, "dup of batch-1 admit must be refused")
+    assert(!after2.select("doc_id").as[Long].collect().contains(10L))
+
+    // replay of batch 1 (at-least-once redelivery): per-batch overwrite
+    // converges — same corpus, same digest store, no duplication
+    val b1 = Seq((1L, "doc alpha body", "s"), (2L, "doc beta body", "s"))
+      .toDF("doc_id", "text", "source")
+    IngestDedup.admitLoop("text", digestDir, corpusDir)(b1, 0L)
+    val after3 = spark.read.schema(schema).parquet(s"$corpusDir/batch=*")
+    assert(after3.count() == 3, "replayed batch must overwrite, not duplicate")
+    // digest store holds exactly the three admitted texts
+    assert(IngestDedup.storeDirDigests(spark, digestDir).count() == 3)
+  }
+
   test("batch rateByMinute agrees with the xe_rate_minute query semantics") {
     val xe = XeFixture.frame(spark, sf("sf0.001"))
     val viaWindow = EventStream.rateByMinute(xe)
