@@ -170,7 +170,19 @@ object Similarity {
     * a true near-dup only needs ONE table to agree on all bits).
     * Candidates = same (table, bucket); distinct pairs verified with
     * exact cosine ≥ threshold. Shuffles are keyed by (table, bucket) —
-    * never an all-pairs scan. */
+    * never an all-pairs scan.
+    *
+    * SIZING RULE (the scale knob that keeps this linear): expected
+    * bucket occupancy is n / 2^planesPerTable and candidate volume per
+    * table is Σ_buckets (occupancy choose 2) ≈ n² / 2^(planesPerTable+1)
+    * — so planesPerTable must grow like log2(n): measured at 200 k
+    * vectors, the fixture's 4-bit tables (16 buckets, 12.5 k/bucket,
+    * ~10¹⁰ candidate pairs) ran past 7 minutes while 16-bit tables
+    * (same recall lever via 4 tables) finish in seconds. Same argument
+    * as [[Dedup.simhashDefaultBits]]'s 30-bit segments. The
+    * `dedup_embedding_lsh` QUERY keeps 4-bit tables because its planes
+    * are inlined as literals in BOTH engines and the fixture is 2 k
+    * vectors; production callers size planes from their corpus. */
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       planes: Array[Array[Double]], planesPerTable: Int,
                       threshold: Double): DataFrame = {
