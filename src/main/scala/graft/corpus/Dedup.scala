@@ -339,8 +339,22 @@ object Dedup {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     if (!fs.exists(success)) {
       val d = docs
+      // build into a private temp dir, then publish with one rename —
+      // two concurrent builders (two processes sharing the scratch fs)
+      // each write their own temp; exactly one rename lands, the loser
+      // deletes its temp and reads the winner's artifact. Never
+      // overwrite-in-place: a reader mid-scan of a published artifact
+      // must not see its files deleted under it.
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
       dupClusters(jaccardPairs(d, idCol, textCol, k, threshold))
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.exists(success)) {
+        // a half-written artifact from a killed run (dir, no _SUCCESS)
+        // blocks the rename target — clear it, it was never publishable
+        if (fs.exists(path)) fs.delete(path, true)
+        if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+      } else fs.delete(tmp, true)
       d.sparkSession.read.parquet(dir)
     } else {
       org.apache.spark.sql.SparkSession.active.read.parquet(dir)

@@ -42,20 +42,34 @@ object CorpusQueries {
     * bench's tmpfs discipline. */
   private def clustersArtifact(spark: SparkSession, dir: String): DataFrame = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-    // corpus fingerprint (size ^ mtime over the source files): a
-    // regenerated corpus at the same path must never read a stale artifact
+    // corpus fingerprint over the source files: a regenerated corpus at
+    // the same path must never read a stale artifact. Per-file FNV-1a
+    // over name|len|mtime, folded ORDER-SENSITIVELY (sorted names,
+    // polynomial combine) — a plain XOR is self-cancelling (two identical
+    // files vanish) and blind to content swaps between same-size files
     val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def fp(s: org.apache.hadoop.fs.FileStatus): Long =
-      s.getLen ^ s.getModificationTime
+      s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}"
+        .foldLeft(0xcbf29ce484222325L)((a, c) => (a ^ c) * 0x100000001b3L)
     val st = fs.getFileStatus(src)
+    val parts =
+      if (st.isDirectory) fs.listStatus(src).sortBy(_.getPath.getName).toSeq
+      else Seq(st)
     val fprint = java.lang.Long.toHexString(
-      if (st.isDirectory) fs.listStatus(src).map(fp).foldLeft(0L)(_ ^ _) else fp(st))
+      parts.foldLeft(1125899906842597L)((acc, s) => acc * 31L + fp(s)))
     val tag = s"v1_k${shingleK}_t${jaccardThreshold}".replace('.', 'p')
-    val path = s"$base/graft_clusters_${tag}_${fprint}_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dirSuffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val name = s"graft_clusters_${tag}_${fprint}_$dirSuffix"
+    // prune superseded artifacts for the same corpus dir (older
+    // fingerprint or chain tag) so scratch space stays bounded
+    try fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("graft_clusters_") && n.endsWith(s"_$dirSuffix") &&
+          n != name) fs.delete(s.getPath, true)
+    } catch { case _: java.io.IOException => () }
     Dedup.clustersTable(docs(spark, dir), "doc_id", "text",
-      shingleK, jaccardThreshold, path)
+      shingleK, jaccardThreshold, s"$base/$name")
   }
 
   /** DSIR-style per-doc importance scores (see `corpus_importance` for

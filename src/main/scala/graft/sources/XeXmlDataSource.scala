@@ -190,9 +190,13 @@ class XeXmlPartitionReader(file: String, required: StructType, errorBudget: Int)
   private def put(row: GenericInternalRow, col: String, xeType: String,
                   raw: String): Unit =
     slotOf.get(col).foreach { case (slot, dt) =>
-      // P5: fields on the null list load as NULL columns, by design
-      val bare = col.drop(2)
-      if (raw == null || graft.xel.XelFunctions.nulledFields.contains(bare)) ()
+      // P5: FIELDS on the null list load as NULL columns, by design; the
+      // reference applies the list to fields only (EventHolder.cs:145-148),
+      // so an action that happens to share a nulled field's name loads
+      val isNulledField =
+        col.startsWith("c_") &&
+          graft.xel.XelFunctions.nulledFields.contains(col.drop(2))
+      if (raw == null || isNulledField) ()
       else {
         val v = XeXmlFormat.parseValue(xeType, raw)
         // declared-type drift against the table schema (D6 conflicts)

@@ -101,12 +101,22 @@ object XeXmlFormat {
     case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
   }
 
-  /** ISO-8601 instant → epoch micros (java.lang.Long), or null. */
-  def parseInstantMicros(raw: String): java.lang.Long =
-    try {
-      val i = java.time.Instant.parse(raw.trim)
-      java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    } catch { case _: java.time.format.DateTimeParseException => null }
+  /** ISO-8601 instant → epoch micros (java.lang.Long), or null. Accepts
+    * both Z-suffixed instants and zone-offset forms (`…+01:00`) — SSMS
+    * exports from a server in local-time mode carry the offset. */
+  def parseInstantMicros(raw: String): java.lang.Long = {
+    val t = raw.trim
+    val instant: java.time.Instant =
+      try java.time.Instant.parse(t)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch { case _: java.time.format.DateTimeParseException => null }
+      }
+    if (instant == null) null
+    else java.lang.Long.valueOf(
+      instant.getEpochSecond * 1000000L + instant.getNano / 1000L)
+  }
 
   def hexToBytes(s: String): Array[Byte] = {
     val t = s.trim.stripPrefix("0x").stripPrefix("0X")
@@ -198,7 +208,7 @@ object XeXmlFormat {
             case "type" =>
               Option(r.getAttributeValue(null, "name")).foreach(xeType = _)
               skipElement(r)
-            case "value" => value = r.getElementText // consumes end tag
+            case "value" => value = readValueText(r) // consumes end tag
             case _ => depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -206,6 +216,43 @@ object XeXmlFormat {
       }
     }
     (xeType, value)
+  }
+
+  /** Read the text of a `<value>` element (reader ON its start tag);
+    * consumes through the matching end tag. Unlike `getElementText`,
+    * nested element content — xml-typed payloads such as showplan_xml or
+    * tsql_stack frames, which real exports embed as child elements — is
+    * serialized back to its XML string form instead of throwing. Plain
+    * text/CDATA values come back exactly as `getElementText` returned
+    * them. */
+  private def readValueText(r: XMLStreamReader): String = {
+    val sb = new java.lang.StringBuilder
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          depth += 1
+          sb.append('<').append(r.getLocalName)
+          var i = 0
+          while (i < r.getAttributeCount) {
+            sb.append(' ').append(r.getAttributeLocalName(i)).append("=\"")
+              .append(escape(r.getAttributeValue(i))).append('"')
+            i += 1
+          }
+          sb.append('>')
+        case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
+          if (depth > 0) sb.append("</").append(r.getLocalName).append('>')
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA |
+             XMLStreamConstants.SPACE =>
+          // top-level text stays raw (entities already decoded by StAX);
+          // text inside a nested element re-escapes so the serialized
+          // subtree round-trips as well-formed XML
+          if (depth > 1) sb.append(escape(r.getText)) else sb.append(r.getText)
+        case _ =>
+      }
+    }
+    sb.toString
   }
 
   private def skipElement(r: XMLStreamReader): Unit = {

@@ -134,6 +134,59 @@ class XeXmlSourceSpec extends SparkTestBase {
     assert(rows(1).getAs[Long]("c_added") == 7L)
   }
 
+  test("xml-typed values with nested elements serialize, not throw") {
+    val dir = tmpDir("nested")
+    val f = new java.io.PrintWriter(s"$dir/S_0_0.xml", "UTF-8")
+    // real exports embed element content inside <value> for xml-typed
+    // payloads (showplan_xml, tsql_stack) — the parser must serialize
+    // the subtree back to a string rather than die in getElementText
+    f.write("""<?xml version="1.0"?><events>
+      |<event name="probe" timestamp="2024-01-01T00:00:00Z">
+      |  <data name="plan"><type name="xml"/>
+      |    <value><ShowPlanXML Version="1.564"><Batch><Op cost="0.5">scan &amp; seek</Op></Batch></ShowPlanXML></value></data>
+      |  <data name="stmt"><type name="unicode_string"/><value><![CDATA[select 1]]></value></data>
+      |</event></events>""".stripMargin)
+    f.close()
+    val back = spark.read.format("xexml").load(dir)
+    val row = back.head()
+    val plan = row.getAs[String]("c_plan")
+    assert(plan.contains("<ShowPlanXML Version=\"1.564\">"))
+    assert(plan.contains("<Op cost=\"0.5\">scan &amp; seek</Op>"))
+    assert(plan.contains("</ShowPlanXML>"))
+    assert(row.getAs[String]("c_stmt") == "select 1") // plain values unchanged
+  }
+
+  test("zone-offset timestamps parse (attribute and datetime field)") {
+    val dir = tmpDir("offset")
+    val f = new java.io.PrintWriter(s"$dir/S_0_0.xml", "UTF-8")
+    f.write("""<?xml version="1.0"?><events>
+      |<event name="probe" timestamp="2024-01-01T01:00:00.500000+01:00">
+      |  <data name="when"><type name="datetime"/><value>2024-07-01T10:30:00-04:00</value></data>
+      |</event></events>""".stripMargin)
+    f.close()
+    val back = spark.read.format("xexml").load(dir)
+    val row = back.head()
+    assert(row.getAs[java.sql.Timestamp]("e_time_of_event_utc").toInstant ==
+      java.time.Instant.parse("2024-01-01T00:00:00.500Z"))
+    assert(row.getAs[java.sql.Timestamp]("c_when").toInstant ==
+      java.time.Instant.parse("2024-07-01T14:30:00Z"))
+  }
+
+  test("P5 null list applies to fields only — a like-named action loads") {
+    val dir = tmpDir("nullrole")
+    val f = new java.io.PrintWriter(s"$dir/S_0_0.xml", "UTF-8")
+    f.write("""<?xml version="1.0"?><events>
+      |<event name="probe">
+      |  <data name="data_stream"><type name="unicode_string"/><value>drop me</value></data>
+      |  <action name="data_stream"><type name="unicode_string"/><value>keep me</value></action>
+      |</event></events>""".stripMargin)
+    f.close()
+    val back = spark.read.format("xexml").load(dir)
+    val row = back.head()
+    assert(row.isNullAt(back.columns.indexOf("c_data_stream"))) // field: nulled
+    assert(row.getAs[String]("a_data_stream") == "keep me") // action: loads
+  }
+
   test("malformed XML fails the file loudly (no silent tail loss)") {
     val dir = tmpDir("broken")
     val f = new java.io.PrintWriter(s"$dir/S_0_0.xml", "UTF-8")
