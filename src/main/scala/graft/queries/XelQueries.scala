@@ -247,6 +247,38 @@ object XelQueries {
           "xml_truncations", "binary_truncations")
     }),
 
+    // F5/F6 companions MATERIALIZED BY THE LOAD PATH: the reference stores
+    // a_query_hash_bin / a_query_plan_hash_bin and a_callstack_debugcmd as
+    // columns in every event table at load time (`EventHolder.cs:216-232`,
+    // `EventMetadata.cs:56-68`). Drive the CLI end-to-end over a rollover
+    // set carrying both hash actions and a binary callstack, then read the
+    // DEMUXED STORE and return the companion columns AS STORED — zero
+    // re-derivation on the query side, so a load path that fails to
+    // materialize them breaks this query's schema, not just its hash.
+    "xe_companions_load" -> ((spark, dir) => {
+      val inDir = wipedScratchDir(spark, dir, "comp_in")
+      val outDir = wipedScratchDir(spark, dir, "comp_out") + "/demux"
+      val slice = XeFixture.frame(spark, dir)
+        .filter(col("c_event_sequence") <= 10000)
+        .select(col("e_imported_file_id"), col("c_event_sequence"),
+          col("e_time_of_event_utc"),
+          col("a_query_hash"),
+          (col("a_query_hash") + 7).as("a_query_plan_hash"),
+          unhex(concat(F.hashToBinHex(col("a_query_hash")), lit("DEADBEEF")))
+            .as("a_callstack"),
+          col("event_name"))
+      graft.sources.XelbFixtures.writeByKey(slice, "e_imported_file_id", inDir)
+      graft.xel.LoaderMain.run(spark,
+        graft.xel.LoaderMain.parseArgs(Array(s"-D$inDir", s"-o$outDir"))
+          .fold(m => throw new IllegalStateException(m), identity))
+      spark.read.parquet(outDir)
+        .select(col("c_event_sequence"),
+          hex(col("a_query_hash_bin")).as("hash_bin_hex"),
+          hex(col("a_query_plan_hash_bin")).as("plan_hash_bin_hex"),
+          col("a_callstack_debugcmd"))
+        .orderBy("c_event_sequence")
+    }),
+
     // D6 schema evolution through the WHOLE CLI lifecycle: generation 1
     // (base columns) loads first; generation 2 arrives with a NEW column
     // (the mid-session ALTER the reference handles via diff-and-ALTER,
@@ -525,6 +557,20 @@ object XelQueries {
            |       max(c_event_sequence) AS max_seq
            |FROM xe WHERE c_event_sequence <= 20000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,
+
+      "xe_companions_load" ->
+        s"""$cte,
+           |cs AS (
+           |  SELECT c_event_sequence,
+           |         lpad(to_hex(a_query_hash), 16, '0') AS hash_hex,
+           |         lpad(to_hex(a_query_hash + 7), 16, '0') AS plan_hex
+           |  FROM xe WHERE c_event_sequence <= 10000
+           |)
+           |SELECT c_event_sequence,
+           |       hash_hex AS hash_bin_hex,
+           |       plan_hex AS plan_hash_bin_hex,
+           |       'ln ' || ${revPairsSql("hash_hex")} || ';' AS a_callstack_debugcmd
+           |FROM cs ORDER BY c_event_sequence""".stripMargin,
 
       "xe_evolution_load" ->
         s"""$cte

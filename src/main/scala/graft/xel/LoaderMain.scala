@@ -237,7 +237,10 @@ object LoaderMain {
     require(frame.columns.contains("event_name"),
       s"input lacks the demux key event_name: ${frame.columns.mkString(", ")}")
 
-    val shaped = Pipeline.applyWidthLimits(frame, cfg)
+    // width limits, then the F5/F6 companion columns the reference stores
+    // per event table (hash → _bin, callstack → _debugcmd)
+    val shaped = Pipeline.addCompanionColumns(
+      Pipeline.applyWidthLimits(frame, cfg), cfg)
 
     // truncation counters (A4) — one aggregate pass, exactly-once; only
     // when widths are limited: with -l absent applyWidthLimits is a no-op,

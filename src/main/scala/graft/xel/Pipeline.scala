@@ -99,6 +99,34 @@ object Pipeline {
   }
 
   /**
+   * F5/F6 companion columns, materialized at LOAD time the way the
+   * reference stores them in every event table (`EventHolder.cs:216-232`;
+   * schema side `EventMetadata.cs:56-68`): the 8-byte big-endian binary of
+   * each hash action and the debugger command of the callstack action. A
+   * reader of the demuxed store gets them as stored columns — no
+   * re-derivation. Applied AFTER width limits so the stored command
+   * derives from the stored (possibly truncated) callstack — exactly what
+   * the store's own bytes support. Idempotent: companions already present
+   * (an `-a` append over previously-loaded data) are left untouched.
+   * Pure projection — no shuffle, stays inside whole-stage codegen.
+   */
+  def addCompanionColumns(df: DataFrame, cfg: XelConfig): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val have = df.columns.toSet
+    var out = df
+    Seq("a_query_hash", "a_query_plan_hash").foreach { h =>
+      if (have.contains(h) && !have.contains(h + "_bin"))
+        out = out.withColumn(h + "_bin", XelFunctions.hashToBin(col(h)))
+    }
+    if (have.contains("a_callstack") && !have.contains("a_callstack_debugcmd")
+        && df.schema("a_callstack").dataType == BinaryType)
+      out = out.withColumn("a_callstack_debugcmd",
+        XelFunctions.callstackDebugCmd(col("a_callstack"),
+          cfg.frameLength, cfg.frameCommand))
+    out
+  }
+
+  /**
    * A4 truncation counters as ONE declarative pass over the frame —
    * deliberately not accumulators: accumulator updates from re-executed
    * tasks double-count (a flaw the reference's lock-guarded ints share

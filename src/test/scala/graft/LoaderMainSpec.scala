@@ -108,6 +108,34 @@ class LoaderMainSpec extends SparkTestBase {
     assert(lin.count() == 4)
   }
 
+  test("F5/F6 companions are MATERIALIZED in the demuxed store (no re-derivation)") {
+    val inDir = Files.createTempDirectory("graft-loader-comp-in").toString
+    val xe = XeFixture.frame(spark, sf("sf0.001")).select(
+      col("e_imported_file_id"), col("c_event_sequence"),
+      col("e_time_of_event_utc"),
+      col("a_query_hash"),
+      (col("a_query_hash") + 7).as("a_query_plan_hash"),
+      unhex(concat(graft.xel.XelFunctions.hashToBinHex(col("a_query_hash")),
+        lit("DEADBEEF"))).as("a_callstack"),
+      col("event_name"))
+    XelbFixtures.writeByKey(xe, "e_imported_file_id", inDir)
+    val outDir = Files.createTempDirectory("graft-loader-comp-out").toString + "/demux"
+    val Right(a) = LoaderMain.parseArgs(Array(s"-D$inDir", s"-o$outDir")): @unchecked
+    LoaderMain.run(spark, a)
+    // the STORE carries the companions as columns, like the reference's
+    // event tables (EventHolder.cs:216-232) — a reader never re-derives
+    val back = spark.read.parquet(outDir)
+    assert(back.columns.contains("a_query_hash_bin"))
+    assert(back.columns.contains("a_query_plan_hash_bin"))
+    assert(back.columns.contains("a_callstack_debugcmd"))
+    val row = back.orderBy("c_event_sequence").head()
+    val hashHex = f"${row.getAs[Long]("a_query_hash")}%016X"
+    assert(graft.sources.XeXmlFormat.bytesToHex(
+      row.getAs[Array[Byte]]("a_query_hash_bin")) == hashHex)
+    val expectCmd = "ln " + hashHex.grouped(2).toSeq.reverse.mkString + ";"
+    assert(row.getAs[String]("a_callstack_debugcmd") == expectCmd)
+  }
+
   test("width limits (-l -L) truncate and count in the report") {
     val outDir = Files.createTempDirectory("graft-loader-out2").toString + "/demux"
     val Right(a) = LoaderMain.parseArgs(
