@@ -28,6 +28,18 @@ object Bench {
     // queries (the driver never sets it, so the recorded bench is full)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val picked = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // The cluster artifact is compute-once-per-corpus-version by design,
+    // so min-of-2 on the dedup_clusters trio times the READ path only.
+    // Wipe + rebuild it here as an explicitly timed metric of its own —
+    // a build-side regression must be a number the driver sees, not
+    // hidden warm-path state.
+    val artifactBuild: Map[String, Double] =
+      if (picked.contains("dedup_clusters")) {
+        val t0 = System.nanoTime()
+        try graft.queries.CorpusQueries.rebuildClustersArtifact(spark, sfDir)
+        catch { case _: Throwable => () }
+        Map("clusters_artifact_build" -> (System.nanoTime() - t0) / 1e9)
+      } else Map.empty
     val results = picked.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -56,14 +68,18 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    // total stays the sum of min-of-2 QUERY timings (comparable across
+    // rounds); the one-time artifact build reports as its own entry in
+    // the query maps without inflating the trend line
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val reported = results ++ artifactBuild
     // Full per-query detail goes to a file: the harness captures only a
     // ~2000-char tail of stdout, and an 80+-query map at full double
     // precision overflows it, clipping the JSON line mid-object (rounds
     // 4 and 5 both lost the bench total this way). The stdout line keeps
     // the total plus a fixed headline subset and stays well under the
     // capture window; bench_detail.json carries everything.
-    val detail = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(reported)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -73,7 +89,7 @@ object Bench {
     // unnoticed (round-7 verdict). 30 entries ≈ 900 chars stays inside
     // the harness's ~2000-char stdout capture; the full map is in
     // bench_detail.json either way.
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    val bySlowest = reported.toSeq.sortBy(-_._2)
     val hq = (bySlowest.take(30) ++ bySlowest.drop(30).filter(_._2 >= 0.5))
       .sortBy(-_._2)
     // stop() BEFORE the println: shutdown-time WARN lines (ContextCleaner,

@@ -40,7 +40,23 @@ object CorpusQueries {
     * every chain parameter + a chain version tag, so a parameter change
     * or new corpus never reads a stale artifact. Scratch base matches the
     * bench's tmpfs discipline. */
-  private def clustersArtifact(spark: SparkSession, dir: String): DataFrame = {
+  private def clustersArtifact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersTable(docs(spark, dir), "doc_id", "text",
+      shingleK, jaccardThreshold, clustersArtifactPath(spark, dir))
+
+  /** Bench hook: wipe this corpus's cluster artifact and rebuild it,
+    * returning the label count — so the BUILD cost (three corpus passes)
+    * is a timed, driver-visible metric of its own. The per-query timings
+    * of the `dedup_clusters` trio then measure the read path, which is
+    * the architecture's point; without this hook the build cost would
+    * hide behind min-of-2 entirely. */
+  def rebuildClustersArtifact(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(clustersArtifactPath(spark, dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    clustersArtifact(spark, dir).count()
+  }
+
+  private def clustersArtifactPath(spark: SparkSession, dir: String): String = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     // corpus fingerprint over the source files: a regenerated corpus at
     // the same path must never read a stale artifact. Per-file FNV-1a
@@ -68,8 +84,7 @@ object CorpusQueries {
       if (n.startsWith("graft_clusters_") && n.endsWith(s"_$dirSuffix") &&
           n != name) fs.delete(s.getPath, true)
     } catch { case _: java.io.IOException => () }
-    Dedup.clustersTable(docs(spark, dir), "doc_id", "text",
-      shingleK, jaccardThreshold, s"$base/$name")
+    s"$base/$name"
   }
 
   /** DSIR-style per-doc importance scores (see `corpus_importance` for
