@@ -1020,6 +1020,52 @@ object CorpusQueries {
           coalesce(col("exact_count"), lit(0L)).as("exact_count"))
         .withColumn("overestimate", col("cms_estimate") - col("exact_count"))
         .orderBy("probe")
+    }),
+
+    // §2.9 STREAMING ingest dedup under the ORACLE gate: the documents
+    // table arrives as four waves (doc_id mod 4) through a REAL
+    // Structured Streaming file source, each wave one AvailableNow run of
+    // the closed admit loop (stream-static anti-join against the digest
+    // store; admitted docs land in the corpus and their digests append,
+    // so later waves refuse earlier waves' texts). The DuckDB twin
+    // recomputes the sequential-admission semantics in one window: a doc
+    // is admitted iff its wave is the FIRST wave its exact text appears
+    // in (within-wave copies all admit — admission is against the store
+    // as of batch start, not within-batch). Each wave is coalesced to one
+    // file so one run = one micro-batch, keeping batch splits out of the
+    // semantics.
+    "stream_ingest_dedup" -> ((spark, dir) => {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_stream_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val dropDir = scratch("drop"); val digestDir = scratch("digest")
+      val corpusDir = scratch("corpus"); val ckpt = scratch("ckpt")
+      val d = docs(spark, dir).select(col("doc_id"), col("text"),
+        col("source"), col("n_chars"))
+      (0 until 4).foreach { w =>
+        d.filter(pmod(col("doc_id"), lit(4L)) === w).coalesce(1)
+          .write.parquet(s"$dropDir/wave$w")
+        val q = spark.readStream.schema(d.schema).parquet(s"$dropDir/wave*")
+          .writeStream
+          .foreachBatch(
+            graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
+        .withColumn("wave", pmod(col("doc_id"), lit(4L)))
+        .groupBy("wave").agg(
+          count(lit(1)).as("n_admitted"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("wave")
     })
   )
 
@@ -2450,6 +2496,22 @@ object CorpusQueries {
          |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
          |)
          |SELECT doc_id, text_rank, vec_rank, rrf FROM fused
-         |ORDER BY rrf DESC, doc_id LIMIT $rrfK""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT $rrfK""".stripMargin,
+
+    "stream_ingest_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source, n_chars, doc_id % 4 AS wave
+        |  FROM documents
+        |), m AS (
+        |  SELECT d.*, MIN(wave) OVER (PARTITION BY text) AS first_wave FROM d
+        |)
+        |SELECT wave,
+        |       count(*) AS n_admitted,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS min_doc,
+        |       max(doc_id) AS max_doc
+        |FROM m WHERE wave = first_wave
+        |GROUP BY wave ORDER BY wave""".stripMargin
   )
 }
