@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Shuffle/spill files on tmpfs: this box's virtio disk serializes
       // the 32×32 shuffle-file fan-out of local[32] (measured 7× on the
@@ -18,6 +19,14 @@ object Bench {
         else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Three queries use a deliberately GLOBAL window over frames bounded
+    // by construction (per-source weights, ≤k RRF ranks, days-sized
+    // cumulative — see the comments at each site); WindowExec warns about
+    // every one, and 40+ such lines drown the JSON line this main exists
+    // to print. Silence that one logger, nothing else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JVM/codegen/session startup should not be charged
     // to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -33,17 +42,23 @@ object Bench {
     // Wipe + rebuild it here as an explicitly timed metric of its own —
     // a build-side regression must be a number the driver sees, not
     // hidden warm-path state.
+    // A query that throws must be LOUD, not a fake 0.05 s timing: failed
+    // names are excluded from the total, reported as -1 in the query maps,
+    // and listed under "failed" in both the stdout JSON and bench_detail
+    // (rounds 10-11 laundered 42 crashed queries into ~3 s of fake work).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val artifactBuild: Map[String, Double] =
       if (picked.contains("dedup_clusters")) {
         val t0 = System.nanoTime()
         try graft.queries.CorpusQueries.rebuildClustersArtifact(spark, sfDir)
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => failed += "clusters_artifact_build" }
         Map("clusters_artifact_build" -> (System.nanoTime() - t0) / 1e9)
       } else Map.empty
     val results = picked.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       // Release per-query state OUTSIDE the timed window: localCheckpoint
@@ -68,18 +83,22 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    // total stays the sum of min-of-2 QUERY timings (comparable across
-    // rounds); the one-time artifact build reports as its own entry in
-    // the query maps without inflating the trend line
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val reported = results ++ artifactBuild
+    // total stays the sum of min-of-2 QUERY timings over queries that RAN
+    // (comparable across rounds); the one-time artifact build reports as
+    // its own entry in the query maps without inflating the trend line
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val reported = (results ++ artifactBuild).map { case (k, v) =>
+      k -> (if (failed(k)) -1.0 else v)
+    }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query detail goes to a file: the harness captures only a
     // ~2000-char tail of stdout, and an 80+-query map at full double
     // precision overflows it, clipping the JSON line mid-object (rounds
     // 4 and 5 both lost the bench total this way). The stdout line keeps
     // the total plus a fixed headline subset and stays well under the
     // capture window; bench_detail.json carries everything.
-    val detail = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(reported)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(reported)},"failed":$failedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -96,6 +115,6 @@ object Bench {
     // checkpointed-RDD unpersist) must not land after the JSON line inside
     // the harness's capture window.
     spark.stop()
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(hq)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(hq)},"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

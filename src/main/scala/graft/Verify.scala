@@ -29,6 +29,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must surface as a RED row in the driver's report,
+        // never an omission (rounds 10-11 hid a 40% outage this way): write
+        // a one-row parquet whose schema cannot match any oracle, so the
+        // compare records a loud schema mismatch for this name.
+        try {
+          import spark.implicits._
+          Seq("ERROR: " + String.valueOf(e.getMessage).take(500))
+            .toDF("graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

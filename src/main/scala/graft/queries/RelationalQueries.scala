@@ -417,6 +417,8 @@ object RelationalQueries {
           countDistinct(col("user_id")).as("n_active"))
       val newbies = firstSeen.groupBy(col("first_d").as("d"))
         .agg(count(lit(1)).as("n_new"))
+      // global window is safe here: the frame is one row per DAY
+      // (post-aggregation), bounded by the calendar, not the corpus
       val wcum = Window.orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.join(newbies, Seq("d"), "left")

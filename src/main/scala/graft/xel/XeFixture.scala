@@ -38,14 +38,24 @@ object XeFixture {
   val hashA = 2654435761L // Knuth multiplicative constant
   val hashB = 97L
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long and convert with
-    * exact integer division — the fixture is µs-clean, and `div` keeps the
-    * arithmetic in int64 (a double division would lose precision past 2^53). */
+  /** The driver has shipped `events.parquet` with two vintages of `ts`:
+    * TIMESTAMP(NANOS) — which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) unless
+    * read as a raw long via `legacy.parquet.nanosAsLong` — and, since the
+    * round-9 regeneration, plain TIMESTAMP_MICROS (surfacing as
+    * TIMESTAMP_NTZ). Dispatch on the actual read type so both load:
+    * nanos-as-long gets the exact int64 `div 1000` (a double division would
+    * lose precision past 2^53); timestamp-typed columns are cast to the
+    * session-local TimestampType, value-preserving because every entry point
+    * pins `spark.sql.session.timeZone=UTC`. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def frame(spark: SparkSession, sfDir: String, cfg: XelConfig = XelConfig.default): DataFrame = {
