@@ -40,6 +40,29 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Document-frequency cap for the exact postings self-joins
+    * ([[jaccardPairs]], [[containmentPairs]], [[incrementalPairs]]): a
+    * shingle appearing in f docs contributes f² candidate pairs, so one
+    * boilerplate shingle ("all rights reserved …") is a quadratic shuffle
+    * bomb at 100 TB. Postings rows whose shingle's df exceeds the cap are
+    * dropped BEFORE the join — such shingles carry near-zero Jaccard
+    * information (they're in everything). Set sizes stay the FULL
+    * distinct-shingle counts, so capped similarities are conservative
+    * (never overestimated). MinHash+LSH is the scale path and needs no
+    * cap (its verify step is already restricted to LSH candidates);
+    * these exact joins are for candidate verification and moderate
+    * corpora. */
+  val defaultMaxDf = 1000
+
+  /** Drop postings rows whose shingle document-frequency exceeds maxDf.
+    * df via a window keyed by shingle — the same key the downstream
+    * self-join shuffles on, so the exchange is reused, not repeated. */
+  private def dfCapped(post: DataFrame, maxDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    post.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf).drop("_df")
+  }
+
   /** Exploded (id, shingle) postings — distinct shingles per doc. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     fanout(docs).select(col(idCol).as("doc_id"),
@@ -70,8 +93,10 @@ object Dedup {
         explode(col("sh")).as("shingle"))
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double): DataFrame = {
-    // postings feed both self-join sides — materialize once instead of
+                   k: Int, threshold: Double,
+                   maxDf: Int = defaultMaxDf): DataFrame = {
+    // postings feed both self-join sides — materialize once (with the df
+    // cap already applied, so the window computes once too) instead of
     // re-tokenizing the corpus twice. LAZY checkpoint: plan construction/
     // explain stays free; blocks materialize on first action. Measured
     // against the ReuseExchange alternative (no checkpoint, shared
@@ -79,7 +104,8 @@ object Dedup {
     // also spans the downstream cluster loop's actions. (At petabyte
     // postings volume, swap for persist(MEMORY_AND_DISK) or reliable
     // checkpointing — localCheckpoint blocks are not fault-tolerant.)
-    val post = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+    val post = dfCapped(sizedPostings(docs, idCol, textCol, k), maxDf)
+      .localCheckpoint(false)
     pairsFromSizedPostings(post, threshold)
       .select("d1", "d2", "common", "jaccard")
   }
@@ -91,8 +117,10 @@ object Dedup {
     * postings self-join shape as [[jaccardPairs]]; only the denominator
     * changes, so the scale story is identical. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, threshold: Double): DataFrame = {
-    val post = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+                       k: Int, threshold: Double,
+                       maxDf: Int = defaultMaxDf): DataFrame = {
+    val post = dfCapped(sizedPostings(docs, idCol, textCol, k), maxDf)
+      .localCheckpoint(false)
     commonWithSizes(post)
       .withColumn("containment",
         round(greatest(
@@ -114,8 +142,13 @@ object Dedup {
     * store is read once per ingest, never self-joined. Returns
     * (store_id, batch_id, common, jaccard ≥ threshold). */
   def incrementalPairs(store: DataFrame, batch: DataFrame, idCol: String,
-                       textCol: String, k: Int, threshold: Double): DataFrame = {
-    val sp = sizedPostings(store, idCol, textCol, k)
+                       textCol: String, k: Int, threshold: Double,
+                       maxDf: Int = defaultMaxDf): DataFrame = {
+    // df cap on the STORE side only: store df is the knowable, persisted
+    // statistic (at scale it lives alongside the bucketed postings
+    // table), and a store-ubiquitous shingle is exactly the one whose
+    // posting list would fan every batch doc out quadratically.
+    val sp = dfCapped(sizedPostings(store, idCol, textCol, k), maxDf)
     val bp = sizedPostings(batch, idCol, textCol, k)
     sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle"))
       .groupBy(col("a.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))

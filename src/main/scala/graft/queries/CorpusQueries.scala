@@ -113,6 +113,9 @@ object CorpusQueries {
   // shared knobs (kept in lockstep with the oracle SQL below)
   val shingleK = 3
   val jaccardThreshold = 0.8
+  // df cap for the exact postings self-joins (Dedup.defaultMaxDf) —
+  // shared with the oracle SQL so both engines drop the same postings
+  val maxShingleDf = Dedup.defaultMaxDf
   val numHashes = 12
   val rowsPerBand = 3
   val simhashMaxHamming = 1
@@ -1139,6 +1142,26 @@ object CorpusQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** [[jaccardTail]] with the df cap mirrored from Dedup.dfCapped: the
+    * self-join reads only postings whose shingle df ≤ maxShingleDf; set
+    * sizes stay the FULL per-doc counts (capped similarity is
+    * conservative, never inflated). Used by the queries whose Spark side
+    * goes through jaccardPairs/containmentPairs; the MinHash-LSH verify
+    * step is candidate-bounded and stays uncapped. */
+  private val jaccardTailCapped =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shc AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh)
+       |  WHERE df <= $maxShingleDf
+       |),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   private val langCounts = T.langStopwords.map { case (l, p) =>
     s"len(regexp_extract_all(lower(text), '$p')) AS c_$l"
   }.mkString(",\n         ")
@@ -1582,7 +1605,7 @@ object CorpusQueries {
 
     "dedup_ngram_jaccard" ->
       s"""$shingleCte,
-         |$jaccardTail,
+         |$jaccardTailCapped,
          |joined AS (
          |  SELECT d1, d2, common,
          |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
@@ -1596,7 +1619,7 @@ object CorpusQueries {
 
     "dedup_containment" ->
       s"""$shingleCte,
-         |$jaccardTail,
+         |$jaccardTailCapped,
          |joined AS (
          |  SELECT d1, d2, common,
          |         round(greatest(CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE),
@@ -1646,7 +1669,7 @@ object CorpusQueries {
 
     "dedup_clusters" ->
       s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
-         |$jaccardTail,
+         |$jaccardTailCapped,
          |joined AS (
          |  SELECT d1, d2,
          |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
@@ -1691,10 +1714,16 @@ object CorpusQueries {
     "dedup_incremental" ->
       s"""$shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shs AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sh WHERE doc_id % 5 <> 4)
+         |  WHERE df <= $maxShingleDf
+         |),
          |common AS (
          |  SELECT a.doc_id AS store_id, b.doc_id AS batch_id, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+         |  FROM shs a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE b.doc_id % 5 = 4
          |  GROUP BY 1, 2
          |),
          |pairs AS (

@@ -50,6 +50,28 @@ class CorpusPropertySpec extends SparkTestBase {
     }
   }
 
+  test("df cap: a planted ubiquitous shingle stops inflating candidates (property)") {
+    // 60 docs, each with a UNIQUE 3-token body plus one shared boilerplate
+    // trigram planted in all of them. Uncapped, the boilerplate shingle's
+    // posting list self-joins into 60*59/2 = 1770 candidate pairs; with
+    // maxDf below 60 those postings drop and no pair shares a shingle.
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"uniq${i}a uniq${i}b uniq${i}c BOILER PLATE TEXT")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0,
+      maxDf = Int.MaxValue).count()
+    assert(uncapped == 60L * 59 / 2) // quadratic: every pair is a candidate
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0, maxDf = 50)
+    assert(capped.count() == 0L)
+    // and the cap leaves sub-threshold-df shingles untouched: genuine dups
+    // (identical text) still pair up at full jaccard
+    val withDup = docs.union(Seq((100L, "uniq0a uniq0b uniq0c BOILER PLATE TEXT"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.jaccardPairs(withDup, "doc_id", "text", 3, 0.5, maxDf = 50)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 100L)))
+  }
+
   test("dupClusters: canonical id is the component minimum, chains included") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("d1", "d2")
