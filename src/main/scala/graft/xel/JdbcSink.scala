@@ -58,6 +58,38 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** D1→D5 version-matrix layout fork (`XELoader/InputParameters.cs:
+    * 344-383`): ProductVersion major < 12 (pre-SQL-2014) has no
+    * updateable columnstore, so the default layout is RowStore; ≥ 12
+    * defaults to ColumnStore unless RowStore was requested explicitly
+    * (an explicit ColumnStore request is honored as-given, even pre-12 —
+    * the reference lets that fail at DDL time); ≥ 14 (SQL 2017)
+    * additionally allows LOB columns inside a columnstore, unless
+    * disabled (`-l`). */
+  final case class LayoutPolicy(indexType: String, lobAllowed: Boolean) {
+    /** Width limits bite exactly on the ColumnStore-without-LOB layout
+      * (`XELoader/EventHolder.cs:277-281`) — that is the entire reason
+      * the reference's string/XML/binary limits exist. */
+    def widthLimitsBite: Boolean = indexType == "ColumnStore" && !lobAllowed
+  }
+
+  /** Resolve the layout policy from the probed capabilities — a pure
+    * function so the version matrix is unit-testable without a server.
+    * Non-SQL-Server targets have no columnstore in this dialect registry:
+    * rowstore analogue with unbounded LOB types (nothing forces width
+    * limits); an explicit request is recorded as-given. */
+  def resolveLayout(caps: JdbcCapabilities, requested: Option[String],
+                    disableLob: Boolean): LayoutPolicy =
+    if (!caps.product.toLowerCase.contains("sql server"))
+      LayoutPolicy(requested.getOrElse("RowStore"), lobAllowed = true)
+    else {
+      var ix = requested.getOrElse("")
+      if (caps.majorVersion < 12 && ix.isEmpty) ix = "RowStore"
+      if (caps.majorVersion >= 12 && ix != "RowStore") ix = "ColumnStore"
+      val lob = caps.majorVersion >= 14 && ix == "ColumnStore" && !disableLob
+      LayoutPolicy(ix, lob)
+    }
+
   def bulkAppend(df: DataFrame, url: String, table: String,
                  cfg: XelConfig = XelConfig.default): Unit =
     df.write

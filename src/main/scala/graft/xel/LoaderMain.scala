@@ -213,7 +213,20 @@ object LoaderMain {
     * [[main]] builds one). Returns the statistics report. */
   def run(spark: SparkSession, a: LoaderArgs): LoaderReport = {
     val t0 = System.nanoTime()
-    val cfg = a.cfg
+    // D1 version-matrix fork (`InputParameters.cs:344-383`): on a JDBC
+    // target the server's ProductVersion decides the event-table layout,
+    // and the ColumnStore-without-LOB layout is what makes the width
+    // limits bite (`EventHolder.cs:277-281`) — on a 2014-2016-era
+    // columnstore target the limits engage even without -l (-l maps to
+    // the reference's "disable LOB on columnstore"). Non-JDBC targets
+    // (parquet/catalog) are the ColumnStore-with-LOB analogue — columnar
+    // at rest, unbounded types — so only an explicit -l limits there.
+    val layout = a.jdbcUrl.map(url =>
+      JdbcSink.resolveLayout(JdbcSink.probeCapabilities(url), a.indexType,
+        disableLob = a.cfg.limitWidths))
+    val cfg =
+      if (layout.exists(_.widthLimitsBite)) a.cfg.copy(limitWidths = true)
+      else a.cfg
     a.threads.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", math.max(1, n)))
 

@@ -118,4 +118,33 @@ class JdbcSinkSpec extends SparkTestBase {
         s"expected seek index, saw $names")
     } finally conn.close()
   }
+
+  test("D1 version-matrix layout fork mirrors InputParameters.cs:344-383") {
+    import JdbcSink.{JdbcCapabilities, resolveLayout}
+    def sqlServer(major: Int) = JdbcCapabilities("Microsoft SQL Server",
+      major, 0, supportsBatchUpdates = true, 128, "\"")
+    // pre-2014: no updateable columnstore -> RowStore default, limits idle
+    val v11 = resolveLayout(sqlServer(11), None, disableLob = false)
+    assert(v11.indexType == "RowStore" && !v11.widthLimitsBite)
+    // 2014-2016: columnstore default, but LOB-on-CSI unsupported ->
+    // the width limits bite even without -l
+    val v12 = resolveLayout(sqlServer(12), None, disableLob = false)
+    assert(v12.indexType == "ColumnStore" && !v12.lobAllowed && v12.widthLimitsBite)
+    // 2017+: LOB allowed on columnstore -> limits idle ...
+    val v14 = resolveLayout(sqlServer(14), None, disableLob = false)
+    assert(v14.indexType == "ColumnStore" && v14.lobAllowed && !v14.widthLimitsBite)
+    // ... unless -l (the reference's disable-LOB-on-CSI) re-engages them
+    val v14l = resolveLayout(sqlServer(14), None, disableLob = true)
+    assert(!v14l.lobAllowed && v14l.widthLimitsBite)
+    // explicit RowStore wins at any version (reference honors -I)
+    val rs14 = resolveLayout(sqlServer(14), Some("RowStore"), disableLob = false)
+    assert(rs14.indexType == "RowStore" && !rs14.widthLimitsBite)
+    // explicit ColumnStore pre-12 is honored as-given (fails at DDL time
+    // in the reference, which never downgrades an explicit request)
+    val cs11 = resolveLayout(sqlServer(11), Some("ColumnStore"), disableLob = false)
+    assert(cs11.indexType == "ColumnStore" && !cs11.lobAllowed)
+    // non-SQL-Server products: rowstore analogue, unbounded LOB types
+    val derby = resolveLayout(JdbcSink.probeCapabilities(url), None, disableLob = false)
+    assert(derby.indexType == "RowStore" && derby.lobAllowed && !derby.widthLimitsBite)
+  }
 }
