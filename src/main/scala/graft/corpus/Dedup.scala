@@ -285,14 +285,27 @@ object Dedup {
   /** Connected components over near-dup pairs by min-label propagation
     * WITH pointer doubling: every doc in a duplicate cluster maps to the
     * cluster's smallest doc_id (the canonical survivor — what an
-    * LLM-corpus dedup actually keeps). The loop runs to the checksum
-    * fixpoint — pointer doubling makes that O(log diameter) rounds, so
-    * `iterations` is a safety cap (50 covers diameter 2⁵⁰), not a
-    * correctness knob: dense near-dup clusters exit after a round or two,
-    * and chain-shaped clusters of any realistic length converge long
-    * before the cap. Each round is two distributed joins + a min — no
-    * driver-side graph. Returns (doc_id, canonical_id). */
-  def dupClusters(pairs: DataFrame, iterations: Int = 50): DataFrame = {
+    * LLM-corpus dedup actually keeps). Returns (doc_id, canonical_id).
+    *
+    * Two execution paths behind one semantics, picked by the MATERIALIZED
+    * edge count (known for free — the edge frame must materialize before
+    * any round anyway):
+    *
+    *  - edges ≤ `driverGateEdges`: driver-side union-find with path
+    *    compression. Near-dup pairs are a tiny fraction of any real
+    *    corpus by construction (they are what dedup REMOVES), so even a
+    *    petabyte corpus usually yields an edge list that fits on the
+    *    driver — the same small-side reasoning that justifies a
+    *    broadcast join. O(E α(E)) with zero further Spark jobs, where
+    *    the distributed loop pays several jobs per round of pure
+    *    fixed overhead on a frame this small.
+    *  - edges > gate (or non-long ids): distributed min-label
+    *    propagation with pointer doubling to the checksum fixpoint —
+    *    O(log diameter) rounds, so `iterations` (50 covers diameter
+    *    2⁵⁰) is a safety cap, not a correctness knob. Each round is two
+    *    joins + a min — nothing driver-side, any edge volume. */
+  def dupClusters(pairs: DataFrame, iterations: Int = 50,
+                  driverGateEdges: Long = 1L << 22): DataFrame = {
     // Iterative plans MUST cut lineage each round: labels_i references
     // labels_{i-1} twice (union + join), so an unmaterialized loop doubles
     // the plan per iteration — 2^N recomputations of the upstream pair
@@ -307,6 +320,34 @@ object Dedup {
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(false)
+    val spark = pairs.sparkSession
+    val longIds = pairs.schema("d1").dataType ==
+      org.apache.spark.sql.types.LongType
+    // the count doubles as the edge materialization the loop needs anyway
+    if (longIds && edges.count() <= driverGateEdges * 2) {
+      // union-find with path compression; canonical = component min
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root — the root then IS the component minimum,
+        // no second pass needed
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => out += ((k, find(k))))
+      import spark.implicits._
+      return out.toSeq.toDF("doc_id", "canonical_id")
+    }
     // round-0 seed: min(self, direct neighbors) comes free with the
     // node-dedup aggregation — dense near-dup clusters (diameter 1-2)
     // then converge one propagation round earlier

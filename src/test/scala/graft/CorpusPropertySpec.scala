@@ -75,10 +75,35 @@ class CorpusPropertySpec extends SparkTestBase {
   test("dupClusters: canonical id is the component minimum, chains included") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("d1", "d2")
-    val got = Dedup.dupClusters(pairs, iterations = 8).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // both execution paths must agree: driver-side union-find (default
+    // gate) and the distributed pointer-doubling loop (gate forced shut)
+    val viaUnionFind = Dedup.dupClusters(pairs, iterations = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    val viaLoop = Dedup.dupClusters(pairs, iterations = 8, driverGateEdges = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind == expected)
+    assert(viaLoop == expected)
+  }
+
+  test("dupClusters paths agree on a random pair graph (property)") {
+    val rnd = new Random(7)
+    // 300 random edges over 120 nodes: many multi-edge components,
+    // chains, and isolated pairs
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("d1", "d2")
+    val uf = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.dupClusters(pairs, driverGateEdges = -1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == loop)
+    // canonical is a member of its own cluster and minimal within it
+    uf.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.keySet.min == canon)
+    }
   }
 
   test("dupClusters: a long chain converges via pointer doubling, not round count") {
