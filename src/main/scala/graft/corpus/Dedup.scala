@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
  *                   explode + groupBy; the pair scan is on the tiny
  *                   signature table, and at scale would use bit-rotation
  *                   bucketing instead of the demo's self-join.
- *  4. n-gram Jaccard — exact pairwise similarity via a shingle-postings
- *                   self-join (inverted-index shape, NOT a cross join):
- *                   only docs sharing ≥1 shingle ever meet.
+ *  4. n-gram Jaccard — exact pairwise similarity via the AllPairs/SSJoin
+ *                   shape: df-capped postings → per-doc rarity-ordered
+ *                   PREFIX → prefix equi-join for candidates → exact
+ *                   verify restricted to candidate docs. Lossless
+ *                   (prefix completeness proof at [[rarityPrefix]]) and
+ *                   never all-pairs: the Zipf head stays out of the
+ *                   prefixes, so hot shingles cannot fan out f² pairs.
  *
  * All hashes go through [[TextAnalysis.hash60]] so a DuckDB oracle can
  * reproduce results bit-for-bit.
@@ -100,24 +104,96 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
 
+  /** Cost-based gate between the two exact-join plans, in POSTINGS rows
+    * (known for free — the postings checkpoint must materialize either
+    * way). Below the gate the plain capped self-join wins: the prefix
+    * machinery costs three extra shuffles (df join, per-doc rank window,
+    * pair-expanded verify) that dwarf a small corpus's quadratic risk.
+    * Above it, those linear passes are noise next to the self-join's
+    * Zipf-head blow-up — measured at 500k docs: the plain join did not
+    * finish in an hour, the prefix plan finishes in minutes. */
+  val prefixGatePostings: Long = 1L << 20
+
+  /** Postings annotated with each shingle's document frequency and
+    * df-capped, materialized once (the raw postings checkpoint keeps the
+    * df aggregate and every downstream consumer on a single tokenization
+    * pass). Returns (doc_id, n_shingles, shingle, _df). */
+  private def dfAnnotated(raw: DataFrame, maxDf: Int): DataFrame =
+    raw.join(raw.groupBy("shingle").agg(count(lit(1)).as("_df")), Seq("shingle"))
+      .filter(col("_df") <= maxDf)
+      .localCheckpoint(false)
+
+  /** AllPairs/SSJoin prefix for the capped postings: order each doc's
+    * surviving shingles by global rarity (df asc, shingle asc for
+    * determinism) and keep the first `m − ⌈t·n⌉ + 1` (m = rows surviving
+    * the cap, n = the FULL set size the similarity denominators use).
+    * Completeness under the capped semantics: a qualifying pair has
+    * common ≥ t·n per side (see call sites), so if a doc's common
+    * shingles all hid past its prefix they would fit in a suffix of
+    * ⌈t·n⌉ − 1 rows — fewer than common. The pair's globally rarest
+    * common shingle therefore sits inside the prefix, and candidate
+    * generation restricted to prefixes loses nothing. The point at
+    * scale: the Zipf HEAD almost never appears in a prefix (rarest
+    * first), so a df-800 boilerplate shingle no longer fans out f²
+    * candidate pairs — the df cap alone cannot catch those. */
+  private def rarityPrefix(post: DataFrame, overlapFloor: Column): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = post
+      .withColumn("_rnk", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
+      .withColumn("_m", count(lit(1)).over(byDoc))
+    ranked.filter(col("_rnk") <= col("_m") - ceil(overlapFloor).cast("long") + 1)
+      .select("doc_id", "shingle")
+  }
+
+  /** Verified similarity for a candidate pair set — candidate-PAIR
+    * bounded, the SSJoin verify step: expand each pair by d1's postings
+    * (doc-keyed join), keep the shingles d2 also has ((doc, shingle)-keyed
+    * join), count. Cost is Σ over candidate pairs of |postings(d1)| —
+    * never a postings self-join. (Restricting a self-join to candidate
+    * DOCS, the shape the LSH verify gets away with because its candidate
+    * set is tiny, degenerates back to the full quadratic join when
+    * candidates touch a large fraction of the corpus.) Candidates are a
+    * complete superset of qualifying pairs by the prefix argument, so the
+    * output equals the full self-join's. */
+  private def verifyCandidates(post: DataFrame, cand: DataFrame): DataFrame = {
+    val pa = post.select(col("doc_id").as("d1"), col("n_shingles").as("n1"),
+      col("shingle"))
+    val pb = post.select(col("doc_id").as("d2"), col("n_shingles").as("n2"),
+      col("shingle"))
+    cand.join(pa, Seq("d1"))
+      .join(pb, Seq("d2", "shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double,
-                   maxDf: Int = defaultMaxDf): DataFrame = {
-    // postings feed the hot-shingle aggregate AND both self-join sides —
-    // materialize once instead of re-tokenizing the corpus three times.
-    // The cap itself is a broadcast anti-join (no shuffle), cheap to
-    // replay per consumer over the cached blocks. LAZY checkpoint: plan
-    // construction/explain stays free; blocks materialize on first
-    // action. Measured against the ReuseExchange alternative (no
-    // checkpoint, shared shuffle): the checkpoint is ~25% faster here and
-    // the block reuse also spans the downstream cluster loop's actions.
-    // (At petabyte postings volume, swap for persist(MEMORY_AND_DISK) or
-    // reliable checkpointing — localCheckpoint blocks are not
-    // fault-tolerant.)
-    val post = dfCapped(
-      sizedPostings(docs, idCol, textCol, k).localCheckpoint(false), maxDf)
-    pairsFromSizedPostings(post, threshold)
-      .select("d1", "d2", "common", "jaccard")
+                   maxDf: Int = defaultMaxDf,
+                   prefixGate: Long = prefixGatePostings): DataFrame = {
+    val raw = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+    if (raw.count() <= prefixGate) {
+      val post = dfCapped(raw, maxDf)
+      pairsFromSizedPostings(post, threshold)
+        .select("d1", "d2", "common", "jaccard")
+    } else {
+      val post = dfAnnotated(raw, maxDf)
+      // jaccard ≥ t ⟹ common ≥ t·(n1+n2)/(1+t) ≥ t·max(n1,n2): both
+      // sides satisfy the prefix floor with their own full size, so a
+      // two-sided prefix self-join generates a complete candidate set
+      val prefix = rarityPrefix(post, lit(threshold) * col("n_shingles"))
+        .localCheckpoint(false)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifyCandidates(post, cand)
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("n1") + col("n2") - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("d1", "d2", "common", "jaccard")
+    }
   }
 
   /** Asymmetric near-dup by shingle CONTAINMENT:
@@ -128,10 +204,29 @@ object Dedup {
     * changes, so the scale story is identical. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double,
-                       maxDf: Int = defaultMaxDf): DataFrame = {
-    val post = dfCapped(
-      sizedPostings(docs, idCol, textCol, k).localCheckpoint(false), maxDf)
-    commonWithSizes(post)
+                       maxDf: Int = defaultMaxDf,
+                       prefixGate: Long = prefixGatePostings): DataFrame = {
+    val raw = sizedPostings(docs, idCol, textCol, k).localCheckpoint(false)
+    val verified =
+      if (raw.count() <= prefixGate) {
+        commonWithSizes(dfCapped(raw, maxDf))
+      } else {
+        val post = dfAnnotated(raw, maxDf)
+        // containment ≥ t ⟹ common ≥ t·min(n1, n2): only the SMALLER
+        // side's prefix floor is guaranteed, so candidate generation
+        // joins every doc's prefix (as the potential smaller side)
+        // against FULL postings. One hot side still fans out, but
+        // f_prefix·f beats the f² of the plain self-join — and the df
+        // cap bounds f itself.
+        val prefix = rarityPrefix(post, lit(threshold) * col("n_shingles"))
+        val cand = prefix.as("a").join(post.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+          .distinct()
+        verifyCandidates(post, cand)
+      }
+    verified
       .withColumn("containment",
         round(greatest(
           col("common").cast("double") / col("n1").cast("double"),
@@ -298,14 +393,16 @@ object Dedup {
     *    driver — the same small-side reasoning that justifies a
     *    broadcast join. O(E α(E)) with zero further Spark jobs, where
     *    the distributed loop pays several jobs per round of pure
-    *    fixed overhead on a frame this small.
+    *    fixed overhead on a frame this small. The default gate (1M
+    *    undirected edges ≈ 2M collected rows ≈ low hundreds of MB of
+    *    driver heap at Row overhead) stays safe under a 1-2 GB driver.
     *  - edges > gate (or non-long ids): distributed min-label
     *    propagation with pointer doubling to the checksum fixpoint —
     *    O(log diameter) rounds, so `iterations` (50 covers diameter
     *    2⁵⁰) is a safety cap, not a correctness knob. Each round is two
     *    joins + a min — nothing driver-side, any edge volume. */
   def dupClusters(pairs: DataFrame, iterations: Int = 50,
-                  driverGateEdges: Long = 1L << 22): DataFrame = {
+                  driverGateEdges: Long = 1L << 20): DataFrame = {
     // Iterative plans MUST cut lineage each round: labels_i references
     // labels_{i-1} twice (union + join), so an unmaterialized loop doubles
     // the plan per iteration — 2^N recomputations of the upstream pair
@@ -324,7 +421,9 @@ object Dedup {
     val longIds = pairs.schema("d1").dataType ==
       org.apache.spark.sql.types.LongType
     // the count doubles as the edge materialization the loop needs anyway
-    if (longIds && edges.count() <= driverGateEdges * 2) {
+    // (count/2 = undirected edges; dividing instead of doubling the gate
+    // keeps a Long.MaxValue gate from overflowing)
+    if (longIds && edges.count() / 2 <= driverGateEdges) {
       // union-find with path compression; canonical = component min
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

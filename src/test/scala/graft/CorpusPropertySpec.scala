@@ -72,6 +72,33 @@ class CorpusPropertySpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 100L)))
   }
 
+  test("prefix-filtered and plain pair plans agree exactly (property)") {
+    // random corpus with planted near-dups: doc i and doc i+100 share a
+    // long common run for i < 15, so real pairs exist at the threshold
+    val rnd = new Random(11)
+    val texts = (0 until 100).map { i =>
+      Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.take(15).zipWithIndex.map { case (t, i) =>
+        ((i + 100).toLong, t + " " + vocab(i % vocab.size))
+      }).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    // gate=0 forces the prefix path; default takes the plain join here
+    val jPlain = canon(Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5))
+    val jPrefix = canon(Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5,
+      prefixGate = 0))
+    assert(jPlain.nonEmpty, "planted near-dups must produce pairs")
+    assert(jPlain == jPrefix)
+    val cPlain = canon(Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.8))
+    val cPrefix = canon(Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.8,
+      prefixGate = 0))
+    assert(cPlain.nonEmpty)
+    assert(cPlain == cPrefix)
+  }
+
   test("dupClusters: canonical id is the component minimum, chains included") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("d1", "d2")

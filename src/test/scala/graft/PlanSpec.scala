@@ -331,6 +331,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_ngram_jaccard/containment: every join equi, never a cartesian") {
+    // prefix-filtered candidate generation + pair-bounded verify are all
+    // key-equi-joins (shingle; d1; (d2, shingle)); a cartesian or
+    // nested-loop node would mean the AllPairs shape regressed to
+    // all-pairs
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+      val nodes = executedNodes(q(name))
+      val bad = nodes.filter(n =>
+        n.getClass.getSimpleName.contains("CartesianProduct") ||
+          n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+      assert(bad.isEmpty, s"$name must stay equi-join-only, got $bad")
+    }
+  }
+
   test("dedup_incremental: store×batch stays a shingle equi-join, no cartesian") {
     val nodes = executedNodes(q("dedup_incremental"))
     val bad = nodes.filter(n =>
