@@ -680,4 +680,56 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Non-distinct w-token windows, one row per window occurrence —
+    * the span-level analogue of [[shinglePostings]] (which is per-doc
+    * DISTINCT and therefore blind to within-doc repetition). */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame =
+    fanout(docs).select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.kgrams(col(textCol), w)).as("span"))
+
+  /** Substring-level duplication stats (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * doc-level dedup keeps two docs that merely SHARE a boilerplate
+    * paragraph; span-level detection instead marks every w-token window
+    * whose exact text recurs anywhere in the corpus (within-doc repeats
+    * included — each occurrence of a repeated span counts). Returns one
+    * row per doc with ≥ w tokens: window count, repeated-window count,
+    * and their ratio — the per-doc mass a span-level deduper would cut.
+    *
+    * Scale: two span-keyed shuffles, both linear in corpus token count.
+    * The occurrence counts are a groupBy (map-side partial agg), and the
+    * stats join back onto the window stream is 1:1 per window row — there
+    * is no self-join anywhere, so a corpus-wide boilerplate span costs
+    * its occurrence count, never occ². Both the aggregate and the join
+    * hash-partition the windows by span, so the planner reuses one
+    * exchange for the two consumers; residual per-span skew in the join
+    * is AQE skew-split territory, not a plan defect. */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, w)
+    val stats = wins.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+    wins.join(stats, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("dup_ratio",
+        round(col("n_repeated").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /** Corpus-wide boilerplate census: the topN most-repeated w-token spans
+    * (total occurrences, distinct docs). The global top-k runs as
+    * TakeOrderedAndProject — per-partition heaps of k rows, never a full
+    * sort — after one span-keyed aggregation; ties on `occ` break by span
+    * text so the cut at topN is deterministic across engines. */
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, topN: Int): DataFrame =
+    spanWindows(docs, idCol, textCol, w)
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("occ") >= 2)
+      .orderBy(col("occ").desc, col("span"))
+      .limit(topN)
 }

@@ -112,6 +112,11 @@ object CorpusQueries {
 
   // shared knobs (kept in lockstep with the oracle SQL below)
   val shingleK = 3
+  // span-dedup window (tokens) + boilerplate census size — w is the
+  // minimum run a span-level deduper treats as boilerplate; 8 tokens on
+  // this corpus's ~45-token docs plays the role 50 tokens does on web text
+  val spanW = 8
+  val boilerplateTopN = 50
   val jaccardThreshold = 0.8
   // df cap for the exact postings self-joins (Dedup.defaultMaxDf) —
   // shared with the oracle SQL so both engines drop the same postings
@@ -403,6 +408,24 @@ object CorpusQueries {
     "dedup_simhash" -> ((spark, dir) => {
       Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", simhashMaxHamming)
         .orderBy("d1", "d2")
+    }),
+
+    // Substring-level duplication (Lee et al. 2022): per-doc count and
+    // ratio of w-token windows whose exact text recurs anywhere in the
+    // corpus — the mass a span-level deduper would cut, which doc-level
+    // dedup (exact/minhash/jaccard above) cannot see when two otherwise
+    // distinct docs share one boilerplate paragraph.
+    "dedup_repeated_spans" -> ((spark, dir) => {
+      Dedup.repeatedSpanStats(docs(spark, dir), "doc_id", "text", spanW)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-wide boilerplate census: topN most-repeated spans with
+    // occurrence and doc counts — the review artifact behind a span
+    // drop-list (deterministic cut: occ desc, span asc).
+    "corpus_boilerplate" -> ((spark, dir) => {
+      Dedup.boilerplateSpans(docs(spark, dir), "doc_id", "text",
+        spanW, boilerplateTopN)
     }),
 
     // Incremental-ingest dedup (Dedup.incrementalPairs): the new BATCH
@@ -1049,17 +1072,34 @@ object CorpusQueries {
       val corpusDir = scratch("corpus"); val ckpt = scratch("ckpt")
       val d = docs(spark, dir).select(col("doc_id"), col("text"),
         col("source"), col("n_chars"))
+      // All four waves land up front, one parquet file each, with forced
+      // strictly-increasing mtimes: FileStreamSource orders its initial
+      // listing by modification time, so ONE AvailableNow run with
+      // maxFilesPerTrigger=1 replays the arrival order as four
+      // sequential micro-batches. Per-batch semantics are unchanged —
+      // foreachBatch executes batches one at a time against the store
+      // as of batch start — but the stream is brought up once, not four
+      // times (the per-wave restart was pure harness overhead: four
+      // checkpoint bootstraps and MicroBatchExecution spin-ups).
+      val dropFs = new org.apache.hadoop.fs.Path(dropDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
       (0 until 4).foreach { w =>
         d.filter(pmod(col("doc_id"), lit(4L)) === w).coalesce(1)
           .write.parquet(s"$dropDir/wave$w")
-        val q = spark.readStream.schema(d.schema).parquet(s"$dropDir/wave*")
-          .writeStream
-          .foreachBatch(
-            graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(180000)
+        dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
       }
+      val q = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dropDir/wave*")
+        .writeStream
+        .foreachBatch(
+          graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
       spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
         .withColumn("wave", pmod(col("doc_id"), lit(4L)))
         .groupBy("wave").agg(
@@ -1129,6 +1169,21 @@ object CorpusQueries {
   }
 
   private val shingleCte = s"$tokCte,\n${shingleSql(shingleK)}"
+
+  /** Non-distinct w-token window CTE (appended after tokCte): one row per
+    * window OCCURRENCE — [[shingleSql]] without list_distinct, mirroring
+    * Dedup.spanWindows/TextAnalysis.kgrams. */
+  private def spanSql(w: Int): String = {
+    val joinExpr = (0 until w).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""spans AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws) - ${w - 2}),
+       |                i -> $joinExpr)) AS span
+       |  FROM toks WHERE len(ws) >= $w
+       |)""".stripMargin
+  }
+
+  private val spanCte = s"$tokCte,\n${spanSql(spanW)}"
 
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
@@ -1710,6 +1765,27 @@ object CorpusQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $simhashMaxHamming
          |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_repeated_spans" ->
+      s"""$spanCte,
+         |st AS (SELECT span, count(*) AS occ FROM spans GROUP BY span)
+         |SELECT s.doc_id,
+         |       count(*) AS n_windows,
+         |       CAST(sum(CASE WHEN st.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |       round(CAST(sum(CASE WHEN st.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+         |FROM spans s JOIN st USING (span)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "corpus_boilerplate" ->
+      s"""$spanCte,
+         |st AS (
+         |  SELECT span, count(*) AS occ, count(DISTINCT doc_id) AS n_docs
+         |  FROM spans GROUP BY span
+         |)
+         |SELECT span, occ, n_docs FROM st WHERE occ >= 2
+         |ORDER BY occ DESC, span LIMIT $boilerplateTopN""".stripMargin,
 
     "dedup_incremental" ->
       s"""$shingleCte,

@@ -70,6 +70,27 @@ class CorpusSpec extends SparkTestBase {
       Seq(("s1", 3L, 2L, 1L), ("s2", 1L, 1L, 0L)))
   }
 
+  test("repeated spans: cross-doc and within-doc occurrences both count") {
+    // w=3 windows. doc1/doc2 share the span "a b c"; doc3 repeats
+    // "r r r" internally (tokens r r r r → windows "r r r" ×2);
+    // doc4 is all-unique; doc5 is too short to window.
+    val df = Seq(
+      (1L, "a b c x y"),   // windows: "a b c" "b c x" "c x y"
+      (2L, "q a b c"),     // windows: "q a b" "a b c"
+      (3L, "r r r r"),     // windows: "r r r" "r r r"
+      (4L, "u v w"),       // windows: "u v w"
+      (5L, "t1 t2")        // no window
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanStats(df, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 1L, 0L)))
+    val top = Dedup.boilerplateSpans(df, "doc_id", "text", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // occ=2 for both; tie breaks on span text ascending
+    assert(top == Seq(("a b c", 2L, 2L), ("r r r", 2L, 1L)))
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs drop out") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5"),
