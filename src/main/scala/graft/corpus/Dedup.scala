@@ -702,14 +702,22 @@ object Dedup {
     * The occurrence counts are a groupBy (map-side partial agg), and the
     * stats join back onto the window stream is 1:1 per window row — there
     * is no self-join anywhere, so a corpus-wide boilerplate span costs
-    * its occurrence count, never occ². Both the aggregate and the join
-    * hash-partition the windows by span, so the planner reuses one
-    * exchange for the two consumers; residual per-span skew in the join
+    * its occurrence count, never occ². The repartition barrier below
+    * makes ONE span-keyed exchange feed BOTH consumers (occurrence agg
+    * and stats join) through ReuseExchange, so the corpus is tokenized,
+    * exploded and shuffled exactly once — with recomputable lineage (the
+    * simhashPairs discipline), no checkpoint blocks to lose with an
+    * executor. Two subtleties keep the branches canonically identical,
+    * which ReuseExchange requires: the agg counts `idCol` (never null ≡
+    * count(*)) rather than count(1), else column pruning drops the id
+    * from that branch's scan and the subplans no longer match; and the
+    * already-partitioned agg runs in-stage, so its exchange disappears
+    * (plan-gated in PlanSpec). Residual per-span skew in the stats join
     * is AQE skew-split territory, not a plan defect. */
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
                         w: Int): DataFrame = {
-    val wins = spanWindows(docs, idCol, textCol, w)
-    val stats = wins.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+    val wins = spanWindows(docs, idCol, textCol, w).repartition(col("span"))
+    val stats = wins.groupBy(col("span")).agg(count(col("doc_id")).as("occ"))
     wins.join(stats, Seq("span"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),

@@ -248,6 +248,25 @@ class PlanSpec extends SparkTestBase {
         nodes.map(_.getClass.getSimpleName).distinct.mkString(", "))
   }
 
+  test("dedup_repeated_spans: linear span shuffles, no self-join/cartesian") {
+    val nodes = executedNodes(q("dedup_repeated_spans"))
+    assert(!nodes.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct") ||
+        n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")),
+      "span stats must stay equi-join shaped")
+    // fanout round-robin + ONE span-keyed exchange (shared by the
+    // occurrence agg and the stats join via ReuseExchange) + doc agg +
+    // output order — a postings SELF-join here would be the occ²
+    // shuffle bomb, and a second span exchange would mean the corpus
+    // gets tokenized + exploded twice
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 4,
+      s"span stats should shuffle at most 4 times, got ${shuffles.size}")
+    val reused = nodes.filter(_.getClass.getSimpleName.contains("ReusedExchange"))
+    assert(reused.nonEmpty,
+      "expected the span-keyed exchange to be computed once and reused")
+  }
+
   test("events_coverage: windows and island rollup share one user exchange") {
     val nodes = executedNodes(q("events_coverage"))
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
