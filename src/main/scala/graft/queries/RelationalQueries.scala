@@ -642,6 +642,67 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming windowed aggregation under the ORACLE gate (§2.9): exact
+    // per-(event_type, minute) tumbling-window counts computed by
+    // Structured Streaming — event-time window + watermark, APPEND mode —
+    // must equal the plain batch GROUP BY. Append mode only emits a
+    // window once the watermark passes its end, so two sentinel events
+    // (10 and 20 minutes past the corpus max, each its own micro-batch)
+    // push the watermark beyond every real window; without them the
+    // trailing windows would sit in state forever and the sink would be
+    // incomplete. The watermark is applied from the PREVIOUS batch's max
+    // event time, hence two sentinels: the first advances it past the
+    // real data, the second makes a batch run with that watermark so the
+    // final real windows actually evict. Sentinel rows are filtered from
+    // the result (the second sentinel's window can legitimately emit).
+    "stream_rate_minute" -> ((spark, dir) => {
+      import spark.implicits._
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_rate_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val inDir = scratch("in"); val outDir = scratch("out")
+      val ckpt = scratch("ckpt")
+      val ev = XeFixture.events(spark, dir).select(col("ts"), col("event_type"))
+      // all real events in ONE micro-batch: cross-batch disorder would
+      // make rows late against the watermark and silently drop them —
+      // batch boundaries are a harness artifact, not query semantics
+      ev.coalesce(1).write.parquet(s"$inDir/real")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      Seq(1, 2).foreach { i =>
+        Seq((new java.sql.Timestamp(maxTs.getTime + i * 600000L), "zz_sentinel"))
+          .toDF("ts", "event_type").coalesce(1).write.parquet(s"$inDir/sent$i")
+      }
+      // force arrival order real → sent1 → sent2 (FileStreamSource sorts
+      // its initial listing by modification time)
+      val fs = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
+      Seq("real" -> 0L, "sent1" -> 1000L, "sent2" -> 2000L).foreach { case (d, off) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$d"))
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .foreach(s => fs.setTimes(s.getPath, mtime0 + off, -1))
+      }
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/*")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("minute_us"),
+          col("event_type"), col("n_events"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      spark.read.parquet(outDir)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .orderBy("minute_us", "event_type")
+    }),
+
     // Pivot: order status → columns, priorities → rows. Explicit value
     // list keeps the plan single-pass (no distinct-values pre-scan) and
     // the output schema static — which is also what the 100 TB plan needs.
@@ -1071,6 +1132,12 @@ object RelationalQueries {
           |       round(cume_dist() OVER w, 6) AS cume
           |FROM totals WINDOW w AS (ORDER BY total_value DESC, user_id)
           |ORDER BY user_id""".stripMargin,
+
+      "stream_rate_minute" ->
+        """SELECT (epoch_us(ts) - epoch_us(ts) % 60000000) AS minute_us,
+          |       event_type, count(*) AS n_events
+          |FROM events
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "pivot_revenue" ->
         """SELECT o_orderpriority,
