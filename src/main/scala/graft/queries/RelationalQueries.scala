@@ -703,6 +703,50 @@ object RelationalQueries {
         .orderBy("minute_us", "event_type")
     }),
 
+    // Stream-stream interval join under the ORACLE gate (§2.9): the
+    // attribution join (clicks ⋈ purchases within a 10-minute lookback,
+    // both sides watermarked) must emit exactly the pairs the batch
+    // interval join produces. INNER join rows emit as soon as both sides
+    // have arrived — no watermark finalization needed for completeness
+    // (the watermark only bounds join STATE), so no sentinels here,
+    // unlike the windowed-agg query above.
+    "stream_asof_attribution" -> ((spark, dir) => {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_attr_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val clickDir = scratch("clicks"); val purchDir = scratch("purch")
+      val outDir = scratch("out"); val ckpt = scratch("ckpt")
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      ev.filter(col("event_type") === "click").coalesce(1)
+        .write.parquet(s"$clickDir/b0")
+      ev.filter(col("event_type") === "purchase").coalesce(1)
+        .write.parquet(s"$purchDir/b0")
+      val clicks = spark.readStream.schema(ev.schema).parquet(s"$clickDir/*")
+      val purchases = spark.readStream.schema(ev.schema).parquet(s"$purchDir/*")
+      // 4-hour lookback: the fixture's event density leaves the default
+      // 10-minute window with a near-empty (4-row) result at the gate
+      // scale — too thin to verify anything. State stays bounded by
+      // watermark + lookback either way.
+      val q = graft.streaming.EventStream
+        .attributionJoin(clicks, purchases, lookback = "240 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      spark.read.parquet(outDir)
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purch_ts")).as("purch_us"),
+          col("purch_value"))
+        .orderBy("click_id", "purch_us", "purch_value")
+    }),
+
     // Pivot: order status → columns, priorities → rows. Explicit value
     // list keeps the plan single-pass (no distinct-values pre-scan) and
     // the output schema static — which is also what the 100 TB plan needs.
@@ -1132,6 +1176,17 @@ object RelationalQueries {
           |       round(cume_dist() OVER w, 6) AS cume
           |FROM totals WINDOW w AS (ORDER BY total_value DESC, user_id)
           |ORDER BY user_id""".stripMargin,
+
+      "stream_asof_attribution" ->
+        """SELECT c.event_id AS click_id, c.user_id,
+          |       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purch_us,
+          |       p.value AS purch_value
+          |FROM events c
+          |JOIN events p
+          |  ON p.user_id = c.user_id
+          | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 240 MINUTE
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |ORDER BY click_id, purch_us, purch_value""".stripMargin,
 
       "stream_rate_minute" ->
         """SELECT (epoch_us(ts) - epoch_us(ts) % 60000000) AS minute_us,
