@@ -1091,15 +1091,17 @@ object CorpusQueries {
           .filter(s => !s.getPath.getName.startsWith("_"))
           .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
       }
-      val q = spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$dropDir/wave*")
-        .writeStream
-        .foreachBatch(
-          graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dropDir/wave*")
+          .writeStream
+          .foreachBatch(
+            graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
       spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
         .withColumn("wave", pmod(col("doc_id"), lit(4L)))
         .groupBy("wave").agg(

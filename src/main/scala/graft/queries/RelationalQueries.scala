@@ -686,18 +686,20 @@ object RelationalQueries {
           .filter(s => !s.getPath.getName.startsWith("_"))
           .foreach(s => fs.setTimes(s.getPath, mtime0 + off, -1))
       }
-      val q = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$inDir/*")
-        .withWatermark("ts", "1 minute")
-        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(unix_micros(col("window.start")).as("minute_us"),
-          col("event_type"), col("n_events"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$inDir/*")
+          .withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("window.start")).as("minute_us"),
+            col("event_type"), col("n_events"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
       spark.read.parquet(outDir)
         .filter(col("event_type") =!= "zz_sentinel")
         .orderBy("minute_us", "event_type")
@@ -727,18 +729,20 @@ object RelationalQueries {
         .write.parquet(s"$clickDir/b0")
       ev.filter(col("event_type") === "purchase").coalesce(1)
         .write.parquet(s"$purchDir/b0")
-      val clicks = spark.readStream.schema(ev.schema).parquet(s"$clickDir/*")
-      val purchases = spark.readStream.schema(ev.schema).parquet(s"$purchDir/*")
-      // 4-hour lookback: the fixture's event density leaves the default
-      // 10-minute window with a near-empty (4-row) result at the gate
-      // scale — too thin to verify anything. State stays bounded by
-      // watermark + lookback either way.
-      val q = graft.streaming.EventStream
-        .attributionJoin(clicks, purchases, lookback = "240 minutes")
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val clicks = spark.readStream.schema(ev.schema).parquet(s"$clickDir/*")
+        val purchases = spark.readStream.schema(ev.schema).parquet(s"$purchDir/*")
+        // 4-hour lookback: the fixture's event density leaves the default
+        // 10-minute window with a near-empty (4-row) result at the gate
+        // scale — too thin to verify anything. State stays bounded by
+        // watermark + lookback either way.
+        val q = graft.streaming.EventStream
+          .attributionJoin(clicks, purchases, lookback = "240 minutes")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
       spark.read.parquet(outDir)
         .select(col("click_id"), col("user_id"),
           unix_micros(col("click_ts")).as("click_us"),
