@@ -727,6 +727,28 @@ object Dedup {
           col("n_windows").cast("double"), 6))
   }
 
+  /** Corpus snapshot reconciliation: per-doc status between two corpus
+    * versions — `added` (only in curr), `removed` (only in prev),
+    * `changed` (both, different text), `unchanged`. The release-notes /
+    * incremental-rebuild primitive: a corpus that re-ships weekly needs
+    * the delta, not a full re-read, and downstream caches (embeddings,
+    * tokenized shards) invalidate per changed doc.
+    *
+    * Scale: both sides reduce to a 16-byte digest projection before the
+    * id-keyed FULL OUTER join — one shuffle per side on unique ids (no
+    * skew by construction), never a text-width shuffle. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).as("doc_id"), md5(col(textCol)).as("p_digest"))
+    val c = curr.select(col(idCol).as("doc_id"), md5(col(textCol)).as("c_digest"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("p_digest").isNull, lit("added"))
+          .when(col("c_digest").isNull, lit("removed"))
+          .when(col("p_digest") === col("c_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Corpus-wide boilerplate census: the topN most-repeated w-token spans
     * (total occurrences, distinct docs). The global top-k runs as
     * TakeOrderedAndProject — per-partition heaps of k rows, never a full

@@ -420,6 +420,24 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus snapshot diff (Dedup.snapshotDiff): the weekly-reship
+    // delta. prev/curr are carved deterministically from the one
+    // fixture — prev drops every 7th doc and appends an edit marker to
+    // every 5th, curr drops every 11th — so all four statuses occur and
+    // DuckDB reconstructs the identical snapshots.
+    "corpus_diff" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val prev = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val curr = d.filter(col("doc_id") % 11 =!= 0)
+      Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("status")
+    }),
+
     // Corpus-wide boilerplate census: topN most-repeated spans with
     // occurrence and doc counts — the review artifact behind a span
     // drop-list (deterministic cut: occ desc, span asc).
@@ -1779,6 +1797,25 @@ object CorpusQueries {
          |FROM spans s JOIN st USING (span)
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), curr AS (
+        |  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 11 <> 0
+        |), j AS (
+        |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |         CASE WHEN p.d IS NULL THEN 'added'
+        |              WHEN c.d IS NULL THEN 'removed'
+        |              WHEN p.d = c.d THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+        |)
+        |SELECT status, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "corpus_boilerplate" ->
       s"""$spanCte,

@@ -50,6 +50,39 @@ class CorpusPropertySpec extends SparkTestBase {
     }
   }
 
+  test("repeated-span stats match a brute-force recount (property)") {
+    // random small-vocab corpus → dense span collisions; recompute
+    // n_windows/n_repeated per doc with plain Scala and compare
+    val texts = randomTexts(7, 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = 2
+    def windows(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.trim.isEmpty || ws.length < w) Seq.empty
+      else ws.sliding(w).map(_.mkString(" ")).toSeq
+    }
+    val all = texts.zipWithIndex.flatMap { case (t, i) =>
+      windows(t).map(s => (i.toLong, s))
+    }
+    val occ = all.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+    val expect = all.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.count(x => occ(x._2) >= 2).toLong)
+    }
+    val got = Dedup.repeatedSpanStats(df, "doc_id", "text", w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+  }
+
+  test("snapshotDiff: all four statuses, keys never lost") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val curr = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("df cap: a planted ubiquitous shingle stops inflating candidates (property)") {
     // 60 docs, each with a UNIQUE 3-token body plus one shared boilerplate
     // trigram planted in all of them. Uncapped, the boilerplate shingle's
