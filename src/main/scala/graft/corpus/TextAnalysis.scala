@@ -38,23 +38,34 @@ object TextAnalysis {
   def hash60Salted(salt: Int, s: Column): Column =
     hash60(concat(lit(s"${salt}|"), s))
 
-  /** Word k-shingles (k consecutive tokens joined by one space), distinct.
-    * Docs with fewer than k tokens yield an empty array — callers decide
-    * whether such docs participate in dedup. */
+  /** Word k-shingles (k consecutive tokens joined by one space), distinct
+    * in first-occurrence order. Docs with fewer than k tokens yield an
+    * empty array — callers decide whether such docs participate in dedup.
+    * Native codegen kernel ([[KGrams]]); [[kgramsHof]] is the builtin-HOF
+    * twin the equivalence property test replays. */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(kgrams(text, k))
+    KGrams.toColumn(text, k, distinct = true)
 
   /** Raw (non-distinct) word k-grams — [[shingles]] without the dedup
-    * (repetition scoring needs the duplicate windows shingles removes).
+    * (repetition scoring needs the duplicate windows shingles removes). */
+  def kgrams(text: Column, k: Int): Column =
+    KGrams.toColumn(text, k, distinct = false)
+
+  /** The pre-round-12 builtin-HOF form of [[kgrams]], kept ONLY as the
+    * independent semantics witness for the native kernel (property-tested
+    * equal on random and adversarial inputs — the two implementations
+    * share no code).
     *
-    * Two non-obvious constraints shape the implementation:
+    * Two non-obvious constraints shape it:
     *  - Spark's sequence(a,b) generates a DESCENDING sequence when b<a
     *    (never empty), hence the explicit n<k guard;
     *  - HOFs evaluate interpreted (no codegen CSE), so a naked
     *    `element_at(tokens(text), i)` would re-run the regex split per
     *    element reference. Binding the token array as a lambda variable
-    *    of an outer single-element transform forces one split per row. */
-  def kgrams(text: Column, k: Int): Column =
+    *    of an outer single-element transform forces one split per row.
+    * That interpreter re-entry is also why it lost its production spot
+    * to the kernel (~2.5-3x on the sf0.1 postings explode). */
+  private[graft] def kgramsHof(text: Column, k: Int): Column =
     element_at(
       transform(array(tokens(text)), ws => {
         val n = size(ws)

@@ -50,6 +50,26 @@ class CorpusPropertySpec extends SparkTestBase {
     }
   }
 
+  test("native kgrams kernel ≡ builtin-HOF twin (property + adversarial)") {
+    // random corpus plus the whitespace edge cases Java split makes
+    // interesting: leading tab (empty first token), trailing tab (empty
+    // last token), all-blank, single token, exact-k tokens
+    val adversarial = Seq("", "   ", "\ta b c", "a b c\t", "a  b\n c",
+      "one", "a b", "x y z")
+    val texts = randomTexts(11, 150) ++ adversarial
+    for (k <- Seq(1, 2, 3)) {
+      val df = texts.toDF("t").select(
+        T.kgrams(col("t"), k).as("native"),
+        T.kgramsHof(col("t"), k).as("hof"),
+        T.shingles(col("t"), k).as("nativeDistinct"),
+        array_distinct(T.kgramsHof(col("t"), k)).as("hofDistinct"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k non-distinct")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"k=$k distinct")
+      }
+    }
+  }
+
   test("repeated-span stats match a brute-force recount (property)") {
     // random small-vocab corpus → dense span collisions; recompute
     // n_windows/n_repeated per doc with plain Scala and compare
