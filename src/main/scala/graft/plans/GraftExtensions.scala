@@ -33,7 +33,7 @@ object CollapseTruncation extends Rule[LogicalPlan] {
  * Besides the optimizer rule and the TopK planner strategy, the custom
  * codegen expressions register as SQL functions, so `spark.sql` users
  * get the same kernels the DataFrame operators use:
- * `dot_f(a, b)`, `norm_f(a)`, `minhash_sig(shingles, k)`,
+ * `dot_f(a, b)`, `norm_f(a)`, `minhash_sig(shingles, k)`, `kgrams(text, k)`, `shingles(text, k)`,
  * `simhash_sig(tokens, bits)`, `callstack_debug_cmd(stack, len, cmd)`.
  * Int/string parameters must be literals (they are codegen'd constants,
  * like the reference's fixed frame length).
@@ -87,6 +87,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(fn("simhash_sig", 2,
       "simhash_sig(tokens, bits) - tf-weighted simhash signature") {
       case Seq(a, b) => graft.corpus.SimHashSig(a, litInt(b, "simhash_sig"))
+    })
+    extensions.injectFunction(fn("kgrams", 2,
+      "kgrams(text, k) - word k-grams (one row per window occurrence)") {
+      case Seq(t, k) => graft.corpus.KGrams(t, litInt(k, "kgrams"),
+        distinct = false)
+    })
+    extensions.injectFunction(fn("shingles", 2,
+      "shingles(text, k) - distinct word k-shingles in first-occurrence order") {
+      case Seq(t, k) => graft.corpus.KGrams(t, litInt(k, "shingles"),
+        distinct = true)
     })
     extensions.injectFunction(fn("callstack_debug_cmd", 3,
       "callstack_debug_cmd(stack, frame_len, cmd) - F6 debugger command formatter") {

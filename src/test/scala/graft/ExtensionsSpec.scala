@@ -61,6 +61,20 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL kgrams/shingles equal the column API") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      val got = s.sql(
+        "SELECT kgrams(' a b a b ', 2) AS kg, shingles(' a b a b ', 2) AS sh")
+        .head()
+      assert(got.getSeq[String](0) == Seq("a b", "b a", "a b"))
+      assert(got.getSeq[String](1) == Seq("a b", "b a"))
+      val viaCol = s.range(1).select(
+        graft.corpus.TextAnalysis.kgrams(lit(" a b a b "), 2)).head()
+      assert(got.getSeq[String](0) == viaCol.getSeq[String](0))
+    }
+  }
+
   test("SQL callstack_debug_cmd formats like the column API") {
     withExtendedSession { s =>
       import org.apache.spark.sql.functions._
