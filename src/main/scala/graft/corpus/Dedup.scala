@@ -41,7 +41,20 @@ object Dedup {
     * splits and this is a no-op. */
   private[corpus] def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Partition COUNT lies for few-file scans: FileSourceScan splits a
+    // file by byte ranges, but a parquet ROW GROUP lands entirely in the
+    // split containing its midpoint — a 1-row-group file reports N
+    // partitions and gives N-1 tasks zero rows, serializing the whole
+    // scan-stage compute (measured: the 500k-doc minhash signature stage
+    // ran 25x slower than its CPU budget until this check; every fixture
+    // file here is single-row-group). `inputFiles.length` is the honest
+    // floor on spreadable units, so re-spread whenever fewer FILES than
+    // cores feed the frame. At scale this is a no-op (a real corpus
+    // arrives as thousands of files); locally the one extra round-robin
+    // shuffle of raw docs is the price of using all cores.
+    if (df.rdd.getNumPartitions < target || df.inputFiles.length < target)
+      df.repartition(target)
+    else df
   }
 
   /** Document-frequency cap for the exact postings self-joins
@@ -298,10 +311,21 @@ object Dedup {
     * (pinned by CorpusSpec). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame =
-    fanout(docs)
+    splaySig(fanout(docs)
       .select(col(idCol).as("doc_id"),
         MinHashSig.toColumn(shingles(col(textCol), k), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull), numHashes)
+
+  /** Splay the signature ARRAY into mh0..mhK-1 columns — with the (tiny:
+    * id + K longs per doc) sig frame MATERIALIZED first. The splay holds
+    * K `element_at` references to the `sig` alias, and an alias is not a
+    * computed value: unmaterialized, every reference re-evaluates the
+    * whole MinHashSig (K md5s per shingle), turning the signature stage
+    * into K+1 full passes — measured 85 s instead of ~4 s over 500k docs
+    * before the barrier existed. (Catalyst's subexpression elimination
+    * does not reach across the Project/Filter boundary here.) */
+  private def splaySig(sigFrame: DataFrame, numHashes: Int): DataFrame =
+    sigFrame.localCheckpoint(false)
       .select(col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
 
@@ -335,11 +359,9 @@ object Dedup {
       .localCheckpoint(false)
     val post = docSh.select(col("doc_id"), size(col("sh")).as("n_shingles"),
       explode(col("sh")).as("shingle"))
-    val sig = docSh
+    val sig = splaySig(docSh
       .select(col("doc_id"), MinHashSig.toColumn(col("sh"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id") +:
-        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+      .filter(col("sig").isNotNull), numHashes)
     val bands = lshBands(sig, numHashes, rowsPerBand).localCheckpoint(false)
     // cand is consumed by FOUR downstream branches (both unioned candDocs
     // projections — each behind its own broadcast — and the final join).
