@@ -195,4 +195,134 @@ object Sketches {
     (0 until d).map(i =>
         element_at(sketch, lit(i * w) + element_at(positions, i + 1) + 1))
       .reduce(least(_, _))
+
+  // ---- HyperLogLog ---------------------------------------------------
+  // The "implementation-defined register layout" objection above applies
+  // to LIBRARY HLLs (Spark's approx_count_distinct, DuckDB's approx sketch
+  // — different hash families, incomparable synopses). A from-scratch HLL
+  // over the shared portable hash IS cross-engine deterministic, because
+  // every step is integer algebra both engines express identically:
+  //  - register index = top p bits of the 60-bit hash;
+  //  - rho = leading-zero rank of the remaining 60-p bits
+  //    (SQL twin: `length(bin(w))` = floor(log2 w)+1 — both engines'
+  //    `bin()` prints without leading zeros);
+  //  - the harmonic denominator Σ 2^-M_j is summed as INTEGERS:
+  //    Σ 2^(rhoMax-M_j) ≤ m·2^rhoMax fits a long at p=6 (64·2^55 < 2^62),
+  //    so there is no float pow()/ulp hazard anywhere — one double
+  //    division at the very end, of a Scala-printed literal numerator by
+  //    an exact integer (Flajolet et al., AofA 2007, "HyperLogLog: the
+  //    analysis of a near-optimal cardinality estimation algorithm").
+  //  - the small-range (linear-counting) branch needs ln, whose last ulp
+  //    can differ between the JVM intrinsic and libm — so the correction
+  //    values m·ln(m/V), V∈[1,m], are baked as a 6-decimal LITERAL table
+  //    generated once in Scala and inlined into both engines' queries.
+  // Scale shape: the classic one. Registers = m bytes, merge = elementwise
+  // max (associative, commutative, idempotent) → a 100 TB distinct-count
+  // is one map-side-combined pass over 64-byte buffers, and per-partition
+  // sketches union for free ([[hllMerge]]), same algebra as KMV.
+
+  /** Register-index bits. m = 2^p = 64 registers → σ ≈ 1.04/√64 = 13%. */
+  val HllP: Int = 6
+  val HllM: Int = 1 << HllP
+  private val hllSuffixBits = 60 - HllP // rho ∈ [1, suffixBits+1]
+  private val hllSuffixMask = (1L << hllSuffixBits) - 1
+  /** α_64 · m² · 2^(suffixBits+1): the whole estimate numerator as ONE
+    * Scala-computed double literal, so neither engine multiplies floats. */
+  private val hllAlpha = 0.709 // α_m for m = 64 (Flajolet et al., Fig. 3)
+  val HllNumerator: Double =
+    hllAlpha * HllM * HllM * (1L << (hllSuffixBits + 1)).toDouble
+  /** Linear-counting table: m·ln(m/V) for V = 1..m zero registers, fixed
+    * to 6 decimals so the literal IS the result on both engines. */
+  val HllLinearCounting: IndexedSeq[BigDecimal] =
+    (1 to HllM).map(v => BigDecimal(HllM * math.log(HllM.toDouble / v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+
+  /** (register, rho) of a 60-bit portable hash — pure codegen projection.
+    * SQL twin emitted by [[hllRegRhoSql]]. */
+  def hllRegister(hash: Column): Column = shiftright(hash, hllSuffixBits)
+  def hllRho(hash: Column): Column = {
+    val w = hash.bitwiseAND(lit(hllSuffixMask))
+    when(w === 0L, lit(hllSuffixBits + 1))
+      .otherwise(lit(hllSuffixBits + 1) - length(bin(w)))
+  }
+
+  /** The same (register, rho) pair in the Java∩DuckDB SQL subset. */
+  def hllRegRhoSql(hashExpr: String): (String, String) = (
+    s"($hashExpr >> $hllSuffixBits)",
+    s"(CASE WHEN ($hashExpr & $hllSuffixMask) = 0 THEN ${hllSuffixBits + 1} " +
+      s"ELSE ${hllSuffixBits + 1} - length(bin($hashExpr & $hllSuffixMask)) END)")
+
+  /** Estimate from (zero-register count V, integer denominator Σ 2^(rhoMax-M)):
+    * linear counting below the 2.5m small-range threshold, raw HLL above.
+    * `denomInt` already includes V·2^rhoMax for the empty registers. */
+  def hllEstimateCol(zeroRegs: Column, denomInt: Column): Column = {
+    val raw = round(lit(HllNumerator) / denomInt.cast("double"), 6)
+    val lc = HllLinearCounting.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (c, i)) => when(zeroRegs === (i + 1), lit(c.toDouble)).otherwise(acc)
+    }
+    when(zeroRegs > 0 && raw <= lit(2.5 * HllM), lc).otherwise(raw)
+  }
+
+  /** Per-register denominator term 2^(rhoMax - maxRho) as an exact long
+    * (empty registers contribute [[HllEmptyTerm]] = 2^rhoMax each). */
+  def hllDenomTerm(maxRho: Column): Column =
+    call_function("shiftleft", lit(1L), lit(hllSuffixBits + 1) - maxRho)
+  val HllEmptyTerm: Long = 1L << (hllSuffixBits + 1)
+
+  /** SQL twin of [[hllDenomTerm]]. */
+  def hllDenomTermSql(maxRhoExpr: String): String =
+    s"(CAST(1 AS BIGINT) << (${hllSuffixBits + 1} - $maxRhoExpr))"
+
+  /** The full estimate in the shared Java∩DuckDB SQL subset — same
+    * branches and the same Scala-printed literals as [[hllEstimateCol]]:
+    * one source of truth across engines. String-cast literals keep DuckDB
+    * from routing anything through DECIMAL intermediates (rule 3 in
+    * SURVEY §8.3). */
+  def hllEstimateSql(zeroExpr: String, denomExpr: String): String = {
+    val num = s"CAST('${BigDecimal(HllNumerator).underlying.toPlainString}' AS DOUBLE)"
+    val raw = s"round($num / CAST($denomExpr AS DOUBLE), 6)"
+    val lc = HllLinearCounting.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN CAST('${c.toString}' AS DOUBLE)" }
+      .mkString(s"CASE $zeroExpr ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"CASE WHEN $zeroExpr > 0 AND $raw <= CAST('160' AS DOUBLE) THEN $lc ELSE $raw END"
+  }
+
+  /** Sketch-returning HLL aggregator over pre-hashed longs: buffer = m
+    * max-merged rho bytes. The UDAF surface; value-equal to the SQL
+    * register form (SketchesSpec). */
+  class HllSketchAggregator extends Aggregator[Long, Array[Byte], Seq[Int]] {
+    override def zero: Array[Byte] = new Array[Byte](HllM)
+    override def reduce(buf: Array[Byte], h: Long): Array[Byte] = {
+      val reg = (h >>> hllSuffixBits).toInt
+      val w = h & hllSuffixMask
+      val rho =
+        if (w == 0L) hllSuffixBits + 1
+        else java.lang.Long.numberOfLeadingZeros(w) - (64 - hllSuffixBits) + 1
+      if (rho > buf(reg)) buf(reg) = rho.toByte
+      buf
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Byte]): Seq[Int] = buf.map(_.toInt).toSeq
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def hllSketch(hash: Column): Column =
+    org.apache.spark.sql.functions.udaf(new HllSketchAggregator).apply(hash)
+
+  /** Union of two register arrays — elementwise max, the HLL set algebra. */
+  def hllMerge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Estimate from a register-array column: integer denominator
+    * Σ 2^(rhoMax-M) (exact long fold), then [[hllEstimateCol]]. */
+  def hllSketchEstimate(regs: Column): Column = {
+    val zeros = size(filter(regs, _ === 0))
+    val denom = aggregate(regs, lit(0L), (acc, m) => acc + hllDenomTerm(m))
+    hllEstimateCol(zeros, denom)
+  }
 }

@@ -732,6 +732,37 @@ object CorpusQueries {
           col("exact_union"), col("exact_intersect"))
     }),
 
+    // HyperLogLog distinct-user estimate per event type beside the exact
+    // count — the fixed-64-byte sibling of the KMV row above (registers
+    // merge by MAX, so a 100 TB build is one map-side-combined pass; see
+    // the determinism note in Sketches: all register math is integer
+    // algebra, the one division happens on a Scala-printed literal).
+    // This SQL-shaped register form is the oracle-replayed twin; the
+    // mergeable HllSketchAggregator UDAF is pinned value-equal to it in
+    // SketchesSpec.
+    "sketch_hll_distinct" -> ((spark, dir) => {
+      val ev = graft.xel.XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          T.hash60(col("user_id").cast("string")).as("h"))
+      val regs = ev
+        .groupBy(col("event_type"), Sketches.hllRegister(col("h")).as("reg"))
+        .agg(max(Sketches.hllRho(col("h"))).as("m_rho"))
+      val agg = regs.groupBy(col("event_type"))
+        .agg(sum(Sketches.hllDenomTerm(col("m_rho"))).as("denom_present"),
+          count(lit(1)).as("n_present"))
+        .withColumn("zero_regs",
+          (lit(Sketches.HllM) - col("n_present")).cast("int"))
+        .withColumn("denom",
+          col("denom_present") + col("zero_regs") * lit(Sketches.HllEmptyTerm))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("h")).as("exact_distinct"))
+      exact.join(agg, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"), col("zero_regs"),
+          Sketches.hllEstimateCol(col("zero_regs"), col("denom"))
+            .as("hll_estimate"))
+        .orderBy("event_type")
+    }),
+
     // Multimodal resize (stubbed codec, real byte plumbing): halve dims,
     // keep a quarter of the body; decode the RESIZED payload back through
     // the header parser to prove the round-trip.
@@ -2282,6 +2313,34 @@ object CorpusQueries {
          |                  / CAST(len(mk) AS DOUBLE) * est_union, 6) END AS est_intersect,
          |  ex.exact_union, ex.exact_intersect
          |FROM est, ex""".stripMargin,
+
+    "sketch_hll_distinct" -> {
+      val (regE, rhoE) = Sketches.hllRegRhoSql("h")
+      s"""WITH hv AS (
+         |  SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), regs AS (
+         |  SELECT event_type, $regE AS reg, max($rhoE) AS m_rho
+         |  FROM hv GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type,
+         |         CAST(sum(${Sketches.hllDenomTermSql("m_rho")}) AS BIGINT) AS denom_present,
+         |         count(*) AS n_present
+         |  FROM regs GROUP BY 1
+         |), wz AS (
+         |  SELECT event_type,
+         |         CAST(${Sketches.HllM} - n_present AS INTEGER) AS zero_regs,
+         |         denom_present + (${Sketches.HllM} - n_present) * ${Sketches.HllEmptyTerm} AS denom
+         |  FROM agg
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT h) AS exact_distinct
+         |  FROM hv GROUP BY 1
+         |)
+         |SELECT ex.event_type, ex.exact_distinct, wz.zero_regs,
+         |       ${Sketches.hllEstimateSql("wz.zero_regs", "wz.denom")} AS hll_estimate
+         |FROM ex JOIN wz USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin
+    },
 
     "mm_byte_histogram" ->
       """WITH media AS (

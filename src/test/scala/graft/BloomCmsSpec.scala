@@ -64,6 +64,56 @@ class BloomCmsSpec extends SparkTestBase {
     joined.unpersist()
   }
 
+  test("HLL UDAF registers equal the SQL register form; estimate within error bound") {
+    val toks = docs.select(explode(T.tokens(col("text"))).as("token"))
+      .select(T.hash60(col("token")).as("h"))
+    // SQL register form (what the oracle replays)
+    val regsSql = toks
+      .groupBy(Sketches.hllRegister(col("h")).as("reg"))
+      .agg(max(Sketches.hllRho(col("h"))).as("m_rho"))
+      .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+    val full = (0 until Sketches.HllM).map(i => regsSql.getOrElse(i, 0))
+    // UDAF form
+    val viaUdaf = toks.agg(Sketches.hllSketch(col("h")).as("sk"))
+      .select(col("sk"),
+        Sketches.hllSketchEstimate(col("sk")).as("est"))
+      .head()
+    assert(viaUdaf.getSeq[Int](0) == full)
+    // estimate sanity: within 4σ of exact (σ = 1.04/√64 = 13%)
+    val exact = toks.distinct().count().toDouble
+    val est = viaUdaf.getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.52,
+      s"est=$est exact=$exact")
+  }
+
+  test("HLL sketches merge associatively and union = merge of partials") {
+    val toks = docs.select(pmod(col("doc_id"), lit(2L)).as("g"),
+      explode(T.tokens(col("text"))).as("token"))
+      .select(col("g"), T.hash60(col("token")).as("h"))
+    val oneShot = toks.agg(Sketches.hllSketch(col("h"))).head().getSeq[Int](0)
+    // per-group partial sketches, unioned via hllMerge column algebra
+    val partials = toks.groupBy(col("g"))
+      .agg(Sketches.hllSketch(col("h")).as("sk"))
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(aggregate(col("sks"),
+        typedLit(Seq.fill(Sketches.HllM)(0)),
+        (acc, sk) => Sketches.hllMerge(acc, sk)).as("merged"))
+      .head().getSeq[Int](0)
+    assert(oneShot == partials)
+  }
+
+  test("HLL linear-counting branch: small sets report the literal-table value") {
+    import spark.implicits._
+    val small = (1L to 10L).toDF("v").select(T.hash60(col("v").cast("string")).as("h"))
+    val row = small.agg(Sketches.hllSketch(col("h")).as("sk"))
+      .select(Sketches.hllSketchEstimate(col("sk")).as("est"),
+        size(filter(col("sk"), _ === 0)).as("zeros"))
+      .head()
+    val zeros = row.getInt(1)
+    assert(zeros > Sketches.HllM - 11) // ≤10 occupied registers
+    assert(row.getDouble(0) == Sketches.HllLinearCounting(zeros - 1).toDouble)
+  }
+
   test("bloom and CMS sketches merge associatively across groups") {
     // build per-doc-parity partial sketches, merge via the aggregator's
     // merge path (two-level aggregation), compare with the one-shot build
