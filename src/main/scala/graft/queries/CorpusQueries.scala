@@ -701,6 +701,48 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Topic datasheet: per embedding-cluster (the k-means assignment the
+    // fixture ships, as in dedup_semantic / the IVF quantizer) — size,
+    // token mass, mean quality, and the 3 most DISTINCTIVE terms. The
+    // distinctiveness weight is the integer idf surrogate
+    // tf·(K − df + 1) (K = #clusters, df = #clusters containing the
+    // term): monotone in tf and in rarity like tf·ln(K/df), but pure
+    // integer math so the cross-engine rank can't ulp-flip. Scale: one
+    // (label, token) agg off the token explode; df/K frames are
+    // vocabulary-bounded; top-3 via a window over the aggregated
+    // (small) frame, stats via one label-keyed agg.
+    "corpus_topics" -> ((spark, dir) => {
+      val d = docs(spark, dir).join(
+        emb(spark, dir).select(col("vec_id").as("doc_id"), col("label")),
+        Seq("doc_id"))
+      val stats = d
+        .withColumn("n_toks", T.nTokens(col("text")).cast("long"))
+        .withColumn("qfp",
+          round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          expr("sum(qfp) div count(1)").as("mean_quality_fp"))
+      val tf = d
+        .select(col("label"), explode(T.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) >= 4)
+        .groupBy(col("label"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df_clusters"))
+      val kk = tf.select(countDistinct(col("label")).as("k_clusters"))
+      val top = tf.join(dfc, Seq("token")).crossJoin(kk)
+        .withColumn("score",
+          col("tf") * (col("k_clusters") - col("df_clusters") + 1))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+          .orderBy(col("score").desc, col("tf").desc, col("token"))))
+        .filter(col("rk") <= 3)
+        .groupBy(col("label"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rk"), col("token")))),
+          x => x.getField("token"))).as("top_terms"))
+      stats.join(top, Seq("label")).orderBy("label")
+    }),
+
     // KMV set operations (Sketches.kmvMerge/kmvIntersectEstimate): union
     // and intersection distinct-user estimates composed from two bounded
     // synopses — the sketch algebra that answers "how many users did A
@@ -1205,6 +1247,20 @@ object CorpusQueries {
       |              ELSE string_split_regex(trim(text), '\s+') END AS ws
       |  FROM documents
       |)""".stripMargin
+
+  /** Fixed-point quality score qfp = round(q·10⁶) over (text, ws) — the
+    * exact DuckDB twin of `TextAnalysis.qualityScore` (shared by
+    * corpus_card / corpus_topics; one source of truth). */
+  private val qfpSql: String =
+    s"""CAST(round(round(((CASE WHEN len(ws) BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+       |                + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+       |                    CAST(len(regexp_extract_all(lower(text),
+       |                      '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
+       |                      / CAST(len(ws) AS DOUBLE) END) * 10.0, CAST(1 AS DOUBLE))
+       |                + (CAST(1 AS DOUBLE) - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |                      / CAST(length(text) AS DOUBLE) END) * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6)
+       |              * 1000000, 0) AS BIGINT)""".stripMargin
 
   /** k-shingle CTE body (appended after tokCte): distinct k-grams per doc.
     * range end is len-k+2 (range is end-exclusive; last window starts at
@@ -2582,15 +2638,7 @@ object CorpusQueries {
          |feats AS (
          |  SELECT d.doc_id, d.source,
          |         CAST(len(ws) AS BIGINT) AS n_toks,
-         |         CAST(round(round(((CASE WHEN len(ws) BETWEEN 10 AND 1000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
-         |                + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
-         |                    CAST(len(regexp_extract_all(lower(text),
-         |                      '${T.langStopwords.map(_._2).mkString("|")}')) AS DOUBLE)
-         |                      / CAST(len(ws) AS DOUBLE) END) * 10.0, CAST(1 AS DOUBLE))
-         |                + (CAST(1 AS DOUBLE) - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-         |                      / CAST(length(text) AS DOUBLE) END) * 5.0, CAST(1 AS DOUBLE)))) / 3.0, 6)
-         |              * 1000000, 0) AS BIGINT) AS qfp,
+         |         $qfpSql AS qfp,
          |         md5(trim(regexp_replace(regexp_replace(
          |           lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS nd,
          |         $langCounts,
@@ -2614,6 +2662,39 @@ object CorpusQueries {
          |       CAST(sum(qfp) // count(*) AS BIGINT) AS mean_quality_fp,
          |       CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
          |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_topics" ->
+      s"""$tokCte,
+         |lab AS (
+         |  SELECT d.doc_id, e.label, d.text, t.ws
+         |  FROM documents d
+         |  JOIN embeddings e ON e.vec_id = d.doc_id
+         |  JOIN toks t ON t.doc_id = d.doc_id
+         |), stats AS (
+         |  SELECT label, count(*) AS n_docs,
+         |         CAST(sum(len(ws)) AS BIGINT) AS total_tokens,
+         |         CAST(sum($qfpSql) // count(*) AS BIGINT) AS mean_quality_fp
+         |  FROM lab GROUP BY 1
+         |), tf AS (
+         |  SELECT label, token, count(*) AS tf
+         |  FROM (SELECT label, unnest(ws) AS token FROM lab) o
+         |  WHERE length(token) >= 4 GROUP BY 1, 2
+         |), dfc AS (
+         |  SELECT token, count(*) AS df_clusters FROM tf GROUP BY 1
+         |), kk AS (
+         |  SELECT count(DISTINCT label) AS k_clusters FROM tf
+         |), top AS (
+         |  SELECT label, token,
+         |         row_number() OVER (PARTITION BY label
+         |           ORDER BY tf * (k_clusters - df_clusters + 1) DESC, tf DESC, token) AS rk
+         |  FROM tf JOIN dfc USING (token), kk
+         |), tt AS (
+         |  SELECT label, string_agg(token, ',' ORDER BY rk) AS top_terms
+         |  FROM top WHERE rk <= 3 GROUP BY 1
+         |)
+         |SELECT s.label, s.n_docs, s.total_tokens, s.mean_quality_fp, tt.top_terms
+         |FROM stats s JOIN tt USING (label)
+         |ORDER BY s.label""".stripMargin,
 
     "corpus_importance" ->
       s"""$importanceCte
