@@ -751,6 +751,71 @@ object RelationalQueries {
         .orderBy("click_id", "purch_us", "purch_value")
     }),
 
+    // Stateful sessionization under the ORACLE gate (§2.9): the
+    // flatMapGroupsWithState gap-session operator must produce exactly
+    // the batch gap-split sessions of events_sessionize (same 8h gap,
+    // minus the value rollup — the operator's state is count + bounds).
+    // All real events arrive in ONE micro-batch (cross-batch disorder is
+    // a harness artifact, not query semantics); two sentinel batches
+    // then push the watermark past every open session's timeout
+    // (end + gap), so event-time timeouts close and emit them — the
+    // same two-step watermark discipline as stream_rate_minute (the
+    // watermark batch N evicts with was computed from batch N-1's max
+    // event time).
+    "stream_sessionize" -> ((spark, dir) => {
+      import spark.implicits._
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_sess_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val inDir = scratch("in"); val outDir = scratch("out")
+      val ckpt = scratch("ckpt")
+      val gapMs = 28800000L // 8 h, = events_sessionize's 28800000000 µs
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id").as("session_id"), col("ts"),
+          col("event_type").as("event_name"))
+      ev.coalesce(1).write.parquet(s"$inDir/real")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // sentinel i sits gap + i·11min past the corpus max under its own
+      // key: after its batch the watermark (10min delay) clears every
+      // real session's end+gap timeout; the second sentinel's batch runs
+      // with that watermark so the timeouts actually fire
+      Seq(1, 2).foreach { i =>
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + gapMs + i * 660000L), "zz"))
+          .toDF("session_id", "ts", "event_name")
+          .coalesce(1).write.parquet(s"$inDir/sent$i")
+      }
+      // force arrival order real → sent1 → sent2 (FileStreamSource sorts
+      // its initial listing by modification time)
+      val fs = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
+      Seq("real" -> 0L, "sent1" -> 1000L, "sent2" -> 2000L).foreach { case (d, off) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$d"))
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .foreach(s => fs.setTimes(s.getPath, mtime0 + off, -1))
+      }
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir/*")
+          .as[graft.streaming.SessionEvent]
+        val q = graft.streaming.Sessionize.sessionize(stream, gapMs)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.parquet(outDir)
+        .filter(col("session_id") >= 0L)
+        .select(col("session_id").as("user_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Pivot: order status → columns, priorities → rows. Explicit value
     // list keeps the plan single-pass (no distinct-values pre-scan) and
     // the output schema static — which is also what the 100 TB plan needs.
@@ -1014,6 +1079,26 @@ object RelationalQueries {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin,
+
+      "stream_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, ts_us,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |           AS session_seq
+          |  FROM e
+          |)
+          |SELECT user_id, count(*) AS n_events,
+          |       min(ts_us) AS start_us, max(ts_us) AS end_us
+          |FROM s GROUP BY user_id, session_seq
+          |ORDER BY user_id, start_us""".stripMargin,
 
       "events_salted_agg" ->
         """SELECT event_type,

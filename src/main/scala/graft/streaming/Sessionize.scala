@@ -11,7 +11,7 @@ case class SessionEvent(session_id: Long, ts: Timestamp, event_name: String)
 case class SessionSummary(session_id: Long, n_events: Long,
                           start_ts: Timestamp, end_ts: Timestamp)
 
-private case class OpenSession(n: Long, startMs: Long, endMs: Long)
+private case class OpenSession(n: Long, startUs: Long, endUs: Long)
 
 /**
  * Custom stateful streaming operator (SURVEY.md §2.9 extension):
@@ -25,40 +25,55 @@ private case class OpenSession(n: Long, startMs: Long, endMs: Long)
  * is bounded by the number of concurrently-open sessions regardless of
  * stream volume.
  */
-object Sessionize {
+object Sessionize extends Serializable {
 
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
+
+    // Exact epoch-micros of a Timestamp — `getTime` alone is MILLIS and
+    // silently truncates the sub-ms micros parquet event times carry,
+    // which would desync gap comparisons (an 8h+0.5ms gap must split)
+    // and the emitted session bounds vs any µs-exact batch twin. Local
+    // defs: the task closure must not capture the (non-serializable)
+    // enclosing module.
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def update(sessionId: Long, batch: Iterator[SessionEvent],
                state: GroupState[OpenSession]): Iterator[SessionSummary] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return Iterator(SessionSummary(sessionId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
+        return Iterator(SessionSummary(sessionId, s.n, fromMicros(s.startUs), fromMicros(s.endUs)))
       }
-      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      val sorted = batch.toSeq.sortBy(e => micros(e.ts))
       var closed = List.empty[SessionSummary]
       var open = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         open match {
-          case Some(s) if t < s.startMs - gapMs =>
+          case Some(s) if t < s.startUs - gapUs =>
             // within-watermark straggler predating the open session by more
             // than the gap: it can never merge with it — close it as its own
             // session. (Stragglers within gap of EACH OTHER also close
             // individually: re-segmenting the past would need the full event
             // history, not this operator's O(1) state.)
-            closed ::= SessionSummary(sessionId, 1L, new Timestamp(t), new Timestamp(t))
-          case Some(s) if t - s.endMs > gapMs =>
-            closed ::= SessionSummary(sessionId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs))
+            closed ::= SessionSummary(sessionId, 1L, fromMicros(t), fromMicros(t))
+          case Some(s) if t - s.endUs > gapUs =>
+            closed ::= SessionSummary(sessionId, s.n, fromMicros(s.startUs), fromMicros(s.endUs))
             open = Some(OpenSession(1L, t, t))
           case Some(s) =>
             // min() on the start: a late event may fall between the open
             // session's start and end, or within gap BEFORE its start
-            open = Some(OpenSession(s.n + 1, math.min(s.startMs, t), math.max(s.endMs, t)))
+            open = Some(OpenSession(s.n + 1, math.min(s.startUs, t), math.max(s.endUs, t)))
           case None =>
             open = Some(OpenSession(1L, t, t))
         }
@@ -66,7 +81,9 @@ object Sessionize {
       open.foreach { s =>
         state.update(s)
         // close once the watermark is `gap` past the session's last event
-        state.setTimeoutTimestamp(s.endMs + gapMs)
+        // (timeout API is ms — round UP so the µs-exact boundary is never
+        // crossed a millisecond early)
+        state.setTimeoutTimestamp(math.floorDiv(s.endUs + gapUs + 999L, 1000L))
       }
       closed.reverseIterator
     }
