@@ -1,0 +1,93 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/**
+ * Raw-corpus ingest: JSONL (and CSV) → the `documents` shape. Web-scale
+ * corpora ship as line-delimited JSON (one doc per line), which is the
+ * scale-correct text format: files split at newlines, so a 100 GB .jsonl
+ * fans out across executors with no coordination. Multi-line formats
+ * (pretty JSON arrays, CSV with embedded newlines read via multiLine)
+ * force one-file-one-task and are deliberately NOT supported here.
+ *
+ * Rules this module enforces:
+ *  - EXPLICIT schema always. Schema inference reads the entire input
+ *    once before the real job — a full extra pass at 100 TB — and can
+ *    silently widen types between corpus versions. Callers pass the
+ *    contract; drift fails loudly instead of inferring around it.
+ *  - PERMISSIVE parse + corrupt-record budget (the E1 error-fence
+ *    analogue of the XELB reader's `errorBudget`): malformed lines land
+ *    in a corrupt-record column, and [[enforceCorruptBudget]] fails the
+ *    job when their count exceeds the budget — tolerant of stray bad
+ *    lines, loud on systematic corruption.
+ *
+ * Implementation stance: `text` source + `from_json`/`from_csv`, NOT
+ * `spark.read.json/csv` with a corrupt column. The DataSource corrupt
+ * column poisons every downstream count: a `filter(corrupt).count()`
+ * prunes the scan to the corrupt column alone, which Spark forbids
+ * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and whose
+ * documented workaround is `.cache()` — wrong at corpus scale. Parsing
+ * the line column keeps identical splittability, one pass, and a
+ * corrupt column that behaves like any other column.
+ */
+object Ingest {
+
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+  }
+
+  private val parseOpts =
+    Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
+
+  /** Read line-delimited JSON with a caller-supplied contract schema.
+    * The returned frame carries [[CorruptCol]] (NULL for good rows) so
+    * the budget check composes with any downstream plan. Blank lines
+    * are skipped (trailing newlines are not corruption). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parsed = withCorrupt(schema) // contract check before any IO
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), parsed, parseOpts).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Fail loudly when more than `budget` rows are corrupt; otherwise
+    * return the clean rows (corrupt column dropped). One aggregation
+    * pass over the parsed stream. */
+  def enforceCorruptBudget(df: DataFrame, budget: Long): DataFrame = {
+    val bad = df.agg(
+      coalesce(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+    if (bad > budget)
+      throw new IllegalStateException(
+        s"corrupt-record budget exceeded: $bad malformed lines > budget $budget")
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+  }
+
+  /** Write a frame as JSONL — the round-trip-exact text container
+    * (JSON string escaping preserves every byte, unlike CSV quoting
+    * edge cases across writers). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Header-less CSV with the same contract stance (a header row is
+    * per-file state a line-splittable reader can't see; the schema IS
+    * the header). Callers with newline-bearing text belong on JSONL. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parsed = withCorrupt(schema)
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_csv(col("value"), parsed, parseOpts).as("r"))
+      .select(col("r.*"))
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "false").csv(path)
+}
