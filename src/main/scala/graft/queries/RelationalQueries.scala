@@ -816,6 +816,46 @@ object RelationalQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // Streaming funnel under the ORACLE gate (§2.9): the
+    // flatMapGroupsWithState view→click→purchase state machine must
+    // complete exactly the users the batch window funnel completes,
+    // with the same witnessing stage times. Completions emit inline the
+    // moment the purchase arrives (emission ≠ finalization for this
+    // operator), so no sentinel batches are needed — the event-time
+    // timeout only clears state for users who never finish.
+    "stream_funnel" -> ((spark, dir) => {
+      import spark.implicits._
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_funl_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val inDir = scratch("in"); val outDir = scratch("out")
+      val ckpt = scratch("ckpt")
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      // one micro-batch: cross-trigger disorder is the operator's
+      // documented O(1)-state caveat, not part of the equivalence claim
+      ev.coalesce(1).write.parquet(s"$inDir/b0")
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val stream = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+          .as[graft.streaming.FunnelEvent]
+        val q = graft.streaming.Funnel.funnel(stream)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.parquet(outDir)
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("view_us"),
+          unix_micros(col("t_click")).as("click_us"),
+          unix_micros(col("t_purchase")).as("purchase_us"))
+        .orderBy("user_id")
+    }),
+
     // Pivot: order status → columns, priorities → rows. Explicit value
     // list keeps the plan single-pass (no distinct-values pre-scan) and
     // the output schema static — which is also what the 100 TB plan needs.
@@ -1079,6 +1119,27 @@ object RelationalQueries {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin,
+
+      "stream_funnel" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+          |), s1 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_view FROM ev
+          |), s2 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'click' AND us >= t_view THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_click FROM s1
+          |), s3 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t_click THEN us END)
+          |    OVER (PARTITION BY user_id) AS t_purchase FROM s2
+          |), per AS (
+          |  SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+          |         min(t_purchase) AS tp
+          |  FROM s3 GROUP BY 1
+          |)
+          |SELECT user_id, tv AS view_us, tc AS click_us, tp AS purchase_us
+          |FROM per WHERE tp IS NOT NULL
+          |ORDER BY user_id""".stripMargin,
 
       "stream_sessionize" ->
         """WITH e AS (
