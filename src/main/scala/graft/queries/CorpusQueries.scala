@@ -438,6 +438,45 @@ object CorpusQueries {
         .orderBy("status")
     }),
 
+    // Snapshot drift census: the distribution sibling of corpus_diff —
+    // per source, did the corpus SHAPE move between versions, not just
+    // which ids changed? Doc/token totals for both snapshots plus an L1
+    // distance over 10 fixed-point quality buckets (bucket = qfp div
+    // 100000, clamped; pure integers end-to-end, so the drift stat is
+    // hash-gate exact where a KL/PSI's ln() could not be). Scale: one
+    // (source, bucket)-keyed agg per side (≤ 10·sources rows), then a
+    // bucket-aligned full-outer join of two tiny frames.
+    "corpus_drift" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val prev = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val curr = d.filter(col("doc_id") % 11 =!= 0)
+      def hist(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("n_toks", T.nTokens(col("text")).cast("long"))
+        .withColumn("qfp",
+          round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
+        .withColumn("qb", least(expr("qfp div 100000"), lit(9L)))
+        .groupBy(col("source"), col("qb"))
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"))
+      val hp = hist(prev).withColumnRenamed("n", "n_p")
+        .withColumnRenamed("toks", "toks_p")
+      val hc = hist(curr).withColumnRenamed("n", "n_c")
+        .withColumnRenamed("toks", "toks_c")
+      hp.join(hc, Seq("source", "qb"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_p"), lit(0L)).as("n_p"),
+          coalesce(col("n_c"), lit(0L)).as("n_c"),
+          coalesce(col("toks_p"), lit(0L)).as("toks_p"),
+          coalesce(col("toks_c"), lit(0L)).as("toks_c"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_p")).as("n_prev"), sum(col("n_c")).as("n_curr"),
+          sum(col("toks_p")).as("toks_prev"),
+          sum(col("toks_c")).as("toks_curr"),
+          sum(abs(col("n_p") - col("n_c"))).as("hist_l1"))
+        .orderBy("source")
+    }),
+
     // Corpus-wide boilerplate census: topN most-repeated spans with
     // occurrence and doc counts — the review artifact behind a span
     // drop-list (deterministic cut: occ desc, span asc).
@@ -1903,6 +1942,45 @@ object CorpusQueries {
         |SELECT status, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "corpus_drift" ->
+      s"""WITH prevd AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |), currd AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0
+         |), prevt AS (
+         |  SELECT source, text,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM prevd
+         |), currt AS (
+         |  SELECT source, text,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM currd
+         |), hp AS (
+         |  SELECT source, least($qfpSql // 100000, 9) AS qb,
+         |         count(*) AS n_p, CAST(sum(len(ws)) AS BIGINT) AS toks_p
+         |  FROM prevt GROUP BY 1, 2
+         |), hc AS (
+         |  SELECT source, least($qfpSql // 100000, 9) AS qb,
+         |         count(*) AS n_c, CAST(sum(len(ws)) AS BIGINT) AS toks_c
+         |  FROM currt GROUP BY 1, 2
+         |), j AS (
+         |  SELECT coalesce(hp.source, hc.source) AS source,
+         |         coalesce(n_p, 0) AS n_p, coalesce(n_c, 0) AS n_c,
+         |         coalesce(toks_p, 0) AS toks_p, coalesce(toks_c, 0) AS toks_c
+         |  FROM hp FULL OUTER JOIN hc ON hp.source = hc.source AND hp.qb = hc.qb
+         |)
+         |SELECT source,
+         |       CAST(sum(n_p) AS BIGINT) AS n_prev,
+         |       CAST(sum(n_c) AS BIGINT) AS n_curr,
+         |       CAST(sum(toks_p) AS BIGINT) AS toks_prev,
+         |       CAST(sum(toks_c) AS BIGINT) AS toks_curr,
+         |       CAST(sum(abs(n_p - n_c)) AS BIGINT) AS hist_l1
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_boilerplate" ->
       s"""$spanCte,
