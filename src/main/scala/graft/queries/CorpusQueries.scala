@@ -762,14 +762,21 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("total_tokens"),
           expr("sum(qfp) div count(1)").as("mean_quality_fp"))
+      // ONE corpus text pass: the token explode feeds a single
+      // (label, token) agg; df-per-token is a window over that
+      // vocabulary-bounded frame (a self-join back to a dfc agg would
+      // re-run the explode for each consumer), and K comes from the
+      // tiny embeddings label column (1-row broadcast, the bm25
+      // corpus-stats pattern).
       val tf = d
         .select(col("label"), explode(T.tokens(col("text"))).as("token"))
         .filter(length(col("token")) >= 4)
         .groupBy(col("label"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy(col("token"))
-        .agg(count(lit(1)).as("df_clusters"))
-      val kk = tf.select(countDistinct(col("label")).as("k_clusters"))
-      val top = tf.join(dfc, Seq("token")).crossJoin(kk)
+      val kk = emb(spark, dir).select(countDistinct(col("label")).as("k_clusters"))
+      val top = tf
+        .withColumn("df_clusters",
+          count(lit(1)).over(Window.partitionBy(col("token"))))
+        .crossJoin(kk)
         .withColumn("score",
           col("tf") * (col("k_clusters") - col("df_clusters") + 1))
         .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
@@ -2757,15 +2764,17 @@ object CorpusQueries {
          |  SELECT label, token, count(*) AS tf
          |  FROM (SELECT label, unnest(ws) AS token FROM lab) o
          |  WHERE length(token) >= 4 GROUP BY 1, 2
-         |), dfc AS (
-         |  SELECT token, count(*) AS df_clusters FROM tf GROUP BY 1
+         |), wdf AS (
+         |  SELECT label, token, tf,
+         |         count(*) OVER (PARTITION BY token) AS df_clusters
+         |  FROM tf
          |), kk AS (
-         |  SELECT count(DISTINCT label) AS k_clusters FROM tf
+         |  SELECT count(DISTINCT label) AS k_clusters FROM embeddings
          |), top AS (
          |  SELECT label, token,
          |         row_number() OVER (PARTITION BY label
          |           ORDER BY tf * (k_clusters - df_clusters + 1) DESC, tf DESC, token) AS rk
-         |  FROM tf JOIN dfc USING (token), kk
+         |  FROM wdf, kk
          |), tt AS (
          |  SELECT label, string_agg(token, ',' ORDER BY rk) AS top_terms
          |  FROM top WHERE rk <= 3 GROUP BY 1
