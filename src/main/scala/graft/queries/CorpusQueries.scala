@@ -438,6 +438,28 @@ object CorpusQueries {
         .orderBy("status")
     }),
 
+    // Tokenizer-training step (vocab induction): the BPE merge-pair
+    // statistic — for every adjacent character pair inside a word, its
+    // corpus-weighted frequency; the top pair is what a BPE trainer
+    // would merge next. Scale shape is the standard one: aggregate the
+    // WORD-FREQUENCY dictionary first (vocabulary-bounded), then
+    // explode character pairs over unique words only — the pair pass
+    // never touches corpus-sized data. Deterministic cut (n desc,
+    // pair asc); alphabetic words only so the pair alphabet is clean.
+    "vocab_bpe_pairs" -> ((spark, dir) => {
+      val words = docs(spark, dir)
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .select(lower(col("w")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      words
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
     // Snapshot drift census: the distribution sibling of corpus_diff —
     // per source, did the corpus SHAPE move between versions, not just
     // which ids changed? Doc/token totals for both snapshots plus an L1
@@ -1949,6 +1971,22 @@ object CorpusQueries {
         |SELECT status, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "vocab_bpe_pairs" ->
+      s"""$tokCte,
+         |w0 AS (
+         |  SELECT lower(unnest(ws)) AS w FROM toks
+         |), wfreq AS (
+         |  SELECT w, count(*) AS wf FROM w0
+         |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2
+         |  GROUP BY 1
+         |), pairs AS (
+         |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wf
+         |  FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM wfreq) t
+         |), agg AS (
+         |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pairs GROUP BY 1
+         |)
+         |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "corpus_drift" ->
       s"""WITH prevd AS (
