@@ -402,4 +402,56 @@ class PlanSpec extends SparkTestBase {
     assert(schemas.forall(s => !s.contains("lang") && !s.contains("n_chars")),
       s"importance scoring reads only doc_id/source/text, got: ${schemas.mkString("; ")}")
   }
+
+  test("corpus_topics: one token pass — stats + tf scans only, 1-row K broadcast") {
+    val nodes = executedNodes(q("corpus_topics"))
+    // the token explode must feed ONE (label, token) aggregation chain;
+    // a df/K consumer re-running the explode shows up as a third
+    // documents-text scan
+    val docScans = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("FileSourceScan") &&
+        n.toString.contains("documents.parquet"))
+    assert(docScans.size <= 2,
+      s"stats pass + token pass only, got ${docScans.size} documents scans")
+    assert(nodes.forall(n => !n.getClass.getSimpleName.contains("CartesianProduct")))
+    // the only nested-loop join allowed is the 1-row K broadcast
+    val bnlj = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1, s"only the scalar K broadcast may nest-loop, got ${bnlj.size}")
+  }
+
+  test("vocab_bpe_pairs: pair explode runs over the word dictionary, not the corpus") {
+    val nodes = executedNodes(q("vocab_bpe_pairs"))
+    val docScans = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("FileSourceScan") &&
+        n.toString.contains("documents.parquet"))
+    assert(docScans.size == 1, s"one corpus scan, got ${docScans.size}")
+    // word agg + pair agg; the top-20 cut must be TakeOrdered heaps,
+    // never a global sort of the pair table
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"word-freq + pair-agg exchanges only, got ${shuffles.size}")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "top-20 cut must be TakeOrderedAndProject")
+    assert(!nodes.exists(_.getClass.getSimpleName == "SortExec"),
+      "no global sort for a limit-20 result")
+  }
+
+  test("corpus_drift: two histogram aggs + bucket join, no cartesian") {
+    val nodes = executedNodes(q("corpus_drift"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct") &&
+        !n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // (source,qb) agg per side + join alignment + final source agg + sort
+    assert(shuffles.size <= 6, s"bounded exchange count, got ${shuffles.size}")
+  }
+
+  test("sketch_hll_distinct: register math stays in codegen, no cartesian") {
+    val nodes = executedNodes(q("sketch_hll_distinct"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct") &&
+        !n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")))
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "register/rho projection must run inside WholeStageCodegen")
+  }
 }
