@@ -358,6 +358,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("HLL sketch aggregates across micro-batches to the batch registers") {
+    import graft.corpus.{Sketches, TextAnalysis => T}
+    // max-merge associativity under streaming: per-micro-batch register
+    // maxima must merge to exactly the batch HLL registers (and hence
+    // the same estimate)
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("user_id"))
+    val dir = Files.createTempDirectory("graft-hll").toString
+    val ckpt = Files.createTempDirectory("graft-hll-ck").toString
+    val halves = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    halves(0).write.parquet(s"$dir/drop1")
+    halves(1).write.parquet(s"$dir/drop2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop*")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(Sketches.hllSketch(T.hash60(col("user_id").cast("string"))).as("hll"))
+    val q = sketchOf(stream).writeStream
+      .format("memory").queryName("hll_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("hll_stream")
+    val batch = sketchOf(ev)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("lastTouch reduces attribution pairs to one most-recent purchase per click") {
     val ev = XeFixture.events(spark, sf("sf0.001"))
     val clicks = ev.filter(col("event_type") === "click")
