@@ -39,7 +39,7 @@ object Dedup {
     * explode/join onto one core. Fan the rows out to full parallelism
     * BEFORE the blow-up. At 100 TB the scan already has thousands of
     * splits and this is a no-op. */
-  private[corpus] def fanout(df: DataFrame): DataFrame = {
+  private[graft] def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Partition COUNT lies for few-file scans: FileSourceScan splits a
     // file by byte ranges, but a parquet ROW GROUP lands entirely in the

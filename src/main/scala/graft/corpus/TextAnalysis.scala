@@ -127,7 +127,34 @@ object TextAnalysis {
   )
   val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
 
+  /** All per-doc text features from the single-pass [[TextFeatures]]
+    * kernel (token count, per-language stopword hits, non-alnum count,
+    * CJK count, char count). The quality/lang-id functions below build
+    * their column algebra from this ONE struct; Catalyst's common-
+    * subexpression elimination computes the kernel once per row however
+    * many of them a query combines. The `*Regex` forms further down are
+    * the original multi-regex-pass implementations, kept as equivalence
+    * WITNESSES (TextFeaturesSpec pins kernel ≡ witness on the fixture
+    * corpus plus adversarial whitespace/unicode cases). */
+  def textFeatures(text: Column): Column = TextFeatures.toColumn(text)
+
+  private def stopTotal(f: Column): Column =
+    Seq("stop_en", "stop_de", "stop_fr", "stop_es")
+      .map(f.getField).reduce(_ + _)
+
   def langId(text: Column): Column = {
+    val f = textFeatures(text)
+    val counts = Seq("en" -> f.getField("stop_en"), "de" -> f.getField("stop_de"),
+      "fr" -> f.getField("stop_fr"), "es" -> f.getField("stop_es"))
+    val best = counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
+      case ((bl, bc), (l, c)) => (when(c > bc, lit(l)).otherwise(bl), greatest(c, bc))
+    }
+    when(f.getField("n_cjk") > 0, lit("zh"))
+      .when(best._2 === 0, lit("und"))
+      .otherwise(best._1)
+  }
+
+  def langIdRegex(text: Column): Column = {
     val lo = lower(text)
     val counts = langStopwords.map { case (l, p) => l -> matchCount(lo, p) }
     val best = counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
@@ -142,16 +169,31 @@ object TextAnalysis {
     * doc length, mean token length, stopword ratio, non-alnum ratio.
     * Composite score in [0,1] with exact integer/regex-count inputs so the
     * double arithmetic is a deterministic function of counts. */
-  def nTokens(text: Column): Column = size(tokens(text))
+  def nTokens(text: Column): Column = textFeatures(text).getField("n_tokens")
+
+  def nTokensSplit(text: Column): Column = size(tokens(text))
 
   def stopwordRatio(text: Column): Column = {
-    val n = nTokens(text)
+    val f = textFeatures(text)
+    val n = f.getField("n_tokens")
+    when(n === 0, lit(0.0)).otherwise(
+      stopTotal(f).cast("double") / n.cast("double"))
+  }
+
+  def stopwordRatioRegex(text: Column): Column = {
+    val n = nTokensSplit(text)
     when(n === 0, lit(0.0)).otherwise(
       matchCount(lower(text), langStopwords.map(_._2).mkString("|"))
         .cast("double") / n.cast("double"))
   }
 
-  def nonAlnumRatio(text: Column): Column =
+  def nonAlnumRatio(text: Column): Column = {
+    val f = textFeatures(text)
+    when(f.getField("n_chars") === 0, lit(0.0)).otherwise(
+      f.getField("n_nonalnum").cast("double") / f.getField("n_chars").cast("double"))
+  }
+
+  def nonAlnumRatioRegex(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
       matchCount(text, "[^a-zA-Z0-9\\s]").cast("double") / length(text).cast("double"))
 
@@ -169,6 +211,17 @@ object TextAnalysis {
     val lenOk = when(n.between(10, 1000), lit(1.0)).otherwise(lit(0.0))
     val stopOk = least(stopwordRatio(text) * 10.0, lit(1.0))
     val cleanOk = lit(1.0) - least(nonAlnumRatio(text) * 5.0, lit(1.0))
+    round((lenOk + stopOk + cleanOk) / 3.0, 6)
+  }
+
+  /** Witness twin of [[qualityScore]] built from the regex/split forms —
+    * identical column-algebra structure, so equal inputs give
+    * bit-identical doubles. */
+  def qualityScoreRegex(text: Column): Column = {
+    val n = nTokensSplit(text)
+    val lenOk = when(n.between(10, 1000), lit(1.0)).otherwise(lit(0.0))
+    val stopOk = least(stopwordRatioRegex(text) * 10.0, lit(1.0))
+    val cleanOk = lit(1.0) - least(nonAlnumRatioRegex(text) * 5.0, lit(1.0))
     round((lenOk + stopOk + cleanOk) / 3.0, 6)
   }
 

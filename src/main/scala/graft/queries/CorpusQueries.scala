@@ -447,7 +447,10 @@ object CorpusQueries {
     // never touches corpus-sized data. Deterministic cut (n desc,
     // pair asc); alphabetic words only so the pair alphabet is clean.
     "vocab_bpe_pairs" -> ((spark, dir) => {
-      val words = docs(spark, dir)
+      // fanout: the token explode is scan-stage compute; a few-file
+      // corpus (every local fixture) would otherwise run it on one core
+      // (no-op at real corpus file counts — see Dedup.fanout)
+      val words = Dedup.fanout(docs(spark, dir).select(col("text")))
         .select(explode(T.tokens(col("text"))).as("w"))
         .select(lower(col("w")).as("w"))
         .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
@@ -474,7 +477,10 @@ object CorpusQueries {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       val curr = d.filter(col("doc_id") % 11 =!= 0)
-      def hist(df: org.apache.spark.sql.DataFrame) = df
+      // fanout: the fixed-point quality score is several regex passes
+      // per doc in the scan stage — serialized on a few-file corpus
+      // without the re-spread (no-op at real corpus file counts)
+      def hist(df: org.apache.spark.sql.DataFrame) = Dedup.fanout(df)
         .withColumn("n_toks", T.nTokens(col("text")).cast("long"))
         .withColumn("qfp",
           round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
@@ -773,9 +779,12 @@ object CorpusQueries {
     // vocabulary-bounded; top-3 via a window over the aggregated
     // (small) frame, stats via one label-keyed agg.
     "corpus_topics" -> ((spark, dir) => {
-      val d = docs(spark, dir).join(
+      // fanout: both consumers (quality stats, token explode) are heavy
+      // scan-stage compute — serialized on a few-file corpus without
+      // the re-spread (no-op at real corpus file counts)
+      val d = Dedup.fanout(docs(spark, dir).join(
         emb(spark, dir).select(col("vec_id").as("doc_id"), col("label")),
-        Seq("doc_id"))
+        Seq("doc_id")))
       val stats = d
         .withColumn("n_toks", T.nTokens(col("text")).cast("long"))
         .withColumn("qfp",

@@ -425,11 +425,11 @@ class PlanSpec extends SparkTestBase {
       n.getClass.getSimpleName.contains("FileSourceScan") &&
         n.toString.contains("documents.parquet"))
     assert(docScans.size == 1, s"one corpus scan, got ${docScans.size}")
-    // word agg + pair agg; the top-20 cut must be TakeOrdered heaps,
-    // never a global sort of the pair table
+    // fanout respread + word agg + pair agg; the top-20 cut must be
+    // TakeOrdered heaps, never a global sort of the pair table
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
-    assert(shuffles.size <= 2,
-      s"word-freq + pair-agg exchanges only, got ${shuffles.size}")
+    assert(shuffles.size <= 3,
+      s"fanout + word-freq + pair-agg exchanges only, got ${shuffles.size}")
     assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
       "top-20 cut must be TakeOrderedAndProject")
     assert(!nodes.exists(_.getClass.getSimpleName == "SortExec"),
@@ -442,8 +442,9 @@ class PlanSpec extends SparkTestBase {
       !n.getClass.getSimpleName.contains("CartesianProduct") &&
         !n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")))
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
-    // (source,qb) agg per side + join alignment + final source agg + sort
-    assert(shuffles.size <= 6, s"bounded exchange count, got ${shuffles.size}")
+    // fanout per side + (source,qb) agg per side + join alignment +
+    // final source agg + sort
+    assert(shuffles.size <= 8, s"bounded exchange count, got ${shuffles.size}")
   }
 
   test("sketch_hll_distinct: register math stays in codegen, no cartesian") {
