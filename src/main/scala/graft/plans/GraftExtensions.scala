@@ -34,7 +34,8 @@ object CollapseTruncation extends Rule[LogicalPlan] {
  * codegen expressions register as SQL functions, so `spark.sql` users
  * get the same kernels the DataFrame operators use:
  * `dot_f(a, b)`, `norm_f(a)`, `minhash_sig(shingles, k)`, `kgrams(text, k)`, `shingles(text, k)`,
- * `simhash_sig(tokens, bits)`, `callstack_debug_cmd(stack, len, cmd)`.
+ * `simhash_sig(tokens, bits)`, `text_features(text)`,
+ * `callstack_debug_cmd(stack, len, cmd)`.
  * Int/string parameters must be literals (they are codegen'd constants,
  * like the reference's fixed frame length).
  */
@@ -97,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingles(text, k) - distinct word k-shingles in first-occurrence order") {
       case Seq(t, k) => graft.corpus.KGrams(t, litInt(k, "shingles"),
         distinct = true)
+    })
+    extensions.injectFunction(fn("text_features", 1,
+      "text_features(text) - single-pass (n_tokens, stop_en/de/fr/es, " +
+        "n_nonalnum, n_cjk, n_chars) struct") {
+      case Seq(t) => graft.corpus.TextFeatures(t)
     })
     extensions.injectFunction(fn("callstack_debug_cmd", 3,
       "callstack_debug_cmd(stack, frame_len, cmd) - F6 debugger command formatter") {

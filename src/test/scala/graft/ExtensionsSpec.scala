@@ -75,6 +75,21 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL text_features equals the column API") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      val got = s.sql(
+        "SELECT text_features('the der le el 中 !') AS f").head().getStruct(0)
+      val viaCol = s.range(1).select(
+        graft.corpus.TextAnalysis.textFeatures(lit("the der le el 中 !")))
+        .head().getStruct(0)
+      assert(got == viaCol)
+      assert(got.getInt(0) == 6)               // n_tokens
+      assert((1 to 4).map(got.getInt) == Seq(1, 1, 1, 1)) // one hit per lang
+      assert(got.getInt(6) == 1)               // n_cjk
+    }
+  }
+
   test("SQL callstack_debug_cmd formats like the column API") {
     withExtendedSession { s =>
       import org.apache.spark.sql.functions._
