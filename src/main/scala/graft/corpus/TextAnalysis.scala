@@ -230,7 +230,12 @@ object TextAnalysis {
     * dedup misses trivial reformat duplicates (case, punctuation,
     * spacing). Pure regexp_replace chain, identical in DuckDB with the
     * 'g' flag. */
-  def normalizeText(text: Column): Column =
+  def normalizeText(text: Column): Column = NormalizeText.toColumn(text)
+
+  /** Witness twin of [[normalizeText]] — the original regexp_replace
+    * chain (TextFeaturesSpec pins kernel ≡ witness; the DuckDB oracles
+    * keep this exact form). */
+  def normalizeTextRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
       "\\s+", " "))

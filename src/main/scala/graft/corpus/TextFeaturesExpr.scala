@@ -142,6 +142,70 @@ object TextFeatureOps {
   }
 }
 
+/** Single-pass dedup normalization. Value contract (pinned by
+  * TextFeaturesSpec against the regexp_replace chain witness):
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\s]", ""),
+  * "\s+", " "))`. The kernel lowercases with the SAME builtin
+  * (UTF8String.toLowerCase — so unicode restructuring cases agree by
+  * construction, no fallback needed) and then applies the remove /
+  * collapse / trim steps as one char scan: after the remove step only
+  * [a-z0-9] and the six ASCII `\s` chars survive, so collapse+trim
+  * reduce to pending-space bookkeeping. Surrogate halves of
+  * supplementary code points are individually non-alnum/non-ws and drop
+  * exactly like the code point the regex removes. */
+object NormalizeOps {
+  def normalize(text: UTF8String): UTF8String = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && started) out.append(' ')
+        out.append(c)
+        started = true
+        pendingSpace = false
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+          c == '\f' || c == '\r') {
+        if (started) pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "normalize_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeOps.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => s"""
+      ${ev.value} = graft.corpus.NormalizeOps.normalize($text);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  import org.apache.spark.sql.graft.bridge
+  def toColumn(text: Column): Column =
+    bridge.column(NormalizeText(bridge.expression(text)))
+}
+
 /**
  * All per-document text features in ONE codegen'd string pass
  * (SURVEY.md §7.3 — custom Expression where built-ins can't keep the hot

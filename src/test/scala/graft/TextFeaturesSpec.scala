@@ -70,6 +70,23 @@ class TextFeaturesSpec extends SparkTestBase {
     ).toDF("text"))
   }
 
+  test("normalize kernel equals the regexp_replace chain on fixture + edge cases") {
+    def check(df: DataFrame): Unit = {
+      val bad = df.select(col("text"),
+          T.normalizeText(col("text")).as("k"),
+          T.normalizeTextRegex(col("text")).as("w"))
+        .filter(col("k") =!= col("w"))
+      val rows = bad.take(5)
+      assert(rows.isEmpty, s"normalize kernel != witness on: ${rows.mkString("; ")}")
+    }
+    check(spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("text"))
+    check(Seq(
+      "", " ", "\t\n", "a", " A!B?C ", "a\t \tb", "..!!..", "_a_b_",
+      "İstanbul IS", "Kis", "中文 a 中文", "😀a😀 b", "café CAFÉS",
+      "STRAẞE und straße", "a  b   c", "\t a \t"
+    ).toDF("text"))
+  }
+
   test("per-language kernel counts equal the per-language regex counts") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select("text")
