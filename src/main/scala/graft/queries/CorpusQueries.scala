@@ -668,22 +668,32 @@ object CorpusQueries {
     // Ranking uses the ROUNDED score so last-ulp ln() differences between
     // engines cannot reorder ranks.
     "text_tfidf_topterms" -> ((spark, dir) => {
-      val d = docs(spark, dir)
       // corpus size as a broadcast 1-row aggregate instead of a driver
       // count(): the whole query stays one declarative plan
-      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
-      val toks = d.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val nDocs = docs(spark, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs_total"))
+      // ONE explode: df derives from tf (tf rows are already distinct
+      // (doc, term) pairs, so rows-per-term IS docs-per-term) — the old
+      // toks.distinct() branch re-ran the explode AND paid a second
+      // occurrence-scale shuffle. fanout: few-file local scans would
+      // otherwise explode on one core.
+      val toks = Dedup.fanout(docs(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf").cast("double") *
             log(col("n_docs_total") / col("df").cast("double")), 6))
+      // native per-key heap prunes to <=3 rows/doc BEFORE the doc-keyed
+      // exchange (the window alone shuffles every occurrence-scale row);
+      // the window then ranks the pruned frame — same deterministic
+      // total order, (doc_id, term) is unique
+      val top = graft.plans.TopK.perKey(scored, Seq("doc_id"),
+        Seq("score" -> true, "term" -> false), 3)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      top.withColumn("rank", row_number().over(w))
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
         .orderBy("doc_id", "rank")
     }),

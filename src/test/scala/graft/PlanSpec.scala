@@ -436,6 +436,19 @@ class PlanSpec extends SparkTestBase {
       "no global sort for a limit-20 result")
   }
 
+  test("text_tfidf_topterms: one explode feeds tf AND df; native top-k prunes pre-shuffle") {
+    val nodes = executedNodes(q("text_tfidf_topterms"))
+    val docScans = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("FileSourceScan") &&
+        n.toString.contains("documents.parquet"))
+    // nDocs count + ONE token pipeline; a df branch re-running the
+    // explode shows up as a third scan
+    assert(docScans.size <= 2,
+      s"count branch + one token pipeline, got ${docScans.size} documents scans")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TopKPerKey")),
+      "per-doc top-3 must prune through TopKPerKeyExec before the rank window")
+  }
+
   test("corpus_drift: two histogram aggs + bucket join, no cartesian") {
     val nodes = executedNodes(q("corpus_drift"))
     assert(nodes.forall(n =>
