@@ -22,7 +22,8 @@ object Vocab {
   /** Top-K corpus vocabulary by occurrence count, ties broken by token
     * string — deterministic across engines. Returns (token, n_occurrences). */
   def topK(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    Dedup.fanout(docs.select(col(textCol)))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
@@ -33,7 +34,10 @@ object Vocab {
     * the vocab, and their ratio. Token-less docs survive with rate 0. */
   def oovStats(docs: DataFrame, idCol: String, textCol: String,
                vocab: DataFrame): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // fanout: the token explode is scan-stage compute — serialized on a
+    // few-file corpus without the re-spread (no-op at real file counts)
+    Dedup.fanout(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
         explode_outer(TextAnalysis.tokens(col(textCol))).as("tok"))
       .join(broadcast(vocab.select(col("token").as("tok"))
         .withColumn("_in_vocab", lit(1))), Seq("tok"), "left")
