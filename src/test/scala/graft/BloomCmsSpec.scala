@@ -114,6 +114,16 @@ class BloomCmsSpec extends SparkTestBase {
     assert(row.getDouble(0) == Sketches.HllLinearCounting(zeros - 1).toDouble)
   }
 
+  test("HLL of zero rows is the empty sketch with estimate 0") {
+    import spark.implicits._
+    val row = Seq.empty[Long].toDF("h")
+      .agg(Sketches.hllSketch(col("h")).as("sk"))
+      .select(Sketches.hllSketchEstimate(col("sk")).as("est"), col("sk"))
+      .head()
+    assert(row.getSeq[Int](1).forall(_ == 0))
+    assert(row.getDouble(0) == 0.0) // V = m → linear counting m·ln(m/m)
+  }
+
   test("bloom and CMS sketches merge associatively across groups") {
     // build per-doc-parity partial sketches, merge via the aggregator's
     // merge path (two-level aggregation), compare with the one-shot build
