@@ -590,6 +590,37 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe IVF under the ORACLE gate — the k-means-quantizer
+    // scale path of ANN (FAISS nprobe), made end-to-end deterministic:
+    // coarse centroids are per-label component MEANS built from exact
+    // fixed-point integer sums (order-independent, so both engines get
+    // bit-identical centroids), the data side is assigned its nearest
+    // centroid by the sequential-fold double distance (NearestCentroidF's
+    // loop ≡ DuckDB list_reduce in index order, ties → lower id), and
+    // each query fans to its nprobe=3 nearest cells. The driver collects
+    // only labels·dim aggregated sums (the PQ-training pattern), never
+    // corpus rows.
+    "ann_topk_ivf_probes" -> ((spark, dir) => {
+      val e = emb(spark, dir)
+      val sums = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xi",
+          round(col("x").cast("double") * 1048576.0, 0).cast("long"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val nLab = sums.map(_.getInt(0)).max + 1
+      val dim = sums.map(_.getInt(1)).max + 1
+      val centroids = Array.ofDim[Double](nLab, dim)
+      sums.foreach { r =>
+        centroids(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3) * 1048576L).toDouble
+      }
+      Similarity.ivfTopKProbes(e, "vec_id", "embedding", centroids, 3,
+        col("vec_id") % annQueryStride === 0, annK)
+        .orderBy("query_id", "rank")
+    }),
+
     // Metadata-filtered ANN (Similarity.filteredTopK): top-k restricted
     // to corpus vectors passing a structured predicate (even labels
     // here), applied BEFORE scoring — post-filtering a plain top-k
@@ -2236,6 +2267,58 @@ object CorpusQueries {
          |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
          |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
          |  JOIN norms b ON a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_ivf_probes" ->
+      s"""WITH comp AS (
+         |  SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+         |  FROM (SELECT label, embedding,
+         |               unnest(range(1, len(embedding) + 1)) AS pos
+         |        FROM embeddings) t
+         |), sums AS (
+         |  SELECT label, pos,
+         |         CAST(sum(CAST(round(x * 1048576.0, 0) AS BIGINT)) AS BIGINT) AS s,
+         |         count(*) AS n
+         |  FROM comp GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label AS cl,
+         |         list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM sums GROUP BY 1
+         |), dists AS (
+         |  SELECT e.vec_id, c.cl,
+         |         list_reduce([CAST(0 AS DOUBLE)] ||
+         |           list_transform(range(1, len(e.embedding) + 1),
+         |             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+         |                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])),
+         |           (x, y) -> x + y) AS d
+         |  FROM embeddings e, cent c
+         |), assigned AS (
+         |  SELECT vec_id, cl AS bucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d, cl) AS rn FROM dists)
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cl AS qbucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d, cl) AS rn FROM dists)
+         |  WHERE rn <= 3 AND vec_id % $annQueryStride = 0
+         |), norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT n.vec_id, n.embedding, n.nrm, p.qbucket
+         |        FROM norms n JOIN probes p ON p.query_id = n.vec_id) a
+         |  JOIN (SELECT n.vec_id, n.embedding, n.nrm, s.bucket
+         |        FROM norms n JOIN assigned s ON s.vec_id = n.vec_id) b
+         |    ON a.qbucket = b.bucket AND a.vec_id <> b.vec_id
          |), ranked AS (
          |  SELECT query_id, neighbor_id, cos_sim,
          |         CAST(row_number() OVER (PARTITION BY query_id
