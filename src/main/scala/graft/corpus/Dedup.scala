@@ -383,6 +383,38 @@ object Dedup {
       .select("d1", "d2", "n_bands_matched", "jaccard")
   }
 
+  /** LSH quality diagnostics: band-collision CANDIDATES vs the exact
+    * Jaccard ≥ t truth (production df cap applied to the truth, same as
+    * [[jaccardPairs]]). One row — pair counts, true positives,
+    * precision, recall — the artifact that justifies (or retunes) the
+    * banding parameters before a full-corpus run. Scale: reuses the
+    * candidate and postings machinery; the metric joins touch
+    * pair-sized frames only. */
+  def lshEval(docs: DataFrame, idCol: String, textCol: String, k: Int,
+              numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val exact = jaccardPairs(docs, idCol, textCol, k, threshold)
+      .select(col("d1"), col("d2")).localCheckpoint(false)
+    val bands = lshBands(
+      minhashSignatures(docs, idCol, textCol, k, numHashes),
+      numHashes, rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct().localCheckpoint(false)
+    val tp = cand.join(exact, Seq("d1", "d2"))
+    val m = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_true_pos")))
+    m.select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
+      when(col("n_candidates") === 0, 0.0).otherwise(
+        round(col("n_true_pos").cast("double") /
+          col("n_candidates").cast("double"), 6)).as("precision"),
+      when(col("n_exact") === 0, 0.0).otherwise(
+        round(col("n_true_pos").cast("double") /
+          col("n_exact").cast("double"), 6)).as("recall"))
+  }
+
   /** Benchmark decontamination — the training-corpus step near-dup dedup
     * exists to serve: flag training docs sharing any k-shingle with an
     * eval/benchmark set. Inverted-index semi-join shape: only docs

@@ -398,6 +398,14 @@ object CorpusQueries {
         .orderBy("d1", "d2")
     }),
 
+    // LSH parameter diagnostics (Dedup.lshEval): band-collision
+    // candidates vs the exact-Jaccard truth as one precision/recall row
+    // — the tuning artifact behind the banding knobs.
+    "dedup_lsh_eval" -> ((spark, dir) => {
+      Dedup.lshEval(docs(spark, dir), "doc_id", "text",
+        shingleK, numHashes, rowsPerBand, jaccardThreshold)
+    }),
+
     // near-dup pairs → connected components → canonical survivor per
     // cluster (min doc_id): the operation an LLM-corpus dedup ends with.
     // This query BUILDS the materialized artifact when absent (the once-
@@ -1946,6 +1954,44 @@ object CorpusQueries {
          |SELECT d1, d2, n_bands_matched, jaccard FROM joined
          |WHERE jaccard >= $jaccardThreshold
          |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_lsh_eval" ->
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mhCols
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |$jaccardTailCapped,
+         |exact AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT common.d1, common.d2,
+         |           round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |    FROM common
+         |    JOIN sizes s1 ON common.d1 = s1.doc_id
+         |    JOIN sizes s2 ON common.d2 = s2.doc_id)
+         |  WHERE jaccard >= $jaccardThreshold
+         |), m AS (
+         |  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |         (SELECT count(*) FROM cand) AS n_candidates,
+         |         (SELECT count(*) FROM cand JOIN exact USING (d1, d2)) AS n_true_pos
+         |)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+         |       CASE WHEN n_candidates = 0 THEN 0.0
+         |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+         |       END AS precision,
+         |       CASE WHEN n_exact = 0 THEN 0.0
+         |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |       END AS recall
+         |FROM m""".stripMargin,
 
     "dedup_clusters" ->
       s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
