@@ -387,15 +387,34 @@ object Dedup {
     * Jaccard ≥ t truth (production df cap applied to the truth, same as
     * [[jaccardPairs]]). One row — pair counts, true positives,
     * precision, recall — the artifact that justifies (or retunes) the
-    * banding parameters before a full-corpus run. Scale: reuses the
-    * candidate and postings machinery; the metric joins touch
-    * pair-sized frames only. */
+    * banding parameters before a full-corpus run.
+    *
+    * Scale: the exact-truth leg is inherently O(qualifying pairs), so
+    * the WHOLE diagnostic (signatures, bands, truth) runs on a
+    * deterministic hash-sample of docs — keep doc iff
+    * hash60(doc_id) mod `sampleMod` == 0. Pair work shrinks by
+    * sampleMod², making precision/recall measurable at any corpus size
+    * (pick sampleMod so the sample is ~10⁵-10⁶ docs); sampleMod = 1
+    * evaluates the full corpus. Both legs see the SAME sampled
+    * sub-corpus, so the metrics are exact on the sample (only
+    * cross-boundary pairs are invisible — inherent to doc-sampling and
+    * unbiased w.r.t. banding behavior). The truth carries the
+    * production df cap, so precision is a LOWER bound on precision
+    * against uncapped truth: a candidate pair whose true Jaccard ≥ t
+    * only via cap-suppressed hot shingles counts as a false positive
+    * here (such shingles carry near-zero similarity information, so the
+    * gap is negligible in practice). */
   def lshEval(docs: DataFrame, idCol: String, textCol: String, k: Int,
-              numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val exact = jaccardPairs(docs, idCol, textCol, k, threshold)
+              numHashes: Int, rowsPerBand: Int, threshold: Double,
+              sampleMod: Long = 1L): DataFrame = {
+    val sampled =
+      if (sampleMod <= 1L) docs
+      else docs.filter(
+        pmod(hash60(col(idCol).cast("string")), lit(sampleMod)) === 0L)
+    val exact = jaccardPairs(sampled, idCol, textCol, k, threshold)
       .select(col("d1"), col("d2")).localCheckpoint(false)
     val bands = lshBands(
-      minhashSignatures(docs, idCol, textCol, k, numHashes),
+      minhashSignatures(sampled, idCol, textCol, k, numHashes),
       numHashes, rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -431,10 +450,10 @@ object Dedup {
         countDistinct(col("eval_doc_id")).as("n_eval_docs_hit"))
   }
 
-  /** Connected components over near-dup pairs by min-label propagation
-    * WITH pointer doubling: every doc in a duplicate cluster maps to the
-    * cluster's smallest doc_id (the canonical survivor — what an
-    * LLM-corpus dedup actually keeps). Returns (doc_id, canonical_id).
+  /** Connected components over near-dup pairs: every doc in a duplicate
+    * cluster maps to the cluster's smallest doc_id (the canonical
+    * survivor — what an LLM-corpus dedup actually keeps). Returns
+    * (doc_id, canonical_id).
     *
     * Two execution paths behind one semantics, picked by the MATERIALIZED
     * edge count (known for free — the edge frame must materialize before
@@ -450,34 +469,44 @@ object Dedup {
     *    fixed overhead on a frame this small. The default gate (1M
     *    undirected edges ≈ 2M collected rows ≈ low hundreds of MB of
     *    driver heap at Row overhead) stays safe under a 1-2 GB driver.
-    *  - edges > gate (or non-long ids): distributed min-label
-    *    propagation with pointer doubling to the checksum fixpoint —
-    *    O(log diameter) rounds, so `iterations` (50 covers diameter
-    *    2⁵⁰) is a safety cap, not a correctness knob. Each round is two
-    *    joins + a min — nothing driver-side, any edge volume. */
+    *  - edges > gate (or non-long ids): distributed large-star /
+    *    small-star alternation (Kiveris et al. 2014, "Connected
+    *    Components in MapReduce and Beyond"). Unlike label propagation —
+    *    which re-joins the FULL edge set against a label table every
+    *    round, forever — the star operations REWRITE the edge set
+    *    itself: each round contracts the graph toward stars rooted at
+    *    the component minimum, so both the round count (O(log²) in
+    *    component size, O(log) in practice) and the per-round shuffle
+    *    volume shrink as components collapse. A chain-shaped dup graph
+    *    (doc i ~ doc i+1, the propagation worst case) collapses in
+    *    ~log₂(length) rounds — see the planted-chain property test.
+    *    `iterations` (50 covers any real graph) is a safety cap, not a
+    *    correctness knob; the loop exits on the edge-set fixpoint. */
   def dupClusters(pairs: DataFrame, iterations: Int = 50,
-                  driverGateEdges: Long = 1L << 20): DataFrame = {
-    // Iterative plans MUST cut lineage each round: labels_i references
-    // labels_{i-1} twice (union + join), so an unmaterialized loop doubles
-    // the plan per iteration — 2^N recomputations of the upstream pair
-    // pipeline. localCheckpoint materializes the (tiny) label/edge frames;
-    // at petabyte scale the same loop uses reliable checkpointing.
-    // single pass over the pair pipeline: explode both directions instead
-    // of a two-branch union (which would run the whole upstream
-    // near-dup-pair computation twice before the checkpoint pins it)
+                  driverGateEdges: Long = 1L << 20): DataFrame =
+    dupClustersWithRounds(pairs, iterations, driverGateEdges)._1
+
+  /** [[dupClusters]] + the number of distributed star rounds executed
+    * (0 on the driver path) — exposed so tests can assert the
+    * logarithmic round count on planted topologies. */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame, iterations: Int = 50,
+      driverGateEdges: Long = 1L << 20): (DataFrame, Int) = {
+    // Iterative plans MUST cut lineage each round: round i's edges are
+    // consumed by two groupBys and a join in round i+1, so an
+    // unmaterialized loop doubles the plan per iteration — 2^N
+    // recomputations of the upstream pair pipeline. localCheckpoint
+    // materializes the (tiny) edge frames; at petabyte scale the same
+    // loop uses reliable checkpointing.
     val edges = pairs
-      .select(explode(array(
-        struct(col("d1").as("a"), col("d2").as("b")),
-        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .select(col("d1").as("u"), col("d2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(false)
     val spark = pairs.sparkSession
     val longIds = pairs.schema("d1").dataType ==
       org.apache.spark.sql.types.LongType
     // the count doubles as the edge materialization the loop needs anyway
-    // (count/2 = undirected edges; dividing instead of doubling the gate
-    // keeps a Long.MaxValue gate from overflowing)
-    if (longIds && edges.count() / 2 <= driverGateEdges) {
+    if (longIds && edges.count() <= driverGateEdges) {
       // union-find with path compression; canonical = component min
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -499,67 +528,62 @@ object Dedup {
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
       parent.keySet.forEach(k => out += ((k, find(k))))
       import spark.implicits._
-      return out.toSeq.toDF("doc_id", "canonical_id")
+      return (out.toSeq.toDF("doc_id", "canonical_id"), 0)
     }
-    // round-0 seed: min(self, direct neighbors) comes free with the
-    // node-dedup aggregation — dense near-dup clusters (diameter 1-2)
-    // then converge one propagation round earlier
-    var labels = edges.groupBy(col("a"))
-      .agg(least(min(col("b")), col("a")).as("canonical_id"))
-      .select(col("a").as("doc_id"), col("canonical_id"))
-      .localCheckpoint(false)
-    // early exit: per-node labels only ever DECREASE under min-propagation,
-    // so an unchanged sum(canonical_id) proves a fixpoint — no extra join
-    // needed for change detection. coalesce(0): sum over ZERO rows is null
-    // (empty pair set = clean corpus), which must read as converged, not NPE.
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("canonical_id")), lit(0L))).head().getLong(0)
-    var prev = checksum(labels)
+    // large-star: per node u, hook every STRICTLY LARGER neighbor to
+    // m = min(Γ(u) ∪ {u}). Symmetrize first — each node must see its
+    // full neighborhood. Emitted edges always point high → low (v ≥ m by
+    // construction and v > u ≥ m), connectivity is preserved (every
+    // emitted edge stays inside u's component; every dropped edge (u,v)
+    // is re-expressible via the (v,m)+(u=m-or-hooked) path).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: orient edges high → low, then per node u hook all its
+    // smaller neighbors AND u itself to m = min of those neighbors —
+    // flattening two-hop down-paths into direct root links.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var e = edges
+    var prevCount = e.count()
     var it = 0
-    var converged = false
+    var converged = prevCount == 0
     while (it < iterations && !converged) {
-      // min label among direct neighbors, joined back LEFT so isolated
-      // or already-minimal nodes keep their label — a join + least()
-      // instead of a union + re-aggregate (same propagation semantics;
-      // a Union whose branches share the checkpointed labels frame trips
-      // Catalyst's constraint rewriting on duplicate attribute ids)
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
-        .groupBy(col("a"))
-        .agg(min(col("canonical_id")).as("nbr_min"))
-      val propagated = labels
-        .join(viaNeighbor, col("doc_id") === col("a"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"),
-            coalesce(col("nbr_min"), col("canonical_id"))).as("canonical_id"))
-        // LAZY: the round's checksum action forces it through the doubling
-        // self-join below; the persisted blocks are shared by both join
-        // sides from then on. An eager checkpoint here costs one extra job
-        // submission per round — measurable at bench scale where the label
-        // frame is tiny and the loop is pure fixed overhead. Worst case the
-        // two consuming stages race and compute the (tiny) propagation
-        // twice before the blocks land; correctness is unaffected.
-        .localCheckpoint(false)
-      // pointer doubling: also adopt the label OF the current label —
-      // each round then doubles the hop distance a label has travelled,
-      // so convergence is O(log diameter) instead of O(diameter). Dense
-      // near-dup clusters (diameter 1-2) still exit after one round;
-      // chain-shaped clusters (doc i ~ doc i+1, arbitrary length) no
-      // longer outrun a fixed round budget. The label frame is tiny
-      // (two longs per node), so the extra self-join is noise next to
-      // the edge propagation.
-      labels = propagated.as("x")
-        .join(propagated.as("y"), col("x.canonical_id") === col("y.doc_id"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          least(col("x.canonical_id"),
-            coalesce(col("y.canonical_id"), col("x.canonical_id"))).as("canonical_id"))
-        .localCheckpoint(false)
-      val cur = checksum(labels)
-      converged = cur == prev
-      prev = cur
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextCount = next.count()
+      // fixpoint = edge SET unchanged. Stars rooted at the component min
+      // are fixed points of both operations, so set-equality terminates;
+      // count-first short-circuits the (anti-join) set compare on every
+      // still-contracting round.
+      converged = nextCount == prevCount && next.except(e).isEmpty
+      e = next
+      prevCount = nextCount
       it += 1
     }
-    labels
+    // converged edges form stars (u → component min). Roots appear only
+    // on the v side; the groupBy-min collapses the duplicate (v, v) rows
+    // a root with several children generates.
+    val labels = e.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("canonical_id")))
+      .groupBy("doc_id").agg(min(col("canonical_id")).as("canonical_id"))
+    (labels, it)
   }
 
   /** Materialized cluster artifact: the postings → pairs → connected-

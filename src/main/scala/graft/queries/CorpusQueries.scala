@@ -123,6 +123,12 @@ object CorpusQueries {
   val maxShingleDf = Dedup.defaultMaxDf
   val numHashes = 12
   val rowsPerBand = 3
+  // doc-sample modulus for the LSH banding diagnostic: the exact-truth
+  // leg is O(qualifying pairs), so the diagnostic runs on a hash60(id)
+  // mod-N sample of docs (pair work ÷ N²) — the knob that keeps
+  // precision/recall measurable at any corpus size. Shared with the
+  // oracle SQL so both engines sample identical docs.
+  val lshEvalSampleMod = 2L
   val simhashMaxHamming = 1
   // signature width shared by Dedup.simhashSig and the oracle's per-bit
   // vote columns; 60 = the full portable-hash width (15 hex MD5 chars)
@@ -400,10 +406,13 @@ object CorpusQueries {
 
     // LSH parameter diagnostics (Dedup.lshEval): band-collision
     // candidates vs the exact-Jaccard truth as one precision/recall row
-    // — the tuning artifact behind the banding knobs.
+    // — the tuning artifact behind the banding knobs. Runs on the
+    // deterministic mod-N doc sample (both legs), the shape that stays
+    // runnable at full corpus scale.
     "dedup_lsh_eval" -> ((spark, dir) => {
       Dedup.lshEval(docs(spark, dir), "doc_id", "text",
-        shingleK, numHashes, rowsPerBand, jaccardThreshold)
+        shingleK, numHashes, rowsPerBand, jaccardThreshold,
+        lshEvalSampleMod)
     }),
 
     // near-dup pairs → connected components → canonical survivor per
@@ -1403,6 +1412,11 @@ object CorpusQueries {
 
   private val shingleCte = s"$tokCte,\n${shingleSql(shingleK)}"
 
+  /** [[shingleCte]] restricted to the lshEval doc sample: the WHERE is
+    * the DuckDB twin of `pmod(hash60(doc_id), lshEvalSampleMod) = 0`. */
+  private val shingleCteSampled = s"${tokCte.replace("FROM documents",
+    s"FROM documents\n  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % $lshEvalSampleMod = 0")},\n${shingleSql(shingleK)}"
+
   /** Non-distinct w-token window CTE (appended after tokCte): one row per
     * window OCCURRENCE — [[shingleSql]] without list_distinct, mirroring
     * Dedup.spanWindows/TextAnalysis.kgrams. */
@@ -1956,7 +1970,7 @@ object CorpusQueries {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_lsh_eval" ->
-      s"""$shingleCte,
+      s"""$shingleCteSampled,
          |sig AS (
          |  SELECT doc_id,
          |         $mhCols

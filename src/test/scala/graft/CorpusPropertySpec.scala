@@ -186,15 +186,22 @@ class CorpusPropertySpec extends SparkTestBase {
     }
   }
 
-  test("dupClusters: a long chain converges via pointer doubling, not round count") {
-    // a path graph 1-2-3-...-40 (diameter 39): plain min-propagation
-    // needs 39 rounds, pointer doubling needs ~log2(39). The low cap
-    // proves the doubling does the work, not the budget.
-    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = Dedup.dupClusters(pairs, iterations = 10).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 40 && got.values.forall(_ == 1L),
-      s"chain did not collapse to its minimum: ${got.filter(_._2 != 1L)}")
+  test("dupClusters distributed regime: planted long chain collapses in ~log(diameter) rounds") {
+    // a path graph 1-2-...-256 (diameter 255), gate forced shut so the
+    // DISTRIBUTED large-star/small-star path runs: plain min-propagation
+    // needs ~diameter (255) full-edge rounds; star alternation contracts
+    // the chain toward a star in O(log diameter). The round budget here
+    // (12 ≈ 1.5·log2(255)) is the asymptotic claim — a linear-round
+    // implementation cannot pass it.
+    val n = 256L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) =
+      Dedup.dupClustersWithRounds(pairs, iterations = 50, driverGateEdges = -1)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L),
+      s"chain did not collapse to its minimum: ${got.filter(_._2 != 1L).take(5)}")
+    assert(rounds > 0 && rounds <= 12,
+      s"expected ~log2(diameter) star rounds for a 255-diameter chain, got $rounds")
   }
 
   test("dupClusters on an empty pair set returns empty (clean corpus)") {
