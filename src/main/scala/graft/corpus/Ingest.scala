@@ -46,21 +46,36 @@ object Ingest {
   private val parseOpts =
     Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
 
+  /** Blank-line predicate: keep lines carrying any NON-WHITESPACE
+    * character. `trim` alone strips only 0x20, so a tab-only line or a
+    * stray CR (routine with CRLF inputs) would survive it, fail the
+    * parse, and be charged to the corrupt budget — contradicting the
+    * "trailing newlines are not corruption" stance. */
+  private val nonBlank = col("value").rlike("\\S")
+
   /** Read line-delimited JSON with a caller-supplied contract schema.
     * The returned frame carries [[CorruptCol]] (NULL for good rows) so
-    * the budget check composes with any downstream plan. Blank lines
-    * are skipped (trailing newlines are not corruption). */
+    * the budget check composes with any downstream plan. Whitespace-only
+    * lines are skipped (trailing newlines are not corruption). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val parsed = withCorrupt(schema) // contract check before any IO
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(nonBlank)
       .select(from_json(col("value"), parsed, parseOpts).as("r"))
       .select(col("r.*"))
   }
 
-  /** Fail loudly when more than `budget` rows are corrupt; otherwise
-    * return the clean rows (corrupt column dropped). One aggregation
-    * pass over the parsed stream. */
+  /** EAGER budget fence: fail loudly NOW when more than `budget` rows
+    * are corrupt; otherwise return the clean rows (corrupt column
+    * dropped). Honest cost: the check is its own aggregation pass, and
+    * the returned frame re-parses the input on every downstream action
+    * — two scans minimum, and the two can observe different file states
+    * if the input mutates between them. That is the right trade only
+    * when the budget must gate BEFORE any expensive downstream work
+    * (e.g. refusing to start a multi-hour pipeline on a rotten drop).
+    * For the common ingest shape — parse → transform → write, one
+    * action — [[corruptBudgetGate]] folds the fence into that single
+    * pass. */
   def enforceCorruptBudget(df: DataFrame, budget: Long): DataFrame = {
     val bad = df.agg(
       coalesce(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)), lit(0L)))
@@ -69,6 +84,32 @@ object Ingest {
       throw new IllegalStateException(
         s"corrupt-record budget exceeded: $bad malformed lines > budget $budget")
     df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+  }
+
+  /** SINGLE-PASS budget fence — the 100 TB shape: attach an
+    * `observe()` metric counting corrupt rows to the SAME scan that
+    * serves the returned clean rows, so the fence costs zero extra
+    * passes and the count describes exactly the rows the action
+    * consumed. Returns (clean frame, check thunk); run ONE action on
+    * the frame (typically the ingest write), then call the thunk — it
+    * throws on budget violation and returns the corrupt count
+    * otherwise. The violation surfaces AFTER the action (the written
+    * output must then be discarded); callers needing a pre-action gate
+    * pay [[enforceCorruptBudget]]'s extra pass instead. */
+  def corruptBudgetGate(df: DataFrame, budget: Long): (DataFrame, () => Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      coalesce(sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_corrupt"))
+    val clean = observed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val check = () => {
+      val bad = obs.get("n_corrupt").asInstanceOf[Long]
+      if (bad > budget)
+        throw new IllegalStateException(
+          s"corrupt-record budget exceeded: $bad malformed lines > budget $budget")
+      bad
+    }
+    (clean, check)
   }
 
   /** Write a frame as JSONL — the round-trip-exact text container
@@ -83,7 +124,7 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val parsed = withCorrupt(schema)
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(nonBlank)
       .select(from_csv(col("value"), parsed, parseOpts).as("r"))
       .select(col("r.*"))
   }

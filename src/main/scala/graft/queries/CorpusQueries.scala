@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.corpus.{Dedup, Multimodal, Similarity, Sketches, SparseSigExpr, TextAnalysis => T}
+import graft.corpus.{Dedup, Ingest, Multimodal, Similarity, Sketches, SparseSigExpr, TextAnalysis => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1337,6 +1337,64 @@ object CorpusQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy("wave")
+    }),
+
+    // Raw-corpus ingest under the ORACLE gate (corpus.Ingest): round-trip
+    // the documents table through BOTH line-splittable raw formats —
+    // JSONL (how web-scale corpora actually ship) and headerless CSV —
+    // plant corrupt AND whitespace-only lines as an extra shard in each
+    // drop, re-read through the explicit-schema PERMISSIVE parsers, and
+    // enforce the corrupt budget via the single-pass observe() fence.
+    // One row per format: clean-row stats (the DuckDB twin recomputes
+    // them from `documents` directly) plus the corrupt count, which must
+    // equal the planted-malformed constant — a parser that drops good
+    // rows, mangles text, or charges blank lines to the budget breaks
+    // the hash.
+    "corpus_ingest" -> ((spark, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_ingest_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      val jdir = scratch("jsonl"); val cdir = scratch("csv")
+      Ingest.writeJsonl(d, jdir)
+      Ingest.writeCsv(d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("text_len")), cdir)
+      // the rotten shard: 3 malformed JSON lines / 2 malformed CSV lines
+      // + whitespace-only lines that must be SKIPPED, not budget-charged
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$jdir/part-bad.json"),
+        "{\"doc_id\": 900000001, \"source\": \"sbad\"\nnot json at all\n{]\n\t\n   \n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$cdir/part-bad.csv"),
+        "notanumber,sbad,12\n900000002,sbad,notanumber\n\t\n \n")
+      val jSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      val cSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text_len", LongType)))
+      def leg(raw: DataFrame, planted: Long, lenCol: Column): Seq[Long] = {
+        val (clean, check) = Ingest.corruptBudgetGate(raw, budget = planted)
+        val a = clean.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(lenCol).as("sum_text_len"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          countDistinct(col("source")).as("n_sources")).head() // the ONE action
+        Seq(a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+          a.getLong(4), check())
+      }
+      val j = leg(Ingest.readJsonl(spark, jdir, jSchema), 3L, length(col("text")).cast("long"))
+      val c = leg(Ingest.readCsv(spark, cdir, cSchema), 2L, col("text_len"))
+      import spark.implicits._
+      Seq(("csv", c(0), c(1), c(2), c(3), c(4), c(5)),
+          ("jsonl", j(0), j(1), j(2), j(3), j(4), j(5)))
+        .toDF("format", "n_rows", "n_docs", "sum_text_len", "sum_doc_id",
+          "n_sources", "n_corrupt")
+        .orderBy("format")
     })
   )
 
@@ -3083,6 +3141,26 @@ object CorpusQueries {
         |       min(doc_id) AS min_doc,
         |       max(doc_id) AS max_doc
         |FROM m WHERE wave = first_wave
-        |GROUP BY wave ORDER BY wave""".stripMargin
+        |GROUP BY wave ORDER BY wave""".stripMargin,
+
+    // The twin recomputes the clean-row stats straight from `documents`
+    // (the round trip must be lossless); corrupt counts are the planted
+    // constants — 2 malformed CSV lines, 3 malformed JSON lines, with
+    // the whitespace-only lines in the same rotten shard contributing 0.
+    "corpus_ingest" ->
+      """WITH j AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT doc_id) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |         CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |         count(DISTINCT source) AS n_sources
+        |  FROM documents
+        |)
+        |SELECT 'csv' AS format, n_rows, n_docs, sum_text_len, sum_doc_id,
+        |       n_sources, CAST(2 AS BIGINT) AS n_corrupt FROM j
+        |UNION ALL
+        |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
+        |       n_sources, CAST(3 AS BIGINT) FROM j
+        |ORDER BY format""".stripMargin
   )
 }

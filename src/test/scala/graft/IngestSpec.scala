@@ -72,6 +72,40 @@ class IngestSpec extends SparkTestBase {
       ev.agg(sum(col("user_id"))).head().getLong(0))
   }
 
+  test("whitespace-only lines (tabs, CR) are skipped, not charged to the budget") {
+    val path = scratch("ws")
+    val lines = Seq(
+      """{"doc_id":1,"text":"a","lang":"en","source":"s0","n_chars":1}""",
+      "\t", "   ", "\r", "\t \t",
+      """{"doc_id":2,"text":"b","lang":"en","source":"s0","n_chars":1}""")
+    spark.sparkContext.parallelize(lines, 1).saveAsTextFile(path)
+    // budget 0: any line charged as corrupt would throw — the four
+    // whitespace-only lines must be skipped as blank instead
+    val clean = Ingest.enforceCorruptBudget(
+      Ingest.readJsonl(spark, path, docSchema), budget = 0)
+    assert(clean.count() == 2)
+  }
+
+  test("corruptBudgetGate: single-pass fence counts corrupt rows and throws past budget") {
+    val path = scratch("gate")
+    val good = Seq(
+      """{"doc_id":1,"text":"alpha","lang":"en","source":"s0","n_chars":5}""",
+      """{"doc_id":2,"text":"beta","lang":"en","source":"s0","n_chars":4}""")
+    val bad = Seq("""{"doc_id":3,"text":"unterminated""", "not json at all")
+    spark.sparkContext.parallelize(good ++ bad, 1).saveAsTextFile(path)
+    // within budget: the clean count is served and the thunk reports 2
+    val (clean, check) = Ingest.corruptBudgetGate(
+      Ingest.readJsonl(spark, path, docSchema), budget = 2)
+    assert(clean.count() == 2) // the ONE action — also fires the observe metric
+    assert(check() == 2L)
+    // past budget: same single action, thunk throws afterwards
+    val (clean2, check2) = Ingest.corruptBudgetGate(
+      Ingest.readJsonl(spark, path, docSchema), budget = 1)
+    assert(clean2.count() == 2)
+    val e = intercept[IllegalStateException](check2())
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("explicit schema contract: the corrupt column cannot collide") {
     val e = intercept[IllegalArgumentException] {
       Ingest.readJsonl(spark, "/nonexistent", StructType(Seq(
