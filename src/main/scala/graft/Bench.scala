@@ -50,7 +50,12 @@ object Bench {
     // Skipped under SPARK_GRAFT_BENCH_ONLY to keep targeted iteration
     // fast; the recorded (driver-run) bench always takes the warmup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    if (only.isEmpty) {
+    // SPARK_GRAFT_BENCH_WARM=1 forces the full warmup even under
+    // BENCH_ONLY: targeted scale probes otherwise replay the cold-JVM
+    // C2 lottery on every invocation, which swings identical code by
+    // ±50% and drowns any A/B signal (the recorded driver bench always
+    // warms up regardless).
+    if (only.isEmpty || sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")) {
       try { graft.queries.CorpusQueries.rebuildClustersArtifact(spark, sfDir); () }
       catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()

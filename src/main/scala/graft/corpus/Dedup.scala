@@ -136,27 +136,36 @@ object Dedup {
       .filter(col("_df") <= maxDf)
       .localCheckpoint(false)
 
-  /** AllPairs/SSJoin prefix for the capped postings: order each doc's
-    * surviving shingles by global rarity (df asc, shingle asc for
-    * determinism) and keep the first `m − ⌈t·n⌉ + 1` (m = rows surviving
-    * the cap, n = the FULL set size the similarity denominators use).
-    * Completeness under the capped semantics: a qualifying pair has
-    * common ≥ t·n per side (see call sites), so if a doc's common
-    * shingles all hid past its prefix they would fit in a suffix of
-    * ⌈t·n⌉ − 1 rows — fewer than common. The pair's globally rarest
-    * common shingle therefore sits inside the prefix, and candidate
-    * generation restricted to prefixes loses nothing. The point at
-    * scale: the Zipf HEAD almost never appears in a prefix (rarest
-    * first), so a df-800 boilerplate shingle no longer fans out f²
-    * candidate pairs — the df cap alone cannot catch those. */
-  private def rarityPrefix(post: DataFrame, overlapFloor: Column): DataFrame = {
+  /** Capped postings ranked by GLOBAL rarity within each doc (df asc,
+    * shingle asc for determinism): `_rnk` = the doc-local position in
+    * that order, `_m` = the doc's surviving-row count. The global order
+    * is what makes the PPJoin-style filters below sound: the common
+    * shingles of any pair appear in the SAME relative order in both
+    * docs, so their rarest common shingle has the minimal rank on both
+    * sides simultaneously. */
+  private def rankedPostings(post: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = post
+    post
       .withColumn("_rnk", row_number().over(byDoc.orderBy(col("_df"), col("shingle"))))
       .withColumn("_m", count(lit(1)).over(byDoc))
-    ranked.filter(col("_rnk") <= col("_m") - ceil(overlapFloor).cast("long") + 1)
-      .select("doc_id", "shingle")
   }
+
+  /** AllPairs/SSJoin prefix over [[rankedPostings]]: keep each doc's
+    * first `m − ⌈t·n⌉ + 1` rows (m = rows surviving the cap, n = the
+    * FULL set size the similarity denominators use). Completeness under
+    * the capped semantics: a qualifying pair has common ≥ t·n per side
+    * (see call sites), so if a doc's common shingles all hid past its
+    * prefix they would fit in a suffix of ⌈t·n⌉ − 1 rows — fewer than
+    * common. The pair's globally rarest common shingle therefore sits
+    * inside the prefix, and candidate generation restricted to prefixes
+    * loses nothing. The point at scale: the Zipf HEAD almost never
+    * appears in a prefix (rarest first), so a df-800 boilerplate
+    * shingle no longer fans out f² candidate pairs — the df cap alone
+    * cannot catch those. Keeps (_rnk, _m, n_shingles) so the callers'
+    * positional and size-bound filters can prune candidates. */
+  private def rarityPrefix(ranked: DataFrame, overlapFloor: Column): DataFrame =
+    ranked.filter(col("_rnk") <= col("_m") - ceil(overlapFloor).cast("long") + 1)
+      .select("doc_id", "shingle", "_rnk", "_m", "n_shingles")
 
   /** Verified similarity for a candidate pair set — candidate-PAIR
     * bounded, the SSJoin verify step: expand each pair by d1's postings
@@ -194,12 +203,47 @@ object Dedup {
       // jaccard ≥ t ⟹ common ≥ t·(n1+n2)/(1+t) ≥ t·max(n1,n2): both
       // sides satisfy the prefix floor with their own full size, so a
       // two-sided prefix self-join generates a complete candidate set
-      val prefix = rarityPrefix(post, lit(threshold) * col("n_shingles"))
+      val prefix = rarityPrefix(rankedPostings(post),
+          lit(threshold) * col("n_shingles"))
+        // per-doc size-bound pre-prune: a qualifying pair needs
+        // common ≥ t·(n1+n2)/(1+t) and n2 ≥ t·n1 forces
+        // m1 ≥ common ≥ t·n1 — docs whose capped rows fall short of
+        // their own floor cannot appear in any qualifying pair
+        .filter(col("_m").cast("double") >=
+          lit(threshold) * col("n_shingles").cast("double") - lit(1e-6))
         .localCheckpoint(false)
+      // PPJoin-style candidate pruning (Xiao et al. 2008), both filters
+      // LOSSLESS under the capped semantics (common ≤ min(m1, m2), the
+      // capped row counts; qualifying floor common ≥ t·(n1+n2)/(1+t)
+      // over the FULL sizes the denominator uses):
+      //  - size-bound filter, applied per ROW in the join condition so
+      //    pruned pairs never reach the pair shuffle: a pair whose
+      //    smaller capped side cannot reach the floor cannot qualify
+      //    (this subsumes the classic length filter n1 ≥ t·n2, which
+      //    uses the weaker min(n1,n2) overlap ceiling);
+      //  - positional filter, per PAIR after the groupBy: the rarest
+      //    common shingle is matched in both prefixes (completeness
+      //    argument), its ranks are the min matched ranks (global order
+      //    ⟹ every common shingle ranks at or after it on BOTH sides),
+      //    so common ≤ min(m1 − i1 + 1, m2 − j1 + 1) — prune pairs
+      //    whose tail room cannot reach the floor. The 1e-6 slack keeps
+      //    the double comparisons conservative (never prunes a
+      //    qualifying pair; counts are integers, so the slack is inert).
+      val floorDefect = lit(1e-6)
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a._m"), col("b._m")).cast("double") * (1.0 + threshold) >=
+              lit(threshold) * (col("a.n_shingles") + col("b.n_shingles")).cast("double") -
+                floorDefect)
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(min(col("a._rnk")).as("i1"), min(col("b._rnk")).as("j1"),
+          min(col("a._m")).as("m1"), min(col("b._m")).as("m2"),
+          min(col("a.n_shingles")).as("fn1"), min(col("b.n_shingles")).as("fn2"))
+        .filter(
+          least(col("m1") - col("i1") + 1, col("m2") - col("j1") + 1).cast("double") *
+            (1.0 + threshold) >=
+            lit(threshold) * (col("fn1") + col("fn2")).cast("double") - floorDefect)
+        .select("d1", "d2")
       verifyCandidates(post, cand)
         .withColumn("jaccard",
           round(col("common").cast("double") /
@@ -230,8 +274,28 @@ object Dedup {
         // joins every doc's prefix (as the potential smaller side)
         // against FULL postings. One hot side still fans out, but
         // f_prefix·f beats the f² of the plain self-join — and the df
-        // cap bounds f itself.
-        val prefix = rarityPrefix(post, lit(threshold) * col("n_shingles"))
+        // cap bounds f itself. No length filter exists for containment
+        // (a short doc fully inside a long one qualifies at ANY size
+        // ratio). The one PPJoin filter that survives measurement here
+        // is the per-DOC size bound, applied to the prefix BEFORE the
+        // join: a doc whose capped rows cannot reach its own
+        // smaller-side floor (m < t·n) cannot anchor any qualifying
+        // pair as the smaller side — and the symmetric role is covered
+        // by the other doc's leg. A pair-level positional filter was
+        // measured and REJECTED: it forces the candidate dedup from one
+        // least/greatest+distinct (ordered pairs collapse in the same
+        // shuffle) into a groupBy on ordered pairs PLUS a second
+        // distinct — two pair-volume shuffles instead of one, which at
+        // the 500k-doc probe cost far more than the pruned verify work
+        // (44 s → 112 s). Jaccard keeps its positional filter because
+        // its candidates are already canonically ordered (d1 < d2) and
+        // the groupBy replaces the distinct one-for-one.
+        val prefix = rarityPrefix(rankedPostings(post),
+            lit(threshold) * col("n_shingles"))
+          .filter(col("_m").cast("double") >=
+            lit(threshold) * col("n_shingles").cast("double") - lit(1e-6))
+          .select("doc_id", "shingle")
+          .localCheckpoint(false)
         val cand = prefix.as("a").join(post.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
@@ -272,7 +336,18 @@ object Dedup {
     val sp = dfCapped(
       sizedPostings(store, idCol, textCol, k).localCheckpoint(false), maxDf)
     val bp = sizedPostings(batch, idCol, textCol, k)
-    sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle"))
+    // PPJoin length filter in the join condition: jaccard ≥ t forces
+    // the set sizes within a factor t of each other (common ≤ min(n1,n2)
+    // and common ≥ t·(n1+n2)/(1+t) ⟹ n1 ≥ t·n2 ∧ n2 ≥ t·n1), so a
+    // store posting row meets a batch row of incompatible size and is
+    // dropped BEFORE the pair shuffle — lossless, and at scale it
+    // prunes the dominant cost (candidate aggregation volume). The
+    // 1e-6 slack keeps the double comparison conservative.
+    sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.n_shingles").cast("double") >=
+          lit(threshold) * col("b.n_shingles").cast("double") - lit(1e-6) &&
+        col("b.n_shingles").cast("double") >=
+          lit(threshold) * col("a.n_shingles").cast("double") - lit(1e-6))
       .groupBy(col("a.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))
       .agg(count(lit(1)).as("common"),
         min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))

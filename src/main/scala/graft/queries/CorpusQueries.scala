@@ -626,11 +626,18 @@ object CorpusQueries {
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val nLab = sums.map(_.getInt(0)).max + 1
+      // key centroids by the labels actually PRESENT (sorted, so cell id
+      // i = i-th smallest label — the oracle's ordering): a dense array
+      // indexed 0..max(label) would mint phantom all-zero centroids for
+      // any gap in the label space and silently skew assignments. For
+      // contiguous 0..n-1 labels the mapping is the identity.
+      require(sums.nonEmpty, "embeddings table is empty — no centroids to train")
+      val labels = sums.map(_.getInt(0)).distinct.sorted
+      val labIdx = labels.zipWithIndex.toMap
       val dim = sums.map(_.getInt(1)).max + 1
-      val centroids = Array.ofDim[Double](nLab, dim)
+      val centroids = Array.ofDim[Double](labels.length, dim)
       sums.foreach { r =>
-        centroids(r.getInt(0))(r.getInt(1)) =
+        centroids(labIdx(r.getInt(0)))(r.getInt(1)) =
           r.getLong(2).toDouble / (r.getLong(3) * 1048576L).toDouble
       }
       Similarity.ivfTopKProbes(e, "vec_id", "embedding", centroids, 3,

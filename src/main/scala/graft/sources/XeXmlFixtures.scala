@@ -22,6 +22,7 @@ object XeXmlFixtures {
 
   def writeByKey(df: DataFrame, keyCol: String, dir: String,
                  sessionName: String = "GraftSession"): Seq[String] = {
+    XelbFixtures.guardRows(df, "XeXmlFixtures") // driver-collect ceiling
     Files.createDirectories(Paths.get(dir))
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)

@@ -14,12 +14,32 @@ import org.apache.spark.sql.DataFrame
  */
 object XelbFixtures {
 
+  /** Hard ceiling on rows a fixture writer will `collect()`: these
+    * writers are driver-side BY DESIGN (they generate test inputs for
+    * the DSv2 read path), and every caller slices its input to a few
+    * thousand rows — but that bound has always lived in the CALLER. A
+    * regenerated fixture or a dropped filter must fail here, loudly,
+    * instead of silently turning the collect into a driver OOM.
+    * Distributed writes belong to `XelNativeFixtures.writeDistributed`. */
+  private[graft] val MaxFixtureRows = 100000L
+
+  private[sources] def guardRows(df: DataFrame, who: String): Unit = {
+    // limit+1 bounds the guard's own cost: the count job stops scanning
+    // at the ceiling instead of counting an unexpectedly-huge frame
+    val n = df.limit(MaxFixtureRows.toInt + 1).count()
+    require(n <= MaxFixtureRows,
+      s"$who.writeByKey collects to the driver by design and refuses > " +
+        s"$MaxFixtureRows rows (got at least $n) — slice the input, or use " +
+        "XelNativeFixtures.writeDistributed for large fixtures")
+  }
+
   def writeByKey(df: DataFrame, keyCol: String, dir: String,
                  sessionName: String = "GraftSession"): Seq[String] = {
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filter(_.name != keyCol))
     require(schema.fields.forall(f => XelbFormat.supported(f.dataType)),
       s"unsupported column types in ${schema.toDDL}")
+    guardRows(df, "XelbFixtures")
     Files.createDirectories(Paths.get(dir))
     val keyIdx = df.schema.fieldIndex(keyCol)
     val rows = df.collect().groupBy(_.get(keyIdx))

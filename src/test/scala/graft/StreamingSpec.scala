@@ -402,4 +402,77 @@ class StreamingSpec extends SparkTestBase {
     assert(lt.select("click_id", "purch_ts")
       .exceptAll(maxTs.select("click_id", "purch_ts")).count() == 0)
   }
+
+  test("RocksDB state store: windowed agg and funnel state match batch twins") {
+    // The oracle rows run on the in-memory provider with KB state; at
+    // 100x users state must SPILL, which is what the RocksDB provider
+    // exists for. Re-run two representative stateful shapes — the
+    // windowed aggregation (framework state) and the funnel
+    // flatMapGroupsWithState machine (custom Encoder state) — under
+    // RocksDB and demand the same batch equivalence, plus proof from
+    // the progress metrics that RocksDB actually served the state.
+    import graft.streaming.{Funnel, FunnelEvent}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) windowed rateByMinute over two file drops
+      val events = XeFixture.frame(spark, sf("sf0.001"))
+        .select("e_time_of_event_utc", "event_name", "c_duration_us")
+      val dir = Files.createTempDirectory("graft-rocks-in").toString
+      events.filter(col("event_name") =!= "wait_info").write.parquet(s"$dir/drop1")
+      events.filter(col("event_name") === "wait_info").write.parquet(s"$dir/drop2")
+      val stream = EventStream.readEventDir(
+        spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
+      val q1 = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
+        .writeStream.format("memory").queryName("rocks_rate")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rocks-ck1").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(120000)
+      val gotRate = spark.table("rocks_rate")
+      assert(gotRate.count() > 0)
+      assert(gotRate.exceptAll(EventStream.rateByMinute(events)).count() == 0)
+      // proof the provider engaged: RocksDB publishes rocksdb* custom
+      // state metrics that the in-memory provider never emits
+      val metrics = q1.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got: ${metrics.distinct.mkString(",")}")
+
+      // (b) funnel state machine (flatMapGroupsWithState)
+      val ev = XeFixture.events(spark, sf("sf0.001"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val fdir = Files.createTempDirectory("graft-rocks-funnel").toString
+      ev.write.parquet(s"$fdir/drop1")
+      val fstream = spark.readStream.schema(ev.schema).parquet(s"$fdir/drop*")
+        .as[FunnelEvent]
+      val q2 = Funnel.funnel(fstream).writeStream
+        .format("memory").queryName("rocks_funnel").outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rocks-ck2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      val gotFunnel = spark.table("rocks_funnel")
+      val w = Window.partitionBy("user_id")
+      val batch = ev
+        .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("tc", min(when(col("event_type") === "click" && col("ts") >= col("tv"),
+          col("ts"))).over(w))
+        .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") >= col("tc"),
+          col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min("tv").as("t_view"), min("tc").as("t_click"), min("tp").as("t_purchase"))
+        .filter(col("t_purchase").isNotNull)
+      assert(gotFunnel.count() > 0)
+      assert(gotFunnel.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(gotFunnel).count() == 0)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
 }

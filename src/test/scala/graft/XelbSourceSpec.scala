@@ -252,4 +252,21 @@ class XelbSourceSpec extends SparkTestBase {
     assert(back.collect().map(r => Option(r.getString(0))).toSeq ==
       Seq(Some("a"), None, Some("c")))
   }
+
+  test("fixture writers refuse oversized frames instead of collecting them") {
+    // writeByKey collects to the driver by design; the guard must fire
+    // BEFORE the collect when a caller's slice bound goes missing
+    val big = spark.range(XelbFixtures.MaxFixtureRows + 1)
+      .select(col("id").as("e_imported_file_id"), col("id").as("c_v"))
+    val d1 = Files.createTempDirectory("graft-xelb-guard").toString
+    val e1 = intercept[IllegalArgumentException](
+      XelbFixtures.writeByKey(big, "e_imported_file_id", d1))
+    assert(e1.getMessage.contains("refuses"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.XeXmlFixtures.writeByKey(
+        big.withColumn("event_name", lit("ev")), "e_imported_file_id", d1))
+    assert(e2.getMessage.contains("refuses"))
+    // nothing was written: the guard fired before any file IO
+    assert(new java.io.File(d1).listFiles().isEmpty)
+  }
 }

@@ -36,6 +36,46 @@ class ZOrderSpec extends SparkTestBase {
     assert(r.getLong(2) == ((1L << 0) | (1L << 6) | (1L << 4) | (1L << 2)))
   }
 
+  test("z-layout prunes parquet row groups on a y-only predicate (measured, not a proxy)") {
+    // The skipping claim, measured end-to-end: write the SAME rows in a
+    // z-sorted layout and an x-sorted layout with ~64 KB row groups, run
+    // the same pushed-down y-range predicate over both, and read the
+    // scan's numOutputRows metric — the rows the parquet READER produced
+    // after row-group min/max pruning (Spark re-filters on top). In the
+    // z layout every row group covers a bounded y-rectangle, so groups
+    // missing the y range are skipped; in the x-sorted layout y is
+    // unsorted within every group and nothing can be skipped.
+    val n = 200000
+    val rnd = new scala.util.Random(11)
+    val data = (1 to n).map(_ =>
+      (rnd.nextInt(16384).toLong, rnd.nextInt(16384).toLong)).toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y"), 14))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    data.repartitionByRange(4, col("z")).sortWithinPartitions("z")
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$dir/zsort")
+    data.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$dir/xsort")
+    def scanRows(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("y") >= 1000L && col("y") < 1500L)
+      val matched = q.collect().length.toLong
+      val readerRows = flattenPlan(q.queryExecution.executedPlan)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value }
+        .sum
+      (matched, readerRows)
+    }
+    val (zMatched, zRead) = scanRows(s"$dir/zsort")
+    val (xMatched, xRead) = scanRows(s"$dir/xsort")
+    assert(zMatched == xMatched, "both layouts must return identical rows")
+    // x-sorted layout: y is unsorted everywhere, no group can be skipped
+    assert(xRead == n, s"x-sorted layout unexpectedly pruned: read $xRead of $n")
+    // z layout: the y-range covers ~1/32 of the y domain; bounded-y row
+    // groups must actually skip — demand at least a 3x read reduction
+    assert(zRead * 3 <= n,
+      s"z layout pruned too little: reader produced $zRead of $n rows")
+  }
+
   test("coarse z-buckets bound BOTH dimensions (the file-skipping property)") {
     val rnd = new scala.util.Random(9)
     val df = (1 to 5000).map(_ =>
