@@ -706,6 +706,34 @@ object Dedup {
     }
   }
 
+  /** Dedup-aware deterministic train/val/test split — the step where
+    * near-dup clustering pays off beyond removal: a doc's split is
+    * decided by hash60(salt|CANONICAL id) mod 100, so every member of a
+    * near-dup cluster lands in the SAME split. Splitting on raw doc_id
+    * leaks: a train doc's near-duplicate in the validation set inflates
+    * every eval metric (the train/test contamination failure mode,
+    * measured repeatedly in LLM training). Unclustered docs use their
+    * own id as canonical. Pure projection after one id-keyed left join
+    * whose right side is near-dup-sized — broadcast at any corpus
+    * scale; no RNG, so the same rows split identically on every run and
+    * engine. Returns docs + (canon, bucket, split). */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPct: Int, valPct: Int, salt: String): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percents must leave room for test: train=$trainPct val=$valPct")
+    docs
+      .join(broadcast(clusters.select(col("doc_id").as(idCol), col("canonical_id"))),
+        Seq(idCol), "left")
+      .withColumn("canon", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+      .withColumn("bucket",
+        pmod(hash60(concat(lit(s"$salt|"), col("canon").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** The keep-predicate of [[stratifiedSample]] as a standalone Column —
     * composable into multi-stage pipelines that track per-stage flags
     * instead of materializing each stage. */

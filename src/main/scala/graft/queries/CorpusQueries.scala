@@ -110,6 +110,37 @@ object CorpusQueries {
         coalesce(expr("imp_sum div n_tokens"), lit(0L)).as("imp_mean"))
   }
 
+  /** Per-label coarse centroids from exact fixed-point integer sums
+    * (order-independent, so both engines train bit-identical centroids)
+    * — the IVF quantizer shared by `ann_topk_ivf_probes` and
+    * `ann_recall_report`. The driver collects only labels·dim
+    * aggregated sums (the PQ-training pattern), never corpus rows.
+    * Centroids are keyed by the labels actually PRESENT (sorted, so
+    * cell id i = the i-th smallest label — the oracle's ordering): a
+    * dense array indexed 0..max(label) would mint phantom all-zero
+    * centroids for any gap in the label space and silently skew
+    * assignments. For contiguous 0..n-1 labels the mapping is the
+    * identity. */
+  private def trainedCentroids(e: DataFrame): Array[Array[Double]] = {
+    val sums = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xi",
+        round(col("x").cast("double") * 1048576.0, 0).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(sums.nonEmpty, "embeddings table is empty — no centroids to train")
+    val labels = sums.map(_.getInt(0)).distinct.sorted
+    val labIdx = labels.zipWithIndex.toMap
+    val dim = sums.map(_.getInt(1)).max + 1
+    val centroids = Array.ofDim[Double](labels.length, dim)
+    sums.foreach { r =>
+      centroids(labIdx(r.getInt(0)))(r.getInt(1)) =
+        r.getLong(2).toDouble / (r.getLong(3) * 1048576L).toDouble
+    }
+    centroids
+  }
+
   // shared knobs (kept in lockstep with the oracle SQL below)
   val shingleK = 3
   // span-dedup window (tokens) + boilerplate census size — w is the
@@ -129,6 +160,10 @@ object CorpusQueries {
   // precision/recall measurable at any corpus size. Shared with the
   // oracle SQL so both engines sample identical docs.
   val lshEvalSampleMod = 2L
+  // dedup-aware split knobs (kept in lockstep with the oracle SQL)
+  val trainPct = 80
+  val valPct = 10
+  val splitSalt = "split"
   val simhashMaxHamming = 1
   // signature width shared by Dedup.simhashSig and the oracle's per-bit
   // vote columns; 60 = the full portable-hash width (15 hex MD5 chars)
@@ -422,6 +457,37 @@ object CorpusQueries {
     "dedup_clusters" -> ((spark, dir) =>
       clustersArtifact(spark, dir).orderBy("doc_id")),
 
+    // Cluster-size histogram over the materialized artifact — the
+    // corpus-card number that says whether duplication is pairwise noise
+    // or boilerplate blow-ups (a size-40 cluster is a template, not an
+    // accident).
+    "dedup_cluster_sizes" -> ((spark, dir) => {
+      clustersArtifact(spark, dir)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Dedup-aware train/val/test split (Dedup.leakageFreeSplit): split
+    // keyed by the near-dup CLUSTER canonical, so no cluster ever
+    // straddles a split boundary — the leakage failure mode raw-id
+    // splits have. n_leaky_clusters is recomputed from the assignment
+    // (not a constant) on both engines and must be 0.
+    "corpus_split" -> ((spark, dir) => {
+      val s = Dedup.leakageFreeSplit(docs(spark, dir), "doc_id",
+        clustersArtifact(spark, dir), trainPct, valPct, splitSalt)
+      val leak = s.groupBy(col("canon"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky_clusters"))
+      s.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_groups"),
+          sum(col("n_chars")).as("split_chars"))
+        .crossJoin(broadcast(leak))
+        .orderBy("source", "split")
+    }),
+
     "dedup_simhash" -> ((spark, dir) => {
       Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", simhashMaxHamming)
         .orderBy("d1", "d2")
@@ -619,30 +685,42 @@ object CorpusQueries {
     // corpus rows.
     "ann_topk_ivf_probes" -> ((spark, dir) => {
       val e = emb(spark, dir)
-      val sums = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .withColumn("xi",
-          round(col("x").cast("double") * 1048576.0, 0).cast("long"))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      // key centroids by the labels actually PRESENT (sorted, so cell id
-      // i = i-th smallest label — the oracle's ordering): a dense array
-      // indexed 0..max(label) would mint phantom all-zero centroids for
-      // any gap in the label space and silently skew assignments. For
-      // contiguous 0..n-1 labels the mapping is the identity.
-      require(sums.nonEmpty, "embeddings table is empty — no centroids to train")
-      val labels = sums.map(_.getInt(0)).distinct.sorted
-      val labIdx = labels.zipWithIndex.toMap
-      val dim = sums.map(_.getInt(1)).max + 1
-      val centroids = Array.ofDim[Double](labels.length, dim)
-      sums.foreach { r =>
-        centroids(labIdx(r.getInt(0)))(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3) * 1048576L).toDouble
-      }
-      Similarity.ivfTopKProbes(e, "vec_id", "embedding", centroids, 3,
+      Similarity.ivfTopKProbes(e, "vec_id", "embedding", trainedCentroids(e), 3,
         col("vec_id") % annQueryStride === 0, annK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ANN quality report — the diagnostic that justifies shipping an
+    // approximate index (the ANN twin of dedup_lsh_eval): recall@k of
+    // the IVF cell scan and the multi-probe variant against the exact
+    // brute-force truth, one row per method. Everything is
+    // deterministic (exact-cosine tie-breaks, integer-trained
+    // centroids), so the DuckDB twin reproduces the identical top-k
+    // sets and the recall hashes bit-for-bit. Scale: truth is k rows
+    // per PROBE QUERY (the stride-sampled query set, not the corpus),
+    // so the report stays runnable at any corpus size — the sampling
+    // stance lshEval takes for its truth leg.
+    "ann_recall_report" -> ((spark, dir) => {
+      val e = emb(spark, dir)
+      val qPred = col("vec_id") % annQueryStride === 0
+      val pair = (d: DataFrame) => d.select(col("query_id"), col("neighbor_id"))
+      val brute = pair(Similarity.bruteForceTopK(e, "vec_id", "embedding", qPred, annK))
+        .localCheckpoint(false)
+      val truth = brute.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      def report(method: String, approx: DataFrame): DataFrame =
+        truth.crossJoin(
+            approx.join(brute, Seq("query_id", "neighbor_id"))
+              .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits")))
+          .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall_at_k"))
+      val ivf = pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred, annK))
+      val probes = pair(Similarity.ivfTopKProbes(e, "vec_id", "embedding",
+        trainedCentroids(e), 3, qPred, annK))
+      report("ivf", ivf).unionByName(report("ivf_multiprobe", probes))
+        .orderBy("method")
     }),
 
     // Metadata-filtered ANN (Similarity.filteredTopK): top-k restricted
@@ -1477,6 +1555,33 @@ object CorpusQueries {
 
   private val shingleCte = s"$tokCte,\n${shingleSql(shingleK)}"
 
+  /** The near-dup cluster chain as one reusable CTE block: capped
+    * Jaccard pairs → undirected edges → recursive reachability → `clus`
+    * (doc_id, canonical_id = component min). The DuckDB twin of the
+    * jaccardPairs → dupClusters chain behind `clustersArtifact`; shared
+    * by every oracle that consumes the artifact. */
+  private lazy val clusterCte =
+    s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+       |$jaccardTailCapped,
+       |joined AS (
+       |  SELECT d1, d2,
+       |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+       |  FROM common
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |),
+       |pairs AS (SELECT d1, d2 FROM joined WHERE jaccard >= $jaccardThreshold),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |clus AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+       |  FROM reach GROUP BY a
+       |)""".stripMargin
+
   /** [[shingleCte]] restricted to the lshEval doc sample: the WHERE is
     * the DuckDB twin of `pmod(hash60(doc_id), lshEvalSampleMod) = 0`. */
   private val shingleCteSampled = s"${tokCte.replace("FROM documents",
@@ -2073,24 +2178,46 @@ object CorpusQueries {
          |FROM m""".stripMargin,
 
     "dedup_clusters" ->
-      s"""${shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
-         |$jaccardTailCapped,
-         |joined AS (
-         |  SELECT d1, d2,
-         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
-         |  FROM common
-         |  JOIN sizes s1 ON d1 = s1.doc_id
-         |  JOIN sizes s2 ON d2 = s2.doc_id
+      s"""$clusterCte
+         |SELECT doc_id, canonical_id
+         |FROM clus ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""$clusterCte,
+         |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM clus GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // The twin recomputes clusters, canonical-keys the split hash, and
+    // re-derives the leakage count from its own assignment — a split
+    // implementation keyed on raw doc_id instead of the canonical would
+    // fail the hash on n_leaky_clusters, not just drift on counts.
+    "corpus_split" ->
+      s"""$clusterCte,
+         |withc AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |         coalesce(c.canonical_id, d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
          |),
-         |pairs AS (SELECT d1, d2 FROM joined WHERE jaccard >= $jaccardThreshold),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |labeled AS (
+         |  SELECT source, n_chars, canon,
+         |         CASE WHEN b < $trainPct THEN 'train'
+         |              WHEN b < ${trainPct + valPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |          ${h60(s"'$splitSalt|' || CAST(canon AS VARCHAR)")} % 100 AS b
+         |        FROM withc)
+         |),
+         |leak AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters FROM (
+         |    SELECT canon FROM labeled GROUP BY canon
+         |    HAVING count(DISTINCT split) > 1)
          |)
-         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+         |SELECT source, split, count(*) AS n_docs,
+         |       count(DISTINCT canon) AS n_groups,
+         |       CAST(sum(n_chars) AS BIGINT) AS split_chars,
+         |       (SELECT n_leaky_clusters FROM leak) AS n_leaky_clusters
+         |FROM labeled GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "dedup_simhash" ->
       s"""$tokCte,
@@ -2452,6 +2579,98 @@ object CorpusQueries {
          |)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+
+    // One WITH-chain replay of brute truth + both IVF variants, recall
+    // computed from the same top-k sets the individual oracles produce.
+    "ann_recall_report" ->
+      s"""WITH comp AS (
+         |  SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+         |  FROM (SELECT label, embedding,
+         |               unnest(range(1, len(embedding) + 1)) AS pos
+         |        FROM embeddings) t
+         |), sums AS (
+         |  SELECT label, pos,
+         |         CAST(sum(CAST(round(x * 1048576.0, 0) AS BIGINT)) AS BIGINT) AS s,
+         |         count(*) AS n
+         |  FROM comp GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label AS cl,
+         |         list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM sums GROUP BY 1
+         |), dists AS (
+         |  SELECT e.vec_id, c.cl,
+         |         list_reduce([CAST(0 AS DOUBLE)] ||
+         |           list_transform(range(1, len(e.embedding) + 1),
+         |             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+         |                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])),
+         |           (x, y) -> x + y) AS d
+         |  FROM embeddings e, cent c
+         |), assigned AS (
+         |  SELECT vec_id, cl AS bucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d, cl) AS rn FROM dists)
+         |  WHERE rn = 1
+         |), qprobes AS (
+         |  SELECT vec_id AS query_id, cl AS qbucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d, cl) AS rn FROM dists)
+         |  WHERE rn <= 3 AND vec_id % $annQueryStride = 0
+         |), norms AS (
+         |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
+         |), bscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN norms b ON a.vec_id <> b.vec_id
+         |), btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM bscored) WHERE rank <= $annK
+         |), iscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN norms b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |), itop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM iscored) WHERE rank <= $annK
+         |), pscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT n.vec_id, n.embedding, n.nrm, p.qbucket
+         |        FROM norms n JOIN qprobes p ON p.query_id = n.vec_id) a
+         |  JOIN (SELECT n.vec_id, n.embedding, n.nrm, s.bucket
+         |        FROM norms n JOIN assigned s ON s.vec_id = n.vec_id) b
+         |    ON a.qbucket = b.bucket AND a.vec_id <> b.vec_id
+         |), ptop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM pscored) WHERE rank <= $annK
+         |), truth AS (
+         |  SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_truth
+         |  FROM btop
+         |)
+         |SELECT 'ivf' AS method, n_queries, n_truth,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM itop JOIN btop USING (query_id, neighbor_id)) AS n_hits,
+         |       round(CAST((SELECT count(*) FROM itop JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
+         |             / CAST(n_truth AS DOUBLE), 6) AS recall_at_k
+         |FROM truth
+         |UNION ALL
+         |SELECT 'ivf_multiprobe', n_queries, n_truth,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ptop JOIN btop USING (query_id, neighbor_id)),
+         |       round(CAST((SELECT count(*) FROM ptop JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
+         |             / CAST(n_truth AS DOUBLE), 6)
+         |FROM truth
+         |ORDER BY method""".stripMargin,
 
     "ann_topk_filtered" ->
       s"""WITH norms AS (

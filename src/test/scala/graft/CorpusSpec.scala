@@ -288,4 +288,32 @@ class CorpusSpec extends SparkTestBase {
     assert(Dedup.incrementalPairs(docs, docs.filter(lit(false)),
       "doc_id", "text", 3, 0.8).isEmpty)
   }
+
+  test("leakageFreeSplit: clusters never straddle splits; split is canonical-keyed") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    // three clusters, including one whose members' OWN ids would hash to
+    // different splits — the leakage the canonical keying prevents
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (200L, 200L), (201L, 200L), (499L, 200L)).toDF("doc_id", "canonical_id")
+    val s = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 80, 10, "t")
+    // every cluster sits in exactly one split
+    val leaky = s.groupBy("canon")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1)
+    assert(leaky.count() == 0)
+    // cluster members inherit the canonical, unclustered docs use their own id
+    val m = s.select("doc_id", "canon").as[(Long, Long)].collect().toMap
+    assert(m(2L) == 1L && m(499L) == 200L && m(42L) == 42L)
+    // with 500 docs at 80/10/10 all three splits materialize, and the
+    // train fraction is in a sane band (hash-deterministic, not exact)
+    val bySplit = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 350 && bySplit("train") < 450)
+    // deterministic: same inputs, same assignment
+    val again = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 80, 10, "t")
+    assert(s.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty)
+    // invalid percent ranges fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.leakageFreeSplit(docs, "doc_id", clusters, 95, 5, "t"))
+  }
 }
