@@ -160,6 +160,21 @@ object CorpusQueries {
   // precision/recall measurable at any corpus size. Shared with the
   // oracle SQL so both engines sample identical docs.
   val lshEvalSampleMod = 2L
+  /** Deterministic synthetic URL per doc (the documents fixture carries
+    * no url column): 21 registrable domains × 50 paths + tracking/query
+    * noise — shared by the url analytics and the domain-cap curation,
+    * mirrored verbatim in their oracle SQL. */
+  private def synthUrl: Column = concat(
+    lit("https://www.site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+    when(pmod(col("doc_id"), lit(3L)) === 0, ".com")
+      .when(pmod(col("doc_id"), lit(3L)) === 1, ".org").otherwise(".net"),
+    lit("/p/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+    when(pmod(col("doc_id"), lit(4L)) === 0, "?utm_source=feed").otherwise(""),
+    when(pmod(col("doc_id"), lit(5L)) === 0, "#frag").otherwise(""))
+
+  // per-domain doc cap for corpus_domain_cap (in lockstep with oracle)
+  val domainCapN = 10
+
   // dedup-aware split knobs (kept in lockstep with the oracle SQL)
   val trainPct = 80
   val valPct = 10
@@ -267,16 +282,9 @@ object CorpusQueries {
     // feeds into mixing/blocklist decisions. Pure-projection extraction;
     // ONE shuffle keyed by domain for the rollup.
     "url_domain_stats" -> ((spark, dir) => {
-      val url = concat(
-        lit("https://www.site"), pmod(col("doc_id"), lit(7L)).cast("string"),
-        when(pmod(col("doc_id"), lit(3L)) === 0, ".com")
-          .when(pmod(col("doc_id"), lit(3L)) === 1, ".org").otherwise(".net"),
-        lit("/p/"), pmod(col("doc_id"), lit(50L)).cast("string"),
-        when(pmod(col("doc_id"), lit(4L)) === 0, "?utm_source=feed").otherwise(""),
-        when(pmod(col("doc_id"), lit(5L)) === 0, "#frag").otherwise(""))
       val U = graft.corpus.Urls
       docs(spark, dir)
-        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), synthUrl.as("url"))
         .select(col("doc_id"), col("url"),
           U.registrableDomain(U.host(col("url"))).as("domain"),
           U.canonicalize(col("url")).as("canon"),
@@ -285,6 +293,31 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("canon")).as("n_unique_canonical"),
           sum(col("tracked")).as("n_with_tracking"))
+        .orderBy("domain")
+    }),
+
+    // Per-domain document cap — the web-corpus curation step that stops
+    // one mass-produced domain from dominating the training mixture:
+    // keep at most N docs per registrable domain, preferring the
+    // longest (n_chars desc, doc_id asc tie-break — deterministic on
+    // both engines). Runs through the NATIVE TopKPerKey operator, so at
+    // most N rows per domain per partition ever reach the shuffle and
+    // nothing global-sorts — the same plan shape at 100 TB. Output: the
+    // per-domain before/after census a curation report ships.
+    "corpus_domain_cap" -> ((spark, dir) => {
+      val U = graft.corpus.Urls
+      val d = docs(spark, dir)
+        .select(col("doc_id"), col("n_chars"), synthUrl.as("url"))
+        .withColumn("domain", U.registrableDomain(U.host(col("url"))))
+        .select("doc_id", "n_chars", "domain")
+      val kept = graft.plans.TopK.perKey(d, Seq("domain"),
+        Seq("n_chars" -> true, "doc_id" -> false), domainCapN)
+      d.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_total"), sum(col("n_chars")).as("total_chars"))
+        .join(kept.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars")),
+          Seq("domain"))
+        .withColumn("n_dropped", col("n_total") - col("n_kept"))
         .orderBy("domain")
     }),
 
@@ -1910,6 +1943,36 @@ object CorpusQueries {
          |       count(DISTINCT canon) AS n_unique_canonical,
          |       CAST(sum(tracked) AS BIGINT) AS n_with_tracking
          |FROM x GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "corpus_domain_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |         'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         |           || CASE WHEN doc_id % 3 = 0 THEN '.com'
+         |                   WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END
+         |           || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+         |           || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END
+         |           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_extract(
+         |      regexp_replace(regexp_replace(
+         |        regexp_extract(url, '${graft.corpus.Urls.hostPattern}', 1),
+         |        '^[^@/]*@', ''), ':[0-9]+$$', ''),
+         |      '${graft.corpus.Urls.registrableDomainPattern}', 1) AS domain
+         |  FROM u
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |            ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM x
+         |)
+         |SELECT domain, count(*) AS n_total,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(CASE WHEN rk <= $domainCapN THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rk <= $domainCapN THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         |       CAST(count(*) - sum(CASE WHEN rk <= $domainCapN THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
 
     "text_fingerprint" ->
       s"""$shingleCte,
