@@ -468,4 +468,32 @@ class PlanSpec extends SparkTestBase {
     assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
       "register/rho projection must run inside WholeStageCodegen")
   }
+
+  test("corpus_domain_cap: the cap runs through the native partial/final top-k heaps") {
+    val nodes = executedNodes(q("corpus_domain_cap"))
+    // partial heap before the exchange + final heap after: at most N
+    // rows per domain per partition reach the shuffle, nothing sorts
+    val topk = nodes.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.exists(_.partial) && topk.exists(!_.partial),
+      s"expected partial+final TopKPerKeyExec, got ${topk.size} heap nodes")
+    assert(!nodes.exists(_.getClass.getSimpleName.startsWith("Window")),
+      "the cap itself must not fall back to a windowed rank")
+  }
+
+  test("corpus_split: cluster join broadcasts; split assignment adds no extra shuffle") {
+    val nodes = executedNodes(q("corpus_split"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the near-dup-sized cluster artifact must broadcast against docs")
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct")))
+    // every shuffle belongs to the REPORT aggregations, not the split:
+    // two distinct-aggregates (source×split groups + the leak census,
+    // 2 exchanges each for the distinct expand), the leak global agg,
+    // and the output sort. The canonical-keyed assignment itself is a
+    // pure projection over the broadcast join — a key-partitioned
+    // assignment would add a docs-volume exchange and push this past 7.
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 7,
+      s"split must stay projection-shaped, got ${shuffles.size} shuffles")
+  }
 }
