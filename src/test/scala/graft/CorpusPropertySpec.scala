@@ -204,6 +204,33 @@ class CorpusPropertySpec extends SparkTestBase {
       s"expected ~log2(diameter) star rounds for a 255-diameter chain, got $rounds")
   }
 
+  test("dupClusters distributed regime: adversarial topologies match union-find") {
+    // shapes that historically break star/contraction implementations:
+    // two dense cliques bridged by a long chain (contraction must cross
+    // the bridge), a star whose hub is the LARGEST id (hooking must
+    // still find the component min), and a bigger random graph
+    val clique1 = for (a <- 1L to 12L; b <- (a + 1) to 12L) yield (a, b)
+    val clique2 = for (a <- 500L to 512L; b <- (a + 1) to 512L) yield (a, b)
+    val bridge = (12L until 80L).map(i => (i, i + 1)) :+ (80L, 500L)
+    val bigHub = (600L until 640L).map(i => (i, 999L))
+    val rnd = new Random(21)
+    val random = Seq.fill(2000)((rnd.nextInt(800).toLong + 2000L,
+      rnd.nextInt(800).toLong + 2000L)).filter { case (a, b) => a != b }
+    val pairs = (clique1 ++ clique2 ++ bridge ++ bigHub ++ random)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("d1", "d2")
+    val uf = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (starLabels, rounds) =
+      Dedup.dupClustersWithRounds(pairs, iterations = 50, driverGateEdges = -1)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == uf)
+    // bridged cliques collapse to ONE component rooted at the global min
+    assert(star(512L) == 1L && star(80L) == 1L)
+    assert(star(999L) == 600L, "hub-as-max star must root at the min leaf")
+    assert(rounds <= 15, s"star alternation took $rounds rounds")
+  }
+
   test("dupClusters on an empty pair set returns empty (clean corpus)") {
     val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.dupClusters(pairs).count() == 0)
