@@ -325,4 +325,52 @@ object Sketches {
     val denom = aggregate(regs, lit(0L), (acc, m) => acc + hllDenomTerm(m))
     hllEstimateCol(zeros, denom)
   }
+
+  /** Log₂-bucket histogram quantile sketch — the QUANTILE member of the
+    * deterministic sketch family (Bloom/CMS/KMV/HLL above): per key,
+    * bucket positive values by floor(log₂ v) = length(bin(v)) − 1
+    * (integer-exact on both engines), keep counts, and estimate the
+    * q-quantile by linear interpolation inside the covering bucket —
+    * est = 2^b + ((rank_in_bucket · 2^b) div n_b), all integer algebra,
+    * so a DuckDB oracle replays it bit-for-bit. Relative error is
+    * bounded by the bucket ratio (≤2×, typically far less), the classic
+    * log-histogram trade (HdrHistogram-style, at power-of-two
+    * resolution).
+    *
+    * Why this beats exact quantiles at 100 TB: `percentile`/sort-based
+    * quantiles shuffle every VALUE; this sketch's state is ≤64 counters
+    * per key, built by one map-side-combined aggregation, and partial
+    * histograms merge by ADDITION — the same mergeable-synopsis shape
+    * as the other sketches (and what a streaming twin would carry as
+    * state). The quantile extraction afterwards runs on the tiny
+    * histogram, not the data.
+    *
+    * `quantiles`: (label, numerator, denominator) — rank = ⌈N·num/den⌉.
+    * Returns (key, q, n_total, est). */
+  def logHistQuantiles(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       valCol: String,
+                       quantiles: Seq[(String, Int, Int)])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val pos = df.filter(col(valCol) > 0)
+      .select(col(keyCol), col(valCol).cast("long").as("_v"))
+    val hist = pos
+      .groupBy(col(keyCol), (length(bin(col("_v"))) - 1).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(byKey.orderBy(col("b"))))
+      .withColumn("total", sum(col("n")).over(byKey))
+    val qdf = quantiles.toDF("q", "qnum", "qden")
+    cum.crossJoin(broadcast(qdf))
+      .withColumn("need", expr("(total * qnum + qden - 1) div qden"))
+      .filter(col("cum") >= col("need"))
+      .withColumn("lo", expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+      .withColumn("_est", col("lo") + expr("((need - (cum - n)) * lo) div n"))
+      .groupBy(col(keyCol), col("q"))
+      .agg(min(col("total")).as("n_total"),
+        min_by(col("_est"), col("b")).as("est"))
+  }
 }

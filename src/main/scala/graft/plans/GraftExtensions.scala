@@ -104,6 +104,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "n_nonalnum, n_cjk, n_chars) struct") {
       case Seq(t) => graft.corpus.TextFeatures(t)
     })
+    extensions.injectFunction(fn("normalize_text", 1,
+      "normalize_text(text) - dedup normalization (lower, strip " +
+        "punctuation, collapse whitespace) in one char scan") {
+      case Seq(t) => graft.corpus.NormalizeText(t)
+    })
     extensions.injectFunction(fn("callstack_debug_cmd", 3,
       "callstack_debug_cmd(stack, frame_len, cmd) - F6 debugger command formatter") {
       case Seq(a, l, c) => graft.xel.CallstackDebugCmd(a,

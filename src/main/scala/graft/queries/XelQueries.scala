@@ -404,6 +404,19 @@ object XelQueries {
     // event type. Spark's `percentile` and DuckDB's `quantile_cont` share
     // the R-7 interpolation, so exact quantiles hash-match; at 100 TB the
     // approx_percentile sketch replaces it (same query shape).
+    // The QUANTILE sketch beside the exact percentiles: log2-bucket
+    // histogram (Sketches.logHistQuantiles) — ≤64 mergeable counters
+    // per key instead of shuffling every value, the approx_percentile
+    // swap-in xe_duration_quantiles' scale note promises, made
+    // deterministic so it sits under the hash gate. Accuracy vs the
+    // exact p50/p95/p99 is pinned in BloomCmsSpec.
+    "sketch_quantile_hist" -> ((spark, dir) => {
+      graft.corpus.Sketches.logHistQuantiles(
+        XeFixture.frame(spark, dir), "event_name", "c_duration_us",
+        Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)))
+        .orderBy("event_name", "q")
+    }),
+
     "xe_duration_quantiles" -> ((spark, dir) => {
       XeFixture.frame(spark, dir)
         .groupBy(col("event_name"))
@@ -644,6 +657,33 @@ object XelQueries {
            |       c_even_duration,
            |       c_session_id_i
            |FROM cs ORDER BY c_event_sequence""".stripMargin,
+
+      "sketch_quantile_hist" ->
+        s"""$cte,
+           |pos AS (
+           |  SELECT event_name, c_duration_us AS v FROM xe WHERE c_duration_us > 0
+           |), hist AS (
+           |  SELECT event_name, length(bin(v)) - 1 AS b, count(*) AS n
+           |  FROM pos GROUP BY 1, 2
+           |), cum AS (
+           |  SELECT *,
+           |         CAST(sum(n) OVER (PARTITION BY event_name ORDER BY b) AS BIGINT) AS cum,
+           |         CAST(sum(n) OVER (PARTITION BY event_name) AS BIGINT) AS total
+           |  FROM hist
+           |), qs AS (
+           |  SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20), ('p99', 99, 100))
+           |    AS t(q, qnum, qden)
+           |), j AS (
+           |  SELECT c.event_name, s.q, c.total, c.b, c.cum, c.n,
+           |         (c.total * s.qnum + s.qden - 1) // s.qden AS need,
+           |         (CAST(1 AS BIGINT) << c.b) AS lo
+           |  FROM cum c CROSS JOIN qs s
+           |)
+           |SELECT event_name, q,
+           |       CAST(min(total) AS BIGINT) AS n_total,
+           |       CAST(min_by(lo + ((need - (cum - n)) * lo) // n, b) AS BIGINT) AS est
+           |FROM j WHERE cum >= need
+           |GROUP BY event_name, q ORDER BY event_name, q""".stripMargin,
 
       "xe_duration_quantiles" ->
         s"""$cte

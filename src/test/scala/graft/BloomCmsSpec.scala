@@ -137,4 +137,45 @@ class BloomCmsSpec extends SparkTestBase {
       .head().getSeq[Long](0)
     assert(oneShot == partials)
   }
+
+  test("logHistQuantiles: estimates bracket the exact quantile within the bucket ratio") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // lognormal-ish positive longs over several decades — the shape
+    // durations/sizes actually have
+    val vals = (1 to 20000).map(_ =>
+      ("k", math.max(1L, math.exp(rnd.nextGaussian() * 2 + 8).toLong)))
+    val df = vals.toDF("key", "v")
+    val got = Sketches.logHistQuantiles(df, "key", "v",
+        Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.95, 0.99), 0.0)
+    for (((q, est), ex) <- Seq("p50", "p95", "p99").map(q => q -> got(q)).zip(exact)) {
+      // the log2 bucket bounds relative error by the bucket ratio: the
+      // estimate and the exact value live within a factor of 2
+      assert(est.toDouble / ex < 2.0 && ex / est.toDouble < 2.0,
+        s"$q: est=$est exact=$ex outside the 2x bucket bound")
+    }
+    // total row count flows through
+    assert(Sketches.logHistQuantiles(df, "key", "v", Seq(("p50", 1, 2)))
+      .head().getLong(2) == 20000L)
+  }
+
+  test("logHistQuantiles: histograms merge by addition (partials = one shot)") {
+    import spark.implicits._
+    val vals = (1 to 5000).map(i => ("k", (i * 37 % 100000 + 1).toLong))
+    val df = vals.toDF("key", "v")
+    // the sketch state is the (b -> n) counter map; splitting the data
+    // and ADDING histograms must give the same quantiles as one pass —
+    // the mergeable-synopsis property that makes it a sketch
+    val half1 = df.filter(col("v") % 2 === 0)
+    val half2 = df.filter(col("v") % 2 =!= 0)
+    def hist(d: org.apache.spark.sql.DataFrame) = d.filter(col("v") > 0)
+      .groupBy((length(bin(col("v"))) - 1).as("b")).agg(count(lit(1)).as("n"))
+    val merged = hist(half1).unionByName(hist(half2))
+      .groupBy("b").agg(sum(col("n")).as("n"))
+    val oneShot = hist(df).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val viaMerge = merged.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(oneShot == viaMerge)
+  }
 }

@@ -90,6 +90,23 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL normalize_text equals the column API and the regex witness") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      val raw = "  Hello,  WORLD!!  42\tfoo\n"
+      val got = s.sql(s"SELECT normalize_text('${raw.replace("\n", "\\n").replace("\t", "\\t")}') AS n")
+        .head().getString(0)
+      val viaCol = s.range(1)
+        .select(graft.corpus.TextAnalysis.normalizeText(lit(raw)))
+        .head().getString(0)
+      val witness = s.range(1)
+        .select(graft.corpus.TextAnalysis.normalizeTextRegex(lit(raw)))
+        .head().getString(0)
+      assert(got == viaCol && got == witness)
+      assert(got == "hello world 42 foo")
+    }
+  }
+
   test("SQL callstack_debug_cmd formats like the column API") {
     withExtendedSession { s =>
       import org.apache.spark.sql.functions._
