@@ -90,4 +90,24 @@ class EmptyInputSpec extends SparkTestBase {
     assert(IngestDedup.admit(batch,
       IngestDedup.storeDigests(noDocs, "text"), "text").count() == 1)
   }
+
+  test("round-13 operators are empty-safe") {
+    // split over an empty corpus / with an empty cluster artifact
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id")
+    assert(Dedup.leakageFreeSplit(noDocs, "doc_id", noClusters, 80, 10, "s").count() == 0)
+    val someDocs = Seq((1L, "a", "s"), (2L, "b", "s")).toDF("doc_id", "text", "source")
+    val split = Dedup.leakageFreeSplit(someDocs, "doc_id", noClusters, 80, 10, "s")
+    assert(split.count() == 2 && split.filter(col("canon") =!= col("doc_id")).count() == 0)
+    // quantile sketch: empty input and all-nonpositive input both yield
+    // zero rows (no covering bucket), never a divide or a missing head
+    val noVals = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(graft.corpus.Sketches.logHistQuantiles(noVals, "k", "v",
+      Seq(("p50", 1, 2))).count() == 0)
+    val nonPos = Seq(("k", 0L), ("k", -5L)).toDF("k", "v")
+    assert(graft.corpus.Sketches.logHistQuantiles(nonPos, "k", "v",
+      Seq(("p50", 1, 2))).count() == 0)
+    // sampled lshEval on an empty corpus: one all-zero diagnostic row
+    val r = Dedup.lshEval(noDocs, "doc_id", "text", 3, 12, 3, 0.8, 2L).head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
+  }
 }

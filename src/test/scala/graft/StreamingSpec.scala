@@ -403,6 +403,38 @@ class StreamingSpec extends SparkTestBase {
       .exceptAll(maxTs.select("click_id", "purch_ts")).count() == 0)
   }
 
+  test("quantile histogram aggregates across micro-batches to the batch sketch") {
+    // the log2-bucket histogram is a plain additive counter map, so its
+    // streaming twin is just a grouped count in complete mode — the
+    // state IS the sketch (≤64 counters per key), and the micro-batch
+    // result must equal the batch histogram exactly
+    val ev = XeFixture.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("value"))
+      .filter(col("value") > 0)
+      .withColumn("v", col("value").cast("long")).drop("value")
+      .filter(col("v") > 0)
+    val dir = Files.createTempDirectory("graft-qh").toString
+    val ckpt = Files.createTempDirectory("graft-qh-ck").toString
+    val halves = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    halves(0).write.parquet(s"$dir/drop1")
+    halves(1).write.parquet(s"$dir/drop2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop*")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"), (length(bin(col("v"))) - 1).as("b"))
+        .agg(count(lit(1)).as("n"))
+    val q = hist(stream).writeStream
+      .format("memory").queryName("qh_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("qh_stream")
+    val batch = hist(ev)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("RocksDB state store: windowed agg and funnel state match batch twins") {
     // The oracle rows run on the in-memory provider with KB state; at
     // 100x users state must SPILL, which is what the RocksDB provider
