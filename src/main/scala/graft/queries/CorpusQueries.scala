@@ -1457,6 +1457,60 @@ object CorpusQueries {
         .orderBy("wave")
     }),
 
+    // Streaming NEAR-dup admission under the ORACLE gate — the fuzzy
+    // twin of stream_ingest_dedup: four waves arrive through a real
+    // Structured Streaming file source, and each wave admits only docs
+    // with NO shingle-Jaccard ≥ t near-duplicate among the PREVIOUSLY
+    // ADMITTED docs (store as of batch start; within-wave near-dups all
+    // admit; a doc near-dup only of a REJECTED doc admits — the store
+    // never holds rejects). Similarity is uncapped, making the pair
+    // relation store-independent, so the DuckDB twin computes ONE
+    // global pair set and replays sequential admission as four chained
+    // NOT-EXISTS CTEs.
+    "stream_neardup_ingest" -> ((spark, dir) => {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_ndstream_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
+      val ckpt = scratch("ckpt")
+      val d = docs(spark, dir).select(col("doc_id"), col("text"),
+        col("source"), col("n_chars"))
+      val dropFs = new org.apache.hadoop.fs.Path(dropDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
+      (0 until 4).foreach { w =>
+        d.filter(pmod(col("doc_id"), lit(4L)) === w).coalesce(1)
+          .write.parquet(s"$dropDir/wave$w")
+        dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
+      }
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dropDir/wave*")
+          .writeStream
+          .foreachBatch(graft.streaming.NearDupIngest.admitLoop(
+            "doc_id", "text", shingleK, jaccardThreshold, corpusDir) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
+        .withColumn("wave", pmod(col("doc_id"), lit(4L)))
+        .groupBy("wave").agg(
+          count(lit(1)).as("n_admitted"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("wave")
+    }),
+
     // Raw-corpus ingest under the ORACLE gate (corpus.Ingest): round-trip
     // the documents table through BOTH line-splittable raw formats —
     // JSONL (how web-scale corpora actually ship) and headerless CSV —
@@ -3431,6 +3485,51 @@ object CorpusQueries {
         |       max(doc_id) AS max_doc
         |FROM m WHERE wave = first_wave
         |GROUP BY wave ORDER BY wave""".stripMargin,
+
+    // One global (uncapped) pair set + four chained NOT-EXISTS CTEs =
+    // the sequential near-dup admission the streaming loop performs.
+    // Docs with fewer than k tokens have no shingles, appear in no
+    // pair, and always admit — identical on both engines.
+    "stream_neardup_ingest" ->
+      s"""$shingleCte,
+         |$jaccardTail,
+         |jp AS (
+         |  SELECT d1, d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |),
+         |ed AS (
+         |  SELECT d1 AS a, d2 AS b FROM jp WHERE jaccard >= $jaccardThreshold
+         |  UNION ALL
+         |  SELECT d2, d1 FROM jp WHERE jaccard >= $jaccardThreshold
+         |),
+         |w AS (SELECT doc_id, doc_id % 4 AS wave, n_chars, source FROM documents),
+         |a0 AS (SELECT doc_id FROM w WHERE wave = 0),
+         |a1 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |a01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+         |a2 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |a012 AS (SELECT doc_id FROM a01 UNION ALL SELECT doc_id FROM a2),
+         |a3 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |adm AS (SELECT doc_id FROM a012 UNION ALL SELECT doc_id FROM a3)
+         |SELECT wave,
+         |       count(*) AS n_admitted,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       count(DISTINCT source) AS n_sources,
+         |       min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc
+         |FROM w JOIN adm USING (doc_id)
+         |GROUP BY wave ORDER BY wave""".stripMargin,
 
     // The twin recomputes the clean-row stats straight from `documents`
     // (the round trip must be lossless); corrupt counts are the planted

