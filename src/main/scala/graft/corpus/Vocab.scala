@@ -48,4 +48,91 @@ object Vocab {
       .withColumn("oov_rate",
         when(col("n_tokens") === 0, 0.0).otherwise(
           round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)))
+
+  /** Ceiling on the word dictionary [[bpeMerges]] will collect: BPE
+    * training runs over the word-FREQUENCY table, which is
+    * vocabulary-bounded by construction — the same small-side argument
+    * as the PQ training sums and the union-find edge gate. The guard
+    * makes the assumption loud instead of a silent driver OOM. */
+  val bpeMaxVocab = 1000000
+
+  /** Symbol-count cap on trainable words (shared with the oracle): the
+    * fixed replace-pass nest in the SQL replay is exact only when
+    * 2^passes covers the longest word. 64 symbols ≫ any natural word;
+    * longer "words" are unsegmented junk a tokenizer should skip. */
+  val bpeMaxWordLen = 64
+
+  /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first `nMerges` merge rules over the corpus' word
+    * frequency table. The distributed part is the word-count
+    * aggregation (one linear token shuffle, map-side combined); the
+    * merge loop then runs on the COLLECTED dictionary — how production
+    * BPE trainers work, because the dictionary is vocabulary-bounded
+    * while the corpus is not.
+    *
+    * Determinism contract (what lets a DuckDB oracle replay training):
+    * words are lowercased, restricted to `[a-z0-9]+` (pre-tokenization;
+    * also sidesteps engine-specific unicode segmentation) and capped at
+    * [[bpeMaxWordLen]] symbols; pair counts include overlapping
+    * occurrences weighted by word frequency; the best pair breaks count
+    * ties by (left, right) string order; and merging rewrites every
+    * word by iterating the literal leftmost non-overlapping replace of
+    * " x y " with " xy " over the space-delimited symbol string TO A
+    * FIXPOINT. java.lang.String.replace and DuckDB replace() are
+    * byte-identical per pass (verified, including the resumption
+    * corner: one pass turns " a a a a a " into " aa a aa " — the
+    * leftmost-resumption grouping, not the left-fold's " aa aa a ");
+    * each pass merges every other member of an adjacent-occurrence
+    * chain, so the fixpoint arrives within ⌈log₂(word symbols)⌉ + 1
+    * passes and the oracle's fixed 8-pass nest is exact under the
+    * 64-symbol cap. The space padding makes every match align to whole
+    * symbols. Returns (rank, lhs, rhs, pair_count) — the ordered merge
+    * table a tokenizer ships, with no duplicate rules (a single-pass
+    * contract would re-learn the same pair from its own leftovers). */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = Dedup.fanout(docs.select(col(textCol)))
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= bpeMaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    require(words.length <= bpeMaxVocab,
+      s"word dictionary ${words.length} exceeds bpeMaxVocab $bpeMaxVocab — " +
+        "raise the gate only with driver memory to back it")
+    // space-delimited symbol strings, padded so every symbol is
+    // space-bounded and a literal " x y " match aligns to whole symbols
+    var dict: Array[(String, Long)] = words.map { r =>
+      (" " + r.getString(0).map(_.toString).mkString(" ") + " ", r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      dict.foreach { case (s, c) =>
+        val syms = s.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, c))
+        val (pat, rep) = (s" $l $r ", s" $l$r ")
+        dict = dict.map { case (s0, cnt) =>
+          var cur = s0
+          var prev = ""
+          while (cur != prev) { prev = cur; cur = cur.replace(pat, rep) }
+          (cur, cnt)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
 }

@@ -175,6 +175,60 @@ object CorpusQueries {
   // per-domain doc cap for corpus_domain_cap (in lockstep with oracle)
   val domainCapN = 10
 
+  // BPE training depth for vocab_bpe_merges (oracle CTE chain length)
+  val bpeTrainMerges = 8
+
+  /** `replace(replace(... , pat, rep), pat, rep)` nested `n` times —
+    * the oracle's fixpoint of the merge replace (exact for ≤2^n-symbol
+    * words; the shared 64-symbol cap makes 8 passes exhaustive). */
+  private def nestedReplace(inner: String, pat: String, rep: String,
+                            n: Int): String =
+    (1 to n).foldLeft(inner)((acc, _) => s"replace($acc, $pat, $rep)")
+
+  /** Generated DuckDB replay of [[graft.corpus.Vocab.bpeMerges]]: one
+    * (pair-count, argmax, pattern, replace-merge) CTE quad per
+    * iteration. The iterated replace-merge string semantics is the
+    * deterministic contract — see the bpeMerges scaladoc. */
+  private def bpeMergeOracle(n: Int): String = {
+    val head =
+      """WITH d0 AS MATERIALIZED (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+        |  FROM documents
+        |), w0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(ws) AS word FROM d0)
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$') AND length(word) <= 64
+        |  GROUP BY word
+        |), s0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s,
+        |         cnt
+        |  FROM w0
+        |)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s""", pc$i AS MATERIALIZED (
+         |  SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt,
+         |               unnest(list_transform(range(1, len(sy)), k -> [sy[k], sy[k+1]])) AS p
+         |        FROM (SELECT cnt, string_split(trim(s, ' '), ' ') AS sy FROM s${i - 1})
+         |        WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1
+         |), m$i AS MATERIALIZED (
+         |  SELECT ' ' || l || ' ' || r || ' ' AS pat, ' ' || l || r || ' ' AS rep
+         |  FROM b$i
+         |), s$i AS MATERIALIZED (
+         |  SELECT ${nestedReplace("s", s"m$i.pat", s"m$i.rep", 8)} AS s, cnt
+         |  FROM s${i - 1}, m$i
+         |)""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"$head\n$iters\n$sel\nORDER BY rank"
+  }
+
   // dedup-aware split knobs (kept in lockstep with the oracle SQL)
   val trainPct = 80
   val valPct = 10
@@ -562,6 +616,18 @@ object CorpusQueries {
     // explode character pairs over unique words only — the pair pass
     // never touches corpus-sized data. Deterministic cut (n desc,
     // pair asc); alphabetic words only so the pair alphabet is clean.
+    // BPE merge-rule TRAINING (Vocab.bpeMerges): the first N merge
+    // rules learned over the corpus word-frequency table — the ordered
+    // artifact a tokenizer ships, where vocab_bpe_pairs below is the
+    // single pair-statistic step. Distributed word counting; the merge
+    // loop runs on the vocabulary-bounded dictionary (gated collect,
+    // the PQ-training pattern). The DuckDB twin replays all N
+    // iterations as generated CTE chains with byte-identical
+    // replace-merge semantics.
+    "vocab_bpe_merges" -> ((spark, dir) =>
+      graft.corpus.Vocab.bpeMerges(docs(spark, dir), "text", bpeTrainMerges)
+        .orderBy("rank")),
+
     "vocab_bpe_pairs" -> ((spark, dir) => {
       // fanout: the token explode is scan-stage compute; a few-file
       // corpus (every local fixture) would otherwise run it on one core
@@ -2390,6 +2456,8 @@ object CorpusQueries {
         |SELECT status, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "vocab_bpe_merges" -> bpeMergeOracle(bpeTrainMerges),
 
     "vocab_bpe_pairs" ->
       s"""$tokCte,
