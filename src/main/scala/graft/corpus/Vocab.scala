@@ -91,6 +91,26 @@ object Vocab {
     * contract would re-learn the same pair from its own leftovers). */
   def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    trainBpe(docs, textCol, nMerges)._2.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The trained tokenizer APPLIED to its own dictionary: every
+    * trainable word mapped to its subword-token count after the
+    * `nMerges` learned rules. The application join side — broadcast at
+    * any corpus size (vocabulary-bounded). */
+  def bpeSegmentations(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBpe(docs, textCol, nMerges)._1
+      .map { case (w, s, _) => (w, s.trim.split(" ").length.toLong) }
+      .toSeq.toDF("word", "n_sub")
+  }
+
+  /** Shared trainer: returns (final dictionary as (word, padded symbol
+    * string, count), ordered merges). */
+  private def trainBpe(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Array[(String, String, Long)], Seq[(Int, String, String, Long)]) = {
     val words = Dedup.fanout(docs.select(col(textCol)))
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= bpeMaxWordLen)
@@ -101,15 +121,17 @@ object Vocab {
         "raise the gate only with driver memory to back it")
     // space-delimited symbol strings, padded so every symbol is
     // space-bounded and a literal " x y " match aligns to whole symbols
-    var dict: Array[(String, Long)] = words.map { r =>
-      (" " + r.getString(0).map(_.toString).mkString(" ") + " ", r.getLong(1))
+    var dict: Array[(String, String, Long)] = words.map { r =>
+      (r.getString(0),
+        " " + r.getString(0).map(_.toString).mkString(" ") + " ",
+        r.getLong(1))
     }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap[(String, String), Long]()
-      dict.foreach { case (s, c) =>
+      dict.foreach { case (_, s, c) =>
         val syms = s.trim.split(" ")
         var i = 0
         while (i < syms.length - 1) {
@@ -123,16 +145,15 @@ object Vocab {
         val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         merges += ((rank, l, r, c))
         val (pat, rep) = (s" $l $r ", s" $l$r ")
-        dict = dict.map { case (s0, cnt) =>
+        dict = dict.map { case (w, s0, cnt) =>
           var cur = s0
           var prev = ""
           while (cur != prev) { prev = cur; cur = cur.replace(pat, rep) }
-          (cur, cnt)
+          (w, cur, cnt)
         }
         rank += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+    (dict, merges.toSeq)
   }
 }

@@ -190,9 +190,41 @@ object CorpusQueries {
     * iteration. The iterated replace-merge string semantics is the
     * deterministic contract — see the bpeMerges scaladoc. */
   private def bpeMergeOracle(n: Int): String = {
+    val sel = (1 to n)
+      .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"${bpeChain(n)}\n$sel\nORDER BY rank"
+  }
+
+  /** [[bpeChain]]'s final segmentation applied back to the corpus: per
+    * doc, trainable-word count and subword-token count under the
+    * learned rules — the tokenizer-application twin. */
+  private def bpeApplyOracle(n: Int): String =
+    s"""${bpeChain(n)}
+       |, wd AS (
+       |  SELECT word, len(string_split(trim(s, ' '), ' ')) AS n_sub FROM s$n
+       |), dw AS (
+       |  SELECT doc_id, word FROM (SELECT doc_id, unnest(ws) AS word FROM d0)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) <= 64
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |         CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN wd USING (word) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(n_words, 0) AS n_words,
+       |       coalesce(n_subwords, 0) AS n_subwords,
+       |       CAST(CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+       |            ELSE (n_subwords * 1000000) // n_words END AS BIGINT)
+       |         AS subwords_per_word_fp
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def bpeChain(n: Int): String = {
     val head =
       """WITH d0 AS MATERIALIZED (
-        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
         |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
         |  FROM documents
         |), w0 AS MATERIALIZED (
@@ -201,7 +233,8 @@ object CorpusQueries {
         |  WHERE regexp_matches(word, '^[a-z0-9]+$') AND length(word) <= 64
         |  GROUP BY word
         |), s0 AS MATERIALIZED (
-        |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s,
+        |  SELECT word,
+        |         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s,
         |         cnt
         |  FROM w0
         |)""".stripMargin
@@ -219,14 +252,11 @@ object CorpusQueries {
          |  SELECT ' ' || l || ' ' || r || ' ' AS pat, ' ' || l || r || ' ' AS rep
          |  FROM b$i
          |), s$i AS MATERIALIZED (
-         |  SELECT ${nestedReplace("s", s"m$i.pat", s"m$i.rep", 8)} AS s, cnt
+         |  SELECT word, ${nestedReplace("s", s"m$i.pat", s"m$i.rep", 8)} AS s, cnt
          |  FROM s${i - 1}, m$i
          |)""".stripMargin
     }.mkString("\n")
-    val sel = (1 to n)
-      .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"$head\n$iters\n$sel\nORDER BY rank"
+    s"$head\n$iters"
   }
 
   // dedup-aware split knobs (kept in lockstep with the oracle SQL)
@@ -627,6 +657,32 @@ object CorpusQueries {
     "vocab_bpe_merges" -> ((spark, dir) =>
       graft.corpus.Vocab.bpeMerges(docs(spark, dir), "text", bpeTrainMerges)
         .orderBy("rank")),
+
+    // The trained tokenizer APPLIED: per doc, trainable-word count and
+    // subword-token count under the learned merge rules (fixed-point
+    // tokens/word ratio) — the application side of vocab_bpe_merges.
+    // The segmentation table is vocabulary-bounded and broadcasts; the
+    // corpus-side work is one token explode + broadcast join, linear at
+    // any scale.
+    "text_bpe_apply" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val seg = graft.corpus.Vocab.bpeSegmentations(d, "text", bpeTrainMerges)
+      val dw = Dedup.fanout(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(T.tokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$") &&
+          length(col("word")) <= graft.corpus.Vocab.bpeMaxWordLen)
+      val per = dw.join(broadcast(seg), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          when(coalesce(col("n_words"), lit(0L)) === 0, 0L)
+            .otherwise(expr("(n_subwords * 1000000) div n_words"))
+            .as("subwords_per_word_fp"))
+        .orderBy("doc_id")
+    }),
 
     "vocab_bpe_pairs" -> ((spark, dir) => {
       // fanout: the token explode is scan-stage compute; a few-file
@@ -2458,6 +2514,8 @@ object CorpusQueries {
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "vocab_bpe_merges" -> bpeMergeOracle(bpeTrainMerges),
+
+    "text_bpe_apply" -> bpeApplyOracle(bpeTrainMerges),
 
     "vocab_bpe_pairs" ->
       s"""$tokCte,

@@ -46,6 +46,19 @@ class VocabSpec extends SparkTestBase {
     assert((m2.getString(1), m2.getString(2), m2.getLong(3)) == (("x", "y", 2L)))
   }
 
+  test("bpeSegmentations maps each dict word to its post-merge token count") {
+    // after merges (a,b) then (ab,ab): "abab" collapses to ONE token,
+    // "cd" (whose pair never won) stays two characters
+    val docs = Seq("abab abab abab cd cd").toDF("text")
+    val seg = Vocab.bpeSegmentations(docs, "text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg == Map("abab" -> 1L, "cd" -> 2L))
+    // zero merges = character segmentation
+    val seg0 = Vocab.bpeSegmentations(docs, "text", 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg0 == Map("abab" -> 4L, "cd" -> 2L))
+  }
+
   test("bpeMerges stops early when no pairs remain; empty corpus trains nothing") {
     // single-char words have no adjacent pairs
     val singles = Seq("a b c a").toDF("text")
