@@ -546,6 +546,35 @@ class StreamingSpec extends SparkTestBase {
       assert(gotFunnel.count() > 0)
       assert(gotFunnel.exceptAll(batch).count() == 0 &&
         batch.exceptAll(gotFunnel).count() == 0)
+
+      // (c) stream-stream attribution join — FOUR state stores per
+      // partition (left/right keyToNumValues + keyWithIndexToValue),
+      // the heaviest RocksDB surface of the five patterns
+      val ev2 = XeFixture.events(spark, sf("sf0.001"))
+      val clicks = ev2.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev2.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val cDir = Files.createTempDirectory("graft-rocks-attr-c").toString
+      val pDir = Files.createTempDirectory("graft-rocks-attr-p").toString
+      clicks.write.parquet(s"$cDir/drop1")
+      purchases.write.parquet(s"$pDir/drop1")
+      val q3 = EventStream.attributionJoin(
+          spark.readStream.schema(clicks.schema).parquet(s"$cDir/drop*"),
+          spark.readStream.schema(purchases.schema).parquet(s"$pDir/drop*"),
+          lookback = "30 minutes", lateness = "5 minutes")
+        .writeStream.format("memory").queryName("rocks_attr")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rocks-ck3").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination(120000)
+      val gotAttr = spark.table("rocks_attr")
+      val batchAttr = EventStream.attributionJoin(clicks, purchases,
+        lookback = "30 minutes", lateness = "5 minutes")
+      assert(gotAttr.count() > 0)
+      assert(gotAttr.exceptAll(batchAttr).count() == 0)
+      assert(gotAttr.count().toDouble / batchAttr.count() > 0.8)
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
