@@ -908,6 +908,42 @@ object Dedup {
           col("n_windows").cast("double"), 6))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every k-token gram, slide a w-gram window over the
+    * hash sequence, and keep each window's MINIMUM hash. Guarantee: any
+    * shared run of ≥ w+k-1 tokens between two docs surfaces as a shared
+    * fingerprint, while only ~2/(w+1) of gram hashes are retained — the
+    * local, position-robust alternative to "every 0 mod p"-style
+    * fingerprint sampling, whose selection shifts under single-token
+    * edits. This variant keeps the distinct window-min VALUES per doc:
+    * min(hash) is order-independent and tie-free across engines, unlike
+    * argmin position selection, whose tie rule is implementation-defined.
+    * Docs with fewer than k tokens emit nothing; docs with 1..w-1 grams
+    * emit their single global min (one window covering all grams).
+    *
+    * Scale: one posexplode + one doc-partitioned bounded-frame window
+    * (w rows of state per task, streamed in pos order) + distinct — all
+    * linear in corpus token count, no self-join. Returns (doc_id, fp). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = fanout(docs).select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.kgrams(col(textCol), k)).as(Seq("pos", "gram")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("h", hash60(col("gram")))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("wmin", min(col("h")).over(frame))
+      // complete windows only: starts 0..n-w (0-based pos); short docs
+      // (n < w) keep exactly the pos-0 window over all their grams
+      .filter(col("pos") <= greatest(lit(0L), col("n_grams") - w))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
   /** Corpus snapshot reconciliation: per-doc status between two corpus
     * versions — `added` (only in curr), `removed` (only in prev),
     * `changed` (both, different text), `unchanged`. The release-notes /

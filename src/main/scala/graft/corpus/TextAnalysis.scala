@@ -225,6 +225,28 @@ object TextAnalysis {
     round((lenOk + stopOk + cleanOk) / 3.0, 6)
   }
 
+  /** Encoding-anomaly counters (the "mojibake census" a web-scale text
+    * pipeline runs before language ID — mis-decoded bytes poison both
+    * n-gram language detection and tokenizer training):
+    *  - U+FFFD REPLACEMENT CHARACTER occurrences: a decoder already gave
+    *    up on those bytes upstream;
+    *  - UTF-8-as-Latin-1 pair signature: 'Ã' (U+00C3) followed by a char
+    *    in U+00A0..U+00BF — exactly the shape every 2-byte UTF-8
+    *    sequence for U+00C0..U+00FF (é, ü, ñ, …) decays to when decoded
+    *    as Latin-1, and a near-impossible bigram in intentional text;
+    *  - non-ASCII count, for the ratio denominator of downstream gates.
+    * All three are single-regex counters (codegen'd `regexp_count`),
+    * mirrored in DuckDB with chr()-built patterns — the oracle SQL never
+    * needs raw non-ASCII bytes. */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(text, lit("�")).cast("long")
+
+  def mojibakePairCount(text: Column): Column =
+    regexp_count(text, lit("Ã[ -¿]")).cast("long")
+
+  def nonAsciiCount(text: Column): Column =
+    regexp_count(text, lit("[^\\x00-\\x7F]")).cast("long")
+
   /** Dedup-normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Most corpus dedup hashes NORMALIZED text — byte-exact
     * dedup misses trivial reformat duplicates (case, punctuation,

@@ -148,6 +148,9 @@ object CorpusQueries {
   // this corpus's ~45-token docs plays the role 50 tokens does on web text
   val spanW = 8
   val boilerplateTopN = 50
+  // winnowing window (grams): guarantee = any shared run of
+  // winnowW + shingleK - 1 tokens surfaces as a shared fingerprint
+  val winnowW = 4
   val jaccardThreshold = 0.8
   // df cap for the exact postings self-joins (Dedup.defaultMaxDf) —
   // shared with the oracle SQL so both engines drop the same postings
@@ -454,6 +457,85 @@ object CorpusQueries {
         repRatio(T.kgrams(col("text"), 2)).as("rep_2gram"),
         repRatio(T.kgrams(col("text"), 3)).as("rep_3gram"))
         .orderBy("doc_id")
+    }),
+
+    // Encoding-anomaly census (pre-language-ID hygiene gate): the
+    // fixture text is clean ASCII, so the query PLANTS deterministic
+    // mojibake — UTF-8-as-Latin-1 'Ã©' pairs on doc_id % 4 == 0, U+FFFD
+    // replacement chars on doc_id % 7 == 0, counts varying per doc —
+    // with the identical construction in the oracle (chr()-built there,
+    // so the SQL wire stays ASCII). The operator under test is the
+    // TextAnalysis counter trio + the ratio/flag algebra.
+    "text_mojibake" -> ((spark, dir) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit(" caf"), call_function("repeat", lit("Ã©"),
+            (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" "), call_function("repeat", lit("�"),
+            (pmod(col("doc_id"), lit(2L)) + 1).cast("int"))))
+          .otherwise(lit("")))
+      val nRepl = T.replacementCharCount(planted)
+      val nMoji = T.mojibakePairCount(planted)
+      val nNonAscii = T.nonAsciiCount(planted)
+      docs(spark, dir).select(
+        col("doc_id"),
+        nRepl.as("n_replacement"),
+        nMoji.as("n_mojibake"),
+        nNonAscii.as("n_nonascii"),
+        when(length(planted) === 0, 1.0).otherwise(
+          round((length(planted) - nNonAscii).cast("double") /
+            length(planted).cast("double"), 6)).as("ascii_ratio"),
+        when(nRepl > 0 || nMoji > 0, 1L).otherwise(0L).as("suspect"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (Dedup.winnowFingerprints — the MOSS
+    // selection rule): per doc, the distinct window-min gram hashes plus
+    // a set digest, so two corpus versions can diff fingerprint sets
+    // without re-reading text. n_grams counts ALL k-gram windows (the
+    // selection's denominator); docs under k tokens fingerprint to the
+    // empty-set digest via the left join.
+    "corpus_winnow" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val per = Dedup.winnowFingerprints(d, "doc_id", "text", shingleK, winnowW)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          T.hash60(array_join(transform(sort_array(collect_list(col("fp"))),
+            x => x.cast("string")), ",")).as("fp_set_hash"))
+      d.select(col("doc_id"),
+          greatest(lit(0), size(T.tokens(col("text"))) - (shingleK - 1))
+            .cast("long").as("n_grams"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("fp_set_hash"), T.hash60(lit(""))).as("fp_set_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quality floor (rank-based percentile trim): keep the
+    // best 75% of docs per source by the fixed-point quality score —
+    // the curation rule "drop each domain's worst quartile" that a
+    // cross-domain absolute threshold can't express (a uniformly-noisy
+    // source would pass everything or nothing). Rank-based, so the
+    // floor needs no percentile interpolation semantics to match across
+    // engines; ceil(0.75 n) = (3n + 3) div 4 in integer math.
+    "corpus_quality_floor" -> ((spark, dir) => {
+      val bySrc = Window.partitionBy(col("source"))
+      docs(spark, dir)
+        .withColumn("qfp",
+          round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .withColumn("rn",
+          row_number().over(bySrc.orderBy(col("qfp").desc, col("doc_id"))))
+        .filter(col("rn") <= expr("(n_src * 3 + 3) div 4"))
+        .groupBy(col("source"))
+        .agg(min(col("n_src")).as("n_total"),
+          count(lit(1)).as("n_kept"),
+          min(col("qfp")).as("floor_qfp"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
     }),
 
     // Deterministic stratified sampling (post-dedup mixture step):
@@ -2202,6 +2284,91 @@ object CorpusQueries {
          |         round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE)
          |               / CAST(len(g3) AS DOUBLE), 6) END AS rep_3gram
          |FROM grams ORDER BY doc_id""".stripMargin,
+
+    // planted-mojibake construction mirrored via chr(): 195/169 = 'Ã©'
+    // (UTF-8 'é' decoded as Latin-1), 65533 = U+FFFD, 160-191 = the
+    // Latin-1 continuation-byte range of the pair signature
+    "text_mojibake" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 4 = 0
+        |                 THEN ' caf' || repeat(chr(195) || chr(169),
+        |                                       CAST(doc_id % 3 + 1 AS INTEGER))
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' ' || repeat(chr(65533),
+        |                                    CAST(doc_id % 2 + 1 AS INTEGER))
+        |                 ELSE '' END AS t
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS n_replacement,
+        |         CAST(len(regexp_extract_all(t,
+        |           chr(195) || '[' || chr(160) || '-' || chr(191) || ']')) AS BIGINT) AS n_mojibake,
+        |         CAST(len(regexp_extract_all(t, '[^\x00-\x7F]')) AS BIGINT) AS n_nonascii,
+        |         length(t) AS n
+        |  FROM p
+        |)
+        |SELECT doc_id, n_replacement, n_mojibake, n_nonascii,
+        |       CASE WHEN n = 0 THEN 1.0
+        |            ELSE round(CAST(n - n_nonascii AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |       END AS ascii_ratio,
+        |       CAST(CASE WHEN n_replacement > 0 OR n_mojibake > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS suspect
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_winnow" ->
+      s"""$tokCte,
+         |g AS (
+         |  SELECT doc_id, i, len(ws) - ${shingleK - 1} AS n_grams,
+         |         ${h60(s"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+         |  FROM toks, unnest(range(1, len(ws) - ${shingleK - 2})) AS u(i)
+         |  WHERE len(ws) >= $shingleK
+         |),
+         |w AS (
+         |  SELECT doc_id, i, n_grams,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
+         |  FROM g
+         |),
+         |f AS (
+         |  SELECT DISTINCT doc_id, wmin FROM w
+         |  WHERE i <= greatest(1, n_grams - ${winnowW - 1})
+         |),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_fps,
+         |         ${h60("array_to_string(list_sort(list(wmin)), ',')")} AS fp_set_hash
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |       CAST(greatest(0, len(ws) - ${shingleK - 1}) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+         |       coalesce(fp_set_hash, ${h60("''")}) AS fp_set_hash
+         |FROM toks t LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_quality_floor" ->
+      s"""$tokCte,
+         |q AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, $qfpSql AS qfp
+         |  FROM toks JOIN documents d USING (doc_id)
+         |),
+         |r AS (
+         |  SELECT doc_id, source, n_chars, qfp,
+         |         count(*) OVER (PARTITION BY source) AS n_src,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY qfp DESC, doc_id) AS rn
+         |  FROM q
+         |)
+         |SELECT source,
+         |       CAST(min(n_src) AS BIGINT) AS n_total,
+         |       count(*) AS n_kept,
+         |       min(qfp) AS floor_qfp,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM r WHERE rn <= (n_src * 3 + 3) // 4
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_sample_stratified" -> {
       val rateCase = (0 until 10).map(i =>

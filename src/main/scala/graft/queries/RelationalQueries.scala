@@ -461,6 +461,50 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Salted fact-dim JOIN (corpus.Skew.saltedJoin) under the oracle
+    // gate: the (key, salt) rewrite must return EXACTLY the plain inner
+    // join's rows. The demo dim (customer) is broadcast-sized, but the
+    // operator is the "dim too big to broadcast, fact skewed on the
+    // key" path — each hot user's events land on 8 reducers instead of
+    // one straggler. DECIMAL aggregation on top keeps the rollup
+    // order-independent for the cross-engine hash.
+    "events_salted_join" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir).select(col("user_id").as("k"),
+        col("value"))
+      val cust = t(spark, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment"))
+      graft.corpus.Skew.saltedJoin(ev, cust, "k", saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Blocked fuzzy best-match (operators.FuzzyMatch): resolve typo'd
+    // part names back to the clean name dictionary — the entity-
+    // resolution step that reconciles noisy metadata to a canonical
+    // vocabulary before grouping on it. The dirty side is derived
+    // deterministically from the dictionary itself (drop the char at
+    // 1-based position (len % 5) + 2 — never position 1, so the
+    // first-char block key survives the typo by construction, which is
+    // the blocking contract the operator documents). Both sides are
+    // vocab-bounded (distinct names), the join is a prefix equi-join,
+    // and the winner rule (min dist, then lexicographic) is replayed
+    // verbatim by the oracle's window.
+    "fuzzy_match_names" -> ((spark, dir) => {
+      val names = t(spark, dir, "part").select(col("p_name")).distinct()
+      val p = pmod(length(col("p_name")), lit(5)) + 2
+      val dirty = names.select(concat(
+          col("p_name").substr(lit(1), p - 1),
+          col("p_name").substr(p + 1, length(col("p_name"))))
+        .as("dirty_name"))
+      graft.operators.FuzzyMatch.bestMatch(dirty, names,
+          "dirty_name", "p_name", maxDist = 2, lenBand = 2)
+        .select(col("dirty").as("dirty_name"), col("best_match"),
+          col("dist"), col("n_candidates"))
+        .orderBy("dirty_name")
+    }),
+
     // Interval-union coverage (the sweep-line island trick): each error
     // event opens a 5-minute outage window; per user, merged windows →
     // number of distinct outage islands + total covered µs. Running max
@@ -1166,6 +1210,41 @@ object RelationalQueries {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
           |       count(*) AS n_events
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the salted (key, salt) join must reproduce the PLAIN join
+      "events_salted_join" ->
+        """SELECT c_mktsegment,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "fuzzy_match_names" ->
+        """WITH names AS (SELECT DISTINCT p_name FROM part),
+          |d AS (
+          |  SELECT DISTINCT
+          |         substr(p_name, 1, (length(p_name) % 5) + 1)
+          |         || substr(p_name, (length(p_name) % 5) + 3, length(p_name))
+          |           AS dirty_name
+          |  FROM names
+          |),
+          |cand AS (
+          |  SELECT d.dirty_name, n.p_name,
+          |         CAST(levenshtein(d.dirty_name, n.p_name) AS BIGINT) AS dist
+          |  FROM d JOIN names n
+          |    ON substr(d.dirty_name, 1, 1) = substr(n.p_name, 1, 1)
+          |  WHERE abs(length(d.dirty_name) - length(n.p_name)) <= 2
+          |    AND levenshtein(d.dirty_name, n.p_name) <= 2
+          |),
+          |ranked AS (
+          |  SELECT dirty_name, p_name, dist,
+          |         count(*) OVER (PARTITION BY dirty_name) AS n_candidates,
+          |         row_number() OVER (PARTITION BY dirty_name
+          |                            ORDER BY dist, p_name) AS rn
+          |  FROM cand
+          |)
+          |SELECT dirty_name, p_name AS best_match, dist, n_candidates
+          |FROM ranked WHERE rn = 1 ORDER BY dirty_name""".stripMargin,
 
       "events_json_extract" ->
         """SELECT event_type,

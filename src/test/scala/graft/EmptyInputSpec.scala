@@ -109,5 +109,16 @@ class EmptyInputSpec extends SparkTestBase {
     // sampled lshEval on an empty corpus: one all-zero diagnostic row
     val r = Dedup.lshEval(noDocs, "doc_id", "text", 3, 12, 3, 0.8, 2L).head()
     assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
+    // winnowing over an empty corpus / a corpus of sub-k docs
+    assert(Dedup.winnowFingerprints(noDocs, "doc_id", "text", 3, 4).count() == 0)
+    val short = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", 3, 4).count() == 0)
+    // fuzzy match with an empty dictionary or empty dirty side
+    val noNames = Seq.empty[String].toDF("name")
+    val oneName = Seq("abc").toDF("name")
+    assert(graft.operators.FuzzyMatch.bestMatch(oneName, noNames,
+      "name", "name", 2, 2).count() == 0)
+    assert(graft.operators.FuzzyMatch.bestMatch(noNames, oneName,
+      "name", "name", 2, 2).count() == 0)
   }
 }

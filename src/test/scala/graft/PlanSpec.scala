@@ -496,4 +496,35 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 7,
       s"split must stay projection-shaped, got ${shuffles.size} shuffles")
   }
+
+  test("fuzzy_match_names: block key makes the candidate join an equi-join") {
+    val nodes = executedNodes(q("fuzzy_match_names"))
+    assert(nodes.forall(n => {
+      val c = n.getClass.getSimpleName
+      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+    }), "blocked fuzzy join must never degrade to an all-pairs join")
+  }
+
+  test("corpus_winnow: one doc-keyed exchange feeds the window, no self-join") {
+    val nodes = executedNodes(q("corpus_winnow"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct")))
+    // gram explode → ONE doc_id exchange (count + frame-min windows share
+    // it) → distinct (partial+final) → per-doc agg → left join back to
+    // the doc spine → output sort. Anything above 6 means the two window
+    // specs stopped sharing their exchange or distinct lost its partial.
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 6,
+      s"winnowing is linear window work, got ${shuffles.size} shuffles")
+  }
+
+  test("events_salted_join: join runs on (key, salt), dim side replicated") {
+    val nodes = executedNodes(q("events_salted_join"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct")))
+    // the salt expansion must appear under the join (explode of the
+    // 0..buckets-1 sequence on the small side)
+    assert(nodes.exists(_.getClass.getSimpleName.contains("Generate")),
+      "expected the salt-replication explode on the dim side")
+  }
 }
