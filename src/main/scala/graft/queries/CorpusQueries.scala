@@ -514,6 +514,29 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing as a detector: doc pairs sharing >= 2 selected
+    // fingerprints — the cheap cross-version / cross-doc overlap scan
+    // the fingerprint artifact exists for (MOSS's match step). One
+    // fp-keyed exchange feeds the df census AND the postings self-join
+    // (ReuseExchange); the df cap drops boilerplate fingerprints before
+    // they can fan out df² pairs — the same hot-key bound as the exact
+    // jaccard postings join, shared knob and all.
+    "corpus_winnow_overlap" -> ((spark, dir) => {
+      val fps = Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text",
+          shingleK, winnowW)
+        .repartition(col("fp"))
+      val dfc = fps.groupBy(col("fp")).agg(count(col("doc_id")).as("df"))
+      val fk = fps.join(dfc, Seq("fp")).filter(col("df") <= maxShingleDf)
+        .select(col("fp"), col("doc_id"))
+      fk.select(col("fp"), col("doc_id").as("d1"))
+        .join(fk.select(col("fp"), col("doc_id").as("d2")), Seq("fp"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    }),
+
     // Per-source quality floor (rank-based percentile trim): keep the
     // best 75% of docs per source by the fixed-point quality score —
     // the curation rule "drop each domain's worst quartile" that a
@@ -1358,6 +1381,28 @@ object CorpusQueries {
           size(Multimodal.framePositions(col("payload"), 64, 8)).as("n_frames"): _*)
         .withColumn("byte_len", col("byte_len").cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling for video-like payloads: explode the sampled frame
+    // positions (Multimodal.framePositions — every 64 bytes past the
+    // header, capped at 8, same knobs as mm_decode_stats' n_frames) and
+    // fingerprint each 16-byte "frame" slice. The real pipeline swaps
+    // the slice-hash for a codec frame-decode inside the same
+    // (doc, frame_idx, position) plumbing — the explode shape, the
+    // per-frame row grain, and the position arithmetic are what this
+    // oracle pins. Embarrassingly parallel: one projection + explode,
+    // no shuffle but the output sort.
+    "mm_frame_sample" -> ((spark, dir) => {
+      val withP = Multimodal.withPayload(docs(spark, dir))
+      withP.select(col("doc_id"), col("format"),
+          posexplode(Multimodal.framePositions(col("payload"), 64, 8))
+            .as(Seq("frame_idx", "fpos")),
+          col("payload"))
+        .withColumn("frame_hash",
+          T.hash60(hex(col("payload")).substr(col("fpos") * 2 + 1, lit(32))))
+        .select(col("doc_id"), col("format"), col("frame_idx"), col("fpos"),
+          col("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // Bloom filter as data (Sketches.BloomAggregator is the mergeable
@@ -2348,6 +2393,33 @@ object CorpusQueries {
          |       coalesce(fp_set_hash, ${h60("''")}) AS fp_set_hash
          |FROM toks t LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_winnow_overlap" ->
+      s"""$tokCte,
+         |g AS (
+         |  SELECT doc_id, i, len(ws) - ${shingleK - 1} AS n_grams,
+         |         ${h60(s"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+         |  FROM toks, unnest(range(1, len(ws) - ${shingleK - 2})) AS u(i)
+         |  WHERE len(ws) >= $shingleK
+         |),
+         |w AS (
+         |  SELECT doc_id, i, n_grams,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
+         |  FROM g
+         |),
+         |f AS (
+         |  SELECT DISTINCT doc_id, wmin AS fp FROM w
+         |  WHERE i <= greatest(1, n_grams - ${winnowW - 1})
+         |),
+         |dfc AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
+         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc USING (fp)
+         |       WHERE df <= $maxShingleDf)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY d1, d2""".stripMargin,
 
     "corpus_quality_floor" ->
       s"""$tokCte,
@@ -3412,6 +3484,28 @@ object CorpusQueries {
         |       ('0x' || substring(hex(payload), 9, 2))::BIGINT AS first_body_byte,
         |       CAST(least((octet_length(payload) - 4) // 64, 8) AS INTEGER) AS n_frames
         |FROM media ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+         |              WHEN doc_id % 3 = 1 THEN 'jpg'
+         |              ELSE 'webp' END AS format,
+         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+         |  FROM documents
+         |),
+         |fr AS (
+         |  SELECT doc_id, format,
+         |         CAST(i AS INTEGER) AS frame_idx,
+         |         CAST(4 + i * 64 AS INTEGER) AS fpos,
+         |         payload
+         |  FROM media, range(0, 8) t(i)
+         |  WHERE i < least((octet_length(payload) - 4) // 64, 8)
+         |)
+         |SELECT doc_id, format, frame_idx, fpos,
+         |       ${h60("substring(hex(payload), fpos * 2 + 1, 32)")} AS frame_hash
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_near_dup" ->
       s"""WITH media AS (

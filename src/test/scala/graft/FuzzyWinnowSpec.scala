@@ -96,6 +96,23 @@ class FuzzyWinnowSpec extends SparkTestBase {
     }
   }
 
+  test("winnow overlap surfaces a planted long shared run as a doc pair") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("m", "n", "o", "p", "q", "r")
+    def randToks(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val shared = randToks(20)
+    val a = (randToks(8) ++ shared ++ randToks(8)).mkString(" ")
+    val b = (randToks(4) ++ shared ++ randToks(12)).mkString(" ")
+    val noise = (0 until 6).map(i => (10L + i, randToks(18).mkString(" ")))
+    val corpus = (Seq((1L, a), (2L, b)) ++ noise).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", 3, 4)
+    val f1 = fps.filter($"doc_id" === 1L).select("fp").as[Long].collect().toSet
+    val f2 = fps.filter($"doc_id" === 2L).select("fp").as[Long].collect().toSet
+    // a 20-token run contains 18 grams = 15 complete windows; winnowing
+    // keeps ~2/(w+1) of them — comfortably >= 2 shared fingerprints
+    assert((f1 & f2).size >= 2, s"shared=${(f1 & f2).size}")
+  }
+
   test("winnowing selects far fewer fingerprints than grams on long docs") {
     val text = (0 until 400).map(i => s"tok${i % 97}").mkString(" ")
     val n = Dedup.winnowFingerprints(

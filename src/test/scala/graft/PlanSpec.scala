@@ -518,6 +518,21 @@ class PlanSpec extends SparkTestBase {
       s"winnowing is linear window work, got ${shuffles.size} shuffles")
   }
 
+  test("corpus_winnow_overlap: fp-keyed equi-joins only, df census reuses the exchange") {
+    val nodes = executedNodes(q("corpus_winnow_overlap"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct")))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("ReusedExchange")),
+      "the explicit fp repartition must be shared by the df census and the join")
+  }
+
+  test("mm_frame_sample: pure projection + explode — only the output sort shuffles") {
+    val nodes = executedNodes(q("mm_frame_sample"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"frame sampling must be embarrassingly parallel, got ${shuffles.size} shuffles")
+  }
+
   test("events_salted_join: join runs on (key, salt), dim side replicated") {
     val nodes = executedNodes(q("events_salted_join"))
     assert(nodes.forall(n =>
