@@ -545,13 +545,18 @@ object CorpusQueries {
     // floor needs no percentile interpolation semantics to match across
     // engines; ceil(0.75 n) = (3n + 3) div 4 in integer math.
     "corpus_quality_floor" -> ((spark, dir) => {
-      val bySrc = Window.partitionBy(col("source"))
-      docs(spark, dir)
-        .withColumn("qfp",
-          round(T.qualityScore(col("text")) * 1000000, 0).cast("long"))
-        .withColumn("n_src", count(lit(1)).over(bySrc))
-        .withColumn("rn",
-          row_number().over(bySrc.orderBy(col("qfp").desc, col("doc_id"))))
+      // both window functions share ONE spec (same partition, order,
+      // unbounded frame) → one Window operator, one source-keyed sort;
+      // the narrow pre-select keeps the wide text column out of it
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("qfp").desc, col("doc_id"))
+      val scored = docs(spark, dir).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        round(T.qualityScore(col("text")) * 1000000, 0).cast("long").as("qfp"))
+      scored
+        .withColumn("n_src", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= expr("(n_src * 3 + 3) div 4"))
         .groupBy(col("source"))
         .agg(min(col("n_src")).as("n_total"),

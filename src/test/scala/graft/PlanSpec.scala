@@ -533,6 +533,18 @@ class PlanSpec extends SparkTestBase {
       s"frame sampling must be embarrassingly parallel, got ${shuffles.size} shuffles")
   }
 
+  test("corpus_quality_floor: one Window operator, text pruned before the sort") {
+    val nodes = executedNodes(q("corpus_quality_floor"))
+    // both window functions share (partition, order, frame) → one
+    // WindowExec = one source-keyed sort. Two specs split this into two
+    // full sorts and cost 5x at the 500k-doc probe.
+    val windows = nodes.filter(_.getClass.getSimpleName == "WindowExec")
+    assert(windows.size == 1, s"expected one shared WindowExec, got ${windows.size}")
+    // the wide text column must not ride through the window sort
+    assert(windows.forall(w => !w.output.exists(_.name == "text")),
+      "text column must be pruned before the window exchange")
+  }
+
   test("events_salted_join: join runs on (key, salt), dim side replicated") {
     val nodes = executedNodes(q("events_salted_join"))
     assert(nodes.forall(n =>
