@@ -505,6 +505,38 @@ object RelationalQueries {
         .orderBy("dirty_name")
     }),
 
+    // ER clustering (the step after pairwise fuzzy matching): blocked
+    // fuzzy edges (levenshtein <= 3 within the first-char block +
+    // length band) over the part-name dictionary, connected components
+    // via Dedup's star-contraction operator, every name mapped to its
+    // cluster's canonical representative (the min-hash60 member — an
+    // arbitrary-but-deterministic pick both engines replay). Names with
+    // no in-budget neighbor stay their own canonical via the left join.
+    // Scale: dictionary-sized sides, block-keyed equi-join for edges,
+    // log-round star contraction for components.
+    "er_resolve_clusters" -> ((spark, dir) => {
+      import graft.corpus.{Dedup, TextAnalysis => T}
+      val ids = t(spark, dir, "part").select(col("p_name")).distinct()
+        .withColumn("id", T.hash60(col("p_name")))
+      val a = ids.select(col("p_name").as("n1"), col("id").as("d1"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      val b = ids.select(col("p_name").as("n2"), col("id").as("d2"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("n1") < col("n2") &&
+          abs(length(col("n1")) - length(col("n2"))) <= 2 &&
+          levenshtein(col("n1"), col("n2")) <= 3)
+        .select(col("d1"), col("d2"))
+      val clus = Dedup.dupClusters(edges)
+      ids.join(clus, ids("id") === clus("doc_id"), "left")
+        .join(ids.select(col("id").as("cid"),
+          col("p_name").as("canonical_name")),
+          col("canonical_id") === col("cid"), "left")
+        .select(col("p_name"),
+          coalesce(col("canonical_name"), col("p_name")).as("canonical_name"))
+        .orderBy("p_name")
+    }),
+
     // Interval-union coverage (the sweep-line island trick): each error
     // event opens a 5-minute outage window; per user, merged windows →
     // number of distinct outage islands + total covered µs. Running max
@@ -1245,6 +1277,35 @@ object RelationalQueries {
           |)
           |SELECT dirty_name, p_name AS best_match, dist, n_candidates
           |FROM ranked WHERE rn = 1 ORDER BY dirty_name""".stripMargin,
+
+      "er_resolve_clusters" ->
+        """WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+          |ids AS (
+          |  SELECT p_name,
+          |         ('0x' || substring(md5(p_name), 1, 15))::BIGINT AS id
+          |  FROM names
+          |),
+          |e0 AS (
+          |  SELECT a.id AS x, b.id AS y
+          |  FROM ids a JOIN ids b
+          |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+          |  WHERE a.p_name < b.p_name
+          |    AND abs(length(a.p_name) - length(b.p_name)) <= 2
+          |    AND levenshtein(a.p_name, b.p_name) <= 3
+          |),
+          |edges AS (SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          |),
+          |clus AS (SELECT a AS id, least(a, min(b)) AS cid FROM reach GROUP BY a)
+          |SELECT i.p_name,
+          |       coalesce(c.p_name, i.p_name) AS canonical_name
+          |FROM ids i
+          |LEFT JOIN clus ON i.id = clus.id
+          |LEFT JOIN ids c ON clus.cid = c.id
+          |ORDER BY i.p_name""".stripMargin,
 
       "events_json_extract" ->
         """SELECT event_type,

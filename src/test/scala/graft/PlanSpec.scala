@@ -533,6 +533,14 @@ class PlanSpec extends SparkTestBase {
       s"frame sampling must be embarrassingly parallel, got ${shuffles.size} shuffles")
   }
 
+  test("er_resolve_clusters: edge generation stays a block-keyed equi-join") {
+    val nodes = executedNodes(q("er_resolve_clusters"))
+    assert(nodes.forall(n => {
+      val c = n.getClass.getSimpleName
+      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+    }), "fuzzy edge generation must never degrade to an all-pairs join")
+  }
+
   test("corpus_quality_floor: one Window operator, text pruned before the sort") {
     val nodes = executedNodes(q("corpus_quality_floor"))
     // both window functions share (partition, order, frame) → one
