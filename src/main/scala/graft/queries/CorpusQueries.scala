@@ -853,6 +853,35 @@ object CorpusQueries {
         .orderBy("source")
     }),
 
+    // Embedding snapshot drift (the embedding-space twin of
+    // corpus_drift): per label, member counts and the L1 centroid shift
+    // between two corpus "versions" (vec_id parity stands in for the
+    // snapshot split). Centroids are never divided out: the shift
+    // compares cross-multiplied fixed-point sums |s1·n2 − s2·n1| and
+    // divides ONCE by n1·n2 in integer math — no per-dim double
+    // division to desync the hash, and the whole census is one
+    // (label, dim) agg + one label rollup. The embedding-refresh
+    // monitoring step: a retrained encoder that moves a cluster's
+    // centroid invalidates that cluster's ANN artifacts.
+    "emb_drift" -> ((spark, dir) => {
+      val comp = emb(spark, dir)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("v1"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xi",
+          round(col("x").cast("double") * 1048576.0, 0).cast("long"))
+      comp.groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("v1"), col("xi")).otherwise(0L)).as("s1"),
+          sum(when(!col("v1"), col("xi")).otherwise(0L)).as("s2"),
+          sum(when(col("v1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("v1"), 1L).otherwise(0L)).as("n2"))
+        .groupBy(col("label"))
+        .agg(max(col("n1")).as("n_v1"), max(col("n2")).as("n_v2"),
+          expr("""CASE WHEN max(n1) * max(n2) = 0 THEN 0
+                  ELSE sum(abs(s1 * n2 - s2 * n1)) div (max(n1) * max(n2))
+                  END""").as("l1_shift_fp"))
+        .orderBy("label")
+    }),
+
     // Corpus-wide boilerplate census: topN most-repeated spans with
     // occurrence and doc counts — the review artifact behind a span
     // drop-list (deterministic cut: occ desc, span asc).
@@ -2815,6 +2844,29 @@ object CorpusQueries {
          |       CAST(sum(toks_c) AS BIGINT) AS toks_curr,
          |       CAST(sum(abs(n_p - n_c)) AS BIGINT) AS hist_l1
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "emb_drift" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 = 0 AS v1, pos,
+        |         CAST(embedding[pos] AS DOUBLE) AS x
+        |  FROM (SELECT label, vec_id, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS pos
+        |        FROM embeddings) t
+        |), s AS (
+        |  SELECT label, pos,
+        |         CAST(sum(CASE WHEN v1 THEN CAST(round(x * 1048576.0, 0) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN NOT v1 THEN CAST(round(x * 1048576.0, 0) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN NOT v1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM comp GROUP BY 1, 2
+        |)
+        |SELECT label, max(n1) AS n_v1, max(n2) AS n_v2,
+        |       CAST(CASE WHEN max(n1) * max(n2) = 0 THEN 0
+        |            ELSE sum(abs(s1 * n2 - s2 * n1)) // (max(n1) * max(n2))
+        |            END AS BIGINT) AS l1_shift_fp
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     "corpus_boilerplate" ->
       s"""$spanCte,
