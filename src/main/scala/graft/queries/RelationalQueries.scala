@@ -646,6 +646,41 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Robust outlier census (the MAD complement to events_anomaly's
+    // mean+3σ — a few extreme values inflate σ and hide themselves;
+    // median/MAD does not care): per event type, the rank-based lower
+    // median of value, the median absolute deviation, and how many
+    // events sit beyond 3·MAD. Medians are picked by row_number at
+    // (n+1) div 2 over a fully-tied-broken order (value, event_id) in
+    // integer micro-units — no percentile interpolation semantics to
+    // match across engines, no doubles until the output. Scale: two
+    // type-keyed windows + a 5-row broadcast join back; per-type
+    // partitions sort in parallel.
+    "events_mad_outliers" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir).select(col("event_type"),
+        col("event_id"), round(col("value") * 1000000, 0).cast("long").as("v"))
+      val byType = Window.partitionBy(col("event_type"))
+      val med = ev
+        .withColumn("rn", row_number().over(byType.orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v").as("med"), col("n"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("v") - col("med")))
+      val mad = dev
+        .withColumn("rn", row_number().over(byType.orderBy(col("d"), col("event_id"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("d").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_events"),
+          round(min(col("med")).cast("double") / 1000000.0, 6).as("median_value"),
+          round(min(col("mad")).cast("double") / 1000000.0, 6).as("mad_value"),
+          sum(when(col("d") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Window-function breadth over per-user lifetime value: ntile decile,
     // percent_rank, cume_dist — all over ONE deterministic ordering
     // (total desc, user id tie-break), so every engine ranks identically.
@@ -1277,6 +1312,40 @@ object RelationalQueries {
           |)
           |SELECT dirty_name, p_name AS best_match, dist, n_candidates
           |FROM ranked WHERE rn = 1 ORDER BY dirty_name""".stripMargin,
+
+      "events_mad_outliers" ->
+        """WITH ev AS (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 1000000, 0) AS BIGINT) AS v
+          |  FROM events
+          |),
+          |r AS (
+          |  SELECT event_type, event_id, v,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY v, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev
+          |),
+          |med AS (SELECT event_type, v AS med, n FROM r WHERE rn = (n + 1) // 2),
+          |dev AS (
+          |  SELECT e.event_type, e.event_id, abs(e.v - m.med) AS d, m.med, m.n
+          |  FROM ev e JOIN med m USING (event_type)
+          |),
+          |r2 AS (
+          |  SELECT event_type, d, n,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY d, event_id) AS rn
+          |  FROM dev
+          |),
+          |mad AS (SELECT event_type, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+          |SELECT d.event_type,
+          |       CAST(min(d.n) AS BIGINT) AS n_events,
+          |       round(CAST(min(d.med) AS DOUBLE) / 1000000.0, 6) AS median_value,
+          |       round(CAST(min(m.mad) AS DOUBLE) / 1000000.0, 6) AS mad_value,
+          |       CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_outliers
+          |FROM dev d JOIN mad m USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
       "er_resolve_clusters" ->
         """WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
