@@ -478,6 +478,54 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("late data accounting: watermark drops the too-late event and the metric records it") {
+    // Operational contract of withLateDataGuard: an event that arrives
+    // AFTER its window was finalized is EXCLUDED from the emitted result
+    // AND shows up in numRowsDroppedByWatermark — late data must be
+    // measurable, not silently vanish (the reconciliation signal an ops
+    // dashboard pages on). Three single-file drops so batch boundaries
+    // are deterministic: drop1 pushes the watermark 20 min past t0,
+    // drop2 commits that watermark and evicts (emits) the t0 window,
+    // drop3 replays a t0-minute event — too late by 20 minutes. (The
+    // aggregation's late filter applies the wm with one batch of lag,
+    // so a late row arriving in the eviction batch itself can still
+    // merge — the post-emission arrival here is the contract case.)
+    import java.sql.Timestamp
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:30")
+    def ts(min: Int, sec: Int = 0) =
+      new Timestamp(t0.getTime + min * 60000L + sec * 1000L)
+    val dir = Files.createTempDirectory("graft-late-in").toString
+    val ckpt = Files.createTempDirectory("graft-late-ck").toString
+    def drop(name: String, rows: Seq[(Timestamp, String, Long)]): Unit = {
+      rows.toDF("e_time_of_event_utc", "event_name", "c_duration_us")
+        .coalesce(1).write.parquet(s"$dir/$name")
+      Thread.sleep(1200) // distinct mod times pin the file-source order
+    }
+    drop("drop1", Seq((ts(0), "evt", 10L), (ts(0, 10), "evt", 10L),
+      (ts(30), "evt", 10L)))
+    drop("drop2", Seq((ts(31), "evt", 10L)))
+    drop("drop3", Seq((ts(0, 20), "evt", 10L)))
+    val drop1 = spark.read.parquet(s"$dir/drop1")
+    val stream = EventStream.readEventDir(
+      spark, s"$dir/drop*", drop1.schema, maxFilesPerTrigger = 1)
+    val rollup = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
+    val q = rollup.writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1, "the too-late event must be counted, not silently vanish")
+    // the t0 minute was finalized from drop1 alone: 2 events, never 3
+    val t0Row = spark.table("late_stream")
+      .filter(col("minute") === lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+      .select("n").collect()
+    assert(t0Row.length == 1 && t0Row.head.getLong(0) == 2L,
+      s"t0 window must hold drop1's 2 events only, got ${t0Row.toSeq}")
+  }
+
   test("RocksDB state store: windowed agg and funnel state match batch twins") {
     // The oracle rows run on the in-memory provider with KB state; at
     // 100x users state must SPILL, which is what the RocksDB provider
