@@ -119,4 +119,32 @@ object Search {
         max(when(col("_rn") === 1, col("tf"))).as("top_tf"))
       .filter(col("df") >= minDf)
   }
+
+  /** Exact phrase search over a POSITIONAL postings index: term j of the
+    * phrase must sit at position p+j for an occurrence anchored at p —
+    * the capability BM25's bag-of-words scoring cannot express (it ranks
+    * "value table" and "table value" identically). Returns one row per
+    * matching doc: (doc_id, n_occ).
+    *
+    * Scale: the token explode filters to the PHRASE TERMS before any
+    * shuffle — only matching postings move, the classic query-term-only
+    * postings discipline — and each chain step is a (doc, anchor-pos)
+    * equi-join whose left side only ever shrinks (it holds anchors that
+    * matched the phrase prefix so far). No window, no self-join on the
+    * full postings. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+    def termAt(w: String, j: Int): DataFrame =
+      toks.filter(col("token") === w)
+        .select(col("doc_id"), (col("pos") - j).as("p"))
+    val anchors = phrase.zipWithIndex.tail.foldLeft(termAt(phrase.head, 0)) {
+      case (acc, (w, j)) => acc.join(termAt(w, j), Seq("doc_id", "p"))
+    }
+    anchors.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
 }

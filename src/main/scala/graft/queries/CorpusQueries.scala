@@ -459,6 +459,21 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact phrase search (Search.phraseSearch): positional postings
+    // chained on anchor position — the order-sensitive retrieval BM25's
+    // bag-of-words cannot express. Two phrases (a frequent bigram and a
+    // rare trigram) exercise both selectivity regimes.
+    "search_phrase" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      Seq("value table", "query key scan").map { ph =>
+        graft.corpus.Search.phraseSearch(d, "doc_id", "text",
+            ph.split(" ").toIndexedSeq)
+          .withColumn("phrase", lit(ph))
+      }.reduce(_ unionByName _)
+        .select(col("phrase"), col("doc_id"), col("n_occ"))
+        .orderBy("phrase", "doc_id")
+    }),
+
     // Encoding-anomaly census (pre-language-ID hygiene gate): the
     // fixture text is clean ASCII, so the query PLANTS deterministic
     // mojibake — UTF-8-as-Latin-1 'Ã©' pairs on doc_id % 4 == 0, U+FFFD
@@ -2363,6 +2378,27 @@ object CorpusQueries {
          |         round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE)
          |               / CAST(len(g3) AS DOUBLE), 6) END AS rep_3gram
          |FROM grams ORDER BY doc_id""".stripMargin,
+
+    "search_phrase" ->
+      s"""$tokCte,
+         |p1 AS (
+         |  SELECT 'value table' AS phrase, doc_id, count(*) AS n_occ
+         |  FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+         |        FROM toks WHERE len(ws) >= 2) t
+         |  WHERE ws[i] = 'value' AND ws[i+1] = 'table'
+         |  GROUP BY doc_id
+         |),
+         |p2 AS (
+         |  SELECT 'query key scan' AS phrase, doc_id, count(*) AS n_occ
+         |  FROM (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws
+         |        FROM toks WHERE len(ws) >= 3) t
+         |  WHERE ws[i] = 'query' AND ws[i+1] = 'key' AND ws[i+2] = 'scan'
+         |  GROUP BY doc_id
+         |)
+         |SELECT phrase, doc_id, n_occ FROM p1
+         |UNION ALL
+         |SELECT phrase, doc_id, n_occ FROM p2
+         |ORDER BY phrase, doc_id""".stripMargin,
 
     // planted-mojibake construction mirrored via chr(): 195/169 = 'Ã©'
     // (UTF-8 'é' decoded as Latin-1), 65533 = U+FFFD, 160-191 = the

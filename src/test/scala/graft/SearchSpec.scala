@@ -50,4 +50,31 @@ class SearchSpec extends SparkTestBase {
     assert(smj.isEmpty && shj.isEmpty,
       s"expected broadcast-only joins, got ${smj ++ shj}")
   }
+
+  test("phraseSearch matches a brute-force sliding-window reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d")
+    val docsSeq = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(4))).mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    for (phrase <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "a"), Seq("c", "c"))) {
+      val got = Search.phraseSearch(df, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docsSeq.map { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty).toSeq
+        id -> ts.sliding(phrase.size).count(_ == phrase)
+      }.filter(_._2 > 0).toMap
+      assert(got == want.map { case (k, v) => k -> v.toLong },
+        s"phrase ${phrase.mkString(" ")}")
+    }
+  }
+
+  test("phraseSearch: overlapping occurrences each count ('a a a' in 'a a a a')") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val r = Search.phraseSearch(df, "doc_id", "text", Seq("a", "a", "a")).head()
+    assert(r.getLong(1) == 2L)
+  }
 }
