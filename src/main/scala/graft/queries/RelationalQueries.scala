@@ -356,6 +356,29 @@ object RelationalQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Session path mining: top event-type TRIGRAMS within gap-sessions —
+    // "what do users do in sequence" (the path-analysis complement to
+    // the funnel's fixed pattern). Session assignment reuses the
+    // Sessions operator; the trigram build is two lead() calls over the
+    // SAME (user, session) window, so assignment, leads and the filter
+    // all ride one user-keyed exchange; the path census is a
+    // vocabulary-bounded agg + TakeOrdered cut (n desc, path asc).
+    "events_top_paths" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val s = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+        gapUs = 28800000000L)
+      val w = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts_us"), col("event_id"))
+      s.withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
     // JSON payload shredding (§2.8: the reference exposes NO json functions;
     // the Spark engine surfaces them as first-class): extract props.$.k,
     // aggregate per event type. get_json_object is codegen'd — the parse
@@ -1230,6 +1253,31 @@ object RelationalQueries {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin,
+
+      "events_top_paths" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, event_id, event_type, ts_us,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |           AS session_seq
+          |  FROM e
+          |), tri AS (
+          |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+          |           || '>' || lead(event_type, 2) OVER w2 AS path,
+          |         lead(event_type, 2) OVER w2 AS t3
+          |  FROM s
+          |  WINDOW w2 AS (PARTITION BY user_id, session_seq
+          |                ORDER BY ts_us, event_id)
+          |)
+          |SELECT path, count(*) AS n FROM tri WHERE t3 IS NOT NULL
+          |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
       "stream_funnel" ->
         """WITH ev AS (

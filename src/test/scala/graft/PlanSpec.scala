@@ -533,6 +533,18 @@ class PlanSpec extends SparkTestBase {
       s"frame sampling must be embarrassingly parallel, got ${shuffles.size} shuffles")
   }
 
+  test("events_top_paths: one user exchange + path agg, top-k via TakeOrdered") {
+    val nodes = executedNodes(q("events_top_paths"))
+    // sessionize + both leads share the user-keyed exchange; the path
+    // census adds its agg exchange; the final cut must be a TakeOrdered
+    // (per-partition heaps), never a global sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"path mining is two exchanges of work, got ${shuffles.size}")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrdered")),
+      "top-k cut must go through TakeOrderedAndProject")
+  }
+
   test("er_resolve_clusters: edge generation stays a block-keyed equi-join") {
     val nodes = executedNodes(q("er_resolve_clusters"))
     assert(nodes.forall(n => {
