@@ -110,6 +110,33 @@ object CorpusQueries {
         coalesce(expr("imp_sum div n_tokens"), lit(0L)).as("imp_mean"))
   }
 
+  /** Corpus-trained add-one-smoothed bigram LM, per-doc fixed-point
+    * sums — shared by `text_lm_score` (the per-doc score) and
+    * `corpus_ppx_buckets` (the CCNet head/middle/tail routing built on
+    * it). Returns (doc_id, source, n_bigrams, lm_sum); every term is
+    * `floor(10⁶·(bn+1)/(un+V))` via `div` — pure integers, so both
+    * consumers stay hash-gate exact. */
+  private def lmPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bg = d.select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = d.select(explode(T.tokens(col("text"))).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("un"))
+    val vdf = uni.agg(countDistinct(col("w")).as("v"))
+    val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+    val per = bg
+      .join(bcnt, "bg")
+      .join(ucnt, col("w1") === col("w"))
+      .crossJoin(broadcast(vdf)) // 1-row vocab size onto the pair stream
+      .withColumn("term", expr("((bn + 1) * 1000000) div (un + v)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_sum"))
+    d.select(col("doc_id"), col("source")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_sum"), lit(0L)).as("lm_sum"))
+  }
+
   /** Per-label coarse centroids from exact fixed-point integer sums
     * (order-independent, so both engines train bit-identical centroids)
     * — the IVF quantizer shared by `ann_topk_ivf_probes` and
@@ -1554,29 +1581,41 @@ object CorpusQueries {
     // vocabulary-bounded count frames + the same token exchange shape as
     // text_tfidf; V broadcasts as a 1-row aggregate.
     "text_lm_score" -> ((spark, dir) => {
-      val d = docs(spark, dir)
-      val bg = d.select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val uni = d.select(explode(T.tokens(col("text"))).as("w"))
-      val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("un"))
-      val vdf = uni.agg(countDistinct(col("w")).as("v"))
-      val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
-      val per = bg
-        .join(bcnt, "bg")
-        .join(ucnt, col("w1") === col("w"))
-        .crossJoin(broadcast(vdf)) // 1-row vocab size onto the pair stream
-        .withColumn("term", expr("((bn + 1) * 1000000) div (un + v)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_sum"))
-      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
-          when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+      lmPerDoc(spark, dir)
+        .select(col("doc_id"), col("n_bigrams"), col("lm_sum"),
+          when(col("n_bigrams") === 0, 0.0)
             .otherwise(round(col("lm_sum").cast("double") /
               col("n_bigrams").cast("double"), 6))
             .as("lm_score"))
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+    // source, rank docs by the integer LM score and cut into
+    // head/middle/tail thirds — the routing decision CCNet makes with
+    // a true LM's perplexity (head = most corpus-like, tail = novel or
+    // garbage; training mixtures sample the buckets at different
+    // rates). Rank-based thirds, integer fixed-point score ordering
+    // (lm_sum div n_bigrams, doc_id tie-break) — nothing float-ordered
+    // can ulp-flip the cut. One shared source window (the quality-floor
+    // discipline) on top of the lmPerDoc frame.
+    "corpus_ppx_buckets" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      lmPerDoc(spark, dir)
+        .withColumn("score_fp",
+          expr("CASE WHEN n_bigrams = 0 THEN 0 ELSE lm_sum div n_bigrams END"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("bucket",
+          expr("""CASE ((rn - 1) * 3) div n_src WHEN 0 THEN 'head'
+                  WHEN 1 THEN 'middle' ELSE 'tail' END"""))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          expr("sum(score_fp) div count(1)").as("mean_score_fp"))
+        .orderBy("source", "bucket")
     }),
 
     // DSIR-style importance weighting (Xie et al., "Data Selection for
@@ -1986,6 +2025,36 @@ object CorpusQueries {
   }
 
   private val spanCte = s"$tokCte,\n${spanSql(spanW)}"
+
+  /** The bigram-LM per-doc CTE chain (ends in `lmdoc`: doc_id, source,
+    * n_bigrams, lm_sum) — the DuckDB twin of [[lmPerDoc]], shared by the
+    * text_lm_score and corpus_ppx_buckets oracles. */
+  private lazy val lmCte =
+    s"""$tokCte,
+       |uni AS (SELECT unnest(ws) AS w FROM toks),
+       |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS un FROM uni GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM uni),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws)),
+       |                i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |  FROM toks WHERE len(ws) >= 2
+       |), bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bn FROM bg GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS nb,
+       |         CAST(sum(((bn + 1) * 1000000) // (un + v)) AS BIGINT) AS lm_sum
+       |  FROM bg b
+       |  JOIN bcnt USING (bg)
+       |  JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.w
+       |  CROSS JOIN vv
+       |  GROUP BY 1
+       |),
+       |lmdoc AS (
+       |  SELECT d.doc_id, d.source,
+       |         coalesce(nb, 0) AS n_bigrams,
+       |         coalesce(lm_sum, 0) AS lm_sum
+       |  FROM documents d LEFT JOIN per USING (doc_id)
+       |)""".stripMargin
 
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
@@ -3771,33 +3840,36 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "text_lm_score" ->
-      s"""$tokCte,
-         |uni AS (SELECT unnest(ws) AS w FROM toks),
-         |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS un FROM uni GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM uni),
-         |bg AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, len(ws)),
-         |                i -> ws[i] || ' ' || ws[i+1])) AS bg
-         |  FROM toks WHERE len(ws) >= 2
-         |), bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bn FROM bg GROUP BY 1),
-         |per AS (
-         |  SELECT doc_id, count(*) AS nb,
-         |         CAST(sum(((bn + 1) * 1000000) // (un + v)) AS BIGINT) AS lm_sum
-         |  FROM bg b
-         |  JOIN bcnt USING (bg)
-         |  JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.w
-         |  CROSS JOIN vv
-         |  GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |       coalesce(nb, 0) AS n_bigrams,
-         |       coalesce(lm_sum, 0) AS lm_sum,
-         |       CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
-         |            ELSE round(CAST(lm_sum AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+      s"""$lmCte
+         |SELECT doc_id, n_bigrams, lm_sum,
+         |       CASE WHEN n_bigrams = 0 THEN 0.0
+         |            ELSE round(CAST(lm_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
          |       END AS lm_score
-         |FROM documents d LEFT JOIN per USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |FROM lmdoc
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_ppx_buckets" ->
+      s"""$lmCte,
+         |scored AS (
+         |  SELECT doc_id, source, n_bigrams,
+         |         CASE WHEN n_bigrams = 0 THEN 0
+         |              ELSE lm_sum // n_bigrams END AS score_fp
+         |  FROM lmdoc
+         |),
+         |ranked AS (
+         |  SELECT source, n_bigrams, score_fp,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY score_fp DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM scored
+         |)
+         |SELECT source,
+         |       CASE ((rn - 1) * 3) // n_src WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+         |       CAST(sum(score_fp) // count(*) AS BIGINT) AS mean_score_fp
+         |FROM ranked GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
 
     "corpus_card" ->
       s"""$tokCte,
