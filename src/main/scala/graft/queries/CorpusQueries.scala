@@ -118,19 +118,34 @@ object CorpusQueries {
     * consumers stay hash-gate exact. */
   private def lmPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val bg = d.select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // The smoothed term is a function of the bigram TYPE, not the
+    // occurrence: un and V attach on the vocabulary-bounded dictionary,
+    // never on the 10⁸-row occurrence stream (the old occurrence-grain
+    // form shuffled the full stream three times — by bg for the census,
+    // by w1 for the unigram join, by doc for the rollup — and cost 45 s
+    // at the 500k-doc probe; this shape costs two big shuffles and runs
+    // ~6x faster). The explicit bg repartition is the shared-exchange
+    // barrier: the census groupBy AND the dictionary join both ride it.
+    // (A hash-keyed variant — bigrams travelling as their portable
+    // 60-bit hash for fixed-width long-keyed shuffles — measured 2.8x
+    // WORSE at the 500k-doc probe: the per-row md5/conv/substring cost
+    // of 66M hashes swamps what the narrower shuffle saves. Strings it
+    // is.)
+    val occ = Dedup.fanout(d)
+      .select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
+      .repartition(col("bg"))
+    val bcnt = occ.groupBy(col("bg")).agg(count(col("doc_id")).as("bn"))
     val uni = d.select(explode(T.tokens(col("text"))).as("w"))
     val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("un"))
     val vdf = uni.agg(countDistinct(col("w")).as("v"))
-    val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
-    val per = bg
-      .join(bcnt, "bg")
+    val dict = bcnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ucnt, col("w1") === col("w"))
-      .crossJoin(broadcast(vdf)) // 1-row vocab size onto the pair stream
-      .withColumn("term", expr("((bn + 1) * 1000000) div (un + v)"))
+      .crossJoin(broadcast(vdf)) // 1-row vocab size onto the dictionary
+      .select(col("bg"), expr("((bn + 1) * 1000000) div (un + v)").as("term"))
+    val per = occ.join(dict, "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_sum"))
+      .agg(count(col("bg")).as("n_bigrams"), sum(col("term")).as("lm_sum"))
     d.select(col("doc_id"), col("source")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -2034,19 +2049,21 @@ object CorpusQueries {
        |uni AS (SELECT unnest(ws) AS w FROM toks),
        |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS un FROM uni GROUP BY 1),
        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM uni),
-       |bg AS (
+       |occ AS (
        |  SELECT doc_id,
        |         unnest(list_transform(range(1, len(ws)),
        |                i -> ws[i] || ' ' || ws[i+1])) AS bg
        |  FROM toks WHERE len(ws) >= 2
-       |), bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bn FROM bg GROUP BY 1),
-       |per AS (
-       |  SELECT doc_id, count(*) AS nb,
-       |         CAST(sum(((bn + 1) * 1000000) // (un + v)) AS BIGINT) AS lm_sum
-       |  FROM bg b
-       |  JOIN bcnt USING (bg)
-       |  JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.w
+       |), bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bn FROM occ GROUP BY 1),
+       |dict AS (
+       |  SELECT bg,
+       |         CAST(((bn + 1) * 1000000) // (un + v) AS BIGINT) AS term
+       |  FROM bcnt JOIN ucnt u ON split_part(bcnt.bg, ' ', 1) = u.w
        |  CROSS JOIN vv
+       |), per AS (
+       |  SELECT doc_id, count(*) AS nb,
+       |         CAST(sum(term) AS BIGINT) AS lm_sum
+       |  FROM occ JOIN dict USING (bg)
        |  GROUP BY 1
        |),
        |lmdoc AS (
