@@ -565,6 +565,17 @@ class PlanSpec extends SparkTestBase {
       "text column must be pruned before the window exchange")
   }
 
+  test("corpus_ppx_buckets: one shared source window; LM term join never cartesian") {
+    val nodes = executedNodes(q("corpus_ppx_buckets"))
+    val windows = nodes.filter(_.getClass.getSimpleName == "WindowExec")
+    assert(windows.size == 1, s"expected one shared WindowExec, got ${windows.size}")
+    // the only cartesian-shaped node allowed is the broadcast of the
+    // 1-row vocab-size aggregate onto the dictionary
+    val cart = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(cart.isEmpty, "LM scoring must never cartesian")
+  }
+
   test("events_salted_join: join runs on (key, salt), dim side replicated") {
     val nodes = executedNodes(q("events_salted_join"))
     assert(nodes.forall(n =>
