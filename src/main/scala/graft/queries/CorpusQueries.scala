@@ -1399,21 +1399,17 @@ object CorpusQueries {
     // the stubbed codec decode): per-format histogram of high nibbles of
     // the first 64 body bytes — the shape of any bytes→features pass.
     "mm_byte_histogram" -> ((spark, dir) => {
+      // high nibble of each of the first 64 body bytes, via the native
+      // byte-gram kernel at g=1 (raw byte values) + codegen'd conv — the
+      // old hex-string HOF build ran the lambda interpreter 64x/row and
+      // cost 35 s at the 500k-doc probe; this form is a scan-stage
+      // projection (conv emits the same uppercase hex char as
+      // substring(hex(payload), ...) on both engines)
       val withP = Multimodal.withPayload(docs(spark, dir))
-      val h = substring(hex(col("payload")), 9, 128) // body starts after 4-byte header
-      val nFull = least((octet_length(col("payload")) - 4).cast("int"), lit(64))
       withP
-        // bind hex(payload) ONCE as a lambda variable (interpreted HOFs
-        // do no CSE — inlined, the hex would re-run per nibble, 64×/row)
-        .withColumn("nibbles",
-          element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
-            val hh = s.getField("h")
-            val n = s.getField("n")
-            when(n <= 0, array().cast("array<string>"))
-              .otherwise(transform(sequence(lit(0), n - 1), i =>
-                substring(hh, i * lit(2) + 1, lit(1))))
-          }), 1))
-        .select(col("format"), explode(col("nibbles")).as("nibble"))
+        .select(col("format"),
+          explode(Multimodal.bodyGrams(col("payload"), 64, 1)).as("b"))
+        .select(col("format"), conv(expr("b div 16"), 10, 16).as("nibble"))
         .groupBy(col("format"), col("nibble"))
         .agg(count(lit(1)).as("n"))
         .orderBy("format", "nibble")
@@ -1507,28 +1503,33 @@ object CorpusQueries {
       val t0 = docs(spark, dir)
         .select(col("source"), explode(T.tokens(col("text"))).as("token"))
         .distinct()
-      val pos = t0.select(col("source"),
-        explode(Sketches.saltedPositions(col("token"), bloomD, bloomM)).as("pos"))
-        .distinct()
-      val bits = pos.groupBy("source").agg(count(lit(1)).as("n_bits_set"))
+      // BUILD runs the production path — the mergeable OR-merge UDAF
+      // (one map-side-combined aggregation; the old explode-positions +
+      // distinct form shuffled d×|tokens| rows twice and cost 19 s at
+      // the 500k-doc probe, vs ~6 s for the bit algebra). The DuckDB
+      // oracle still replays the explode/set-semantics form, so the
+      // hash gate now cross-checks UDAF-build ≡ SQL-replay end to end
+      // (previously only SketchesSpec pinned that equality).
+      val bitsets = t0
+        .select(col("source"),
+          Sketches.saltedPositions(col("token"), bloomD, bloomM).as("ps"))
+        .groupBy("source").agg(Sketches.bloomAgg(bloomM, col("ps")).as("bits"))
       val exact = t0.groupBy("source").agg(count(lit(1)).as("n_distinct_tokens"))
       val probes = sketchProbes.toDF("probe")
-      val pp = probes.select(col("probe"),
-        explode(array_distinct(
-          Sketches.saltedPositions(col("probe"), bloomD, bloomM))).as("pos"))
-      val ppn = pp.groupBy("probe").agg(count(lit(1)).as("n_pp"))
-      val hit = pos.join(broadcast(pp), "pos")
-        .groupBy("source", "probe").agg(count(lit(1)).as("n_hit"))
-      val maybe = hit.join(broadcast(ppn), "probe")
-        .filter(col("n_hit") === col("n_pp"))
-        .groupBy("source").agg(count(lit(1)).as("n_probes_maybe"))
+      val pw = probes.select(col("probe"),
+        array_distinct(Sketches.saltedPositions(col("probe"), bloomD, bloomM))
+          .as("pps"))
+      val per = bitsets.crossJoin(broadcast(pw))
+        .withColumn("hit", Sketches.bloomMightContain(col("bits"), col("pps")))
+        .groupBy("source")
+        .agg(max(Sketches.bloomBitsSet(col("bits"))).as("n_bits_set"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_probes_maybe"))
       val actual = t0.join(broadcast(probes), t0("token") === probes("probe"))
         .groupBy("source").agg(count(lit(1)).as("n_probes_actual"))
-      exact.join(bits, Seq("source"))
-        .join(maybe, Seq("source"), "left")
+      exact.join(per, Seq("source"))
         .join(actual, Seq("source"), "left")
         .select(col("source"), col("n_distinct_tokens"), col("n_bits_set"),
-          coalesce(col("n_probes_maybe"), lit(0L)).as("n_probes_maybe"),
+          col("n_probes_maybe"),
           coalesce(col("n_probes_actual"), lit(0L)).as("n_probes_actual"))
         .orderBy("source")
     }),
