@@ -913,13 +913,17 @@ object CorpusQueries {
     // Embedding snapshot drift (the embedding-space twin of
     // corpus_drift): per label, member counts and the L1 centroid shift
     // between two corpus "versions" (vec_id parity stands in for the
-    // snapshot split). Centroids are never divided out: the shift
-    // compares cross-multiplied fixed-point sums |s1·n2 − s2·n1| and
-    // divides ONCE by n1·n2 in integer math — no per-dim double
-    // division to desync the hash, and the whole census is one
-    // (label, dim) agg + one label rollup. The embedding-refresh
-    // monitoring step: a retrained encoder that moves a cluster's
-    // centroid invalidates that cluster's ANN artifacts.
+    // snapshot split). Each side's per-dim centroid is a fixed-point
+    // FLOOR mean — floor(s/n) via the exact integer identity
+    // (s − pmod(s, n)) / n, identical bit-for-bit on both engines —
+    // so the shift sum(|m1 − m2|) stays in integer math with values
+    // bounded by 2·2²⁰ per dim regardless of member count (the
+    // cross-multiplied |s1·n2 − s2·n1| form would overflow long at
+    // ~3M members per label: |s| ≤ n·2²⁰, so s·n ≤ n²·2²⁰). The whole
+    // census is one (label, dim) agg + one label rollup. The
+    // embedding-refresh monitoring step: a retrained encoder that
+    // moves a cluster's centroid invalidates that cluster's ANN
+    // artifacts.
     "emb_drift" -> ((spark, dir) => {
       val comp = emb(spark, dir)
         .select(col("label"), (col("vec_id") % 2 === 0).as("v1"),
@@ -931,10 +935,14 @@ object CorpusQueries {
           sum(when(!col("v1"), col("xi")).otherwise(0L)).as("s2"),
           sum(when(col("v1"), 1L).otherwise(0L)).as("n1"),
           sum(when(!col("v1"), 1L).otherwise(0L)).as("n2"))
+        .withColumn("m1", expr("CASE WHEN n1 = 0 THEN 0 " +
+          "ELSE (s1 - pmod(s1, n1)) div n1 END"))
+        .withColumn("m2", expr("CASE WHEN n2 = 0 THEN 0 " +
+          "ELSE (s2 - pmod(s2, n2)) div n2 END"))
         .groupBy(col("label"))
         .agg(max(col("n1")).as("n_v1"), max(col("n2")).as("n_v2"),
           expr("""CASE WHEN max(n1) * max(n2) = 0 THEN 0
-                  ELSE sum(abs(s1 * n2 - s2 * n1)) div (max(n1) * max(n2))
+                  ELSE sum(abs(m1 - m2))
                   END""").as("l1_shift_fp"))
         .orderBy("label")
     }),
@@ -2985,11 +2993,19 @@ object CorpusQueries {
         |         CAST(sum(CASE WHEN NOT v1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
         |  FROM comp GROUP BY 1, 2
         |)
+        |, m AS (
+        |  SELECT label, n1, n2,
+        |         CASE WHEN n1 = 0 THEN 0
+        |              ELSE (s1 - ((s1 % n1) + n1) % n1) // n1 END AS m1,
+        |         CASE WHEN n2 = 0 THEN 0
+        |              ELSE (s2 - ((s2 % n2) + n2) % n2) // n2 END AS m2
+        |  FROM s
+        |)
         |SELECT label, max(n1) AS n_v1, max(n2) AS n_v2,
         |       CAST(CASE WHEN max(n1) * max(n2) = 0 THEN 0
-        |            ELSE sum(abs(s1 * n2 - s2 * n1)) // (max(n1) * max(n2))
+        |            ELSE sum(abs(m1 - m2))
         |            END AS BIGINT) AS l1_shift_fp
-        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "corpus_boilerplate" ->
       s"""$spanCte,
