@@ -851,6 +851,18 @@ object Dedup {
     // recomputable lineage (localCheckpoint would pin executor-local
     // blocks that are unrecoverable after an executor loss)
     val sig = simhashSig(docs, idCol, textCol, nBits).repartition(col("doc_id"))
+    hammingPairs(sig, maxHamming, nBits)
+  }
+
+  /** Hamming-ball pair scan over ANY (doc_id, simhash) signature frame —
+    * the pigeonhole segment equi-join + exact verify shared by the
+    * SimHash text path ([[simhashPairs]]) and the multimodal aHash path
+    * ([[Multimodal.ahashNearDup]]). Candidates are complete by the
+    * pigeonhole argument in [[simhashSegments]]; a pair can collide in
+    * several segments, so candidates are deduplicated before the verify
+    * filter. */
+  def hammingPairs(sig: DataFrame, maxHamming: Int,
+                   nBits: Int = simhashDefaultBits): DataFrame = {
     val seg = simhashSegments(sig, maxHamming, nBits)
     seg.as("a").join(seg.as("b"),
         col("a.seg") === col("b.seg") && col("a.bits") === col("b.bits") &&

@@ -192,6 +192,55 @@ object Multimodal {
       .otherwise(transform(sequence(lit(0), n - 1), i => lit(headerLen) + i * stride))
   }
 
+  /** Average-hash (aHash) of the first `nBits` body bytes: bit i is set
+    * iff body byte i exceeds the truncated-mean body byte — the standard
+    * integer perceptual-hash family (aHash/dHash), computed on the stub
+    * "decoded pixels" (payload body bytes) since no codec ships in this
+    * container. Pure integer arithmetic end to end (sum, floor-div mean,
+    * compare), so both engines agree bit-for-bit; 60 bits keeps the
+    * signature inside the repo's portable 60-bit hash width. NULL (and
+    * later dropped) for bodies under 8 bytes — too short to carry a
+    * stable signature. One pure projection per row: the whole signature
+    * build pipelines inside the scan at any scale. */
+  def ahash(payload: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1, 60], got $nBits")
+    val bytes = bodyGrams(payload, nBits, 1)
+    element_at(transform(array(struct(bytes.as("bs"))), s => {
+      val bs = s.getField("bs")
+      val n = size(bs)
+      val sm = aggregate(bs, lit(0L), _ + _)
+      // truncated mean: floor division is exact — sm ≤ 60·255 and n ≤ 60,
+      // so the double quotient can never round across an integer
+      val mean = floor(sm / n).cast("long")
+      when(n < 8, lit(null).cast("long")).otherwise(
+        aggregate(
+          zip_with(bs, sequence(lit(0), n - 1),
+            // 2^i exact in double for i ≤ 59 (a power of two), so the
+            // cast back to long is lossless (shiftleft takes only a
+            // literal Int shift, not a per-element column)
+            (b, i) => when(b > mean, pow(lit(2.0), i).cast("long"))
+              .otherwise(lit(0L))),
+          lit(0L), _ + _))
+    }), 1)
+  }
+
+  /** Multimodal near-dup via aHash + Hamming pigeonhole: signature is
+    * [[ahash]] per payload, candidate pairs come from
+    * [[Dedup.hammingPairs]]' segment equi-join (complete by the
+    * pigeonhole argument, never an all-pairs scan), verified with the
+    * exact Hamming distance. The byte-level twin of the trigram-prefix
+    * [[nearDupSignatures]] path: aHash degrades gracefully under small
+    * local edits (one changed byte flips at most one bit plus the mean),
+    * where the set-based trigram signature is blind to byte ORDER. */
+  def ahashNearDup(media: DataFrame, maxHamming: Int, nBits: Int): DataFrame = {
+    val sig = media
+      .select(col("doc_id"), ahash(col("payload"), nBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .repartition(col("doc_id"))
+    Dedup.hammingPairs(sig, maxHamming, nBits)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Batched decode over partitions — the `mapInPandas` analogue. Batches
     * of `batchSize` records are handed to `decodeBatch`, which a real
     * implementation would replace with a vectorized codec call (its

@@ -211,6 +211,57 @@ object Similarity {
       .select("v1", "v2", "cos_sim")
   }
 
+  /** k-NN graph over ALL vectors — every vector gets its top-k
+    * highest-cosine neighbors, the input artifact for graph-based
+    * semantic dedup, diversity sampling, and label propagation. Unlike
+    * the ann_topk_* family (a small QUERY SAMPLE against the corpus,
+    * broadcastable), the all-nodes graph cannot broadcast either side;
+    * candidates instead come from the same multi-table SRP buckets as
+    * [[srpNearDupPairs]] (shuffles keyed by (table, bucket), never an
+    * all-pairs scan), cosine is computed ONCE per undirected candidate
+    * pair, both directions are unioned, and per-node top-k runs through
+    * the native TopKPerKey partial/final heaps — at most k rows per node
+    * per partition reach the exchange and nothing global-sorts. Recall
+    * is candidate-bounded (a true neighbor sharing no bucket is unseen);
+    * the levers are table count (recall) and planesPerTable ~ log2(n)
+    * (bucket occupancy — see the sizing rule on [[srpNearDupPairs]]). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               planes: Array[Array[Double]], planesPerTable: Int,
+               k: Int): DataFrame = {
+    val numTables = planes.length / planesPerTable
+    val tableBuckets = (0 until numTables).map { t =>
+      val sub = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      struct(lit(t).as("t"), srpBucket(col(vecCol), sub).as("bucket"))
+    }
+    val withB = Dedup.fanout(emb)
+      .select(col(idCol), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = withB.select(col(idCol).as("v1"), col("t"), col("bucket"))
+      .join(withB.select(col(idCol).as("v2"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val vecs = Dedup.fanout(emb)
+      .select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+    val scored = cand
+      .join(vecs.select(col(idCol).as("v1"), col(vecCol).as("e1"), col("nrm").as("nrm1")), "v1")
+      .join(vecs.select(col(idCol).as("v2"), col(vecCol).as("e2"), col("nrm").as("nrm2")), "v2")
+      .select(col("v1"), col("v2"),
+        cosineFast(col("e1"), col("nrm1"), col("e2"), col("nrm2")).as("cos_sim"))
+    val directed = scored
+      .select(col("v1").as("vec_id"), col("v2").as("neighbor_id"), col("cos_sim"))
+      .unionAll(scored
+        .select(col("v2").as("vec_id"), col("v1").as("neighbor_id"), col("cos_sim")))
+    val kept = graft.plans.TopK.perKey(directed, Seq("vec_id"),
+      Seq("cos_sim" -> true, "neighbor_id" -> false), k)
+    // rank over the ≤k survivors per node (the heap did the pruning; this
+    // window sorts bounded groups and reuses the final heap's clustering)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    kept.withColumn("rank", row_number().over(w))
+      .select("vec_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** SQ8 scalar quantization: per-vector symmetric int8 codes,
     * code_i = floor(x_i * 127 / max|x| + 0.5). The 100 TB story: 4×
     * smaller vectors = 4× less scan/shuffle/broadcast volume for a small

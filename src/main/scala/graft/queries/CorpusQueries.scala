@@ -220,6 +220,14 @@ object CorpusQueries {
   // per-domain doc cap for corpus_domain_cap (in lockstep with oracle)
   val domainCapN = 10
 
+  // output shard count for the corpus_shards manifest
+  val nShards = 16L
+  // k-NN graph degree (corpus-graph artifact, knn_graph)
+  val knnGraphK = 5
+  // multimodal aHash near-dup: signature width + Hamming radius
+  val ahashBits = 60
+  val ahashMaxHamming = 2
+
   // BPE training depth for vocab_bpe_merges (oracle CTE chain length)
   val bpeTrainMerges = 8
 
@@ -1928,6 +1936,79 @@ object CorpusQueries {
         .toDF("format", "n_rows", "n_docs", "sum_text_len", "sum_doc_id",
           "n_sources", "n_corrupt")
         .orderBy("format")
+    }),
+
+    // Deterministic output sharding + per-shard manifest: the write-side
+    // twin of the ingest corrupt budget. Shard = hash60("shard|" ++ id)
+    // mod N — content-independent, so a re-run or a different executor
+    // count lands every doc in the same shard — and the manifest row per
+    // shard (doc count, char volume, id range, order-independent content
+    // digest) is what a training job validates before reading. One
+    // map-side-combined groupBy; the digest sums per-doc text hashes
+    // mod 2³⁰ so the sum stays far from long range at any corpus size.
+    "corpus_shards" -> ((spark, dir) => {
+      docs(spark, dir)
+        .withColumn("shard",
+          pmod(T.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(nShards)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(T.hash60(col("text")) % 1073741824L).as("content_digest"))
+        .orderBy("shard")
+    }),
+
+    // Model-based quality filtering at inference grain: a linear
+    // classifier over the token bag (the fastText-style filter of the
+    // GPT-3/CCNet pipelines), scored per occurrence and summed per doc.
+    // Weights are a deterministic pseudo-model — w(tok) =
+    // hash60("clf|" ++ tok) mod 2001 − 1000, the srpPlanes pattern: a
+    // real pipeline broadcasts its trained vocabulary instead, the
+    // scoring plan (explode → codegen'd per-token weight → one
+    // map-side-combined groupBy per doc) is identical. No driver
+    // collection, no UDF — md5/conv are whole-stage-codegen built-ins.
+    "text_classifier_score" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val per = d
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .withColumn("w",
+          T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score_fp"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+          when(coalesce(col("score_fp"), lit(0L)) > 0, 1L).otherwise(0L)
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // k-NN graph artifact over the embedding corpus (Similarity.knnGraph):
+    // every vector's top-k cosine neighbors from SRP-bucket candidates
+    // through the native TopKPerKey heaps — the input graph for
+    // graph-based semantic dedup / diversity sampling. 4-bit tables match
+    // dedup_embedding_lsh's inlined-plane oracle; production sizes
+    // planesPerTable ~ log2(n) (sizing rule on srpNearDupPairs).
+    "knn_graph" -> ((spark, dir) => {
+      Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding",
+        srpPlanesConst, srpPlanesPerTable, knnGraphK)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
+    // over the first body bytes + the SimHash pigeonhole Hamming join
+    // (Dedup.hammingPairs — same segments machinery, radius 2). The
+    // set-based trigram path above (mm_near_dup) is blind to byte order;
+    // aHash is the standard integer perceptual-hash family where order
+    // matters. Signature is a pure projection; the pair scan is segment
+    // equi-joins — no all-pairs anywhere.
+    "mm_ahash_neardup" -> ((spark, dir) => {
+      Multimodal.ahashNearDup(
+          Multimodal.withPayload(docs(spark, dir)), ahashMaxHamming, ahashBits)
+        .orderBy("d1", "d2")
     })
   )
 
@@ -2127,6 +2208,27 @@ object CorpusQueries {
     """sqrt(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
       |    (x, y) -> x + y))""".stripMargin
+
+  /** SRP bucket-table UNION (one SELECT per hash table) shared by the
+    * dedup_embedding_lsh and knn_graph oracles. Each plane component
+    * CASTs from its shortest-round-trip string: DuckDB types bare
+    * decimal literals as DECIMAL(17,16), whose conversion to double can
+    * land 1 ulp off the Spark-side literal; VARCHAR → DOUBLE parsing is
+    * correctly rounded in both engines. */
+  private lazy val bucketSelects: String = {
+    def planeList(p: Int): String =
+      srpPlanesConst(p).map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+    def dotPlane(p: Int): String =
+      s"""list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeList(p)})[i]), (x, y) -> x + y)""".stripMargin
+    def bucketExpr(t: Int): String =
+      (0 until srpPlanesPerTable).map { p =>
+        s"(CASE WHEN ${dotPlane(t * srpPlanesPerTable + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    (0 until srpPlanesConst.length / srpPlanesPerTable).map(t =>
+      s"SELECT vec_id, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+  }
 
   /** One unrolled Lloyd round per iteration for the PQ oracle: assign
     * every (vector, subspace) to its nearest centroid by EXACT integer
@@ -3120,23 +3222,7 @@ object CorpusQueries {
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
          |ORDER BY e.vec_id""".stripMargin,
 
-    "dedup_embedding_lsh" -> {
-      // each component CAST from its shortest-round-trip string: DuckDB
-      // types bare decimal literals as DECIMAL(17,16), whose conversion
-      // to double can land 1 ulp off the Spark-side literal; VARCHAR →
-      // DOUBLE parsing is correctly rounded in both engines.
-      def planeList(p: Int): String =
-        srpPlanesConst(p).map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
-      def dotPlane(p: Int): String =
-        s"""list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
-           |      i -> CAST(embedding[i] AS DOUBLE) * (${planeList(p)})[i]), (x, y) -> x + y)""".stripMargin
-      def bucketExpr(t: Int): String =
-        (0 until srpPlanesPerTable).map { p =>
-          s"(CASE WHEN ${dotPlane(t * srpPlanesPerTable + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
-      val bucketSelects = (0 until srpPlanesConst.length / srpPlanesPerTable).map(t =>
-        s"SELECT vec_id, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM embeddings")
-        .mkString("\n  UNION ALL\n  ")
+    "dedup_embedding_lsh" ->
       s"""WITH norms AS (
          |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
          |), buckets AS (
@@ -3151,8 +3237,7 @@ object CorpusQueries {
          |)
          |SELECT v1, v2, cos_sim FROM pairs
          |WHERE cos_sim >= $cosineThreshold
-         |ORDER BY v1, v2""".stripMargin
-    },
+         |ORDER BY v1, v2""".stripMargin,
 
     "ann_topk_sq8" ->
       s"""WITH scales AS (
@@ -4135,6 +4220,93 @@ object CorpusQueries {
         |UNION ALL
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
-        |ORDER BY format""".stripMargin
+        |ORDER BY format""".stripMargin,
+
+    "corpus_shards" ->
+      s"""SELECT ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc,
+         |       CAST(sum(${h60("text")} % 1073741824) AS BIGINT) AS content_digest
+         |FROM documents
+         |GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "text_classifier_score" ->
+      s"""$tokCte,
+         |occ AS (
+         |  SELECT doc_id, unnest(ws) AS tok FROM toks
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |         CAST(sum(${h60("'clf|' || tok")} % 2001 - 1000) AS BIGINT)
+         |           AS score_fp
+         |  FROM occ GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(n_toks, 0) AS n_toks,
+         |       coalesce(score_fp, 0) AS score_fp,
+         |       CAST(CASE WHEN coalesce(score_fp, 0) > 0 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "knn_graph" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), buckets AS (
+         |  $bucketSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT v1, v2, round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand JOIN norms a ON v1 = a.vec_id JOIN norms b ON v2 = b.vec_id
+         |), directed AS (
+         |  SELECT v1 AS vec_id, v2 AS neighbor_id, cos_sim FROM pairs
+         |  UNION ALL
+         |  SELECT v2, v1, cos_sim FROM pairs
+         |), ranked AS (
+         |  SELECT vec_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |  FROM directed
+         |)
+         |SELECT vec_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rnk <= $knnGraphK
+         |ORDER BY vec_id, rank""".stripMargin,
+
+    // oracle = the unpruned all-pairs Hamming truth (the mm_near_dup
+    // discipline): parity verifies the pigeonhole candidate set is
+    // COMPLETE at the radius, not just that scoring matches.
+    "mm_ahash_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+         |  FROM documents
+         |), bytes AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
+         |  FROM media, range(0, $ahashBits) t(i)
+         |  WHERE i < least(octet_length(payload) - 4, $ahashBits)
+         |), stats AS (
+         |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS s, count(*) AS n
+         |  FROM bytes GROUP BY doc_id
+         |), sig AS (
+         |  SELECT b.doc_id,
+         |         CAST(sum(CASE WHEN b.b > (st.s // st.n)
+         |                       THEN (CAST(1 AS BIGINT) << b.i) ELSE 0 END)
+         |              AS BIGINT) AS ahash
+         |  FROM bytes b JOIN stats st USING (doc_id)
+         |  WHERE st.n >= 8 GROUP BY b.doc_id
+         |), prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, hamming FROM prs
+         |WHERE hamming <= $ahashMaxHamming
+         |ORDER BY d1, d2""".stripMargin
   )
 }
