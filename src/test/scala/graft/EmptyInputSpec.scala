@@ -52,6 +52,16 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Multimodal.gramHistogram(Multimodal.withPayload(tiny), 64, 3).count() == 0)
   }
 
+  test("aHash near-dup and k-NN graph are empty-safe") {
+    import graft.corpus.{Multimodal, Similarity}
+    val noMedia = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(Multimodal.ahashNearDup(Multimodal.withPayload(noMedia), 2, 60)
+      .count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.knnGraph(noVecs, "vec_id", "embedding",
+      graft.queries.CorpusQueries.srpPlanesConst, 4, 3).count() == 0)
+  }
+
   test("semantic dedup survives an empty embedding set") {
     import graft.corpus.Similarity
     val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")

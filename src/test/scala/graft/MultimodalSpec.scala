@@ -152,4 +152,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(cands <= 4 * n,
       s"candidate generation is quadratic again: $cands candidates for $n docs")
   }
+
+  test("ahash: truncated-mean bit rule on a known byte pattern") {
+    // body "aaabaaab" = 97,97,97,98,97,97,97,98: sum 778, n 8, mean 97;
+    // bits set exactly where byte > 97 → positions 3 and 7 → 0x88
+    val df = Seq((0L, "aaabaaab", 8L)).toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.withPayload(df)
+      .select(Multimodal.ahash(col("payload"), 60)).head().getLong(0)
+    assert(got == ((1L << 3) | (1L << 7)))
+  }
+
+  test("ahash: bodies under 8 bytes yield null, not a degenerate signature") {
+    val df = Seq((0L, "abc", 3L), (1L, "abcdefgh", 8L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.withPayload(df)
+      .select(col("doc_id"), Multimodal.ahash(col("payload"), 60).as("h"))
+      .orderBy("doc_id").collect()
+    assert(got(0).isNullAt(1))
+    assert(!got(1).isNullAt(1))
+  }
+
+  test("ahashNearDup: exact dup at hamming 0, mean-neutral byte swap at 2") {
+    // "aaaabbba" and "aaaabbab" have identical byte sums (same mean 97),
+    // differ only in which of positions {6, 7} carries the 'b' → their
+    // aHashes differ in exactly bits 6 and 7 (hamming 2); two copies of
+    // the first text pair at hamming 0. "zzzzzzzz" is all-equal bytes
+    // (ahash 0, hamming 3 from the others) and must NOT pair at radius 2.
+    val df = Seq(
+      (0L, "aaaabbba", 8L), (1L, "aaaabbba", 8L),
+      (2L, "aaaabbab", 8L), (3L, "zzzzzzzz", 8L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Multimodal.ahashNearDup(Multimodal.withPayload(df), 2, 60)
+      .select("d1", "d2", "hamming").orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((0L, 1L, 0), (0L, 2L, 2), (1L, 2L, 2)))
+  }
 }

@@ -121,6 +121,43 @@ class SimilaritySpec extends SparkTestBase {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("knnGraph ≡ the window-rank form over the same SRP candidates") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val planes = graft.queries.CorpusQueries.srpPlanesConst
+    val k = 3
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding", planes, 4, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // independent reference: same buckets, but ranked through the plain
+    // row_number window the native TopKPerKey operator replaces
+    val withB = (0 until planes.length / 4).map { t =>
+      emb.select($"vec_id", lit(t).as("t"),
+        Similarity.srpBucket($"embedding", planes.slice(t * 4, (t + 1) * 4))
+          .as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = withB.as("a")
+      .join(withB.withColumnRenamed("vec_id", "v2").as("b"), Seq("t", "bucket"))
+      .filter($"vec_id" < $"v2").select($"vec_id".as("v1"), $"v2").distinct()
+    val e = emb.select($"vec_id", $"embedding")
+    val scored = cand
+      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), "v1")
+      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), "v2")
+      .select($"v1", $"v2", Similarity.cosine($"e1", $"e2").as("cos_sim"))
+    val directed = scored.select($"v1".as("vec_id"), $"v2".as("neighbor_id"), $"cos_sim")
+      .unionAll(scored.select($"v2", $"v1", $"cos_sim"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val ref = directed.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == ref)
+    // ranks contiguous from 1 per node
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1 to rows.size).toSeq)
+    }
+  }
+
   test("srpPlanes are deterministic and bounded") {
     val a = Similarity.srpPlanes(16, 64)
     val b = Similarity.srpPlanes(16, 64)
