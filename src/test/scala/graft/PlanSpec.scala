@@ -585,4 +585,38 @@ class PlanSpec extends SparkTestBase {
     assert(nodes.exists(_.getClass.getSimpleName.contains("Generate")),
       "expected the salt-replication explode on the dim side")
   }
+
+  test("knn_graph: bucket equi-joins + native heaps, never an all-pairs scan") {
+    val nodes = executedNodes(q("knn_graph"))
+    assert(nodes.forall(n => {
+      val c = n.getClass.getSimpleName
+      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+    }), "candidate generation must stay a (table, bucket) equi-join")
+    // per-node top-k must run through the partial/final heaps (at most
+    // k rows per node per partition reach the exchange) — the trailing
+    // rank window then sorts only the ≤k survivors
+    val topk = nodes.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.exists(_.partial) && topk.exists(!_.partial),
+      s"expected partial+final TopKPerKeyExec, got ${topk.size} heap nodes")
+  }
+
+  test("mm_ahash_neardup: signature is a scan projection; pair scan equi-joins") {
+    val nodes = executedNodes(q("mm_ahash_neardup"))
+    assert(nodes.forall(n => {
+      val c = n.getClass.getSimpleName
+      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+    }), "the Hamming pair scan must stay a segment equi-join")
+  }
+
+  test("text_classifier_score: one doc-keyed aggregation, no join on the score path") {
+    val nodes = executedNodes(q("text_classifier_score"))
+    assert(nodes.forall(n =>
+      !n.getClass.getSimpleName.contains("CartesianProduct")))
+    // the weight attach is a codegen projection (md5 per occurrence),
+    // NOT a vocabulary join: exactly the per-doc agg exchanges + the
+    // left-join re-attach + the output sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 4,
+      s"classifier scoring must stay explode→agg-shaped, got ${shuffles.size} shuffles")
+  }
 }
