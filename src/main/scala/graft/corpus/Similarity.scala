@@ -88,6 +88,28 @@ object Similarity {
     emb.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-level benchmark decontamination — the semantic twin of
+    * [[Dedup.contamination]]'s n-gram check: flag corpus vectors whose
+    * cosine similarity to ANY eval-set vector reaches `threshold`.
+    * Paraphrased eval leakage shares no shingles, so modern
+    * decontamination pipelines run BOTH checks. Eval sets are small by
+    * nature → the eval side broadcasts and the corpus streams once with
+    * no shuffle before the per-vector rollup (which is map-side
+    * combined on the corpus id). Returns (id, n_eval_hits, max_cos). */
+  def semanticContamination(corpus: DataFrame, eval_ : DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val ev = eval_.select(col(vecCol).as("evec"), normUdf(col(vecCol)).as("enrm"))
+    Dedup.fanout(corpus)
+      .select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+      .join(broadcast(ev)) // corpus × broadcast eval: the intended scan shape
+      .withColumn("cos_sim",
+        cosineFast(col(vecCol), col("nrm"), col("evec"), col("enrm")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos_sim")).as("max_cos"))
+  }
+
   /** Exact brute-force top-k neighbors for a query subset. The query side
     * is broadcast (it is small by construction), so the big side streams
     * once with no shuffle before the per-query top-k. */

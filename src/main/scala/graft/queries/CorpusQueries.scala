@@ -31,6 +31,21 @@ object CorpusQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic output-shard manifest (see `corpus_shards`): hash60
+    * sharding + per-shard stats and an order-independent content digest.
+    * Shared by the manifest query and the compaction planner. */
+  private def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("shard",
+        pmod(T.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
+          lit(nShards)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(T.hash60(col("text")) % 1073741824L).as("content_digest"))
+
   /** The materialized near-dup cluster artifact ([[Dedup.clustersTable]])
     * for this corpus version: the postings → pairs → connected-components
     * chain is three full corpus passes, and three queries consume its
@@ -321,6 +336,8 @@ object CorpusQueries {
   // vote columns; 60 = the full portable-hash width (15 hex MD5 chars)
   val simhashBits = Dedup.simhashDefaultBits
   val cosineThreshold = 0.4
+  /** eval set for semantic decontamination = vec_id % this == 0 */
+  val semEvalStride = 97L
   val containmentThreshold = 0.9
   val annK = 10
   val annQueryStride = 200 // queries = vec_id % 200 == 0
@@ -1142,6 +1159,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Semantic decontamination — the embedding-space twin of the n-gram
+    // check above: paraphrased eval leakage shares no shingles, so the
+    // two checks are complements, not alternatives. Eval = the
+    // deterministic vec_id % semEvalStride == 0 slice standing in for a
+    // benchmark's embedded eval set; it broadcasts, the corpus streams
+    // once (Similarity.semanticContamination — no shuffle before the
+    // map-side-combined per-vector rollup).
+    "contamination_semantic" -> ((spark, dir) => {
+      val e = emb(spark, dir)
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") % semEvalStride =!= 0),
+        e.filter(col("vec_id") % semEvalStride === 0),
+        "vec_id", "embedding", cosineThreshold)
+        .orderBy("vec_id")
+    }),
+
     // Source mixing weights — the data-mixture step of a training
     // pipeline: weight per source ∝ count^0.7 (temperature sampling),
     // normalized to sum 1. Exact-count inputs → deterministic doubles.
@@ -1947,16 +1980,30 @@ object CorpusQueries {
     // map-side-combined groupBy; the digest sums per-doc text hashes
     // mod 2³⁰ so the sum stays far from long range at any corpus size.
     "corpus_shards" -> ((spark, dir) => {
-      docs(spark, dir)
-        .withColumn("shard",
-          pmod(T.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
-            lit(nShards)))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"),
-          sum(T.hash60(col("text")) % 1073741824L).as("content_digest"))
+      shardManifest(spark, dir).orderBy("shard")
+    }),
+
+    // Compaction planner over the shard manifest — the small-file
+    // management step of any long-lived 100 TB table (Delta OPTIMIZE /
+    // Iceberg rewriteDataFiles): pack shards, in shard order, into
+    // contiguous compaction groups of ~total/8 chars each via a running
+    // sum (sequential packing preserves locality and needs no bin-pack
+    // search). The plan runs entirely on the MANIFEST (nShards rows) —
+    // the single-partition windows are over a frame whose size is the
+    // shard count, never the corpus; at 10⁶ files the same frame is
+    // still MB-sized.
+    "layout_compaction" -> ((spark, dir) => {
+      val before = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      shardManifest(spark, dir)
+        .select(col("shard"), col("n_docs"), col("total_chars"))
+        .withColumn("cum_before",
+          coalesce(sum(col("total_chars")).over(before), lit(0L)))
+        .withColumn("total", sum(col("total_chars")).over(Window.partitionBy()))
+        .withColumn("compact_group",
+          expr("cum_before div greatest(1L, total div 8)"))
+        .select(col("shard"), col("n_docs"), col("total_chars"),
+          col("compact_group"))
         .orderBy("shard")
     }),
 
@@ -3547,6 +3594,18 @@ object CorpusQueries {
          |FROM tp JOIN ep USING (shingle)
          |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
 
+    "contamination_semantic" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), hits AS (
+         |  SELECT a.vec_id, round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM norms a JOIN norms b
+         |    ON a.vec_id % $semEvalStride <> 0 AND b.vec_id % $semEvalStride = 0
+         |)
+         |SELECT vec_id, count(*) AS n_eval_hits, max(cos_sim) AS max_cos
+         |FROM hits WHERE cos_sim >= $cosineThreshold
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
     "corpus_mixing_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,
@@ -4231,6 +4290,26 @@ object CorpusQueries {
          |       CAST(sum(${h60("text")} % 1073741824) AS BIGINT) AS content_digest
          |FROM documents
          |GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "layout_compaction" ->
+      s"""WITH m AS (
+         |  SELECT ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |         count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY 1
+         |), c AS (
+         |  SELECT shard, n_docs, total_chars,
+         |         CAST(coalesce(sum(total_chars) OVER (
+         |           ORDER BY shard
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before,
+         |         CAST(sum(total_chars) OVER () AS BIGINT) AS total
+         |  FROM m
+         |)
+         |SELECT shard, n_docs, total_chars,
+         |       CAST(cum_before // greatest(1, total // 8) AS BIGINT)
+         |         AS compact_group
+         |FROM c ORDER BY shard""".stripMargin,
 
     "text_classifier_score" ->
       s"""$tokCte,

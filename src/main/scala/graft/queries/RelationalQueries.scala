@@ -1001,6 +1001,76 @@ object RelationalQueries {
         .select(col("o_orderpriority"), col("F").as("price_f"),
           col("O").as("price_o"), col("P").as("price_p"))
         .orderBy("o_orderpriority")
+    }),
+
+    // SCD type-2 dimension history (operators.Scd2) — the CDC/merge
+    // surface of a warehouse loader. The version stream is derived
+    // deterministically from `customer`: the 1992 base snapshot, a 1995
+    // segment-change wave (custkey % 10), a 1996 wave that re-emits the
+    // then-current image UNCHANGED (custkey % 30 — must be suppressed as
+    // a no-op, the CDC re-emission case), and a 1998 nationkey-change
+    // wave (custkey % 20). One key-hash exchange carries both window
+    // passes (plan-gated).
+    "scd2_customers" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val seg = concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+      def img(pred: org.apache.spark.sql.Column, nat: org.apache.spark.sql.Column,
+              mkt: org.apache.spark.sql.Column, from: String) =
+        cust.filter(pred).select(col("c_custkey"), nat.as("c_nationkey"),
+          mkt.as("c_mktsegment"), to_date(lit(from)).as("effective_from"))
+      val versions = img(lit(true), col("c_nationkey"), col("c_mktsegment"), "1992-01-01")
+        .unionByName(img(col("c_custkey") % 10 === 0,
+          col("c_nationkey"), seg, "1995-06-01"))
+        .unionByName(img(col("c_custkey") % 30 === 0,
+          col("c_nationkey"), seg, "1996-01-01"))
+        .unionByName(img(col("c_custkey") % 20 === 0,
+          ((col("c_nationkey") + 7) % 25).cast("int"), seg, "1998-03-15"))
+      graft.operators.Scd2.history(versions,
+          Seq("c_custkey"), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("effective_from"), col("effective_to"), col("version"),
+          col("is_current"))
+        .orderBy("c_custkey", "version")
+    }),
+
+    // Incremental aggregate refresh (operators.IncrementalAgg): the
+    // rolling-metric table maintained as partial-aggregate state merged
+    // with the new partition's partials — never rescanning history. The
+    // oracle is the FULL recompute over all events, so the hash gate
+    // proves the refresh algebra exact (merge ∘ partials ≡ aggregate),
+    // which only holds in the fixed-point integer domain.
+    "events_incr_refresh" -> ((spark, dir) => {
+      val cutUs = 1706140800000000L // 2024-01-25T00:00:00Z
+      val ev = XeFixture.events(spark, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 1000000, 0).cast("long").as("v"))
+      val state = graft.operators.IncrementalAgg.partials(
+        ev.filter(col("us") < cutUs), Seq("event_type"), col("v"))
+      val delta = graft.operators.IncrementalAgg.partials(
+        ev.filter(col("us") >= cutUs), Seq("event_type"), col("v"))
+      graft.operators.IncrementalAgg.merge(Seq(state, delta), Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_fp").cast("double") / 1000000.0, 6).as("sum_value"),
+          round(col("min_fp").cast("double") / 1000000.0, 6).as("min_value"),
+          round(col("max_fp").cast("double") / 1000000.0, 6).as("max_value"),
+          round(expr("sum_fp div cnt").cast("double") / 1000000.0, 6)
+            .as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // k-anonymity census over quasi-identifiers — the privacy-risk
+    // check a curation pipeline runs before releasing per-record data:
+    // any (nationkey, segment, balance-bucket) combination shared by
+    // fewer than k rows re-identifies its members. One map-side-combined
+    // groupBy at QI-combination grain; scale-free.
+    "privacy_k_anon" -> ((spark, dir) => {
+      t(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("at_risk", col("n_rows") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
     })
   )
 
@@ -1394,6 +1464,68 @@ object RelationalQueries {
           |         AS n_outliers
           |FROM dev d JOIN mad m USING (event_type)
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+      "scd2_customers" ->
+        """WITH seg AS (
+          |  SELECT c_custkey, c_nationkey,
+          |         'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg,
+          |         c_mktsegment
+          |  FROM customer
+          |), v AS (
+          |  SELECT c_custkey, c_nationkey, c_mktsegment,
+          |         DATE '1992-01-01' AS effective_from FROM seg
+          |  UNION ALL
+          |  SELECT c_custkey, c_nationkey, new_seg, DATE '1995-06-01'
+          |  FROM seg WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT c_custkey, c_nationkey, new_seg, DATE '1996-01-01'
+          |  FROM seg WHERE c_custkey % 30 = 0
+          |  UNION ALL
+          |  SELECT c_custkey, (c_nationkey + 7) % 25, new_seg, DATE '1998-03-15'
+          |  FROM seg WHERE c_custkey % 20 = 0
+          |), marked AS (
+          |  SELECT *,
+          |         (c_nationkey IS DISTINCT FROM
+          |            lag(c_nationkey) OVER wk) OR
+          |         (c_mktsegment IS DISTINCT FROM
+          |            lag(c_mktsegment) OVER wk) AS chg
+          |  FROM v WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
+          |), kept AS (SELECT * FROM marked WHERE chg)
+          |SELECT c_custkey, c_nationkey, c_mktsegment, effective_from,
+          |       coalesce(lead(effective_from) OVER wk,
+          |                DATE '9999-12-31') AS effective_to,
+          |       row_number() OVER wk AS version,
+          |       coalesce(lead(effective_from) OVER wk,
+          |                DATE '9999-12-31') = DATE '9999-12-31' AS is_current
+          |FROM kept WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
+          |ORDER BY c_custkey, version""".stripMargin,
+
+      "events_incr_refresh" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS v
+          |  FROM events
+          |), m AS (
+          |  SELECT event_type, count(v) AS cnt,
+          |         CAST(sum(v) AS BIGINT) AS sum_fp,
+          |         min(v) AS min_fp, max(v) AS max_fp
+          |  FROM ev GROUP BY 1
+          |)
+          |SELECT event_type, cnt,
+          |       round(CAST(sum_fp AS DOUBLE) / 1000000.0, 6) AS sum_value,
+          |       round(CAST(min_fp AS DOUBLE) / 1000000.0, 6) AS min_value,
+          |       round(CAST(max_fp AS DOUBLE) / 1000000.0, 6) AS max_value,
+          |       round(CAST(sum_fp // cnt AS DOUBLE) / 1000000.0, 6) AS avg_value
+          |FROM m ORDER BY event_type""".stripMargin,
+
+      "privacy_k_anon" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+          |         AS bal_bucket,
+          |       count(*) AS n_rows,
+          |       count(*) < 5 AS at_risk
+          |FROM customer
+          |GROUP BY 1, 2, 3
+          |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
       "er_resolve_clusters" ->
         """WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),

@@ -619,4 +619,44 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 4,
       s"classifier scoring must stay explode→agg-shaped, got ${shuffles.size} shuffles")
   }
+
+  test("scd2_customers: both window passes ride ONE key exchange") {
+    val nodes = executedNodes(q("scd2_customers"))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2,
+      s"expected the change-filter + interval-chain window pair, got ${windows.size}")
+    // the no-op filter preserves the key partitioning AND the sort, so
+    // the second window adds no exchange: one key shuffle + output sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"SCD2 must shuffle once by key (+ output sort), got ${shuffles.size}")
+  }
+
+  test("events_incr_refresh: partial aggregation everywhere, state-sized merge") {
+    val nodes = executedNodes(q("events_incr_refresh"))
+    // two partials legs + the merge + the output sort; raw events never
+    // shuffle unaggregated (each leg's exchange carries ≤|groups| rows
+    // per input partition thanks to map-side combine)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 4,
+      s"refresh must shuffle only partial-agg rows, got ${shuffles.size}")
+    assert(nodes.exists(n => n.getClass.getSimpleName.contains("HashAggregate")),
+      "expected hash aggregation on the partials legs")
+  }
+
+  test("contamination_semantic: eval side broadcast, corpus never shuffles pre-agg") {
+    val nodes = executedNodes(q("contamination_semantic"))
+    // the corpus × eval scan is the INTENDED broadcast nested-loop — the
+    // eval set is small by nature; what must never happen is a shuffle
+    // of the corpus before the per-vector rollup
+    assert(nodes.exists(n =>
+      n.getClass.getSimpleName.contains("BroadcastNestedLoop") ||
+        n.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "eval side must broadcast")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"only the rollup + output sort may shuffle, got ${shuffles.size}")
+  }
 }
