@@ -379,6 +379,64 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("path")).limit(20)
     }),
 
+    // PageRank over the session transition graph (operators.PageRank):
+    // edge (src, dst) = consecutive event types within a gap-session,
+    // weighted by transition count — the structural-importance ranking
+    // of event types. Edge derivation is the corpus-scale part (one
+    // user-keyed window); the 10 fixed-point iterations run on
+    // vocabulary-sized frames. The oracle replays all 10 iterations
+    // unrolled — exact integer parity end-to-end.
+    "events_pagerank" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val s = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+        gapUs = 28800000000L)
+      val w = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val edges = s.withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.ranks(edges, iterations = 10)
+        .select(col("node").as("event_type"), col("rank_fp"),
+          round(col("rank_fp").cast("double") / 1000000000.0, 6).as("rank"))
+        .orderBy("event_type")
+    }),
+
+    // Session co-occurrence lift between event-type pairs: observed
+    // co-sessions over expected-under-independence — the association
+    // census (log-free PMI twin, so it stays cross-engine exact) that
+    // feeds feature engineering. The session×type frame is computed
+    // once and shared by the pair join, the per-type counts, and the
+    // session total; pairs join session-keyed (bounded by vocab² per
+    // session, never corpus²), count tables broadcast back.
+    "events_type_lift" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val st = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+          gapUs = 28800000000L)
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct().localCheckpoint(false)
+      val a = st.select(col("user_id"), col("session_seq"),
+        col("event_type").as("t1"))
+      val b = st.select(col("user_id"), col("session_seq"),
+        col("event_type").as("t2"))
+      val nab = a.join(b, Seq("user_id", "session_seq"))
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_ab"))
+      val na = st.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val nSess = st.select(col("user_id"), col("session_seq")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      nab
+        .join(broadcast(na.select(col("event_type").as("t1"), col("cnt").as("n_a"))), Seq("t1"))
+        .join(broadcast(na.select(col("event_type").as("t2"), col("cnt").as("n_b"))), Seq("t2"))
+        .crossJoin(broadcast(nSess))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round((col("n_ab").cast("double") * col("n_sessions").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+        .orderBy("t1", "t2")
+    }),
+
     // JSON payload shredding (§2.8: the reference exposes NO json functions;
     // the Spark engine surfaces them as first-class): extract props.$.k,
     // aggregate per event type. get_json_object is codegen'd — the parse
@@ -1076,7 +1134,89 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = {
     val cte = XeFixture.sqlCte
+    // gap-session assignment + (user, session, type) grain — shared by the
+    // pagerank and lift oracles (the events_top_paths session chain)
+    val sessionCte =
+      """se AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), ss AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_seq
+        |  FROM se
+        |)""".stripMargin
+    // the 10 PageRank iterations unrolled (DuckDB recursive CTEs cannot
+    // aggregate over the recursive term) — each step mirrors
+    // operators.PageRank bit-for-bit in BIGINT arithmetic
+    val prScale = 1000000000L
+    val prSteps = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         (15 * CAST($prScale AS BIGINT)) // (100 * nn.n)
+         |           + (85 * coalesce(s$i.contrib, 0)) // 100 AS r
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum((p.r * e.w) // e.wout) AS BIGINT) AS contrib
+         |    FROM ew e JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY 1
+         |  ) s$i USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
     Map(
+      "events_pagerank" ->
+        s"""WITH $sessionCte,
+           |edges AS (
+           |  SELECT src, dst, count(*) AS w FROM (
+           |    SELECT event_type AS src,
+           |           lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
+           |             ORDER BY ts_us, event_id) AS dst
+           |    FROM ss)
+           |  WHERE dst IS NOT NULL GROUP BY 1, 2
+           |), wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+           |          FROM edges GROUP BY 1),
+           |ew AS (SELECT e.src, e.dst, e.w, o.wout
+           |       FROM edges e JOIN wo o USING (src)),
+           |nodes AS (
+           |  SELECT src AS node FROM edges
+           |  UNION SELECT dst FROM edges
+           |), nn AS (SELECT count(*) AS n FROM nodes),
+           |pr0 AS (
+           |  SELECT node, CAST($prScale AS BIGINT) // nn.n AS r
+           |  FROM nodes CROSS JOIN nn
+           |),
+           |$prSteps
+           |SELECT node AS event_type, r AS rank_fp,
+           |       round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+           |FROM pr10 ORDER BY event_type""".stripMargin,
+
+      "events_type_lift" ->
+        s"""WITH $sessionCte,
+           |st AS (
+           |  SELECT DISTINCT user_id, session_seq, event_type FROM ss
+           |), nab AS (
+           |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+           |  FROM st a JOIN st b
+           |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+           |   AND a.event_type < b.event_type
+           |  GROUP BY 1, 2
+           |), na AS (SELECT event_type, count(*) AS cnt FROM st GROUP BY 1),
+           |ns AS (SELECT count(*) AS n_sessions
+           |       FROM (SELECT DISTINCT user_id, session_seq FROM st))
+           |SELECT p.t1, p.t2, p.n_ab,
+           |       round((CAST(p.n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE)) /
+           |             (CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)), 6) AS lift
+           |FROM nab p
+           |JOIN na a ON a.event_type = p.t1
+           |JOIN na b ON b.event_type = p.t2
+           |CROSS JOIN ns
+           |ORDER BY t1, t2""".stripMargin,
       "asof_attribution" ->
         """WITH clicks AS (
           |  SELECT event_id, user_id, epoch_us(ts) AS click_us

@@ -661,4 +661,15 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 2,
       s"only fanout + the output sort may shuffle, got ${shuffles.size}")
   }
+
+  test("events_type_lift: pair join session-keyed; count tables broadcast back") {
+    val nodes = executedNodes(q("events_type_lift"))
+    // the t1<t2 pair scan must ride the (user, session) equi-join —
+    // a CartesianProduct here is the vocab²·sessions² disaster; the
+    // only nested-loop allowed is the broadcast 1-row session total
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "pair generation must stay a session-keyed equi-join")
+    val bnl = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoop"))
+    assert(bnl.size <= 1, "only the 1-row total may nested-loop")
+  }
 }
