@@ -27,6 +27,30 @@ object RelationalQueries {
   /** exact money arithmetic: double col → decimal(18,2) before aggregation */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** The customer SCD2 history (see `scd2_customers`): deterministic
+    * 4-wave version stream → operators.Scd2. Shared by the history dump
+    * and the temporal-lookup join. */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val seg = concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+    def img(pred: org.apache.spark.sql.Column, nat: org.apache.spark.sql.Column,
+            mkt: org.apache.spark.sql.Column, from: String) =
+      cust.filter(pred).select(col("c_custkey"), nat.as("c_nationkey"),
+        mkt.as("c_mktsegment"), to_date(lit(from)).as("effective_from"))
+    val versions = img(lit(true), col("c_nationkey"), col("c_mktsegment"), "1992-01-01")
+      .unionByName(img(col("c_custkey") % 10 === 0,
+        col("c_nationkey"), seg, "1995-06-01"))
+      .unionByName(img(col("c_custkey") % 30 === 0,
+        col("c_nationkey"), seg, "1996-01-01"))
+      .unionByName(img(col("c_custkey") % 20 === 0,
+        ((col("c_nationkey") + 7) % 25).cast("int"), seg, "1998-03-15"))
+    graft.operators.Scd2.history(versions,
+        Seq("c_custkey"), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("effective_from"), col("effective_to"), col("version"),
+        col("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy single-pass aggregation; partial (map-side)
     // aggregation makes this shuffle only |groups| rows at scale.
@@ -1069,26 +1093,26 @@ object RelationalQueries {
     // a no-op, the CDC re-emission case), and a 1998 nationkey-change
     // wave (custkey % 20). One key-hash exchange carries both window
     // passes (plan-gated).
-    "scd2_customers" -> ((spark, dir) => {
-      val cust = t(spark, dir, "customer")
-      val seg = concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
-      def img(pred: org.apache.spark.sql.Column, nat: org.apache.spark.sql.Column,
-              mkt: org.apache.spark.sql.Column, from: String) =
-        cust.filter(pred).select(col("c_custkey"), nat.as("c_nationkey"),
-          mkt.as("c_mktsegment"), to_date(lit(from)).as("effective_from"))
-      val versions = img(lit(true), col("c_nationkey"), col("c_mktsegment"), "1992-01-01")
-        .unionByName(img(col("c_custkey") % 10 === 0,
-          col("c_nationkey"), seg, "1995-06-01"))
-        .unionByName(img(col("c_custkey") % 30 === 0,
-          col("c_nationkey"), seg, "1996-01-01"))
-        .unionByName(img(col("c_custkey") % 20 === 0,
-          ((col("c_nationkey") + 7) % 25).cast("int"), seg, "1998-03-15"))
-      graft.operators.Scd2.history(versions,
-          Seq("c_custkey"), Seq("c_nationkey", "c_mktsegment"))
-        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-          col("effective_from"), col("effective_to"), col("version"),
-          col("is_current"))
-        .orderBy("c_custkey", "version")
+    "scd2_customers" -> ((spark, dir) =>
+      scd2History(spark, dir).orderBy("c_custkey", "version")),
+
+    // The consumption side of SCD2 — the temporal validity join every
+    // history table exists to serve: each order joins the customer
+    // version VALID AT order time (equi on the key + interval residual,
+    // so the plan stays a key-partitioned join — never a range scan),
+    // then rolls up revenue by the version-valid segment. At 100 TB the
+    // fact side shuffles once by custkey; history is dimension-sized.
+    "scd2_lookup" -> ((spark, dir) => {
+      val hist = scd2History(spark, dir)
+      val ord = t(spark, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_totalprice"))
+      ord.join(hist, ord("o_custkey") === hist("c_custkey") &&
+          col("od") >= col("effective_from") && col("od") < col("effective_to"))
+        .groupBy(col("c_mktsegment"), col("version"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy("c_mktsegment", "version")
     }),
 
     // Incremental aggregate refresh (operators.IncrementalAgg): the
@@ -1150,6 +1174,43 @@ object RelationalQueries {
         |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |           AS session_seq
         |  FROM se
+        |)""".stripMargin
+    // customer SCD2 history — shared by the history dump and the
+    // temporal-lookup oracle; mirrors operators.Scd2 + the 4-wave stream
+    val scd2Cte =
+      """seg AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg,
+        |         c_mktsegment
+        |  FROM customer
+        |), v AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |         DATE '1992-01-01' AS effective_from FROM seg
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, new_seg, DATE '1995-06-01'
+        |  FROM seg WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, new_seg, DATE '1996-01-01'
+        |  FROM seg WHERE c_custkey % 30 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, (c_nationkey + 7) % 25, new_seg, DATE '1998-03-15'
+        |  FROM seg WHERE c_custkey % 20 = 0
+        |), marked AS (
+        |  SELECT *,
+        |         (c_nationkey IS DISTINCT FROM
+        |            lag(c_nationkey) OVER wk) OR
+        |         (c_mktsegment IS DISTINCT FROM
+        |            lag(c_mktsegment) OVER wk) AS chg
+        |  FROM v WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
+        |), kept AS (SELECT * FROM marked WHERE chg),
+        |hist AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, effective_from,
+        |         coalesce(lead(effective_from) OVER wk,
+        |                  DATE '9999-12-31') AS effective_to,
+        |         row_number() OVER wk AS version,
+        |         coalesce(lead(effective_from) OVER wk,
+        |                  DATE '9999-12-31') = DATE '9999-12-31' AS is_current
+        |  FROM kept WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
         |)""".stripMargin
     // the 10 PageRank iterations unrolled (DuckDB recursive CTEs cannot
     // aggregate over the recursive term) — each step mirrors
@@ -1606,39 +1667,20 @@ object RelationalQueries {
           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
       "scd2_customers" ->
-        """WITH seg AS (
-          |  SELECT c_custkey, c_nationkey,
-          |         'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg,
-          |         c_mktsegment
-          |  FROM customer
-          |), v AS (
-          |  SELECT c_custkey, c_nationkey, c_mktsegment,
-          |         DATE '1992-01-01' AS effective_from FROM seg
-          |  UNION ALL
-          |  SELECT c_custkey, c_nationkey, new_seg, DATE '1995-06-01'
-          |  FROM seg WHERE c_custkey % 10 = 0
-          |  UNION ALL
-          |  SELECT c_custkey, c_nationkey, new_seg, DATE '1996-01-01'
-          |  FROM seg WHERE c_custkey % 30 = 0
-          |  UNION ALL
-          |  SELECT c_custkey, (c_nationkey + 7) % 25, new_seg, DATE '1998-03-15'
-          |  FROM seg WHERE c_custkey % 20 = 0
-          |), marked AS (
-          |  SELECT *,
-          |         (c_nationkey IS DISTINCT FROM
-          |            lag(c_nationkey) OVER wk) OR
-          |         (c_mktsegment IS DISTINCT FROM
-          |            lag(c_mktsegment) OVER wk) AS chg
-          |  FROM v WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
-          |), kept AS (SELECT * FROM marked WHERE chg)
-          |SELECT c_custkey, c_nationkey, c_mktsegment, effective_from,
-          |       coalesce(lead(effective_from) OVER wk,
-          |                DATE '9999-12-31') AS effective_to,
-          |       row_number() OVER wk AS version,
-          |       coalesce(lead(effective_from) OVER wk,
-          |                DATE '9999-12-31') = DATE '9999-12-31' AS is_current
-          |FROM kept WINDOW wk AS (PARTITION BY c_custkey ORDER BY effective_from)
-          |ORDER BY c_custkey, version""".stripMargin,
+        s"""WITH $scd2Cte
+           |SELECT * FROM hist ORDER BY c_custkey, version""".stripMargin,
+
+      "scd2_lookup" ->
+        s"""WITH $scd2Cte
+           |SELECT h.c_mktsegment, h.version,
+           |       count(*) AS n_orders,
+           |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price
+           |FROM orders o JOIN hist h
+           |  ON o.o_custkey = h.c_custkey
+           | AND CAST(o.o_orderdate AS DATE) >= h.effective_from
+           | AND CAST(o.o_orderdate AS DATE) < h.effective_to
+           |GROUP BY 1, 2 ORDER BY c_mktsegment, version""".stripMargin,
 
       "events_incr_refresh" ->
         """WITH ev AS (

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.IncrementalAgg
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Streaming materialized-view maintenance — the streaming face of
+  * [[IncrementalAgg]]: a `foreachBatch` sink that keeps a group-grain
+  * partial-aggregate state table under `stateDir`, merging each
+  * micro-batch's partials with the previous state. Refresh cost per
+  * batch is O(batch + |groups|) no matter how much history the metric
+  * covers — the same algebra `events_incr_refresh` hash-gates against
+  * a full recompute, now applied across micro-batch boundaries.
+  *
+  * Exactly-once without a transactional store: state versions are keyed
+  * by the streaming batch id (`v<batchId>`, `_SUCCESS`-gated). A batch
+  * merges the newest version with id < its OWN id, and a replayed batch
+  * overwrites only its own version — at-least-once delivery converges
+  * to the same bytes (the jdbcIdempotentAppend discipline, applied to a
+  * parquet state table). Superseded versions beyond a two-deep undo
+  * window are pruned so storage stays bounded. */
+object MvRefresh {
+
+  /** The foreachBatch hook: `stream.writeStream.foreachBatch(
+    * MvRefresh.refresh(dir, Seq("k"), col("v")) _)`. */
+  def refresh(stateDir: String, keyCols: Seq[String], valueFp: Column)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = IncrementalAgg.partials(batch, keyCols, valueFp)
+    val merged = versionBefore(spark, stateDir, batchId) match {
+      case Some(st) => IncrementalAgg.merge(Seq(st, delta), keyCols)
+      case None => delta
+    }
+    // reads touch only versions < batchId, so overwriting v<batchId>
+    // (the replay case) never destroys this computation's own input
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    prune(spark, stateDir, batchId)
+  }
+
+  /** Latest published state, if any. */
+  def read(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    versionBefore(spark, stateDir, Long.MaxValue)
+
+  private def versionBefore(spark: SparkSession, stateDir: String,
+                            id: Long): Option[DataFrame] = {
+    publishedVersions(spark, stateDir).filter(_ < id) match {
+      case Seq() => None
+      case vs => Some(spark.read.parquet(s"$stateDir/v${vs.max}"))
+    }
+  }
+
+  private def publishedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+  }
+
+  /** Keep the newest two versions ≤ `upTo` (current + one undo step for
+    * an in-flight replay of the previous batch); delete the rest. */
+  private def prune(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishedVersions(spark, stateDir).filter(_ <= upTo)
+      .sorted.dropRight(2)
+      .foreach(v => fs.delete(new Path(path, s"v$v"), true))
+  }
+}

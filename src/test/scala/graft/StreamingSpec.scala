@@ -627,4 +627,49 @@ class StreamingSpec extends SparkTestBase {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
   }
+
+  test("streaming MV refresh: state after all batches equals the batch aggregate; replay converges") {
+    import graft.streaming.MvRefresh
+    val events = XeFixture.frame(spark, sf("sf0.001"))
+      .select("e_time_of_event_utc", "event_name", "c_duration_us")
+    val dir = Files.createTempDirectory("graft-mv-in").toString
+    val ckpt = Files.createTempDirectory("graft-mv-ck").toString
+    val stateDir = Files.createTempDirectory("graft-mv-state").toString
+    events.filter(col("event_name") =!= "wait_info").write.parquet(s"$dir/drop1")
+    events.filter(col("event_name") === "wait_info").write.parquet(s"$dir/drop2")
+
+    val stream = EventStream.readEventDir(
+      spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .foreachBatch(
+        MvRefresh.refresh(stateDir, Seq("event_name"), col("c_duration_us")) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length > 1, "expected several micro-batches")
+
+    // merge ∘ partials across micro-batch boundaries ≡ one batch aggregate
+    val twin = graft.operators.IncrementalAgg.partials(
+      events, Seq("event_name"), col("c_duration_us"))
+    val state = MvRefresh.read(spark, stateDir).get
+    assert(state.exceptAll(twin).isEmpty && twin.exceptAll(state).isEmpty,
+      "streamed state must equal the batch aggregate")
+
+    // at-least-once replay of the LAST batch: same rows, same batch id →
+    // its version is overwritten in place and the state bytes converge
+    val lastId = MvRefresh.read(spark, stateDir).map(_ => {
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).max
+    }).get
+    val replayRows = events.filter(col("event_name") === "wait_info")
+    MvRefresh.refresh(stateDir, Seq("event_name"), col("c_duration_us"))(
+      replayRows, lastId)
+    val after = MvRefresh.read(spark, stateDir).get
+    assert(after.exceptAll(twin).isEmpty && twin.exceptAll(after).isEmpty,
+      "replayed batch must converge, not double-count")
+  }
 }
