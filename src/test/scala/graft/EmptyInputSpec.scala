@@ -131,4 +131,35 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.FuzzyMatch.bestMatch(noNames, oneName,
       "name", "name", 2, 2).count() == 0)
   }
+
+  test("stretch-3 operators are empty-safe") {
+    // SCD2 over an empty version stream
+    val noVers = Seq.empty[(Long, String, java.sql.Date)]
+      .toDF("k", "a", "effective_from")
+    assert(graft.operators.Scd2.history(noVers, Seq("k"), Seq("a")).count() == 0)
+    // incremental agg: empty partials merge to empty; merge of one empty
+    // + one real state is the identity (also pinned in Scd2Spec)
+    val noKv = Seq.empty[(String, Long)].toDF("k", "v")
+    val emptyState = graft.operators.IncrementalAgg.partials(noKv, Seq("k"), col("v"))
+    assert(graft.operators.IncrementalAgg.merge(
+      Seq(emptyState, emptyState), Seq("k")).count() == 0)
+    // PageRank on an empty edge list is a loud error by contract (no
+    // graph → no rank vector), never a hang or a divide-by-zero
+    val noEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.PageRank.ranks(noEdges, 1)
+    }
+    // semantic contamination with an EMPTY eval set: nothing can hit
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noEmb = emb.filter(col("vec_id") < 0)
+    assert(graft.corpus.Similarity.semanticContamination(
+      emb, noEmb, "vec_id", "embedding", 0.4).count() == 0)
+    // ... and with an empty corpus side
+    assert(graft.corpus.Similarity.semanticContamination(
+      noEmb, emb, "vec_id", "embedding", 0.4).count() == 0)
+    // MV refresh read on a never-written state dir
+    assert(graft.streaming.MvRefresh.read(spark,
+      java.nio.file.Files.createTempDirectory("graft-mv-none").toString).isEmpty)
+  }
 }
