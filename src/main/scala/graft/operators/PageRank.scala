@@ -35,9 +35,18 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges (src, dst, w: long) weighted edge list, w > 0
+    * @param driverGateEdges edge count at or under which the iteration
+    *        runs driver-side (the [[graft.corpus.Dedup.dupClusters]]
+    *        gate discipline): a vocabulary- or domain-sized graph pays
+    *        10 × several Spark jobs of pure fixed overhead in the
+    *        distributed loop, where a driver array loop is micro-
+    *        seconds — SAME integer arithmetic, bit-identical ranks
+    *        (spec-pinned both paths equal). The distributed loop is the
+    *        web-scale path.
     * @return (node, rank_fp) — fixed-point ranks after `iterations` */
   def ranks(edges: DataFrame, iterations: Int, scale: Long = 1000000000L,
-            dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+            dampNum: Long = 85L, dampDen: Long = 100L,
+            driverGateEdges: Long = 1L << 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
@@ -45,6 +54,36 @@ object PageRank {
       .distinct().localCheckpoint(false)
     val n = nodes.count() // scalar only — no rows collected
     require(n > 0, "PageRank over an empty edge list")
+    // the count above doubles as the edge materialization either path needs
+    if (e.count() <= driverGateEdges) {
+      val spark = edges.sparkSession
+      val rows = e.collect()
+      val idx = scala.collection.mutable.LinkedHashMap[Any, Int]()
+      def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+      val es = rows.map(r => (id(r.get(0)), id(r.get(1)), r.getLong(2)))
+      val nn = idx.size
+      val wout = new Array[Long](nn)
+      es.foreach { case (s, _, w) => wout(s) += w }
+      val base = ((dampDen - dampNum) * scale) / (dampDen * nn)
+      var r = Array.fill(nn)(scale / nn)
+      var it = 0
+      while (it < iterations) {
+        val contrib = new Array[Long](nn)
+        es.foreach { case (s, d, w) => contrib(d) += (r(s) * w) / wout(s) }
+        r = Array.tabulate(nn)(v => base + dampNum * contrib(v) / dampDen)
+        it += 1
+      }
+      val nodeType = edges.schema("src").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val out = idx.toSeq.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, r(i)) }
+      return spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(out).asJava), schema)
+    }
     val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .localCheckpoint(false)
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)

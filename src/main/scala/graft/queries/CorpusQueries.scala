@@ -2004,6 +2004,32 @@ object CorpusQueries {
         .orderBy("format")
     }),
 
+    // Corrupt-row quarantine — the repair surface behind the ingest
+    // budget: the malformed RAW LINES themselves, diverted for
+    // inspection/replay instead of silently dropped (what an operator
+    // actually reads when a drop trips the budget). Same explicit-schema
+    // PERMISSIVE parse as corpus_ingest; the oracle pins the exact
+    // planted bytes, so a parser that mangles or truncates the captured
+    // line breaks the hash.
+    "corpus_quarantine" -> ((spark, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      val qdir = s"$base/graft_quar_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val hp = new org.apache.hadoop.fs.Path(qdir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      Ingest.writeJsonl(
+        docs(spark, dir).select(col("doc_id"), col("source"), col("text")), qdir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$qdir/part-bad.json"),
+        "{\"doc_id\": 900000001, \"source\": \"sbad\"\nnot json at all\n{]\n\t\n   \n")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      Ingest.readJsonl(spark, qdir, schema)
+        .filter(col(Ingest.CorruptCol).isNotNull)
+        .select(col(Ingest.CorruptCol).as("raw_line"))
+        .orderBy("raw_line")
+    }),
+
     // Deterministic output sharding + per-shard manifest: the write-side
     // twin of the ingest corrupt budget. Shard = hash60("shard|" ++ id)
     // mod N — content-independent, so a re-run or a different executor
@@ -4341,6 +4367,13 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "corpus_quarantine" ->
+      """SELECT * FROM (VALUES
+        |  ('{"doc_id": 900000001, "source": "sbad"'),
+        |  ('not json at all'),
+        |  ('{]')) t(raw_line)
+        |ORDER BY raw_line""".stripMargin,
 
     "corpus_shards" ->
       s"""SELECT ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,

@@ -47,4 +47,19 @@ class PageRankSpec extends SparkTestBase {
     val r = pr(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 0)
     assert(r === Map("a" -> SCALE / 2, "b" -> SCALE / 2))
   }
+
+  test("driver short-circuit and distributed loop produce identical ranks") {
+    // deterministic pseudo-random graph, long-keyed this time
+    val edges = (0 until 400).map { i =>
+      val s = (i * 7919L) % 37
+      val d = (i * 104729L + 13) % 37
+      (s, if (d == s) (d + 1) % 37 else d, (i % 5) + 1L)
+    }.distinct
+    val df = edges.toDF("src", "dst", "w")
+    val viaDriver = PageRank.ranks(df, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = PageRank.ranks(df, 10, driverGateEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === viaCluster)
+  }
 }
