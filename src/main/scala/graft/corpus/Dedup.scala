@@ -661,49 +661,73 @@ object Dedup {
     (labels, it)
   }
 
-  /** Materialized cluster artifact: the postings → pairs → connected-
+  /** Materialized near-dup artifact: the postings → pairs → connected-
     * components chain ([[jaccardPairs]] → [[dupClusters]]) computed ONCE
-    * per corpus version and persisted as a parquet table that every
-    * downstream consumer (survivors, quality-aware keep, cluster
-    * analytics) READS instead of re-deriving. This is the production
-    * architecture at 100 TB: the chain is three full corpus passes, and
-    * a pipeline that needs clusters in three places must not pay it
-    * three times — the same persisted-store shape [[incrementalPairs]]
-    * already assumes for its shingle postings. Compute-if-absent keyed
-    * on the artifact directory (caller encodes corpus version + chain
-    * parameters in the path); presence = parquet `_SUCCESS` marker, so
-    * a half-written artifact from a killed run recomputes rather than
-    * being trusted. Returns the artifact as a DataFrame
-    * (doc_id, canonical_id). */
+    * per corpus version and persisted as TWO parquet tables under one
+    * atomically-published directory — `edges` (the verified pairs:
+    * d1, d2, common, jaccard) and `labels` (doc_id, canonical_id) —
+    * that every downstream consumer (survivors, quality-aware keep,
+    * cluster analytics, the transitivity census) READS instead of
+    * re-deriving. This is the production architecture at 100 TB: the
+    * chain is three full corpus passes, and a pipeline that needs its
+    * outputs in four places must not pay it four times — the same
+    * persisted-store shape [[incrementalPairs]] already assumes for its
+    * shingle postings. Compute-if-absent keyed on the artifact
+    * directory (caller encodes corpus version + chain parameters in the
+    * path); presence = BOTH sub-tables' `_SUCCESS` markers (published
+    * together by one rename), so a half-written artifact from a killed
+    * run recomputes rather than being trusted.
+    * [[clustersTable]] returns `labels`; [[pairsTable]] returns
+    * `edges`; either builds the whole artifact when absent. */
   def clustersTable(docs: => DataFrame, idCol: String, textCol: String,
-                    k: Int, threshold: Double, dir: String): DataFrame = {
+                    k: Int, threshold: Double, dir: String): DataFrame =
+    ensureNearDupArtifact(docs, idCol, textCol, k, threshold, dir)
+      .read.parquet(s"$dir/labels")
+
+  /** The verified near-dup pair table of the artifact (see
+    * [[clustersTable]]): (d1, d2, common, jaccard). */
+  def pairsTable(docs: => DataFrame, idCol: String, textCol: String,
+                 k: Int, threshold: Double, dir: String): DataFrame =
+    ensureNearDupArtifact(docs, idCol, textCol, k, threshold, dir)
+      .read.parquet(s"$dir/edges")
+
+  private def ensureNearDupArtifact(docs: => DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double,
+      dir: String): org.apache.spark.sql.SparkSession = {
     val path = new org.apache.hadoop.fs.Path(dir)
     // any session works for the fs probe; the by-name docs frame is only
     // forced (and its source only scanned) when the artifact is absent
     val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    if (!fs.exists(success)) {
-      val d = docs
-      // build into a private temp dir, then publish with one rename —
-      // two concurrent builders (two processes sharing the scratch fs)
-      // each write their own temp; exactly one rename lands, the loser
-      // deletes its temp and reads the winner's artifact. Never
-      // overwrite-in-place: a reader mid-scan of a published artifact
-      // must not see its files deleted under it.
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
-      dupClusters(jaccardPairs(d, idCol, textCol, k, threshold))
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.exists(success)) {
-        // a half-written artifact from a killed run (dir, no _SUCCESS)
-        // blocks the rename target — clear it, it was never publishable
-        if (fs.exists(path)) fs.delete(path, true)
-        if (!fs.rename(tmp, path)) fs.delete(tmp, true)
-      } else fs.delete(tmp, true)
-      d.sparkSession.read.parquet(dir)
-    } else {
-      org.apache.spark.sql.SparkSession.active.read.parquet(dir)
-    }
+    def published =
+      fs.exists(new org.apache.hadoop.fs.Path(path, "edges/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "labels/_SUCCESS"))
+    if (published) return org.apache.spark.sql.SparkSession.active
+    val d = docs
+    // build into a private temp dir, then publish with one rename —
+    // two concurrent builders (two processes sharing the scratch fs)
+    // each write their own temp; exactly one rename lands, the loser
+    // deletes its temp and reads the winner's artifact. Never
+    // overwrite-in-place: a reader mid-scan of a published artifact
+    // must not see its files deleted under it. One rename also means
+    // edges and labels appear together — never a half-published pair.
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    // the pairs frame feeds the edges write AND the components loop;
+    // the two consume it in SEQUENTIAL actions, so the lazy checkpoint
+    // materializes on the first and is reused by the second
+    val pairs = jaccardPairs(d, idCol, textCol, k, threshold)
+      .localCheckpoint(false)
+    pairs.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
+    dupClusters(pairs).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "labels").toString)
+    if (!published) {
+      // a half-written artifact from a killed run (dir, no _SUCCESS)
+      // blocks the rename target — clear it, it was never publishable
+      if (fs.exists(path)) fs.delete(path, true)
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    } else fs.delete(tmp, true)
+    d.sparkSession
   }
 
   /** Dedup-aware deterministic train/val/test split — the step where

@@ -89,7 +89,8 @@ object CorpusQueries {
       else Seq(st)
     val fprint = java.lang.Long.toHexString(
       parts.foldLeft(1125899906842597L)((acc, s) => acc * 31L + fp(s)))
-    val tag = s"v1_k${shingleK}_t${jaccardThreshold}".replace('.', 'p')
+    // v2: the artifact became the two-table {edges, labels} layout
+    val tag = s"v2_k${shingleK}_t${jaccardThreshold}".replace('.', 'p')
     val dirSuffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val name = s"graft_clusters_${tag}_${fprint}_$dirSuffix"
     // prune superseded artifacts for the same corpus dir (older
@@ -732,13 +733,15 @@ object CorpusQueries {
     // edge-iterator join (a<b<c, each counted once — O(Σdeg²) candidate
     // paths, all equi-joins); wedges from the degree table.
     "dedup_transitivity" -> ((spark, dir) => {
-      // EAGER checkpoint: the edge frame feeds five branches (degrees,
-      // wedges, the 3-way triangle self-join, the edge count) that the
-      // final single action kicks off concurrently — a lazy checkpoint
-      // races its own materialization and re-runs the full postings
-      // pipeline per branch (measured 89 s vs 39 s at the 500k-doc probe)
-      val e = Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
-          shingleK, jaccardThreshold)
+      // edges come from the materialized near-dup artifact (the same
+      // compute-once table the dedup_clusters trio reads) — the census
+      // is a read-side consumer, never a fifth run of the postings
+      // pipeline. The eager checkpoint pins the (tiny) edge frame once
+      // for the five concurrent consumer branches below; a lazy one
+      // races its own materialization (measured 89 s vs 39 s at the
+      // 500k-doc probe when the pairs pipeline ran inline).
+      val e = Dedup.pairsTable(docs(spark, dir), "doc_id", "text",
+          shingleK, jaccardThreshold, clustersArtifactPath(spark, dir))
         .select(col("d1"), col("d2")).localCheckpoint(true)
       val deg = e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -125,6 +125,13 @@ class CorpusSpec extends SparkTestBase {
     val second = Dedup.clustersTable(other, "doc_id", "text", 3, 0.5, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(second == first)
+    // the pair table is the SAME artifact (by-name docs never evaluated
+    // on the read path here either) and matches the direct pairs chain
+    val pairs = Dedup.pairsTable(other, "doc_id", "text", 3, 0.5, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directPairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == directPairs && pairs.nonEmpty)
   }
 
   test("minhash LSH finds the planted near-dup and skips unrelated docs") {

@@ -87,4 +87,47 @@ class Scd2Spec extends SparkTestBase {
     val merged = IncrementalAgg.merge(Seq(state, delta), Seq("k"))
     assert(merged.except(state).isEmpty && state.except(merged).isEmpty)
   }
+
+  test("property: history matches an in-memory reference on random version streams") {
+    // deterministic LCG — no Random seed ambiguity across runs
+    var s = 0x2545F4914F6CDD1DL
+    def next(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n + n) % n).toInt }
+    val attrs = Array("p", "q", "r", null)
+    val streams = (1 to 5).map { _ =>
+      // per key: 1-6 images at strictly increasing dates with random attrs
+      (1L to 20L).flatMap { k =>
+        val m = 1 + next(6)
+        (0 until m).map { i =>
+          (k, attrs(next(4)), attrs(next(4)),
+            java.sql.Date.valueOf(f"20${10 + i}%02d-0${1 + next(9)}%01d-15"))
+        }
+      }
+    }
+    for (rows <- streams) {
+      val got = Scd2.history(
+        rows.toDF("k", "a", "b", "effective_from"), Seq("k"), Seq("a", "b"))
+        .select("k", "a", "b", "effective_from", "effective_to", "version")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDate(3).toString, r.getDate(4).toString, r.getLong(5)))
+        .toSet
+      // reference: per key sort by date, drop consecutive-equal images,
+      // chain intervals, number versions
+      val want = rows.groupBy(_._1).flatMap { case (k, imgs) =>
+        val sorted = imgs.sortBy(_._4.toString)
+        val kept = sorted.foldLeft(Vector.empty[(Long, String, String, java.sql.Date)]) {
+          (acc, img) =>
+            if (acc.nonEmpty && acc.last._2 == img._2 && acc.last._3 == img._3) acc
+            else acc :+ img
+        }
+        kept.zipWithIndex.map { case ((_, a, b, d), i) =>
+          val to = if (i + 1 < kept.size) kept(i + 1)._4.toString else "9999-12-31"
+          (k, a, b, d.toString, to, (i + 1).toLong)
+        }
+      }.toSet
+      assert(got === want,
+        s"missing=${want -- got}\nextra=${got -- want}")
+    }
+  }
 }
