@@ -721,6 +721,11 @@ object Dedup {
       .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
     dupClusters(pairs).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "labels").toString)
+    // `published` is a def — RE-evaluated here, after the build: a
+    // concurrent builder that landed while we computed makes this branch
+    // discard our tmp instead of deleting a live artifact. (A sub-ms
+    // TOCTOU window between this check and the delete remains — closing
+    // it needs an FS with atomic rename-over or an external lock.)
     if (!published) {
       // a half-written artifact from a killed run (dir, no _SUCCESS)
       // blocks the rename target — clear it, it was never publishable

@@ -107,7 +107,8 @@ object Similarity {
   def semanticContamination(corpus: DataFrame, eval_ : DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val evalRows = eval_.select(col(vecCol)).collect()
+    val evalRows = eval_.select(col(vecCol))
+      .filter(col(vecCol).isNotNull).collect()
     require(evalRows.length <= (1 << 20),
       s"eval set has ${evalRows.length} vectors — beyond the 2^20 " +
         "driver-resident cap; shard the eval set or use the LSH candidates")

@@ -251,10 +251,14 @@ object SemContamOps {
     var j = 0
     while (j < evs.length) {
       val e = evs(j)
-      val m = math.min(e.length, n)
+      // a silent min() here would understate cosines on a model-dim
+      // mismatch (dot over the prefix, norms over full length) — the
+      // one failure mode worse than crashing for a decontamination gate
+      if (e.length != n) throw new IllegalArgumentException(
+        s"eval vector dim ${e.length} != corpus vector dim $n")
       var acc = 0.0
       var k = 0
-      while (k < m) { acc += v.getFloat(k).toDouble * e(k).toDouble; k += 1 }
+      while (k < n) { acc += v.getFloat(k).toDouble * e(k).toDouble; k += 1 }
       val c = acc / (nv * evNorms(j))
       if (c >= tHi || (c >= tLo && round6(c) >= threshold)) {
         nHits += 1

@@ -54,7 +54,13 @@ object PageRank {
       .distinct().localCheckpoint(false)
     val n = nodes.count() // scalar only — no rows collected
     require(n > 0, "PageRank over an empty edge list")
-    // the count above doubles as the edge materialization either path needs
+    // w ≤ 0 would make the two paths diverge (the driver loop throws on
+    // a zero wout, the SQL `div` returns NULL and silently skips the
+    // edge) — refuse loudly instead; the edge frame is checkpointed so
+    // this probe is one cheap job
+    require(e.filter(col("w") <= 0).isEmpty,
+      "PageRank edge weights must be positive")
+    // the counts above double as the edge materialization either path needs
     if (e.count() <= driverGateEdges) {
       val spark = edges.sparkSession
       val rows = e.collect()

@@ -44,11 +44,23 @@ object Scd2 {
     * @param fromCol   effective-from column (date or timestamp)
     * @param endOfTime high-date sentinel for the open current row —
     *                  must be a literal of `fromCol`'s type
+    * @param tieCols   deterministic order WITHIN an effective-from
+    *                  instant (the [[Sessions.assign]] tieCol contract):
+    *                  a CDC feed that can emit several images of one key
+    *                  at the same instant (snapshot + same-instant
+    *                  correction) MUST pass its arrival-order column
+    *                  here — without it the window order is non-unique,
+    *                  so survivor choice and version numbering become
+    *                  partitioning-dependent, and two survivors at one
+    *                  instant produce a zero-width [d, d) interval no
+    *                  validity lookup can match
     */
   def history(versions: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
               fromCol: String = "effective_from",
-              endOfTime: Column = to_date(lit("9999-12-31"))): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(fromCol))
+              endOfTime: Column = to_date(lit("9999-12-31")),
+              tieCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((fromCol +: tieCols).map(col): _*)
     val attrs = struct(attrCols.map(col): _*)
     // null-safe change detection: the first image per key has a NULL
     // lag-struct, and `x <=> null` is false, so it always survives

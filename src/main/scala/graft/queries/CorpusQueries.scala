@@ -238,6 +238,16 @@ object CorpusQueries {
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
+  /** Planted malformed JSONL lines — ONE definition shared by the
+    * corpus_ingest fixture, the corpus_quarantine fixture, and the
+    * quarantine oracle's VALUES (three hand-maintained copies would let
+    * an edit to one silently break the other two's hash gates). */
+  private val badJsonLines =
+    Seq("{\"doc_id\": 900000001, \"source\": \"sbad\"", "not json at all", "{]")
+  /** The rotten shard bytes: the malformed lines plus whitespace-only
+    * lines that must be SKIPPED, not budget-charged. */
+  private val badJsonShard =
+    (badJsonLines ++ Seq("\t", "   ")).mkString("\n") + "\n"
   // k-NN graph degree (corpus-graph artifact, knn_graph)
   val knnGraphK = 5
   // multimodal aHash near-dup: signature width + Hamming radius
@@ -1977,8 +1987,7 @@ object CorpusQueries {
       // the rotten shard: 3 malformed JSON lines / 2 malformed CSV lines
       // + whitespace-only lines that must be SKIPPED, not budget-charged
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$jdir/part-bad.json"),
-        "{\"doc_id\": 900000001, \"source\": \"sbad\"\nnot json at all\n{]\n\t\n   \n")
+        java.nio.file.Paths.get(s"$jdir/part-bad.json"), badJsonShard)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$cdir/part-bad.csv"),
         "notanumber,sbad,12\n900000002,sbad,notanumber\n\t\n \n")
@@ -2020,11 +2029,14 @@ object CorpusQueries {
       val qdir = s"$base/graft_quar_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val hp = new org.apache.hadoop.fs.Path(qdir)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      // a 1-in-50 deterministic doc slice keeps the scratch copy small
+      // (the good lines only prove the parser doesn't over-capture;
+      // corpus_ingest already round-trips the full table)
       Ingest.writeJsonl(
-        docs(spark, dir).select(col("doc_id"), col("source"), col("text")), qdir)
+        docs(spark, dir).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("source"), col("text")), qdir)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$qdir/part-bad.json"),
-        "{\"doc_id\": 900000001, \"source\": \"sbad\"\nnot json at all\n{]\n\t\n   \n")
+        java.nio.file.Paths.get(s"$qdir/part-bad.json"), badJsonShard)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("source", StringType), StructField("text", StringType)))
       Ingest.readJsonl(spark, qdir, schema)
@@ -4372,11 +4384,9 @@ object CorpusQueries {
         |ORDER BY format""".stripMargin,
 
     "corpus_quarantine" ->
-      """SELECT * FROM (VALUES
-        |  ('{"doc_id": 900000001, "source": "sbad"'),
-        |  ('not json at all'),
-        |  ('{]')) t(raw_line)
-        |ORDER BY raw_line""".stripMargin,
+      s"""SELECT * FROM (VALUES
+         |${badJsonLines.map(l => s"  ('$l')").mkString(",\n")}) t(raw_line)
+         |ORDER BY raw_line""".stripMargin,
 
     "corpus_shards" ->
       s"""SELECT ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,

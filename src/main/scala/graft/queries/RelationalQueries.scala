@@ -1158,18 +1158,20 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = {
     val cte = XeFixture.sqlCte
-    // gap-session assignment + (user, session, type) grain — shared by the
-    // pagerank and lift oracles (the events_top_paths session chain)
+    // Gap-session assignment (the Sessions.assign twin) at full event
+    // grain — the ONE definition every session-derived oracle
+    // (sessionize, top_paths, pagerank, lift) builds on, so the gap
+    // constant and tie order can never drift between copies.
     val sessionCte =
       """se AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
         |              THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), ss AS (
-        |  SELECT user_id, event_id, event_type, ts_us,
+        |  SELECT user_id, event_id, event_type, value, ts_us,
         |         CAST(sum(is_new) OVER (PARTITION BY user_id
         |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |           AS session_seq
@@ -1504,51 +1506,26 @@ object RelationalQueries {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
       "events_sessionize" ->
-        """WITH e AS (
-          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
-          |              THEN 1 ELSE 0 END AS is_new
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-          |), s AS (
-          |  SELECT user_id, ts_us, value,
-          |         CAST(sum(is_new) OVER (PARTITION BY user_id
-          |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-          |           AS session_seq
-          |  FROM e
-          |)
-          |SELECT user_id, session_seq, count(*) AS n_events,
-          |       min(ts_us) AS start_us, max(ts_us) AS end_us,
-          |       max(ts_us) - min(ts_us) AS duration_us,
-          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          |FROM s GROUP BY user_id, session_seq
-          |ORDER BY user_id, session_seq""".stripMargin,
+        s"""WITH $sessionCte
+           |SELECT user_id, session_seq, count(*) AS n_events,
+           |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+           |       max(ts_us) - min(ts_us) AS duration_us,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM ss GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin,
 
       "events_top_paths" ->
-        """WITH e AS (
-          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
-          |              THEN 1 ELSE 0 END AS is_new
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-          |), s AS (
-          |  SELECT user_id, event_id, event_type, ts_us,
-          |         CAST(sum(is_new) OVER (PARTITION BY user_id
-          |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-          |           AS session_seq
-          |  FROM e
-          |), tri AS (
-          |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
-          |           || '>' || lead(event_type, 2) OVER w2 AS path,
-          |         lead(event_type, 2) OVER w2 AS t3
-          |  FROM s
-          |  WINDOW w2 AS (PARTITION BY user_id, session_seq
-          |                ORDER BY ts_us, event_id)
-          |)
-          |SELECT path, count(*) AS n FROM tri WHERE t3 IS NOT NULL
-          |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+        s"""WITH $sessionCte,
+           |tri AS (
+           |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+           |           || '>' || lead(event_type, 2) OVER w2 AS path,
+           |         lead(event_type, 2) OVER w2 AS t3
+           |  FROM ss
+           |  WINDOW w2 AS (PARTITION BY user_id, session_seq
+           |                ORDER BY ts_us, event_id)
+           |)
+           |SELECT path, count(*) AS n FROM tri WHERE t3 IS NOT NULL
+           |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
       "stream_funnel" ->
         """WITH ev AS (

@@ -54,10 +54,13 @@ object MvRefresh {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("v") &&
-        p.getName.drop(1).forall(_.isDigit) &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong)
+      .flatMap(p =>
+        // toLongOption, not isDigit: a stray dir named exactly "v" (or a
+        // beyond-Long digit string) must be ignored, not crash every
+        // later refresh
+        if (p.getName.startsWith("v") && fs.exists(new Path(p, "_SUCCESS")))
+          p.getName.drop(1).toLongOption
+        else None)
   }
 
   /** Keep the newest two versions ≤ `upTo` (current + one undo step for

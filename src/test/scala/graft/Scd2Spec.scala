@@ -88,6 +88,27 @@ class Scd2Spec extends SparkTestBase {
     assert(merged.except(state).isEmpty && state.except(merged).isEmpty)
   }
 
+  test("same-instant images order deterministically via tieCols") {
+    val rows = Seq(
+      (1L, "x", "p", "2020-01-01", 1L),
+      (1L, "y", "p", "2020-01-01", 2L), // same-instant correction
+      (1L, "z", "p", "2021-01-01", 3L))
+    val out = Scd2.history(
+      rows.toDF("k", "a", "b", "d", "seq")
+        .withColumn("effective_from", to_date(col("d"))).drop("d"),
+      Seq("k"), Seq("a", "b"), tieCols = Seq("seq"))
+      .orderBy("version").collect()
+    // arrival order decides: x then its same-instant correction y (a
+    // zero-width interval — never valid, which is the correct reading of
+    // a superseded same-instant image), then z
+    // raw history output: k, a, b, seq, effective_from, effective_to,
+    // version, is_current
+    assert(out.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+    assert(out(0).getDate(5).toString === "2020-01-01") // zero-width
+    assert(out(1).getDate(5).toString === "2021-01-01")
+    assert(out(2).getBoolean(7))
+  }
+
   test("property: history matches an in-memory reference on random version streams") {
     // deterministic LCG — no Random seed ambiguity across runs
     var s = 0x2545F4914F6CDD1DL
