@@ -2016,6 +2016,30 @@ object CorpusQueries {
         .orderBy("format")
     }),
 
+    // ORC round-trip — the second columnar at-rest format (Spark ships
+    // the ORC reader/writer in-box): write the corpus to ORC, read it
+    // back through a filter + narrow projection, and prove the scan
+    // path is first-class — the lang predicate and the column pruning
+    // must reach the ORC reader (plan-gated: PushedFilters + ReadSchema
+    // without `text`). The oracle recomputes the same stats from the
+    // parquet `documents` directly, so a round-trip that drops, mangles
+    // or re-types rows breaks the hash.
+    "corpus_orc_roundtrip" -> ((spark, dir) => {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      val odir = s"$base/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val hp = new org.apache.hadoop.fs.Path(odir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      docs(spark, dir).write.mode("overwrite").orc(odir)
+      spark.read.orc(odir)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("source")
+    }),
+
     // Corrupt-row quarantine — the repair surface behind the ingest
     // budget: the malformed RAW LINES themselves, diverted for
     // inspection/replay instead of silently dropped (what an operator
@@ -4382,6 +4406,13 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "corpus_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_quarantine" ->
       s"""SELECT * FROM (VALUES

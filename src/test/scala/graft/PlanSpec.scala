@@ -662,6 +662,17 @@ class PlanSpec extends SparkTestBase {
       s"only fanout + the output sort may shuffle, got ${shuffles.size}")
   }
 
+  test("corpus_orc_roundtrip: predicate and pruning reach the ORC scan") {
+    val df = q("corpus_orc_roundtrip")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("Scan orc"), "expected an ORC scan")
+    assert(explained.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      "lang predicate must push into the ORC reader")
+    assert(!explained.contains("text"),
+      "column pruning must drop the text column from the ORC read")
+  }
+
   test("events_type_lift: pair join session-keyed; count tables broadcast back") {
     val nodes = executedNodes(q("events_type_lift"))
     // the t1<t2 pair scan must ride the (user, session) equi-join —
