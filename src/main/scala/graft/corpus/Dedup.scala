@@ -735,6 +735,34 @@ object Dedup {
     d.sparkSession
   }
 
+  /** Triangle/wedge census over an undirected edge list given in
+    * canonical (d1 < d2) orientation: one row —
+    * (n_edges, n_wedges, n_triangles, transitivity = 3·T/W rounded to
+    * 6 dp, 0 when wedgeless). Triangles via the oriented edge-iterator
+    * join (each triangle a<b<c counted exactly once — O(Σdeg²)
+    * candidate paths, all equi-joins); wedges from the degree table.
+    * Caller should pass a MATERIALIZED edge frame ([[pairsTable]] or an
+    * eager checkpoint): the five consumer branches below launch
+    * concurrently in one action and would race a lazy checkpoint's
+    * materialization. */
+  def transitivityCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("d1"), col("d2"))
+    val deg = e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val tri = e.as("ab").join(e.as("bc"), col("ab.d2") === col("bc.d1"))
+      .join(e.as("ac"),
+        col("ac.d1") === col("ab.d1") && col("ac.d2") === col("bc.d2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, 0.0).otherwise(
+          round(lit(3).cast("double") * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("transitivity"))
+  }
+
   /** Dedup-aware deterministic train/val/test split — the step where
     * near-dup clustering pays off beyond removal: a doc's split is
     * decided by hash60(salt|CANONICAL id) mod 100, so every member of a

@@ -747,26 +747,13 @@ object CorpusQueries {
       // compute-once table the dedup_clusters trio reads) — the census
       // is a read-side consumer, never a fifth run of the postings
       // pipeline. The eager checkpoint pins the (tiny) edge frame once
-      // for the five concurrent consumer branches below; a lazy one
+      // for the census's five concurrent consumer branches; a lazy one
       // races its own materialization (measured 89 s vs 39 s at the
       // 500k-doc probe when the pairs pipeline ran inline).
-      val e = Dedup.pairsTable(docs(spark, dir), "doc_id", "text",
-          shingleK, jaccardThreshold, clustersArtifactPath(spark, dir))
-        .select(col("d1"), col("d2")).localCheckpoint(true)
-      val deg = e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val wedges = deg.agg(
-        coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
-      val tri = e.as("ab").join(e.as("bc"), col("ab.d2") === col("bc.d1"))
-        .join(e.as("ac"),
-          col("ac.d1") === col("ab.d1") && col("ac.d2") === col("bc.d2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          when(col("n_wedges") === 0, 0.0).otherwise(
-            round(lit(3).cast("double") * col("n_triangles").cast("double") /
-              col("n_wedges").cast("double"), 6)).as("transitivity"))
+      Dedup.transitivityCensus(
+        Dedup.pairsTable(docs(spark, dir), "doc_id", "text",
+            shingleK, jaccardThreshold, clustersArtifactPath(spark, dir))
+          .select(col("d1"), col("d2")).localCheckpoint(true))
     }),
 
     // Asymmetric containment: the quote-inclusion pairs symmetric

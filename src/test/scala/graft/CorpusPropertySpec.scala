@@ -167,6 +167,35 @@ class CorpusPropertySpec extends SparkTestBase {
     assert(viaLoop == expected)
   }
 
+  test("transitivity census matches brute-force enumeration (property)") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 40)(
+          (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val row = Dedup.transitivityCensus(edges.toDF("d1", "d2")).head()
+      val es = edges.toSet
+      def connected(a: Long, b: Long) =
+        es((math.min(a, b), math.max(a, b)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val wedges = nodes.map { v =>
+        val d = edges.count(e => e._1 == v || e._2 == v).toLong
+        d * (d - 1) / 2
+      }.sum
+      val triangles = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        if connected(nodes(i), nodes(j)) && connected(nodes(j), nodes(k)) &&
+          connected(nodes(i), nodes(k))
+      } yield 1).size.toLong
+      assert(row.getLong(0) === edges.size.toLong)
+      assert(row.getLong(1) === wedges, s"wedges trial $trial")
+      assert(row.getLong(2) === triangles, s"triangles trial $trial")
+    }
+  }
+
   test("dupClusters paths agree on a random pair graph (property)") {
     val rnd = new Random(7)
     // 300 random edges over 120 nodes: many multi-edge components,
