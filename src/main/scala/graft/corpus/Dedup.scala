@@ -93,6 +93,13 @@ object Dedup {
     fanout(docs).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
 
+  /** [[shinglePostings]] with the production df cap applied (see
+    * [[dfCapped]]) — the postings frame any similarity JOIN should
+    * consume. */
+  def cappedShinglePostings(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, maxDf: Int): DataFrame =
+    dfCapped(shinglePostings(docs, idCol, textCol, k), maxDf)
+
   /** Per-source exact-duplicate summary over md5(text). */
   def exactDupSummary(docs: DataFrame, textCol: String, byCol: String): DataFrame =
     docs.withColumn("digest", md5(col(textCol)))

@@ -238,6 +238,9 @@ object CorpusQueries {
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
+  /** query docs for search_similar_doc = doc_id % this == 0 */
+  val similarQueryStride = 211L
+  val similarTopK = 5
   /** Planted malformed JSONL lines — ONE definition shared by the
     * corpus_ingest fixture, the corpus_quarantine fixture, and the
     * quarantine oracle's VALUES (three hand-maintained copies would let
@@ -2001,6 +2004,75 @@ object CorpusQueries {
         .toDF("format", "n_rows", "n_docs", "sum_text_len", "sum_doc_id",
           "n_sources", "n_corrupt")
         .orderBy("format")
+    }),
+
+    // Query-by-document ("more like this"): rank the corpus against a
+    // deterministic query-doc subset by shared-shingle count over the
+    // df-capped postings — the retrieval face of the dedup machinery
+    // (same inverted index, different consumer). Candidates meet only
+    // through the shingle equi-join (query side is postings of a few
+    // docs — tiny), and the per-query cut runs through the native
+    // TopKPerKey heaps, so at most k rows per query per partition reach
+    // the shuffle.
+    "search_similar_doc" -> ((spark, dir) => {
+      val post = Dedup.cappedShinglePostings(docs(spark, dir), "doc_id", "text",
+          shingleK, maxShingleDf)
+        .localCheckpoint(false) // query + corpus legs of one self-join
+      val qp = post.filter(col("doc_id") % similarQueryStride === 0)
+        .withColumnRenamed("doc_id", "query_id")
+      val cand = post.filter(col("doc_id") % similarQueryStride =!= 0)
+        .join(qp, Seq("shingle"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_common"))
+      graft.plans.TopK.perKey(cand, Seq("query_id"),
+          Seq("n_common" -> true, "doc_id" -> false), similarTopK)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("n_common").desc, col("doc_id"))).cast("long"))
+        .select("query_id", "rank", "doc_id", "n_common")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Cohen's kappa between two independent keep signals — the filter-
+    // agreement analytics a curation pipeline runs before trusting a new
+    // quality model: chance-corrected agreement between the hashed
+    // linear classifier (text_classifier_score's signal) and the
+    // per-source length-median rule. Exact integer contingency counts →
+    // identical doubles on both engines. Per-source medians come from
+    // source-keyed rank windows (parallel partitions, never a global
+    // sort).
+    "quality_kappa" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val clf = d.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .withColumn("w", T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("score_fp"))
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val med = d.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(bySource))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col("n_chars").as("med"))
+      val sig = d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(clf, Seq("doc_id"), "left")
+        .join(broadcast(med), Seq("source"))
+        .select(
+          (coalesce(col("score_fp"), lit(0L)) > 0).as("s1"),
+          (col("n_chars") >= col("med")).as("s2"))
+      val c = sig.agg(
+        sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("s1") && !col("s2"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("s1") && col("s2"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("s1") && !col("s2"), 1L).otherwise(0L)).as("n00"))
+      val n = (col("n11") + col("n10") + col("n01") + col("n00")).cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / n
+      val pe = ((col("n11") + col("n10")).cast("double") *
+          (col("n11") + col("n01")).cast("double") +
+        (col("n01") + col("n00")).cast("double") *
+          (col("n10") + col("n00")).cast("double")) / (n * n)
+      c.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1).cast("double") - pe), 6).as("kappa"))
     }),
 
     // ORC round-trip — the second columnar at-rest format (Spark ships
@@ -4393,6 +4465,82 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "search_similar_doc" ->
+      s"""$shingleCte,
+         |shc AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sh)
+         |  WHERE df <= $maxShingleDf
+         |), qp AS (
+         |  SELECT doc_id AS query_id, shingle FROM shc
+         |  WHERE doc_id % $similarQueryStride = 0
+         |), cand AS (
+         |  SELECT qp.query_id, s.doc_id, count(*) AS n_common
+         |  FROM shc s JOIN qp USING (shingle)
+         |  WHERE s.doc_id % $similarQueryStride <> 0
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT query_id, doc_id, n_common,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n_common DESC, doc_id) AS rank
+         |  FROM cand
+         |)
+         |SELECT query_id, rank, doc_id, n_common FROM r
+         |WHERE rank <= $similarTopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "quality_kappa" ->
+      s"""$tokCte,
+         |occ AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |per AS (
+         |  SELECT doc_id,
+         |         CAST(sum(${h60("'clf|' || tok")} % 2001 - 1000) AS BIGINT)
+         |           AS score_fp
+         |  FROM occ GROUP BY doc_id
+         |), med AS (
+         |  SELECT source, n_chars AS med FROM (
+         |    SELECT source, n_chars,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY n_chars, doc_id) AS rn,
+         |           count(*) OVER (PARTITION BY source) AS n
+         |    FROM documents)
+         |  WHERE rn = (n + 1) // 2
+         |), sig AS (
+         |  SELECT coalesce(p.score_fp, 0) > 0 AS s1,
+         |         d.n_chars >= m.med AS s2
+         |  FROM documents d
+         |  LEFT JOIN per p USING (doc_id)
+         |  JOIN med m USING (source)
+         |), c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM sig
+         |)
+         |SELECT n11, n10, n01, n00,
+         |       round(CAST(n11 + n00 AS DOUBLE) /
+         |             CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po,
+         |       round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |             / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+         |                * CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS pe,
+         |       round(((CAST(n11 + n00 AS DOUBLE) /
+         |               CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+         |              - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |                 / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+         |                    * CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+         |             / (CAST(1 AS DOUBLE)
+         |                - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |                    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |                   / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+         |                      * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))), 6)
+         |         AS kappa
+         |FROM c""".stripMargin,
 
     "corpus_orc_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

@@ -662,6 +662,17 @@ class PlanSpec extends SparkTestBase {
       s"only fanout + the output sort may shuffle, got ${shuffles.size}")
   }
 
+  test("search_similar_doc: shingle equi-join + native heaps, no cartesian") {
+    val nodes = executedNodes(q("search_similar_doc"))
+    assert(nodes.forall(n => {
+      val c = n.getClass.getSimpleName
+      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+    }), "candidates must meet only through the shingle equi-join")
+    val topk = nodes.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.exists(_.partial) && topk.exists(!_.partial),
+      s"expected partial+final TopKPerKeyExec, got ${topk.size} heap nodes")
+  }
+
   test("corpus_orc_roundtrip: predicate and pruning reach the ORC scan") {
     val df = q("corpus_orc_roundtrip")
     val explained = df.queryExecution.explainString(
