@@ -122,6 +122,54 @@ object Similarity {
         col("s.max_cos").as("max_cos"))
   }
 
+  /** Top principal direction of the embedding second-moment (Gram)
+    * matrix Σ xxᵀ — the dominant direction of the data (the top right
+    * singular vector of the stacked embedding matrix): the
+    * linear-algebra census behind drift detection and anisotropy checks
+    * ("is one direction eating the embedding space?").
+    *
+    * Entirely fixed-point so the DuckDB oracle replays it bit-for-bit:
+    * components quantize to `qScale` units, the Gram accumulation is an
+    * integer sum at (i, j) grain (the DISTRIBUTED part — a double
+    * posexplode with map-side combine, so the shuffle carries dim²
+    * partial rows per partition, never the corpus), and the power
+    * iteration runs on the collected dim×dim matrix (always
+    * driver-sized; dim is a model constant) with truncating-division
+    * rescaling — Spark `div` and DuckDB `//` both truncate toward zero,
+    * verified on negatives. Overflow envelope: Gram entries are bounded
+    * by n·qScale² (< 2⁶³ up to ~10⁹ vectors at the default scale; lower
+    * `qScale` beyond), and the matrix pre-scales to 2³⁰ before matvecs.
+    * Sign is fixed by the deterministic all-ones start vector.
+    * Returns (dim, loading_fp). */
+  def principalDirection(emb: DataFrame, vecCol: String,
+                         qScale: Long = 1L << 20, pScale: Long = 1L << 20,
+                         iters: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    val q = Dedup.fanout(emb).select(
+      transform(col(vecCol),
+        x => round(x.cast("double") * qScale).cast("long")).as("q"))
+    val gramRows = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("sxy"))
+      .collect() // dim² rows — model-constant-sized, never corpus rows
+    val dim = gramRows.map(_.getInt(0)).max + 1
+    val big = Array.ofDim[Long](dim, dim)
+    gramRows.foreach(r => big(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val maxAbs = big.flatten.map(math.abs).max
+    val mdiv = math.max(1L, maxAbs / (1L << 30) + 1L)
+    val m = big.map(_.map(_ / mdiv))
+    var v = Array.fill(dim)(pScale)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0L)((acc, j) => acc + m(i)(j) * v(j)))
+      val d = u.map(math.abs).max / pScale + 1L
+      v = u.map(_ / d)
+    }
+    import spark.implicits._
+    v.indices.map(i => (i.toLong, v(i))).toDF("dim", "loading_fp")
+  }
+
   /** Exact brute-force top-k neighbors for a query subset. The query side
     * is broadcast (it is small by construction), so the big side streams
     * once with no shuffle before the per-query top-k. */

@@ -2006,6 +2006,19 @@ object CorpusQueries {
         .orderBy("format")
     }),
 
+    // Top principal direction of the embedding Gram matrix — distributed
+    // integer Gram accumulation + driver-side fixed-point power
+    // iteration (Similarity.principalDirection); the oracle replays the
+    // quantization, the dim²-grain sums, AND all 10 matvec/rescale
+    // iterations unrolled in BIGINT. The anisotropy census behind
+    // embedding drift/rogue-dimension checks.
+    "emb_principal_dir" -> ((spark, dir) => {
+      Similarity.principalDirection(emb(spark, dir), "embedding")
+        .select(col("dim"), col("loading_fp"),
+          round(col("loading_fp").cast("double") / 1048576.0, 6).as("loading"))
+        .orderBy("dim")
+    }),
+
     // Query-by-document ("more like this"): rank the corpus against a
     // deterministic query-doc subset by shared-shingle count over the
     // df-capped postings — the retrieval face of the dedup machinery
@@ -4465,6 +4478,47 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "emb_principal_dir" -> {
+      // the 10 power-iteration steps unrolled: matvec → max-abs rescale,
+      // every op a truncating BIGINT division mirroring the Scala loop.
+      // Every chain CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+      // and each u_k being referenced twice (d_k and v_k) would re-
+      // evaluate the whole upstream chain per reference — 2¹⁰ copies of
+      // the Gram scan (measured: the un-hinted oracle never finished).
+      val steps = (1 to 10).map { k =>
+        s"""u$k AS MATERIALIZED (
+           |  SELECT m.i AS idx, CAST(sum(m.mv * v${k - 1}.v) AS BIGINT) AS u
+           |  FROM m JOIN v${k - 1} ON v${k - 1}.idx = m.j GROUP BY 1
+           |), d$k AS MATERIALIZED (
+           |  SELECT CAST(max(abs(u)) AS BIGINT) // 1048576 + 1 AS d FROM u$k
+           |), v$k AS MATERIALIZED (
+           |  SELECT idx, u // d$k.d AS v FROM u$k, d$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q0 AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |  FROM embeddings
+         |), e1 AS (SELECT unnest(range(len(q))) AS i, q FROM q0),
+         |e2 AS (
+         |  SELECT i, q[i + 1] AS qi, unnest(range(len(q))) AS j, q FROM e1
+         |), gram AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(qi * q[j + 1]) AS BIGINT) AS sxy
+         |  FROM e2 GROUP BY 1, 2
+         |), md AS MATERIALIZED (
+         |  SELECT greatest(1, CAST(max(abs(sxy)) AS BIGINT) // 1073741824 + 1)
+         |    AS mdiv FROM gram
+         |), m AS MATERIALIZED (
+         |  SELECT i, j, sxy // md.mdiv AS mv FROM gram, md),
+         |v0 AS MATERIALIZED (
+         |  SELECT i AS idx, CAST(1048576 AS BIGINT) AS v
+         |  FROM (SELECT DISTINCT i FROM gram)
+         |),
+         |$steps
+         |SELECT idx AS dim, v AS loading_fp,
+         |       round(CAST(v AS DOUBLE) / 1048576.0, 6) AS loading
+         |FROM v10 ORDER BY dim""".stripMargin
+    },
 
     "search_similar_doc" ->
       s"""$shingleCte,
