@@ -1140,6 +1140,50 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Streaming materialized-view refresh under the ORACLE gate: the
+    // events stream arrives as two file drops consumed in separate
+    // micro-batches, streaming/MvRefresh folds each batch's partials
+    // into the versioned state table, and the FINAL state must
+    // hash-match the full batch recompute (the events_incr_refresh
+    // oracle) — batch boundaries are a delivery artifact the refresh
+    // algebra must be invisible to. No watermark/sentinel machinery:
+    // the state is commutative-merge partials, not event-time windows.
+    "stream_incr_refresh" -> ((spark, dir) => {
+      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+      def scratch(tag: String): String = {
+        val p = s"$base/graft_mvr_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        p
+      }
+      val inDir = scratch("in"); val ckpt = scratch("ckpt")
+      val stateDir = scratch("state")
+      val ev = XeFixture.events(spark, dir).select(col("event_type"),
+        round(col("value") * 1000000, 0).cast("long").as("v"))
+      ev.filter(col("v") % 2 === 0).coalesce(1).write.parquet(s"$inDir/drop1")
+      ev.filter(col("v") % 2 =!= 0).coalesce(1).write.parquet(s"$inDir/drop2")
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$inDir/drop*")
+          .writeStream
+          .foreachBatch(graft.streaming.MvRefresh.refresh(
+            stateDir, Seq("event_type"), col("v")) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      graft.streaming.MvRefresh.read(spark, stateDir).get
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_fp").cast("double") / 1000000.0, 6).as("sum_value"),
+          round(col("min_fp").cast("double") / 1000000.0, 6).as("min_value"),
+          round(col("max_fp").cast("double") / 1000000.0, 6).as("max_value"),
+          round(expr("sum_fp div cnt").cast("double") / 1000000.0, 6)
+            .as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // k-anonymity census over quasi-identifiers — the privacy-risk
     // check a curation pipeline runs before releasing per-record data:
     // any (nationkey, segment, balance-bucket) combination shared by
@@ -1177,6 +1221,25 @@ object RelationalQueries {
         |           AS session_seq
         |  FROM se
         |)""".stripMargin
+    // full-recompute truth for BOTH incremental-refresh queries (batch
+    // merge and the streaming MvRefresh state): merge ∘ partials must
+    // equal one aggregate over everything
+    val incrRefreshOracle =
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, count(v) AS cnt,
+        |         CAST(sum(v) AS BIGINT) AS sum_fp,
+        |         min(v) AS min_fp, max(v) AS max_fp
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT event_type, cnt,
+        |       round(CAST(sum_fp AS DOUBLE) / 1000000.0, 6) AS sum_value,
+        |       round(CAST(min_fp AS DOUBLE) / 1000000.0, 6) AS min_value,
+        |       round(CAST(max_fp AS DOUBLE) / 1000000.0, 6) AS max_value,
+        |       round(CAST(sum_fp // cnt AS DOUBLE) / 1000000.0, 6) AS avg_value
+        |FROM m ORDER BY event_type""".stripMargin
     // customer SCD2 history — shared by the history dump and the
     // temporal-lookup oracle; mirrors operators.Scd2 + the 4-wave stream
     val scd2Cte =
@@ -1659,22 +1722,11 @@ object RelationalQueries {
            | AND CAST(o.o_orderdate AS DATE) < h.effective_to
            |GROUP BY 1, 2 ORDER BY c_mktsegment, version""".stripMargin,
 
-      "events_incr_refresh" ->
-        """WITH ev AS (
-          |  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS v
-          |  FROM events
-          |), m AS (
-          |  SELECT event_type, count(v) AS cnt,
-          |         CAST(sum(v) AS BIGINT) AS sum_fp,
-          |         min(v) AS min_fp, max(v) AS max_fp
-          |  FROM ev GROUP BY 1
-          |)
-          |SELECT event_type, cnt,
-          |       round(CAST(sum_fp AS DOUBLE) / 1000000.0, 6) AS sum_value,
-          |       round(CAST(min_fp AS DOUBLE) / 1000000.0, 6) AS min_value,
-          |       round(CAST(max_fp AS DOUBLE) / 1000000.0, 6) AS max_value,
-          |       round(CAST(sum_fp // cnt AS DOUBLE) / 1000000.0, 6) AS avg_value
-          |FROM m ORDER BY event_type""".stripMargin,
+      "events_incr_refresh" -> incrRefreshOracle,
+
+      // same full-recompute truth: the streamed state must land on
+      // identical bytes no matter how delivery chopped the input
+      "stream_incr_refresh" -> incrRefreshOracle,
 
       "privacy_k_anon" ->
         """SELECT c_nationkey, c_mktsegment,
