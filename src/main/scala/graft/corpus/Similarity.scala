@@ -153,6 +153,8 @@ object Similarity {
       .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
       .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("sxy"))
       .collect() // dim² rows — model-constant-sized, never corpus rows
+    require(gramRows.nonEmpty,
+      "principalDirection over an empty (or empty-vector) embedding frame")
     val dim = gramRows.map(_.getInt(0)).max + 1
     val big = Array.ofDim[Long](dim, dim)
     gramRows.foreach(r => big(r.getInt(0))(r.getInt(1)) = r.getLong(2))

@@ -31,6 +31,18 @@ object CorpusQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The hashed-linear-classifier score at doc grain — w(tok) =
+    * hash60("clf|"+tok) mod 2001 − 1000 summed per doc — ONE definition
+    * shared by `text_classifier_score` and `quality_kappa` (a tuned
+    * formula updated in one copy would make kappa silently measure
+    * agreement with a stale signal). Returns (doc_id, n_toks,
+    * score_fp); docs with zero tokens are absent (callers left-join). */
+  private def classifierScorePerDoc(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .withColumn("w", T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score_fp"))
+
   /** Deterministic output-shard manifest (see `corpus_shards`): hash60
     * sharding + per-shard stats and an order-independent content digest.
     * Shared by the manifest query and the compaction planner. */
@@ -1843,13 +1855,8 @@ object CorpusQueries {
     // file so one run = one micro-batch, keeping batch splits out of the
     // semantics.
     "stream_ingest_dedup" -> ((spark, dir) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_stream_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_stream_$tag", dir)
       val dropDir = scratch("drop"); val digestDir = scratch("digest")
       val corpusDir = scratch("corpus"); val ckpt = scratch("ckpt")
       val d = docs(spark, dir).select(col("doc_id"), col("text"),
@@ -1906,13 +1913,8 @@ object CorpusQueries {
     // global pair set and replays sequential admission as four chained
     // NOT-EXISTS CTEs.
     "stream_neardup_ingest" -> ((spark, dir) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_ndstream_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_ndstream_$tag", dir)
       val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
       val ckpt = scratch("ckpt")
       val d = docs(spark, dir).select(col("doc_id"), col("text"),
@@ -1962,13 +1964,8 @@ object CorpusQueries {
     // the hash.
     "corpus_ingest" -> ((spark, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_ingest_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_ingest_$tag", dir)
       val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
       val jdir = scratch("jsonl"); val cdir = scratch("csv")
       Ingest.writeJsonl(d, jdir)
@@ -2056,9 +2053,7 @@ object CorpusQueries {
     // sort).
     "quality_kappa" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      val clf = d.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-        .withColumn("w", T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
-        .groupBy(col("doc_id")).agg(sum(col("w")).as("score_fp"))
+      val clf = classifierScorePerDoc(d)
       val bySource = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
       val med = d.select(col("doc_id"), col("source"), col("n_chars"))
@@ -2097,11 +2092,8 @@ object CorpusQueries {
     // parquet `documents` directly, so a round-trip that drops, mangles
     // or re-types rows breaks the hash.
     "corpus_orc_roundtrip" -> ((spark, dir) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      val odir = s"$base/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val hp = new org.apache.hadoop.fs.Path(odir)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-      docs(spark, dir).write.mode("overwrite").orc(odir)
+      val odir = Scratch.dir(spark, "graft_orc", dir)
+      docs(spark, dir).write.orc(odir)
       spark.read.orc(odir)
         .filter(col("lang") === "en")
         .groupBy(col("source"))
@@ -2121,10 +2113,7 @@ object CorpusQueries {
     // line breaks the hash.
     "corpus_quarantine" -> ((spark, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      val qdir = s"$base/graft_quar_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val hp = new org.apache.hadoop.fs.Path(qdir)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      val qdir = Scratch.dir(spark, "graft_quar", dir)
       // a 1-in-50 deterministic doc slice keeps the scratch copy small
       // (the good lines only prove the parser doesn't over-capture;
       // corpus_ingest already round-trips the full table)
@@ -2188,13 +2177,7 @@ object CorpusQueries {
     // collection, no UDF — md5/conv are whole-stage-codegen built-ins.
     "text_classifier_score" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      val per = d
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-        .withColumn("w",
-          T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score_fp"))
-      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      d.select(col("doc_id")).join(classifierScorePerDoc(d), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_toks"), lit(0L)).as("n_toks"),
           coalesce(col("score_fp"), lit(0L)).as("score_fp"),
@@ -2383,6 +2366,20 @@ object CorpusQueries {
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** The hashed-linear-classifier per-doc score CTE (`clfper`) — the
+    * oracle twin of [[classifierScorePerDoc]], ONE definition shared by
+    * the `text_classifier_score` and `quality_kappa` oracles. Expects
+    * `toks` ([[tokCte]]) upstream. */
+  private lazy val clfPerDocCte =
+    s"""occ AS (
+       |  SELECT doc_id, unnest(ws) AS tok FROM toks
+       |), clfper AS (
+       |  SELECT doc_id, count(*) AS n_toks,
+       |         CAST(sum(${h60("'clf|' || tok")} % 2001 - 1000) AS BIGINT)
+       |           AS score_fp
+       |  FROM occ GROUP BY doc_id
+       |)""".stripMargin
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -4547,13 +4544,7 @@ object CorpusQueries {
 
     "quality_kappa" ->
       s"""$tokCte,
-         |occ AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
-         |per AS (
-         |  SELECT doc_id,
-         |         CAST(sum(${h60("'clf|' || tok")} % 2001 - 1000) AS BIGINT)
-         |           AS score_fp
-         |  FROM occ GROUP BY doc_id
-         |), med AS (
+         |$clfPerDocCte, med AS (
          |  SELECT source, n_chars AS med FROM (
          |    SELECT source, n_chars,
          |           row_number() OVER (PARTITION BY source
@@ -4565,7 +4556,7 @@ object CorpusQueries {
          |  SELECT coalesce(p.score_fp, 0) > 0 AS s1,
          |         d.n_chars >= m.med AS s2
          |  FROM documents d
-         |  LEFT JOIN per p USING (doc_id)
+         |  LEFT JOIN clfper p USING (doc_id)
          |  JOIN med m USING (source)
          |), c AS (
          |  SELECT
@@ -4574,27 +4565,25 @@ object CorpusQueries {
          |    CAST(sum(CASE WHEN NOT s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
          |    CAST(sum(CASE WHEN NOT s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
          |  FROM sig
+         |), stats AS (
+         |  -- po/pe computed ONCE; the kappa column reuses the identical
+         |  -- doubles (same ops, same operands — re-stating the formulas
+         |  -- three times is how a future edit drifts them apart)
+         |  SELECT n11, n10, n01, n00,
+         |         CAST(n11 + n00 AS DOUBLE) /
+         |           CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po_raw,
+         |         (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |           / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+         |              * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe_raw
+         |  FROM c
          |)
          |SELECT n11, n10, n01, n00,
-         |       round(CAST(n11 + n00 AS DOUBLE) /
-         |             CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po,
-         |       round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-         |              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-         |             / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
-         |                * CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS pe,
-         |       round(((CAST(n11 + n00 AS DOUBLE) /
-         |               CAST(n11 + n10 + n01 + n00 AS DOUBLE))
-         |              - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-         |                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-         |                 / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
-         |                    * CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
-         |             / (CAST(1 AS DOUBLE)
-         |                - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-         |                    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-         |                   / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
-         |                      * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))), 6)
+         |       round(po_raw, 6) AS po,
+         |       round(pe_raw, 6) AS pe,
+         |       round((po_raw - pe_raw) / (CAST(1 AS DOUBLE) - pe_raw), 6)
          |         AS kappa
-         |FROM c""".stripMargin,
+         |FROM stats""".stripMargin,
 
     "corpus_orc_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
@@ -4640,20 +4629,13 @@ object CorpusQueries {
 
     "text_classifier_score" ->
       s"""$tokCte,
-         |occ AS (
-         |  SELECT doc_id, unnest(ws) AS tok FROM toks
-         |), per AS (
-         |  SELECT doc_id, count(*) AS n_toks,
-         |         CAST(sum(${h60("'clf|' || tok")} % 2001 - 1000) AS BIGINT)
-         |           AS score_fp
-         |  FROM occ GROUP BY doc_id
-         |)
+         |$clfPerDocCte
          |SELECT d.doc_id,
          |       coalesce(n_toks, 0) AS n_toks,
          |       coalesce(score_fp, 0) AS score_fp,
          |       CAST(CASE WHEN coalesce(score_fp, 0) > 0 THEN 1 ELSE 0 END
          |            AS BIGINT) AS keep
-         |FROM documents d LEFT JOIN per USING (doc_id)
+         |FROM documents d LEFT JOIN clfper USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     "knn_graph" ->

@@ -873,13 +873,8 @@ object RelationalQueries {
     // the result (the second sentinel's window can legitimately emit).
     "stream_rate_minute" -> ((spark, dir) => {
       import spark.implicits._
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_rate_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_rate_$tag", dir)
       val inDir = scratch("in"); val outDir = scratch("out")
       val ckpt = scratch("ckpt")
       val ev = XeFixture.events(spark, dir).select(col("ts"), col("event_type"))
@@ -929,13 +924,8 @@ object RelationalQueries {
     // (the watermark only bounds join STATE), so no sentinels here,
     // unlike the windowed-agg query above.
     "stream_asof_attribution" -> ((spark, dir) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_attr_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_attr_$tag", dir)
       val clickDir = scratch("clicks"); val purchDir = scratch("purch")
       val outDir = scratch("out"); val ckpt = scratch("ckpt")
       val ev = XeFixture.events(spark, dir)
@@ -980,13 +970,8 @@ object RelationalQueries {
     // event time).
     "stream_sessionize" -> ((spark, dir) => {
       import spark.implicits._
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_sess_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_sess_$tag", dir)
       val inDir = scratch("in"); val outDir = scratch("out")
       val ckpt = scratch("ckpt")
       val gapMs = 28800000L // 8 h, = events_sessionize's 28800000000 µs
@@ -1041,13 +1026,8 @@ object RelationalQueries {
     // timeout only clears state for users who never finish.
     "stream_funnel" -> ((spark, dir) => {
       import spark.implicits._
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_funl_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_funl_$tag", dir)
       val inDir = scratch("in"); val outDir = scratch("out")
       val ckpt = scratch("ckpt")
       val ev = XeFixture.events(spark, dir)
@@ -1149,19 +1129,18 @@ object RelationalQueries {
     // algebra must be invisible to. No watermark/sentinel machinery:
     // the state is commutative-merge partials, not event-time windows.
     "stream_incr_refresh" -> ((spark, dir) => {
-      val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-      def scratch(tag: String): String = {
-        val p = s"$base/graft_mvr_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-        p
-      }
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_mvr_$tag", dir)
       val inDir = scratch("in"); val ckpt = scratch("ckpt")
       val stateDir = scratch("state")
-      val ev = XeFixture.events(spark, dir).select(col("event_type"),
-        round(col("value") * 1000000, 0).cast("long").as("v"))
-      ev.filter(col("v") % 2 === 0).coalesce(1).write.parquet(s"$inDir/drop1")
-      ev.filter(col("v") % 2 =!= 0).coalesce(1).write.parquet(s"$inDir/drop2")
+      // split on the NON-NULL event_id, and carry it into the drops:
+      // a nullable split column would route null-valued rows to NEITHER
+      // drop (both predicates evaluate to NULL), silently diverging the
+      // streamed state from the exhaustive full-recompute oracle
+      val ev = XeFixture.events(spark, dir).select(col("event_id"),
+        col("event_type"), round(col("value") * 1000000, 0).cast("long").as("v"))
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$inDir/drop1")
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$inDir/drop2")
       graft.streaming.StreamTuning.withStreamingConf(spark) {
         val q = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1)
