@@ -1176,6 +1176,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("at_risk", col("n_rows") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    }),
+
+    // l-diversity census — k-anonymity's necessary complement: a QI
+    // group can be large (k-safe) yet leak the sensitive attribute when
+    // every member shares one value (the homogeneity attack). Here QI =
+    // (segment, balance bucket), sensitive = nationkey; groups with
+    // fewer than l distinct sensitive values are flagged. Same
+    // map-side-combined distinct-agg shape as the k census.
+    "privacy_l_diversity" -> ((spark, dir) => {
+      t(spark, dir, "customer")
+        .select(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+          col("c_nationkey"))
+        .groupBy("c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_nationkey")).as("n_sensitive"))
+        .withColumn("homogeneity_risk", col("n_sensitive") < 3)
+        .orderBy("c_mktsegment", "bal_bucket")
     })
   )
 
@@ -1706,6 +1724,17 @@ object RelationalQueries {
       // same full-recompute truth: the streamed state must land on
       // identical bytes no matter how delivery chopped the input
       "stream_incr_refresh" -> incrRefreshOracle,
+
+      "privacy_l_diversity" ->
+        """SELECT c_mktsegment,
+          |       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+          |         AS bal_bucket,
+          |       count(*) AS n_rows,
+          |       count(DISTINCT c_nationkey) AS n_sensitive,
+          |       count(DISTINCT c_nationkey) < 3 AS homogeneity_risk
+          |FROM customer
+          |GROUP BY 1, 2
+          |ORDER BY c_mktsegment, bal_bucket""".stripMargin,
 
       "privacy_k_anon" ->
         """SELECT c_nationkey, c_mktsegment,
