@@ -403,6 +403,52 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("path")).limit(20)
     }),
 
+    // Distribution-rank window functions (NTILE / PERCENT_RANK /
+    // CUME_DIST) — the quartile/percentile ranking surface a SQL Server
+    // analyst runs over loaded events. Unique (value µs, event_id)
+    // order keeps every rank deterministic cross-engine; one type-keyed
+    // exchange carries all three functions. Output rolled up per
+    // (type, quartile) so the gate row count stays bounded.
+    "events_value_ntiles" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      XeFixture.events(spark, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000000, 0).cast("long").as("v"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n_events"),
+          round(min(col("v")).cast("double") / 1000000.0, 6).as("lo_value"),
+          round(max(col("v")).cast("double") / 1000000.0, 6).as("hi_value"),
+          round(max(col("pr")), 6).as("max_pct_rank"),
+          round(max(col("cd")), 6).as("max_cume_dist"))
+        .orderBy("event_type", "quartile")
+    }),
+
+    // Gaps-and-islands (the Tabibitosan method): islands of CONSECUTIVE
+    // active minutes per user — minute_idx − row_number() is constant
+    // within a run, so one user-keyed window + one groupBy finds every
+    // island without self-joins or loops. The classic SQL Server
+    // analytic, here per-user-parallel at any scale.
+    "events_gap_islands" -> ((spark, dir) => {
+      val mins = XeFixture.events(spark, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute_idx"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("minute_idx"))
+      val islands = mins
+        .withColumn("grp", col("minute_idx") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest_island"),
+          sum(col("len")).as("active_minutes"))
+        .orderBy("user_id")
+    }),
+
     // PageRank over the session transition graph (operators.PageRank):
     // edge (src, dst) = consecutive event types within a gap-session,
     // weighted by transition count — the structural-importance ranking
@@ -1718,6 +1764,41 @@ object RelationalQueries {
            | AND CAST(o.o_orderdate AS DATE) >= h.effective_from
            | AND CAST(o.o_orderdate AS DATE) < h.effective_to
            |GROUP BY 1, 2 ORDER BY c_mktsegment, version""".stripMargin,
+
+      "events_value_ntiles" ->
+        """WITH ev AS (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 1000000, 0) AS BIGINT) AS v
+          |  FROM events
+          |), r AS (
+          |  SELECT event_type, v,
+          |         ntile(4) OVER w AS quartile,
+          |         percent_rank() OVER w AS pr,
+          |         cume_dist() OVER w AS cd
+          |  FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY v, event_id)
+          |)
+          |SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+          |       count(*) AS n_events,
+          |       round(CAST(min(v) AS DOUBLE) / 1000000.0, 6) AS lo_value,
+          |       round(CAST(max(v) AS DOUBLE) / 1000000.0, 6) AS hi_value,
+          |       round(max(pr), 6) AS max_pct_rank,
+          |       round(max(cd), 6) AS max_cume_dist
+          |FROM r GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin,
+
+      "events_gap_islands" ->
+        """WITH m AS (
+          |  SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute_idx
+          |  FROM events
+          |), g AS (
+          |  SELECT user_id, minute_idx,
+          |         minute_idx - row_number() OVER (PARTITION BY user_id
+          |           ORDER BY minute_idx) AS grp
+          |  FROM m
+          |), i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_islands,
+          |       CAST(max(len) AS BIGINT) AS longest_island,
+          |       CAST(sum(len) AS BIGINT) AS active_minutes
+          |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       "events_incr_refresh" -> incrRefreshOracle,
 
