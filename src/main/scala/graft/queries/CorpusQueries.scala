@@ -2003,6 +2003,36 @@ object CorpusQueries {
         .orderBy("format")
     }),
 
+    // Vocabulary coverage curve — the tokenizer-sizing artifact: what
+    // share of token OCCURRENCES do the top-N vocabulary types cover at
+    // each candidate vocab size? The top-N cut runs through the native
+    // TopKPerKey heaps (≤N rows per partition reach the shuffle — never
+    // a vocabulary-wide global sort); the rank/cumsum windows then see
+    // only the ≤5000 survivors. least(cutoff, n_types) keeps the curve
+    // defined when the corpus vocabulary is smaller than a cutoff.
+    "vocab_coverage_curve" -> ((spark, dir) => {
+      import spark.implicits._
+      val cnt = docs(spark, dir).select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("n_types"))
+      val top = graft.plans.TopK.perKey(cnt.withColumn("g", lit(1)),
+        Seq("g"), Seq("n" -> true, "w" -> false), 5000)
+      val cum = top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("w"))).cast("long"))
+        .withColumn("cum", sum(col("n")).over(Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      Seq(100L, 1000L, 5000L).toDF("cutoff")
+        .crossJoin(broadcast(tot))
+        .join(broadcast(cum.select(col("rk"), col("cum"))),
+          expr("rk = least(cutoff, n_types)"))
+        .select(col("cutoff"), col("n_types"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("cutoff")
+    }),
+
     // Top principal direction of the embedding Gram matrix — distributed
     // integer Gram accumulation + driver-side fixed-point power
     // iteration (Similarity.principalDirection); the oracle replays the
@@ -4475,6 +4505,27 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "vocab_coverage_curve" ->
+      s"""$tokCte,
+         |occ AS (SELECT unnest(ws) AS w FROM toks),
+         |cnt AS (SELECT w, count(*) AS n FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+         |               count(*) AS n_types FROM cnt),
+         |r AS (
+         |  SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM cnt
+         |), c AS (
+         |  SELECT rk, CAST(sum(n) OVER (ORDER BY rk
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM r
+         |)
+         |SELECT CAST(v.cutoff AS BIGINT) AS cutoff, tot.n_types,
+         |       round(CAST(c.cum AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+         |         AS coverage
+         |FROM (VALUES (100), (1000), (5000)) v(cutoff)
+         |CROSS JOIN tot
+         |JOIN c ON c.rk = least(v.cutoff, tot.n_types)
+         |ORDER BY cutoff""".stripMargin,
 
     "emb_principal_dir" -> {
       // the 10 power-iteration steps unrolled: matvec → max-abs rescale,

@@ -673,6 +673,19 @@ class PlanSpec extends SparkTestBase {
       s"expected partial+final TopKPerKeyExec, got ${topk.size} heap nodes")
   }
 
+  test("events_value_ntiles / gap_islands: one key exchange each, no joins") {
+    for (name <- Seq("events_value_ntiles", "events_gap_islands")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
+        s"$name must not join")
+      // key window exchange (+ distinct/rollup agg reusing it) + output
+      // sort — never a corpus-wide repartition beyond those
+      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 3,
+        s"$name: expected window/agg/sort exchanges only, got ${shuffles.size}")
+    }
+  }
+
   test("corpus_orc_roundtrip: predicate and pruning reach the ORC scan") {
     val df = q("corpus_orc_roundtrip")
     val explained = df.queryExecution.explainString(
