@@ -2003,6 +2003,38 @@ object CorpusQueries {
         .orderBy("format")
     }),
 
+    // Per-source novelty census — the data-valuation complement to
+    // dedup: a shingle is NOVEL in the doc (by doc_id order) where it
+    // first appears, and a source whose docs are mostly re-statements
+    // of earlier content contributes little even if no pair crosses the
+    // near-dup threshold. First-occurrence attribution is one
+    // shingle-keyed min + an equi-join back onto the postings (both
+    // map-side combined / shingle-partitioned — linear at any scale),
+    // rolled up per source.
+    "corpus_novelty" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val post = Dedup.shinglePostings(d, "doc_id", "text", shingleK)
+        .localCheckpoint(false) // feeds the first-occurrence agg + the join
+      val first = post.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = post.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      d.select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_sh")), lit(0L)).as("n_shingles"),
+          coalesce(sum(col("n_novel")), lit(0L)).as("n_novel"))
+        .withColumn("novelty_ratio",
+          when(col("n_shingles") === 0, 0.0).otherwise(
+            round(col("n_novel").cast("double") /
+              col("n_shingles").cast("double"), 6)))
+        .orderBy("source")
+    }),
+
     // Vocabulary coverage curve — the tokenizer-sizing artifact: what
     // share of token OCCURRENCES do the top-N vocabulary types cover at
     // each candidate vocab size? The top-N cut runs through the native
@@ -4505,6 +4537,27 @@ object CorpusQueries {
         |SELECT 'jsonl', n_rows, n_docs, sum_text_len, sum_doc_id,
         |       n_sources, CAST(3 AS BIGINT) FROM j
         |ORDER BY format""".stripMargin,
+
+    "corpus_novelty" ->
+      s"""$shingleCte,
+         |first AS (
+         |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+         |), perdoc AS (
+         |  SELECT s.doc_id, count(*) AS n_sh,
+         |         CAST(sum(CASE WHEN f.first_doc = s.doc_id
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh s JOIN first f USING (shingle)
+         |  GROUP BY 1
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(coalesce(sum(p.n_sh), 0) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(sum(p.n_novel), 0) AS BIGINT) AS n_novel,
+         |       CASE WHEN coalesce(sum(p.n_sh), 0) = 0 THEN 0.0
+         |            ELSE round(CAST(sum(p.n_novel) AS DOUBLE) /
+         |                       CAST(sum(p.n_sh) AS DOUBLE), 6) END
+         |         AS novelty_ratio
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "vocab_coverage_curve" ->
       s"""$tokCte,
