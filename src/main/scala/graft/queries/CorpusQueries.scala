@@ -2271,6 +2271,87 @@ object CorpusQueries {
       Multimodal.ahashNearDup(
           Multimodal.withPayload(docs(spark, dir)), ahashMaxHamming, ahashBits)
         .orderBy("d1", "d2")
+    }),
+
+    // Per-source duplication census over the materialized cluster
+    // artifact — the corpus-card table that says WHICH feed is pumping
+    // near-dups into the mixture (a 30% dup rate from one crawl source
+    // is a pipeline bug upstream, not a corpus property). Shadow docs =
+    // non-canonical cluster members, i.e. exactly the rows dedup_keep
+    // drops. One broadcast join of the near-dup-sized artifact onto
+    // docs + one source-keyed agg; dup share in exact integer basis
+    // points (BIGINT div — no float ratio to diverge cross-engine).
+    "corpus_dup_by_source" -> ((spark, dir) => {
+      val labels = clustersArtifact(spark, dir)
+        .select(col("doc_id"), col("canonical_id"))
+      docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("canon", coalesce(col("canonical_id"), col("doc_id")))
+        .withColumn("is_dup", col("canonical_id").isNotNull &&
+          col("canonical_id") =!= col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_shadow_docs"),
+          sum(when(col("is_dup"), col("n_chars")).otherwise(0L))
+            .as("shadow_chars"),
+          countDistinct(col("canon")).as("n_groups"))
+        .withColumn("dup_bps", expr("n_shadow_docs * 10000L div n_docs"))
+        .orderBy("source")
+    }),
+
+    // Readability census per source — the Flesch-Kincaid-family quality
+    // signal over counts both engines can reproduce exactly: words =
+    // \S+ runs, sentences = [.!?]+ runs, syllable proxy = vowel runs
+    // (the standard heuristic when no dictionary ships with the
+    // pipeline). The grade is fixed-point integer algebra on the
+    // per-source totals — 0.39·(W/S) + 11.8·(V/W) − 15.59, scaled 1e6,
+    // each division a BIGINT floor — so the hash gate pins it. Pure
+    // projection + one source-keyed agg; the regexes are codegen'd
+    // built-ins, no UDF.
+    "text_readability" -> ((spark, dir) => {
+      docs(spark, dir)
+        .select(col("source"),
+          T.matchCount(col("text"), "\\S+").cast("long").as("w"),
+          T.matchCount(col("text"), "[.!?]+").cast("long").as("s"),
+          T.matchCount(col("text"), "[aeiouAEIOU]+").cast("long").as("v"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("s")).as("n_sentences"),
+          sum(col("v")).as("n_vowel_groups"))
+        .withColumn("fk_grade_fp6",
+          expr("390000L * n_words div greatest(n_sentences, 1L)") +
+            expr("11800000L * n_vowel_groups div greatest(n_words, 1L)") -
+            lit(15590000L))
+        .orderBy("source")
+    }),
+
+    // Audio-chunk planning — the multimodal plumbing that turns long
+    // media into model-sized windows (30 s chunks, 5 s overlap → 25 s
+    // stride), with the codec stubbed exactly like the image path:
+    // duration is a deterministic per-doc synthetic (5–600 s), the
+    // chunk math (explode of the stride sequence, tail clamping, short-
+    // tail accounting) is the real distributed plan a transcription
+    // pipeline runs. Explode fan-out is duration/stride ≤ 24 per media
+    // — linear, partition-local; ONE source-keyed agg after.
+    "mm_audio_chunks" -> ((spark, dir) => {
+      val media = docs(spark, dir).select(col("doc_id"), col("source"))
+        .withColumn("duration_ms",
+          lit(5000L) + pmod(T.hash60(
+            concat(lit("dur|"), col("doc_id").cast("string"))), lit(595000L)))
+      media
+        .withColumn("start_ms",
+          explode(sequence(lit(0L), col("duration_ms") - 1, lit(25000L))))
+        .withColumn("chunk_ms",
+          least(col("start_ms") + 30000L, col("duration_ms")) - col("start_ms"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_media"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_ms")).as("total_chunk_ms"),
+          sum(when(col("chunk_ms") < 10000L, 1L).otherwise(0L))
+            .as("n_short_tails"),
+          max(col("duration_ms")).as("max_duration_ms"))
+        .orderBy("source")
     })
   )
 
@@ -3236,6 +3317,69 @@ object CorpusQueries {
          |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM clus GROUP BY 1)
          |SELECT cluster_size, count(*) AS n_clusters
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "corpus_dup_by_source" ->
+      s"""$clusterCte,
+         |withc AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |         coalesce(c.canonical_id, d.doc_id) AS canon,
+         |         (c.canonical_id IS NOT NULL AND c.canonical_id <> d.doc_id)
+         |           AS is_dup
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shadow_docs,
+         |       CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT)
+         |         AS shadow_chars,
+         |       count(DISTINCT canon) AS n_groups,
+         |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*)
+         |         AS dup_bps
+         |FROM withc GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+        |         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+        |           AS v
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(w) AS BIGINT) AS n_words,
+        |         CAST(sum(s) AS BIGINT) AS n_sentences,
+        |         CAST(sum(v) AS BIGINT) AS n_vowel_groups
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_words, n_sentences, n_vowel_groups,
+        |       390000 * n_words // greatest(n_sentences, 1)
+        |         + 11800000 * n_vowel_groups // greatest(n_words, 1)
+        |         - 15590000 AS fk_grade_fp6
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "mm_audio_chunks" ->
+      s"""WITH media AS (
+         |  SELECT doc_id, source,
+         |         5000 + ${h60("'dur|' || CAST(doc_id AS VARCHAR)")} % 595000
+         |           AS duration_ms
+         |  FROM documents
+         |), chunks AS (
+         |  SELECT doc_id, source, duration_ms,
+         |         unnest(range(0, duration_ms, 25000)) AS start_ms
+         |  FROM media
+         |), c AS (
+         |  SELECT doc_id, source, duration_ms,
+         |         least(start_ms + 30000, duration_ms) - start_ms AS chunk_ms
+         |  FROM chunks
+         |)
+         |SELECT source, count(DISTINCT doc_id) AS n_media,
+         |       count(*) AS n_chunks,
+         |       CAST(sum(chunk_ms) AS BIGINT) AS total_chunk_ms,
+         |       CAST(sum(CASE WHEN chunk_ms < 10000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_short_tails,
+         |       max(duration_ms) AS max_duration_ms
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // The twin recomputes clusters, canonical-keys the split hash, and
     // re-derives the leakage count from its own assignment — a split

@@ -1240,6 +1240,126 @@ object RelationalQueries {
           countDistinct(col("c_nationkey")).as("n_sensitive"))
         .withColumn("homogeneity_risk", col("n_sensitive") < 3)
         .orderBy("c_mktsegment", "bal_bucket")
+    }),
+
+    // t-closeness census — the third rung of the release-risk ladder
+    // (k-anonymity → l-diversity → t-closeness): a QI group is unsafe
+    // when its sensitive-value DISTRIBUTION diverges from the corpus-wide
+    // one, even if it is large and diverse. Distance = total variation
+    // (the categorical Earth-Mover's), kept EXACT by cross-multiplied
+    // integer counts: tvd_num = Σ_v |cnt_gv·N − cnt_v·n_g| over the full
+    // (group × value) domain, and the t=0.4 flag compares
+    // 10·tvd_num > 8·N·n_g (⇔ tvd_num/(2·N·n_g) > 0.4) in pure BIGINT
+    // algebra — no float division to diverge across engines. Scale: the
+    // domain frame is |groups| × |values|, both bounded attribute
+    // cardinalities; the value and total frames broadcast.
+    "privacy_t_closeness" -> ((spark, dir) => {
+      val base = t(spark, dir, "customer")
+        .select(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+          col("c_nationkey"))
+      val gv = base.groupBy("c_mktsegment", "bal_bucket", "c_nationkey")
+        .agg(count(lit(1)).as("cnt_gv"))
+      val g = base.groupBy("c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("n_g"))
+      val v = base.groupBy("c_nationkey").agg(count(lit(1)).as("cnt_v"))
+      val tot = base.agg(count(lit(1)).as("n_total"))
+      g.crossJoin(broadcast(v)).crossJoin(broadcast(tot))
+        .join(gv, Seq("c_mktsegment", "bal_bucket", "c_nationkey"), "left")
+        .na.fill(0L, Seq("cnt_gv"))
+        .withColumn("term",
+          abs(col("cnt_gv") * col("n_total") - col("cnt_v") * col("n_g")))
+        .groupBy(col("c_mktsegment"), col("bal_bucket"),
+          col("n_g"), col("n_total"))
+        .agg(sum(col("term")).as("tvd_num"))
+        .select(col("c_mktsegment"), col("bal_bucket"),
+          col("n_g").as("n_rows"), col("tvd_num"),
+          (col("tvd_num") * lit(10L) >
+            col("n_total") * col("n_g") * lit(8L)).as("t_risk"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    }),
+
+    // TPC-H Q4 shape (EXISTS → left-semi join): orders from one quarter
+    // that have at least one LATE line (shipped > 90 days after the
+    // order date), counted per priority. The date filter pushes into the
+    // orders scan; the semi join shuffles only orderkeys and emits each
+    // order at most once regardless of how many lines are late — at
+    // 100 TB the fact-side dedup that an inner-join + distinct would
+    // need never materializes.
+    "q4_late_orders" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      val l = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q14 shape (fact ⋈ broadcast dim + conditional agg): monthly
+    // promo-revenue share. Money math is exact end to end: decimal(18,2)
+    // sums → 4-dp fixed-point longs → the share in integer basis points
+    // via BIGINT division (float division would be the one step two
+    // engines could disagree on). part broadcasts; lineitem never
+    // shuffles for the join.
+    "q14_promo_share" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val p = t(spark, dir, "part").select(col("p_partkey"),
+        col("p_type").startsWith("PROMO").as("is_promo"))
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(java.math.BigDecimal.ONE) - dec(col("l_discount")))).as("rev")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          col("is_promo"), rev)
+        .groupBy(col("ship_month"))
+        .agg(
+          (sum(when(col("is_promo"), col("rev"))
+            .otherwise(lit(java.math.BigDecimal.ZERO))) * lit(10000))
+            .cast("long").as("promo_fp4"),
+          (sum(col("rev")) * lit(10000)).cast("long").as("total_fp4"))
+        .select(col("ship_month"),
+          round(col("promo_fp4").cast("double") / 10000.0, 2)
+            .as("promo_revenue"),
+          round(col("total_fp4").cast("double") / 10000.0, 2)
+            .as("total_revenue"),
+          expr("promo_fp4 * 10000L div total_fp4").as("promo_bps"))
+        .orderBy("ship_month")
+    }),
+
+    // Linear multi-touch attribution — the marketing-analytics twin of
+    // the as-of join: every view/click in the 7 days before a purchase
+    // by the same user shares the conversion credit equally. Credit is
+    // integer micro-units (1000000 div n_touch), so the split is
+    // deterministic on both engines (sum of floors, not floats). ONE
+    // user-keyed equi-join builds the pairs (the window residual filters
+    // in-join); ONE conv-keyed window counts the touches — at 100 TB
+    // both exchanges are keyed by high-cardinality ids and AQE handles
+    // hot users.
+    "events_attribution_linear" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type"), unix_micros(col("ts")).as("t_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val lookbackUs = 7L * 24 * 3600 * 1000000L
+      val pairs = touches.join(conv, Seq("user_id"))
+        .filter(col("t_us") < col("c_us") &&
+          col("t_us") >= col("c_us") - lit(lookbackUs))
+      pairs
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+        .withColumn("credit_fp", expr("1000000L div n_touch"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit_fp")).as("credit_fp_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -2032,6 +2152,90 @@ object RelationalQueries {
           |       event_type, count(*) AS n_events
           |FROM events
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "privacy_t_closeness" ->
+        """WITH b AS (
+          |  SELECT c_mktsegment,
+          |         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+          |           AS bal_bucket,
+          |         c_nationkey
+          |  FROM customer
+          |), gv AS (
+          |  SELECT c_mktsegment, bal_bucket, c_nationkey, count(*) AS cnt_gv
+          |  FROM b GROUP BY 1, 2, 3
+          |), g AS (
+          |  SELECT c_mktsegment, bal_bucket, count(*) AS n_g
+          |  FROM b GROUP BY 1, 2
+          |), v AS (SELECT c_nationkey, count(*) AS cnt_v FROM b GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM b),
+          |j AS (
+          |  SELECT g.c_mktsegment, g.bal_bucket, g.n_g, tot.n_total,
+          |         v.cnt_v, coalesce(gv.cnt_gv, 0) AS cnt_gv
+          |  FROM g CROSS JOIN v CROSS JOIN tot
+          |  LEFT JOIN gv ON gv.c_mktsegment = g.c_mktsegment
+          |              AND gv.bal_bucket = g.bal_bucket
+          |              AND gv.c_nationkey = v.c_nationkey
+          |)
+          |SELECT c_mktsegment, bal_bucket, n_g AS n_rows,
+          |       CAST(sum(abs(cnt_gv * n_total - cnt_v * n_g)) AS BIGINT)
+          |         AS tvd_num,
+          |       sum(abs(cnt_gv * n_total - cnt_v * n_g)) * 10
+          |         > 8 * n_total * n_g AS t_risk
+          |FROM j GROUP BY c_mktsegment, bal_bucket, n_g, n_total
+          |ORDER BY c_mktsegment, bal_bucket""".stripMargin,
+
+      "q4_late_orders" ->
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-04-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q14_promo_share" ->
+        """WITH j AS (
+          |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+          |         p_type LIKE 'PROMO%' AS is_promo,
+          |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |), m AS (
+          |  SELECT ship_month,
+          |         CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 10000
+          |           AS BIGINT) AS promo_fp4,
+          |         CAST(sum(rev) * 10000 AS BIGINT) AS total_fp4
+          |  FROM j GROUP BY 1
+          |)
+          |SELECT ship_month,
+          |       round(CAST(promo_fp4 AS DOUBLE) / 10000.0, 2) AS promo_revenue,
+          |       round(CAST(total_fp4 AS DOUBLE) / 10000.0, 2) AS total_revenue,
+          |       promo_fp4 * 10000 // total_fp4 AS promo_bps
+          |FROM m ORDER BY ship_month""".stripMargin,
+
+      "events_attribution_linear" ->
+        """WITH touches AS (
+          |  SELECT user_id, event_id AS touch_id, event_type,
+          |         epoch_us(ts) AS t_us
+          |  FROM events WHERE event_type IN ('view', 'click')
+          |), conv AS (
+          |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+          |  FROM events WHERE event_type = 'purchase'
+          |), pairs AS (
+          |  SELECT t.event_type, t.touch_id, c.conv_id
+          |  FROM touches t JOIN conv c ON t.user_id = c.user_id
+          |  WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000
+          |), credited AS (
+          |  SELECT event_type, conv_id,
+          |         1000000 // count(*) OVER (PARTITION BY conv_id) AS credit_fp
+          |  FROM pairs
+          |)
+          |SELECT event_type, count(*) AS n_touches,
+          |       count(DISTINCT conv_id) AS n_conversions,
+          |       CAST(sum(credit_fp) AS BIGINT) AS credit_fp_sum
+          |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "pivot_revenue" ->
         """SELECT o_orderpriority,

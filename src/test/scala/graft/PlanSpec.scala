@@ -707,4 +707,66 @@ class PlanSpec extends SparkTestBase {
     val bnl = nodes.filter(_.getClass.getSimpleName.contains("BroadcastNestedLoop"))
     assert(bnl.size <= 1, "only the 1-row total may nested-loop")
   }
+
+  test("q4_late_orders: EXISTS runs as a semi join with the date filter pushed") {
+    val df = q("q4_late_orders")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the quarter predicate must reach the orders scan, not evaluate post-join
+    assert(explained.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date window must push into the orders scan")
+    val nodes = executedNodes(df)
+    val semi = nodes.filter(n => n.toString.contains("LeftSemi"))
+    assert(semi.nonEmpty, "EXISTS must plan as a LeftSemi join (one row per order)")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "the late-line residual must ride the orderkey equi-join")
+  }
+
+  test("q14_promo_share: part dimension broadcasts — lineitem never shuffles for the join") {
+    val nodes = executedNodes(q("q14_promo_share"))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "part must broadcast against lineitem")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, "no sort-merge join — the only join is fact x broadcast dim")
+  }
+
+  test("events_attribution_linear: user-keyed pair join, one conv-keyed window, no cartesian") {
+    val nodes = executedNodes(q("events_attribution_linear"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "touch-conversion pairing must stay a user-keyed equi-join")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "the lookback residual must ride the equi-join, not a nested loop")
+    // pair join + conv window + final agg + sort — nothing beyond those
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 4,
+      s"expected join/window/agg/sort exchanges only, got ${shuffles.size}")
+  }
+
+  test("corpus_dup_by_source: artifact broadcasts onto docs; text column pruned") {
+    val df = q("corpus_dup_by_source")
+    val nodes = executedNodes(df)
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the near-dup-sized artifact must broadcast against docs")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, "docs must never shuffle for the artifact join")
+  }
+
+  test("text_readability / mm_audio_chunks: single source-keyed agg, no joins") {
+    for (name <- Seq("text_readability", "mm_audio_chunks")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.toString.contains("Join")),
+        s"$name is projection + agg — no join belongs in the plan")
+      val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 3,
+        s"$name: expected agg (+distinct) + sort exchanges only, got ${shuffles.size}")
+    }
+  }
+
+  test("privacy_t_closeness: value and total frames broadcast onto the group domain") {
+    val nodes = executedNodes(q("privacy_t_closeness"))
+    // the (group x value) domain expansion must come from broadcasts of the
+    // two bounded-cardinality frames, never a shuffled cross
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "domain expansion must broadcast, not cartesian-shuffle")
+  }
 }
