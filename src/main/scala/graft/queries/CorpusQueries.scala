@@ -250,6 +250,10 @@ object CorpusQueries {
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
+
+  // emb_kmeans knobs (mirrored literally in the unrolled oracle SQL)
+  val kmeansK = 8
+  val kmeansIters = 2
   /** query docs for search_similar_doc = doc_id % this == 0 */
   val similarQueryStride = 211L
   val similarTopK = 5
@@ -2352,6 +2356,59 @@ object CorpusQueries {
             .as("n_short_tails"),
           max(col("duration_ms")).as("max_duration_ms"))
         .orderBy("source")
+    }),
+
+    // Full Lloyd k-means over the embedding corpus in EXACT fixed point —
+    // the clustering twin of emb_principal_dir: components scale by 2²⁰
+    // (power of two, so float→fp is exact and round() never sits on an
+    // fp boundary), distances are BIGINT squared-L2, centroid updates
+    // are explicit floor-means, and the DuckDB oracle replays every
+    // iteration UNROLLED — a float k-means could never cross-engine
+    // hash-gate. Seeds = the k smallest vec_ids; ties on distance break
+    // to the lower cluster id on both engines. Scale shape: assignment
+    // is a pure whole-stage-codegen projection (centroid table rides in
+    // as literals); each update collects only k×dim sums to the driver —
+    // the corpus never leaves the executors.
+    "emb_kmeans" -> ((spark, dir) => {
+      val k = kmeansK; val scale = 1048576L
+      val x = emb(spark, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * scale.toDouble, 0).cast("long")).as("xf"))
+      var cents: Array[Array[Long]] = x.orderBy("vec_id").limit(k)
+        .select("xf").collect().map(_.getSeq[Long](0).toArray)
+      require(cents.nonEmpty,
+        "emb_kmeans: embeddings table is empty — no seeds to train from")
+      // distance vector to all k centroids; argmin via array_position of
+      // the min (first occurrence = lower cluster id on ties)
+      def distArr(cs: Array[Array[Long]]): Column =
+        array(cs.toIndexedSeq.map(c =>
+          aggregate(zip_with(col("xf"), lit(c), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, t) => acc + t)): _*)
+      for (_ <- 1 to kmeansIters) {
+        val da = distArr(cents)
+        val sums = x.select(
+            (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
+            posexplode(col("xf")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect() // k×dim aggregated sums only — never corpus rows
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        }
+        cents = next
+      }
+      val checksums = cents.map(c =>
+        c.zipWithIndex.map { case (v, d) => v * (d + 1) }.sum)
+      val da = distArr(cents)
+      x.select((array_position(da, array_min(da)) - 1).cast("int").as("cid"),
+          array_min(da).as("dist"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr(s"dist div ${scale}L")).as("inertia_scaled"))
+        .withColumn("centroid_checksum",
+          element_at(lit(checksums), col("cid") + 1))
+        .orderBy("cid")
     })
   )
 
@@ -2509,6 +2566,68 @@ object CorpusQueries {
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** The emb_kmeans oracle, every Lloyd iteration UNROLLED (generated
+    * from the same kmeansK/kmeansIters knobs the Spark side uses).
+    * MATERIALIZED hints are load-bearing: DuckDB's default CTE inlining
+    * re-evaluates the referenced-twice chain exponentially (the
+    * emb_principal_dir lesson). Floor-mean = (s − pmod(s,n)) // n, the
+    * emb_drift idiom, matching Math.floorDiv on the Spark driver. */
+  private lazy val kmeansOracleSql: String = {
+    def dist(n: Int, cPrev: String) =
+      s"""d$n AS MATERIALIZED (
+         |  SELECT vec_id, cid,
+         |         CAST(list_aggregate(list_transform(range(1, len(xf) + 1),
+         |           i -> (xf[i] - cf[i]) * (xf[i] - cf[i])), 'sum') AS BIGINT) AS dist
+         |  FROM x CROSS JOIN $cPrev
+         |)""".stripMargin
+    def assign(n: Int) =
+      s"""a$n AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$n) t WHERE rn = 1
+         |)""".stripMargin
+    def update(n: Int, cPrev: String) =
+      s"""u$n AS (
+         |  SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+         |  FROM (SELECT cid, unnest(range(1, len(xf) + 1)) AS pos, unnest(xf) AS val
+         |        FROM a$n JOIN x USING (vec_id)) t
+         |  GROUP BY 1, 2
+         |), c$n AS MATERIALIZED (
+         |  SELECT $cPrev.cid, coalesce(w.cf_new, $cPrev.cf) AS cf
+         |  FROM $cPrev LEFT JOIN (
+         |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cf_new
+         |    FROM u$n GROUP BY cid) w ON $cPrev.cid = w.cid
+         |)""".stripMargin
+    val head =
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           e -> CAST(round(CAST(e AS DOUBLE) * 1048576.0, 0) AS BIGINT)) AS xf
+         |  FROM embeddings
+         |), c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, xf AS cf
+         |  FROM (SELECT vec_id, xf FROM x ORDER BY vec_id LIMIT $kmeansK) s
+         |)""".stripMargin
+    val iters = (1 to kmeansIters).flatMap(i =>
+      Seq(dist(i, s"c${i - 1}"), assign(i), update(i, s"c${i - 1}")))
+    val f = kmeansIters + 1
+    val tail =
+      s"""cks AS (
+         |  SELECT cid, CAST(list_aggregate(list_transform(range(1, len(cf) + 1),
+         |    i -> cf[i] * i), 'sum') AS BIGINT) AS centroid_checksum
+         |  FROM c$kmeansIters
+         |)""".stripMargin
+    (Seq(head) ++ iters ++ Seq(dist(f, s"c$kmeansIters"), assign(f), tail))
+      .mkString(",\n") +
+      s"""
+         |SELECT a$f.cid, count(*) AS n_members,
+         |       CAST(sum(dist // 1048576) AS BIGINT) AS inertia_scaled,
+         |       max(centroid_checksum) AS centroid_checksum
+         |FROM a$f JOIN cks ON a$f.cid = cks.cid
+         |GROUP BY a$f.cid ORDER BY a$f.cid""".stripMargin
+  }
 
   /** The hashed-linear-classifier per-doc score CTE (`clfper`) — the
     * oracle twin of [[classifierScorePerDoc]], ONE definition shared by
@@ -3380,6 +3499,8 @@ object CorpusQueries {
          |         AS BIGINT) AS n_short_tails,
          |       max(duration_ms) AS max_duration_ms
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "emb_kmeans" -> kmeansOracleSql,
 
     // The twin recomputes clusters, canonical-keys the split hash, and
     // re-derives the leakage count from its own assignment — a split

@@ -962,6 +962,58 @@ object RelationalQueries {
         .orderBy("minute_us", "event_type")
     }),
 
+    // Built-in SESSION windows under the ORACLE gate (§2.9): Spark's
+    // native session_window (gap-merging event-time windows, the
+    // state-store-backed sibling of the flatMapGroupsWithState machine
+    // in stream_sessionize) must produce exactly the batch gap-split
+    // sessions — start = first event, end = last event + gap, broken
+    // when the inter-event gap reaches 30 min. Same sentinel discipline
+    // as stream_rate_minute: append mode only emits a session once the
+    // watermark passes its END, so two global sentinels (1 h and 2 h past
+    // corpus max, separate micro-batches) flush every real session;
+    // sentinel user −1 is filtered from the result.
+    "stream_session_window" -> ((spark, dir) => {
+      import spark.implicits._
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_sesswin_$tag", dir)
+      val inDir = scratch("in"); val outDir = scratch("out")
+      val ckpt = scratch("ckpt")
+      val ev = XeFixture.events(spark, dir)
+        .select(col("ts"), col("user_id"))
+      ev.coalesce(1).write.parquet(s"$inDir/real")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      Seq(1, 2).foreach { i =>
+        Seq((new java.sql.Timestamp(maxTs.getTime + i * 3600000L), -1L))
+          .toDF("ts", "user_id").coalesce(1).write.parquet(s"$inDir/sent$i")
+      }
+      val fs = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
+      Seq("real" -> 0L, "sent1" -> 1000L, "sent2" -> 2000L).foreach { case (d, off) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$d"))
+          .filter(st => !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, mtime0 + off, -1))
+      }
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$inDir/*")
+          .withWatermark("ts", "1 minute")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("user_id"), col("n_events"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "start_us")
+    }),
+
     // Stream-stream interval join under the ORACLE gate (§2.9): the
     // attribution join (clicks ⋈ purchases within a 10-minute lookback,
     // both sides watermarked) must emit exactly the pairs the batch
@@ -2152,6 +2204,29 @@ object RelationalQueries {
           |       event_type, count(*) AS n_events
           |FROM events
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // batch truth for the native session_window stream: 30-min gap
+      // sessions (break at diff >= gap), end = last event + gap
+      "stream_session_window" ->
+        """WITH se AS (
+          |  SELECT user_id, epoch_us(ts) AS ts_us,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+          |                   >= 1800000000
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), ss AS (
+          |  SELECT user_id, ts_us,
+          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+          |           ROWS UNBOUNDED PRECEDING) AS seq
+          |  FROM se
+          |)
+          |SELECT min(ts_us) AS start_us,
+          |       max(ts_us) + 1800000000 AS end_us,
+          |       user_id, count(*) AS n_events
+          |FROM ss GROUP BY user_id, seq
+          |ORDER BY user_id, start_us""".stripMargin,
 
       "privacy_t_closeness" ->
         """WITH b AS (

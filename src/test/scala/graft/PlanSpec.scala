@@ -762,6 +762,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("emb_kmeans: assignment is a joinless codegen projection over the corpus") {
+    val nodes = executedNodes(q("emb_kmeans"))
+    // centroids ride into the plan as literals — the corpus never joins
+    assert(!nodes.exists(_.toString.contains("Join")),
+      "kmeans assignment must be a pure projection, never a centroid join")
+    val codegen = nodes.collect { case w: WholeStageCodegenExec => w }
+    assert(codegen.nonEmpty, "distance+argmin must run inside WholeStageCodegen")
+  }
+
   test("privacy_t_closeness: value and total frames broadcast onto the group domain") {
     val nodes = executedNodes(q("privacy_t_closeness"))
     // the (group x value) domain expansion must come from broadcasts of the
