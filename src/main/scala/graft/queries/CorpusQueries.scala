@@ -2370,47 +2370,155 @@ object CorpusQueries {
     // as literals); each update collects only k×dim sums to the driver —
     // the corpus never leaves the executors.
     "emb_kmeans" -> ((spark, dir) => {
-      val k = kmeansK; val scale = 1048576L
-      val x = emb(spark, dir).select(col("vec_id"),
-        transform(col("embedding"),
-          e => round(e.cast("double") * scale.toDouble, 0).cast("long")).as("xf"))
-      var cents: Array[Array[Long]] = x.orderBy("vec_id").limit(k)
-        .select("xf").collect().map(_.getSeq[Long](0).toArray)
-      require(cents.nonEmpty,
-        "emb_kmeans: embeddings table is empty — no seeds to train from")
-      // distance vector to all k centroids; argmin via array_position of
-      // the min (first occurrence = lower cluster id on ties)
-      def distArr(cs: Array[Array[Long]]): Column =
-        array(cs.toIndexedSeq.map(c =>
-          aggregate(zip_with(col("xf"), lit(c), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, t) => acc + t)): _*)
-      for (_ <- 1 to kmeansIters) {
-        val da = distArr(cents)
-        val sums = x.select(
-            (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
-            posexplode(col("xf")))
-          .groupBy("cid", "pos")
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-          .collect() // k×dim aggregated sums only — never corpus rows
-        val next = cents.map(_.clone())
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
-        }
-        cents = next
-      }
+      val (x, cents) = kmeansTrain(spark, dir)
       val checksums = cents.map(c =>
         c.zipWithIndex.map { case (v, d) => v * (d + 1) }.sum)
-      val da = distArr(cents)
+      val da = kmeansDistArr(cents)
       x.select((array_position(da, array_min(da)) - 1).cast("int").as("cid"),
           array_min(da).as("dist"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
-          sum(expr(s"dist div ${scale}L")).as("inertia_scaled"))
+          sum(expr("dist div 1048576L")).as("inertia_scaled"))
         .withColumn("centroid_checksum",
           element_at(lit(checksums), col("cid") + 1))
         .orderBy("cid")
+    }),
+
+    // Simplified silhouette over the trained k-means — the cluster-
+    // quality report that says whether k fits the corpus: per vector,
+    // a = squared distance to its own centroid, b = to the second-
+    // nearest, s = (b−a)/max(a,b) ∈ [0,1] by construction (b ≥ a).
+    // The ratio is 3-dp fixed point with the MULTIPLY-FIRST bound
+    // checked: (b−a) ≤ 64·(2·2²⁰)² ≈ 2.8e14, ×1000 < 2⁶³ — a 1e6 scale
+    // here would overflow BIGINT, so both engines compute ×1000 div.
+    // Per-cluster mean is the explicit floor-mean (emb_drift idiom).
+    // Same joinless codegen-projection plan as emb_kmeans.
+    "emb_silhouette" -> ((spark, dir) => {
+      val (x, cents) = kmeansTrain(spark, dir)
+      val da = kmeansDistArr(cents)
+      val sorted = array_sort(da)
+      x.select(
+          (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
+          element_at(sorted, 1).as("a2"),
+          element_at(sorted, 2).as("b2"))
+        .withColumn("s_fp3",
+          expr("(b2 - a2) * 1000L div greatest(a2, b2, 1L)"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("s_fp3")).as("ssum"))
+        .select(col("cid"), col("n_members"),
+          expr("(ssum - pmod(ssum, n_members)) div n_members")
+            .as("mean_sil_fp3"))
+        .orderBy("cid")
+    }),
+
+    // Video scene-cut census on the stubbed-codec payload: sample up to
+    // 8 frames per media (the mm_frame_sample plumbing), fingerprint
+    // each, and count fingerprint CHANGES between consecutive frames —
+    // the shot-boundary statistic a video curation pipeline reports.
+    // One doc-partitioned lag window over the bounded frame explode
+    // (≤8 rows per media — partition-local, never corpus-wide).
+    "mm_scene_cuts" -> ((spark, dir) => {
+      val frames = Multimodal.withPayload(docs(spark, dir))
+        .select(col("doc_id"), col("format"),
+          posexplode(Multimodal.framePositions(col("payload"), 64, 8))
+            .as(Seq("frame_idx", "fpos")),
+          col("payload"))
+        .withColumn("frame_hash",
+          T.hash60(hex(col("payload")).substr(col("fpos") * 2 + 1, lit(32))))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("prev", lag(col("frame_hash"), 1).over(w))
+        .withColumn("is_cut",
+          col("prev").isNotNull && col("prev") =!= col("frame_hash"))
+        .groupBy(col("format"))
+        .agg(countDistinct(col("doc_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+        .orderBy("format")
+    }),
+
+    // Layout-pruning report — the scan-amplification numbers behind the
+    // z-order/compaction decisions: the SAME doc-id range probe against
+    // a hash-sharded manifest (every shard spans the full id range —
+    // zero pruning) and a range-sharded one (only overlapping shards
+    // scan). min/max per shard is exactly the footer statistics a
+    // parquet/iceberg manifest carries; scan amplification = scanned
+    // rows over matching rows, in integer basis points.
+    "layout_manifest_prune" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"))
+      def manifest(shard: Column, layout: String): DataFrame =
+        d.withColumn("shard", shard)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .withColumn("layout", lit(layout))
+      val m = manifest(pmod(T.hash60(
+          concat(lit("shard|"), col("doc_id").cast("string"))), lit(nShards)),
+          "hash")
+        .unionByName(manifest(expr(s"doc_id div ${pruneSpan}L"), "range"))
+      val matching = d.filter(col("doc_id").between(pruneLo, pruneHi))
+        .agg(count(lit(1)).as("rows_matching"))
+      m.withColumn("overlaps",
+          col("min_doc") <= pruneHi && col("max_doc") >= pruneLo)
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(when(col("overlaps"), 1L).otherwise(0L)).as("n_scanned"),
+          sum(when(col("overlaps"), col("n_docs")).otherwise(0L))
+            .as("rows_scanned"))
+        .crossJoin(broadcast(matching))
+        .withColumn("amplification_bps",
+          expr("rows_scanned * 10000L div greatest(rows_matching, 1L)"))
+        .orderBy("layout")
     })
   )
+
+  /** Fixed-point Lloyd training shared by emb_kmeans / emb_silhouette:
+    * fp = round(x·2²⁰) per component (power-of-two scale — float→fp is
+    * exact), seeds = the k smallest vec_ids, each round one distributed
+    * argmin-assignment projection + a k×dim driver collect of sums,
+    * centroid update = Math.floorDiv floor-mean (the oracle's
+    * (s − pmod(s,n)) // n). Returns the fp corpus frame and the final
+    * centroid table. */
+  private def kmeansTrain(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Long]]) = {
+    val x = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        e => round(e.cast("double") * 1048576.0, 0).cast("long")).as("xf"))
+    var cents: Array[Array[Long]] = x.orderBy("vec_id").limit(kmeansK)
+      .select("xf").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty,
+      "emb_kmeans: embeddings table is empty — no seeds to train from")
+    for (_ <- 1 to kmeansIters) {
+      val da = kmeansDistArr(cents)
+      val sums = x.select(
+          (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
+          posexplode(col("xf")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect() // k×dim aggregated sums only — never corpus rows
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+      }
+      cents = next
+    }
+    (x, cents)
+  }
+
+  /** Squared-L2 distance vector to all k centroids (argmin =
+    * array_position of array_min: first occurrence breaks ties to the
+    * lower cluster id on both engines). Centroids ride into codegen as
+    * array literals — assignment never joins. */
+  private def kmeansDistArr(cs: Array[Array[Long]]): Column =
+    array(cs.toIndexedSeq.map(c =>
+      aggregate(zip_with(col("xf"), lit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, t) => acc + t)): _*)
+
+  // layout_manifest_prune knobs: the doc-id probe range and the
+  // range-layout shard span (mirrored in the oracle SQL)
+  val pruneLo = 100L
+  val pruneHi = 299L
+  val pruneSpan = 512L
 
   // Bloom/CMS knobs (kept in lockstep with the oracle SQL below); probes
   // mix in-vocabulary words with zzqx* strings absent by construction.
@@ -2627,6 +2735,36 @@ object CorpusQueries {
          |       max(centroid_checksum) AS centroid_checksum
          |FROM a$f JOIN cks ON a$f.cid = cks.cid
          |GROUP BY a$f.cid ORDER BY a$f.cid""".stripMargin
+  }
+
+  /** The emb_silhouette oracle: the same unrolled training chain, but the
+    * final distance frame keeps rank-1 AND rank-2 rows per vector (own vs
+    * second-nearest centroid), then the 3-dp fixed-point simplified
+    * silhouette with the explicit floor-mean per cluster. */
+  private lazy val silhouetteOracleSql: String = {
+    val prefix = kmeansOracleSql
+    val f = kmeansIters + 1
+    // reuse everything up to (and including) the final distance CTE d$f,
+    // then rebuild the per-vector rank frame from it
+    val upToDist = prefix.substring(0, prefix.indexOf(s"a$f AS MATERIALIZED")).stripSuffix("\n")
+    s"""${upToDist}r$f AS MATERIALIZED (
+       |  SELECT vec_id, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d$f
+       |), ab AS (
+       |  SELECT a.vec_id, a.cid, a.dist AS a2, b.dist AS b2
+       |  FROM (SELECT * FROM r$f WHERE rn = 1) a
+       |  JOIN (SELECT * FROM r$f WHERE rn = 2) b USING (vec_id)
+       |), sfp AS (
+       |  SELECT cid, (b2 - a2) * 1000 // greatest(a2, b2, 1) AS s_fp3 FROM ab
+       |), g AS (
+       |  SELECT cid, count(*) AS n_members, CAST(sum(s_fp3) AS BIGINT) AS ssum
+       |  FROM sfp GROUP BY 1
+       |)
+       |SELECT cid, n_members,
+       |       (ssum - ((ssum % n_members) + n_members) % n_members) // n_members
+       |         AS mean_sil_fp3
+       |FROM g ORDER BY cid""".stripMargin
   }
 
   /** The hashed-linear-classifier per-doc score CTE (`clfper`) — the
@@ -3501,6 +3639,65 @@ object CorpusQueries {
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "emb_kmeans" -> kmeansOracleSql,
+
+    "emb_silhouette" -> silhouetteOracleSql,
+
+    "mm_scene_cuts" ->
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+         |              WHEN doc_id % 3 = 1 THEN 'jpg'
+         |              ELSE 'webp' END AS format,
+         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+         |  FROM documents
+         |),
+         |fr AS (
+         |  SELECT doc_id, format, CAST(i AS INTEGER) AS frame_idx,
+         |         ${h60("substring(hex(payload), (4 + i * 64) * 2 + 1, 32)")}
+         |           AS frame_hash
+         |  FROM media, range(0, 8) t(i)
+         |  WHERE i < least((octet_length(payload) - 4) // 64, 8)
+         |),
+         |l AS (
+         |  SELECT doc_id, format, frame_hash,
+         |         lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |           AS prev
+         |  FROM fr
+         |)
+         |SELECT format, count(DISTINCT doc_id) AS n_media,
+         |       count(*) AS n_frames,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> frame_hash
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+         |FROM l GROUP BY format ORDER BY format""".stripMargin,
+
+    "layout_manifest_prune" ->
+      s"""WITH m AS (
+         |  SELECT 'hash' AS layout,
+         |         ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |         doc_id
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'range', doc_id // $pruneSpan, doc_id FROM documents
+         |), man AS (
+         |  SELECT layout, shard, count(*) AS n_docs,
+         |         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |  FROM m GROUP BY 1, 2
+         |), mt AS (
+         |  SELECT count(*) AS rows_matching FROM documents
+         |  WHERE doc_id BETWEEN $pruneLo AND $pruneHi
+         |)
+         |SELECT layout, count(*) AS n_shards,
+         |       CAST(sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+         |       CAST(sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
+         |                     THEN n_docs ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |       max(rows_matching) AS rows_matching,
+         |       sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
+         |                THEN n_docs ELSE 0 END) * 10000
+         |         // greatest(max(rows_matching), 1) AS amplification_bps
+         |FROM man CROSS JOIN mt
+         |GROUP BY layout ORDER BY layout""".stripMargin,
 
     // The twin recomputes clusters, canonical-keys the split hash, and
     // re-derives the leakage count from its own assignment — a split

@@ -1294,6 +1294,27 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "bal_bucket")
     }),
 
+    // TPC-H Q17 shape (correlated scalar aggregate → aggregate-then-
+    // self-join): lines whose quantity is below 20% of their part's
+    // average, per ship year. The per-part aggregate joins back to the
+    // fact on the SAME key, so at scale one partkey exchange serves
+    // both sides (AQE picks shuffle-hash); the 0.2·avg comparison is
+    // division-free — qty·5·n < Σqty in exact DECIMAL — because an
+    // avg division is the one step the two engines could round apart.
+    "q17_small_quantity" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val pa = l.groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+      l.join(pa, Seq("l_partkey"))
+        .filter(dec(col("l_quantity")) * 5 * col("n_lines") < col("sum_qty"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          round(sum(dec(col("l_extendedprice"))).cast("double"), 2)
+            .as("small_revenue"))
+        .orderBy("ship_year")
+    }),
+
     // t-closeness census — the third rung of the release-risk ladder
     // (k-anonymity → l-diversity → t-closeness): a QI group is unsafe
     // when its sensitive-value DISTRIBUTION diverges from the corpus-wide
@@ -2227,6 +2248,21 @@ object RelationalQueries {
           |       user_id, count(*) AS n_events
           |FROM ss GROUP BY user_id, seq
           |ORDER BY user_id, start_us""".stripMargin,
+
+      "q17_small_quantity" ->
+        """WITH pa AS (
+          |  SELECT l_partkey,
+          |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          |         count(*) AS n_lines
+          |  FROM lineitem GROUP BY 1
+          |)
+          |SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          |       count(*) AS n_small_lines,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |         AS DOUBLE), 2) AS small_revenue
+          |FROM lineitem JOIN pa USING (l_partkey)
+          |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "privacy_t_closeness" ->
         """WITH b AS (
