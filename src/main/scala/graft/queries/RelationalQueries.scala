@@ -473,6 +473,86 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // First-order Markov transition matrix over session paths — the
+    // next-event model a product-analytics pipeline ships (and the raw
+    // table events_pagerank's edge weights come from): P(next | cur) in
+    // exact integer millionths (n·10⁶ div row total — a float ratio is
+    // the one step the engines could round apart). One session window +
+    // one cur-keyed window over the tiny transition table.
+    "events_markov_next" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val s = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+        gapUs = 28800000000L)
+      val w = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts_us"), col("event_id"))
+      s.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("n_from",
+          sum(col("n_trans")).over(Window.partitionBy(col("cur_type"))))
+        .select(col("cur_type"), col("next_type"), col("n_trans"),
+          expr("n_trans * 1000000L div n_from").as("p_fp6"))
+        .orderBy("cur_type", "next_type")
+    }),
+
+    // Deterministic A/B assignment + per-arm outcome census — the
+    // experiment-analysis primitive: arm = hash60("ab|" ++ user) mod 2,
+    // so assignment is a pure projection reproducible on any engine and
+    // any day (the property randomized assignment tables lose). Sums
+    // are exact fixed point; the square sums (for the analyst's
+    // variance) run in CENTS so sumsq ≤ 2.4e9 per event — bounded to
+    // ~4e18 at 10⁹ events, inside BIGINT. Mean via explicit floor-div.
+    "events_ab_assignment" -> ((spark, dir) => {
+      import graft.corpus.{TextAnalysis => T}
+      XeFixture.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("v2"))
+        .withColumn("arm",
+          when(pmod(T.hash60(concat(lit("ab|"),
+            col("user_id").cast("string"))), lit(2L)) === 0L, "A")
+            .otherwise("B"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("v6")).as("sum_v_fp6"),
+          sum(col("v2") * col("v2")).as("sumsq_v_fp2"))
+        .withColumn("mean_v_fp6", expr("sum_v_fp6 div n_events"))
+        .orderBy("event_type", "arm")
+    }),
+
+    // Seasonal-naive forecast error census — the monitoring baseline
+    // every anomaly pipeline is judged against: predict each
+    // (type, day, hour) cell's event count with the type's hour-of-day
+    // floor-mean over the month, report the exact integer absolute
+    // error mass. The cell domain is types × days × hours (bounded,
+    // built from two broadcast distinct frames) so EMPTY cells count
+    // as zero actuals instead of silently dropping — the mistake that
+    // understates error exactly where traffic vanishes.
+    "events_forecast_baseline" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+      val cells = ev.groupBy("event_type", "day", "hr")
+        .agg(count(lit(1)).as("actual"))
+      val domain = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+        .crossJoin(broadcast(spark.range(0, 24).select(col("id").as("hr"))))
+      val full = domain.join(cells, Seq("event_type", "day", "hr"), "left")
+        .na.fill(0L, Seq("actual"))
+      val seasonal = full.groupBy("event_type", "hr")
+        .agg(expr("sum(actual) div count(1)").as("predicted"))
+      full.join(seasonal, Seq("event_type", "hr"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("actual")).as("n_events"),
+          sum(abs(col("actual") - col("predicted"))).as("total_abs_err"))
+        .withColumn("mae_fp6", expr("total_abs_err * 1000000L div n_cells"))
+        .orderBy("event_type")
+    }),
+
     // Session co-occurrence lift between event-type pairs: observed
     // co-sessions over expected-under-independence — the association
     // census (log-free PMI twin, so it stays cross-engine exact) that
@@ -1292,6 +1372,33 @@ object RelationalQueries {
           countDistinct(col("c_nationkey")).as("n_sensitive"))
         .withColumn("homogeneity_risk", col("n_sensitive") < 3)
         .orderBy("c_mktsegment", "bal_bucket")
+    }),
+
+    // TPC-H Q10 shape (fact ⋈ fact on orderkey + two broadcast dims +
+    // global top-N): revenue lost to returned lines per customer in one
+    // quarter, top 20. The returnflag and order-date filters push into
+    // the two scans BEFORE the orderkey join; customer and nation
+    // broadcast; the top-20 runs as TakeOrdered (per-partition heaps →
+    // driver merge), never a global sort. Exact decimal revenue; unique
+    // custkey tie-break.
+    "q10_returned_items" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      val c = t(spark, dir, "customer")
+      val n = t(spark, dir, "nation")
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(java.math.BigDecimal.ONE) - dec(col("l_discount")))).as("rev")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), rev)
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("rev")).cast("double"), 2).as("lost_revenue"),
+          count(lit(1)).as("n_returned_lines"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     // TPC-H Q17 shape (correlated scalar aggregate → aggregate-then-
@@ -2248,6 +2355,91 @@ object RelationalQueries {
           |       user_id, count(*) AS n_events
           |FROM ss GROUP BY user_id, seq
           |ORDER BY user_id, start_us""".stripMargin,
+
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, n_name,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+          |         AS lost_revenue,
+          |       count(*) AS n_returned_lines
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-04-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "events_markov_next" ->
+        s"""WITH $sessionCte,
+           |tr AS (
+           |  SELECT event_type AS cur_type,
+           |         lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
+           |           ORDER BY ts_us, event_id) AS next_type
+           |  FROM ss
+           |), cnt AS (
+           |  SELECT cur_type, next_type, count(*) AS n_trans
+           |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2
+           |)
+           |SELECT cur_type, next_type, n_trans,
+           |       CAST(n_trans * 1000000 //
+           |         CAST(sum(n_trans) OVER (PARTITION BY cur_type) AS BIGINT)
+           |         AS BIGINT) AS p_fp6
+           |FROM cnt ORDER BY cur_type, next_type""".stripMargin,
+
+      "events_ab_assignment" ->
+        """WITH e AS (
+          |  SELECT event_type, user_id,
+          |         CAST(round(value * 1000000, 0) AS BIGINT) AS v6,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS v2,
+          |         CASE WHEN ('0x' || substring(md5('ab|' ||
+          |                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+          |              THEN 'A' ELSE 'B' END AS arm
+          |  FROM events
+          |)
+          |SELECT event_type, arm,
+          |       count(DISTINCT user_id) AS n_users,
+          |       count(*) AS n_events,
+          |       CAST(sum(v6) AS BIGINT) AS sum_v_fp6,
+          |       CAST(sum(v2 * v2) AS BIGINT) AS sumsq_v_fp2,
+          |       CAST(sum(v6) AS BIGINT) // count(*) AS mean_v_fp6
+          |FROM e GROUP BY 1, 2 ORDER BY event_type, arm""".stripMargin,
+
+      "events_forecast_baseline" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(hour(ts) AS BIGINT) AS hr
+          |  FROM events
+          |), cells AS (
+          |  SELECT event_type, day, hr, count(*) AS actual
+          |  FROM ev GROUP BY 1, 2, 3
+          |), dm AS (
+          |  SELECT t.event_type, d.day, h.hr
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+          |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+          |), full0 AS (
+          |  SELECT dm.event_type, dm.day, dm.hr,
+          |         coalesce(c.actual, 0) AS actual
+          |  FROM dm LEFT JOIN cells c
+          |    ON dm.event_type = c.event_type AND dm.day = c.day
+          |   AND dm.hr = c.hr
+          |), seasonal AS (
+          |  SELECT event_type, hr,
+          |         CAST(sum(actual) AS BIGINT) // count(*) AS predicted
+          |  FROM full0 GROUP BY 1, 2
+          |)
+          |SELECT f.event_type, count(*) AS n_cells,
+          |       CAST(sum(f.actual) AS BIGINT) AS n_events,
+          |       CAST(sum(abs(f.actual - s.predicted)) AS BIGINT)
+          |         AS total_abs_err,
+          |       CAST(sum(abs(f.actual - s.predicted)) AS BIGINT) * 1000000
+          |         // count(*) AS mae_fp6
+          |FROM full0 f JOIN seasonal s
+          |  ON f.event_type = s.event_type AND f.hr = s.hr
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q17_small_quantity" ->
         """WITH pa AS (
