@@ -2384,6 +2384,30 @@ object CorpusQueries {
         .orderBy("cid")
     }),
 
+    // Tokenizer-fertility report per source — the cost model behind
+    // token-budget planning: BPE-ish tokens per whitespace word
+    // (fertility) and chars per BPE token, both as exact integer ratios
+    // (bps / 3-dp fixed point). A source whose fertility spikes is
+    // code/URLs/non-Latin text the tokenizer fragments — the signal
+    // mixing weights consume. Pure projection (two codegen'd regexp
+    // counts) + one source-keyed agg.
+    "corpus_tokenizer_fertility" -> ((spark, dir) => {
+      docs(spark, dir)
+        .select(col("source"), col("n_chars"),
+          T.bpeTokenCount(col("text")).cast("long").as("nb"),
+          T.nTokens(col("text")).cast("long").as("nw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bpe_tokens"),
+          sum(col("nw")).as("n_ws_tokens"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .withColumn("fertility_bps",
+          expr("n_bpe_tokens * 10000L div greatest(n_ws_tokens, 1L)"))
+        .withColumn("chars_per_bpe_fp3",
+          expr("n_chars_total * 1000L div greatest(n_bpe_tokens, 1L)"))
+        .orderBy("source")
+    }),
+
     // Simplified silhouette over the trained k-means — the cluster-
     // quality report that says whether k fits the corpus: per vector,
     // a = squared distance to its own centroid, b = to the second-
@@ -3641,6 +3665,28 @@ object CorpusQueries {
     "emb_kmeans" -> kmeansOracleSql,
 
     "emb_silhouette" -> silhouetteOracleSql,
+
+    "corpus_tokenizer_fertility" ->
+      s"""WITH per AS (
+         |  SELECT source, n_chars,
+         |         CAST(len(regexp_extract_all(text,
+         |           '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         |           )) AS BIGINT) AS nb,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw
+         |  FROM documents
+         |), agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |         CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |  FROM per GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_bpe_tokens, n_ws_tokens, n_chars_total,
+         |       n_bpe_tokens * 10000 // greatest(n_ws_tokens, 1)
+         |         AS fertility_bps,
+         |       n_chars_total * 1000 // greatest(n_bpe_tokens, 1)
+         |         AS chars_per_bpe_fp3
+         |FROM agg ORDER BY source""".stripMargin,
 
     "mm_scene_cuts" ->
       s"""WITH media AS (

@@ -1401,6 +1401,31 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q19 shape (disjunctive multi-attribute predicate): revenue
+    // from three OR'd (brand, size-range, quantity-range) clauses. The
+    // shape exists to pin predicate handling — the quantity bounds cover
+    // the whole OR so a common-factor filter pushes to the lineitem
+    // scan, the brand/size residual evaluates post-broadcast-join, and
+    // nothing falls back to a cartesian.
+    "q19_disjunctive" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val p = t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(java.math.BigDecimal.ONE) - dec(col("l_discount")))).as("rev")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30)))
+        .select(rev)
+        .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q17 shape (correlated scalar aggregate → aggregate-then-
     // self-join): lines whose quantity is below 20% of their part's
     // average, per ship year. The per-part aggregate joins back to the
@@ -2440,6 +2465,19 @@ object RelationalQueries {
           |FROM full0 f JOIN seasonal s
           |  ON f.event_type = s.event_type AND f.hr = s.hr
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q19_disjunctive" ->
+        """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+          |         AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
       "q17_small_quantity" ->
         """WITH pa AS (
