@@ -762,6 +762,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q10_returned_items: dims broadcast, top-20 runs as TakeOrdered") {
+    val df = q("q10_returned_items")
+    val nodes = executedNodes(df)
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, "customer and nation must broadcast")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "the top-20 must be per-partition heaps + driver merge, not a global sort")
+  }
+
+  test("q19_disjunctive: broadcast part join, no cartesian under the OR predicate") {
+    val nodes = executedNodes(q("q19_disjunctive"))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "part must broadcast against lineitem")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "the disjunction must evaluate as a join residual, never a cross product")
+  }
+
+  test("events_forecast_baseline: domain expansion broadcasts, cells join stays keyed") {
+    val nodes = executedNodes(q("events_forecast_baseline"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "the type x day x hour domain must come from broadcasts")
+  }
+
   test("emb_kmeans: assignment is a joinless codegen projection over the corpus") {
     val nodes = executedNodes(q("emb_kmeans"))
     // centroids ride into the plan as literals — the corpus never joins
