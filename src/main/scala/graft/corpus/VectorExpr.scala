@@ -107,6 +107,36 @@ object VectorOps2 {
     best
   }
 
+  /** Long twin of [[nearestCentroid]] for the fixed-point k-means
+    * queries: exact integer squared-L2, returns
+    * [best_cid, best_dist, second_best_dist] (the third element feeds
+    * the silhouette's b-term; with one centroid it is Long.MaxValue).
+    * Ties keep the lower centroid id; an equal-distance runner-up still
+    * lands in second_best — matching the oracle's (dist, cid)
+    * row_number ranks 1 and 2. */
+  def nearestCentroidL(v: ArrayData, cs: Array[Array[Long]]): ArrayData = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var secondD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cent = cs(c)
+      val n = math.min(cent.length, v.numElements())
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val diff = v.getLong(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { secondD = bestD; bestD = d; best = c }
+      else if (d < secondD) { secondD = d }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(best.toLong, bestD, secondD))
+  }
+
   /** The `nprobe` nearest centroid ids in increasing-distance order
     * (ties → lower id, same contract as [[nearestCentroid]]): insertion
     * into two fixed-size arrays — O(k·nprobe), no allocation besides the
@@ -204,6 +234,41 @@ case class NearestCentroidsF(child: Expression, centroids: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsF =
+    copy(child = newChild)
+}
+
+/** Fixed-point (long) argmin-assignment kernel for the exact k-means
+  * queries: squared-L2 distance over `array<bigint>` components against
+  * a long[][] centroid table, returning [best_cid, best_dist,
+  * second_best_dist]. All
+  * arithmetic is 64-bit integer (component scale 2²⁰ keeps every term
+  * far inside the long range), so the result is bit-reproducible against
+  * the unrolled DuckDB oracle — the double kernel above cannot make that
+  * guarantee. Ties keep the lower centroid id, matching the oracle's
+  * (dist, cid) row_number order. */
+case class NearestCentroidL(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "nearest_centroid_l"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps2.nearestCentroidL(a.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.corpus.VectorOps2.nearestCentroidL($a, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL =
     copy(child = newChild)
 }
 
@@ -331,6 +396,9 @@ object VectorExpr {
   def nearestCentroidsF(v: Column, centroids: Array[Array[Double]],
                         nprobe: Int): Column =
     bridge.column(NearestCentroidsF(bridge.expression(v), centroids, nprobe))
+
+  def nearestCentroidL(v: Column, centroids: Array[Array[Long]]): Column =
+    bridge.column(NearestCentroidL(bridge.expression(v), centroids))
 
   def semContamHitsF(v: Column, evalVecs: Array[Array[Float]],
                      threshold: Double): Column =

@@ -2373,9 +2373,9 @@ object CorpusQueries {
       val (x, cents) = kmeansTrain(spark, dir)
       val checksums = cents.map(c =>
         c.zipWithIndex.map { case (v, d) => v * (d + 1) }.sum)
-      val da = kmeansDistArr(cents)
-      x.select((array_position(da, array_min(da)) - 1).cast("int").as("cid"),
-          array_min(da).as("dist"))
+      val nc = graft.corpus.VectorExpr.nearestCentroidL(col("xf"), cents)
+      x.select(element_at(nc, 1).cast("int").as("cid"),
+          element_at(nc, 2).as("dist"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           sum(expr("dist div 1048576L")).as("inertia_scaled"))
@@ -2419,12 +2419,11 @@ object CorpusQueries {
     // Same joinless codegen-projection plan as emb_kmeans.
     "emb_silhouette" -> ((spark, dir) => {
       val (x, cents) = kmeansTrain(spark, dir)
-      val da = kmeansDistArr(cents)
-      val sorted = array_sort(da)
+      val nc = graft.corpus.VectorExpr.nearestCentroidL(col("xf"), cents)
       x.select(
-          (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
-          element_at(sorted, 1).as("a2"),
-          element_at(sorted, 2).as("b2"))
+          element_at(nc, 1).cast("int").as("cid"),
+          element_at(nc, 2).as("a2"),
+          element_at(nc, 3).as("b2"))
         .withColumn("s_fp3",
           expr("(b2 - a2) * 1000L div greatest(a2, b2, 1L)"))
         .groupBy(col("cid"))
@@ -2505,17 +2504,20 @@ object CorpusQueries {
     * centroid table. */
   private def kmeansTrain(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Long]]) = {
-    val x = emb(spark, dir).select(col("vec_id"),
+    // fanout: a single-file embeddings corpus otherwise serializes the
+    // whole interpreted distance compute onto one core (no-op at real
+    // file counts — the Dedup.fanout contract)
+    val x = Dedup.fanout(emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"),
-        e => round(e.cast("double") * 1048576.0, 0).cast("long")).as("xf"))
+        e => round(e.cast("double") * 1048576.0, 0).cast("long")).as("xf")))
     var cents: Array[Array[Long]] = x.orderBy("vec_id").limit(kmeansK)
       .select("xf").collect().map(_.getSeq[Long](0).toArray)
     require(cents.nonEmpty,
       "emb_kmeans: embeddings table is empty — no seeds to train from")
     for (_ <- 1 to kmeansIters) {
-      val da = kmeansDistArr(cents)
+      val nc = graft.corpus.VectorExpr.nearestCentroidL(col("xf"), cents)
       val sums = x.select(
-          (array_position(da, array_min(da)) - 1).cast("int").as("cid"),
+          element_at(nc, 1).cast("int").as("cid"),
           posexplode(col("xf")))
         .groupBy("cid", "pos")
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -2529,14 +2531,11 @@ object CorpusQueries {
     (x, cents)
   }
 
-  /** Squared-L2 distance vector to all k centroids (argmin =
-    * array_position of array_min: first occurrence breaks ties to the
-    * lower cluster id on both engines). Centroids ride into codegen as
-    * array literals — assignment never joins. */
-  private def kmeansDistArr(cs: Array[Array[Long]]): Column =
-    array(cs.toIndexedSeq.map(c =>
-      aggregate(zip_with(col("xf"), lit(c), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, t) => acc + t)): _*)
+  // assignment runs through the NATIVE NearestCentroidL kernel
+  // (VectorExpr.scala): the HOF zip_with/aggregate form computed the
+  // identical integer algebra but interpreted — 66 s vs ~3 s for the
+  // same 200k-vector probe pass. Centroids ride in as a codegen
+  // reference object; assignment never joins.
 
   // layout_manifest_prune knobs: the doc-id probe range and the
   // range-layout shard span (mirrored in the oracle SQL)

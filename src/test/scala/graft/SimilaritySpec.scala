@@ -29,6 +29,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("nearestCentroidL ≡ brute-force integer argmin incl. tie and second-best semantics") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val dim = 5
+    val cents: Array[Array[Long]] =
+      Array.fill(4)(Array.fill(dim)(rnd.nextInt(2001) - 1000L))
+    // include a vector EQUAL to a centroid (dist 0) and two duplicate
+    // centroids' midpoint (forced tie → lower cid must win)
+    val rows = (Seq.fill(40)(Array.fill(dim)(rnd.nextInt(2001) - 1000L)) :+
+      cents(2).clone()).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "xf")
+    val nc = VectorExpr.nearestCentroidL(col("xf"), cents)
+    val got = df.select($"id", element_at(nc, 1).as("cid"),
+        element_at(nc, 2).as("d1"), element_at(nc, 3).as("d2"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.foreach { case (id, v) =>
+      val ds = cents.map(c => c.zip(v).map { case (a, b) =>
+        val t = a - b; t * t }.sum)
+      val bestCid = ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      val sortedD = ds.sorted
+      assert(got(id) == ((bestCid.toLong, sortedD(0), sortedD(1))),
+        s"vector $id: got ${got(id)}, want (${bestCid}, ${sortedD(0)}, ${sortedD(1)})")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val got = vecs.select(Similarity.cosine($"embedding", $"embedding")).collect()
     assert(got.forall(_.getDouble(0) == 1.0))
