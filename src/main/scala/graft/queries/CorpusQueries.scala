@@ -2492,6 +2492,97 @@ object CorpusQueries {
         .withColumn("amplification_bps",
           expr("rows_scanned * 10000L div greatest(rows_matching, 1L)"))
         .orderBy("layout")
+    }),
+
+    // ANALYZE-style column statistics — the numbers a cost-based
+    // optimizer (or a corpus datasheet) collects per column: null count,
+    // exact NDV, and the mergeable HLL estimate beside it (the form that
+    // scales — exact NDV is the oracle's check, the sketch is what a
+    // 100 TB ANALYZE actually ships). One pass per column, each a
+    // map-side-combined register aggregation.
+    "corpus_table_stats" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      def statsFor(cname: String): DataFrame = {
+        val hv = d.select(T.hash60(col(cname).cast("string")).as("h"))
+        val regs = hv.filter(col("h").isNotNull)
+          .groupBy(Sketches.hllRegister(col("h")).as("reg"))
+          .agg(max(Sketches.hllRho(col("h"))).as("m_rho"))
+        val agg = regs
+          .agg(sum(Sketches.hllDenomTerm(col("m_rho"))).as("denom_present"),
+            count(lit(1)).as("n_present"))
+          .withColumn("zero_regs",
+            (lit(Sketches.HllM) - col("n_present")).cast("int"))
+          .withColumn("denom",
+            col("denom_present") + col("zero_regs") * lit(Sketches.HllEmptyTerm))
+        val ex = hv.agg(
+          sum(when(col("h").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("h")).as("exact_ndv"))
+        ex.crossJoin(agg).select(lit(cname).as("column_name"),
+          col("n_nulls"), col("exact_ndv"), col("zero_regs"),
+          Sketches.hllEstimateCol(col("zero_regs"), col("denom"))
+            .as("hll_estimate"))
+      }
+      statsFor("doc_id").unionByName(statsFor("lang"))
+        .unionByName(statsFor("source"))
+        .orderBy("column_name")
+    }),
+
+    // Right-to-be-forgotten propagation over the events stream: an
+    // external deletion list (users who invoked erasure) anti-joins the
+    // fact table, and the census a compliance audit needs — rows
+    // purged / remaining per event type, purged value mass, and an
+    // order-independent tombstone digest of WHICH users were erased —
+    // comes from one semi + one anti pass. The deletion list is
+    // user-count-sized → broadcast; the fact table never shuffles.
+    "events_forget" -> ((spark, dir) => {
+      val ev = graft.xel.XeFixture.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
+      val dels = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(13L)) === 0L)
+      val purged = ev.join(broadcast(dels), Seq("user_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_purged"),
+          countDistinct(col("user_id")).as("n_users_purged"),
+          sum(col("v6")).as("purged_value_fp6"),
+          sum(T.hash60(concat(lit("tomb|"), col("user_id").cast("string")))
+            % 1073741824L).as("tombstone_digest"))
+      val kept = ev.join(broadcast(dels), Seq("user_id"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_before"))
+        .join(kept, Seq("event_type"), "left")
+        .join(purged, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_after", "n_purged", "n_users_purged",
+          "purged_value_fp6", "tombstone_digest"))
+        .orderBy("event_type")
+    }),
+
+    // Filter-ablation matrix — the corpus-card table that says how much
+    // each quality filter (and each combination) would cut: CUBE over
+    // the three keep signals (length floor, language, classifier), so
+    // every marginal and every interaction is one row of the same
+    // single-pass aggregate. Rolled-up cells read 'all' (strings chosen
+    // so no flag value collides), keeping the output NULL-free — the
+    // two engines order NULLs differently, values identically.
+    "corpus_filter_ablation" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val flags = d.select(col("doc_id"), col("n_chars"), col("lang"))
+        .join(classifierScorePerDoc(d), Seq("doc_id"), "left")
+        .select(
+          when(col("n_chars") >= 200, "len_ok").otherwise("len_low")
+            .as("len_f"),
+          when(col("lang") === "en", "lang_en").otherwise("lang_other")
+            .as("lang_f"),
+          when(coalesce(col("score_fp"), lit(0L)) > 0, "clf_keep")
+            .otherwise("clf_drop").as("clf_f"),
+          col("n_chars"))
+      flags.cube(col("len_f"), col("lang_f"), col("clf_f"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("len_f"), lit("all")).as("len_f"),
+          coalesce(col("lang_f"), lit("all")).as("lang_f"),
+          coalesce(col("clf_f"), lit("all")).as("clf_f"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("len_f", "lang_f", "clf_f")
     })
   )
 
@@ -2697,6 +2788,40 @@ object CorpusQueries {
   /** Portable 60-bit hash in DuckDB syntax. */
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** The corpus_table_stats oracle: one HLL register chain per column
+    * (generated from the same column list the Spark side unions), each
+    * the sketch_hll_distinct form minus the group key. */
+  private lazy val tableStatsOracleSql: String = {
+    val (regE, rhoE) = Sketches.hllRegRhoSql("h")
+    def block(cname: String): String =
+      s"""sel_$cname AS (
+         |  SELECT ${h60(s"CAST($cname AS VARCHAR)")} AS h FROM documents
+         |), regs_$cname AS (
+         |  SELECT $regE AS reg, max($rhoE) AS m_rho
+         |  FROM sel_$cname WHERE h IS NOT NULL GROUP BY 1
+         |), agg_$cname AS (
+         |  SELECT CAST(sum(${Sketches.hllDenomTermSql("m_rho")}) AS BIGINT)
+         |           AS denom_present,
+         |         count(*) AS n_present
+         |  FROM regs_$cname
+         |), row_$cname AS (
+         |  SELECT '$cname' AS column_name,
+         |         (SELECT CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) FROM sel_$cname) AS n_nulls,
+         |         (SELECT count(DISTINCT h) FROM sel_$cname) AS exact_ndv,
+         |         CAST(${Sketches.HllM} - n_present AS INTEGER) AS zero_regs,
+         |         ${Sketches.hllEstimateSql(
+               s"CAST(${Sketches.HllM} - n_present AS INTEGER)",
+               s"denom_present + (${Sketches.HllM} - n_present) * ${Sketches.HllEmptyTerm}")}
+         |           AS hll_estimate
+         |  FROM agg_$cname
+         |)""".stripMargin
+    val cols = Seq("doc_id", "lang", "source")
+    "WITH " + cols.map(block).mkString(",\n") + "\n" +
+      cols.map(c => s"SELECT * FROM row_$c").mkString("\nUNION ALL\n") +
+      "\nORDER BY column_name"
+  }
 
   /** The emb_kmeans oracle, every Lloyd iteration UNROLLED (generated
     * from the same kmeansK/kmeansIters knobs the Spark side uses).
@@ -3743,6 +3868,59 @@ object CorpusQueries {
          |         // greatest(max(rows_matching), 1) AS amplification_bps
          |FROM man CROSS JOIN mt
          |GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "corpus_table_stats" -> tableStatsOracleSql,
+
+    "events_forget" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id,
+         |         CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+         |  FROM events
+         |), dels AS (
+         |  SELECT DISTINCT user_id FROM ev WHERE user_id % 13 = 0
+         |), purged AS (
+         |  SELECT event_type, count(*) AS n_purged,
+         |         count(DISTINCT ev.user_id) AS n_users_purged,
+         |         CAST(sum(v6) AS BIGINT) AS purged_value_fp6,
+         |         CAST(sum(${h60("'tomb|' || CAST(ev.user_id AS VARCHAR)")}
+         |           % 1073741824) AS BIGINT) AS tombstone_digest
+         |  FROM ev JOIN dels USING (user_id) GROUP BY 1
+         |), kept AS (
+         |  SELECT event_type, count(*) AS n_after
+         |  FROM ev WHERE user_id NOT IN (SELECT user_id FROM dels)
+         |  GROUP BY 1
+         |)
+         |SELECT b.event_type, b.n_before,
+         |       coalesce(k.n_after, 0) AS n_after,
+         |       coalesce(p.n_purged, 0) AS n_purged,
+         |       coalesce(p.n_users_purged, 0) AS n_users_purged,
+         |       coalesce(p.purged_value_fp6, 0) AS purged_value_fp6,
+         |       coalesce(p.tombstone_digest, 0) AS tombstone_digest
+         |FROM (SELECT event_type, count(*) AS n_before FROM ev GROUP BY 1) b
+         |LEFT JOIN kept k USING (event_type)
+         |LEFT JOIN purged p USING (event_type)
+         |ORDER BY b.event_type""".stripMargin,
+
+    "corpus_filter_ablation" ->
+      s"""$tokCte,
+         |$clfPerDocCte, flags AS (
+         |  SELECT CASE WHEN d.n_chars >= 200 THEN 'len_ok'
+         |              ELSE 'len_low' END AS len_f,
+         |         CASE WHEN d.lang = 'en' THEN 'lang_en'
+         |              ELSE 'lang_other' END AS lang_f,
+         |         CASE WHEN coalesce(p.score_fp, 0) > 0 THEN 'clf_keep'
+         |              ELSE 'clf_drop' END AS clf_f,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN clfper p USING (doc_id)
+         |)
+         |SELECT coalesce(len_f, 'all') AS len_f,
+         |       coalesce(lang_f, 'all') AS lang_f,
+         |       coalesce(clf_f, 'all') AS clf_f,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM flags
+         |GROUP BY CUBE (len_f, lang_f, clf_f)
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // The twin recomputes clusters, canonical-keys the split hash, and
     // re-derives the leakage count from its own assignment — a split
