@@ -516,6 +516,51 @@ object Dedup {
           col("n_exact").cast("double"), 6)).as("recall"))
   }
 
+  /** Banding parameter SWEEP — [[lshEval]] generalized to the tuning
+    * curve: one signature frame and one exact-truth frame (both pinned
+    * once), evaluated against every (bands, rowsPerBand) design point in
+    * `rowsPerBandConfigs`. This is how the b/r knobs actually get
+    * chosen: raising rowsPerBand sharpens the S-curve (higher precision,
+    * lower recall); the sweep shows the whole trade-off from ONE corpus
+    * pass per shared frame plus a bands-explode per config. Sample
+    * discipline matches lshEval (deterministic hash60 mod, mirrored in
+    * the oracle); precision is a lower bound under the production df
+    * cap, as there. */
+  def lshSweep(docs: DataFrame, idCol: String, textCol: String, k: Int,
+               numHashes: Int, rowsPerBandConfigs: Seq[Int],
+               threshold: Double, sampleMod: Long = 1L): DataFrame = {
+    require(rowsPerBandConfigs.nonEmpty, "lshSweep needs at least one config")
+    val sampled =
+      if (sampleMod <= 1L) docs
+      else docs.filter(
+        pmod(hash60(col(idCol).cast("string")), lit(sampleMod)) === 0L)
+    val exact = jaccardPairs(sampled, idCol, textCol, k, threshold)
+      .select(col("d1"), col("d2")).localCheckpoint(false)
+    val sigs = minhashSignatures(sampled, idCol, textCol, k, numHashes)
+      .localCheckpoint(false)
+    rowsPerBandConfigs.map { r =>
+      val bands = lshBands(sigs, numHashes, r)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(cand.join(exact, Seq("d1", "d2"))
+          .agg(count(lit(1)).as("n_true_pos")))
+        .select(lit(r).as("rows_per_band"),
+          lit(numHashes / r).as("n_bands"),
+          col("n_exact"), col("n_candidates"), col("n_true_pos"),
+          when(col("n_candidates") === 0, 0.0).otherwise(
+            round(col("n_true_pos").cast("double") /
+              col("n_candidates").cast("double"), 6)).as("precision"),
+          when(col("n_exact") === 0, 0.0).otherwise(
+            round(col("n_true_pos").cast("double") /
+              col("n_exact").cast("double"), 6)).as("recall"))
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
+  }
+
   /** Benchmark decontamination — the training-corpus step near-dup dedup
     * exists to serve: flag training docs sharing any k-shingle with an
     * eval/benchmark set. Inverted-index semi-join shape: only docs

@@ -233,6 +233,8 @@ object CorpusQueries {
   // precision/recall measurable at any corpus size. Shared with the
   // oracle SQL so both engines sample identical docs.
   val lshEvalSampleMod = 2L
+  // sweep design points: every value must divide numHashes
+  val lshSweepConfigs = Seq(2, 3, 4, 6)
   /** Deterministic synthetic URL per doc (the documents fixture carries
     * no url column): 21 registrable domains × 50 paths + tracking/query
     * noise — shared by the url analytics and the domain-cap curation,
@@ -808,6 +810,17 @@ object CorpusQueries {
     "dedup_lsh_eval" -> ((spark, dir) => {
       Dedup.lshEval(docs(spark, dir), "doc_id", "text",
         shingleK, numHashes, rowsPerBand, jaccardThreshold,
+        lshEvalSampleMod)
+    }),
+
+    // Banding parameter sweep (Dedup.lshSweep): the full (b, r) tuning
+    // curve from ONE shared signature frame and ONE exact-truth frame —
+    // raising rowsPerBand trades recall for precision; this table is
+    // how the production design point (b=4, r=3) gets defended. Same
+    // deterministic doc sample as dedup_lsh_eval.
+    "dedup_lsh_sweep" -> ((spark, dir) => {
+      Dedup.lshSweep(docs(spark, dir), "doc_id", "text",
+        shingleK, numHashes, lshSweepConfigs, jaccardThreshold,
         lshEvalSampleMod)
     }),
 
@@ -3094,12 +3107,15 @@ object CorpusQueries {
   private val mhCols = (0 until numHashes).map(i =>
     s"min(${h60(s"'$i|' || shingle")}) AS mh$i").mkString(",\n         ")
 
-  private val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
-    val key = (0 until rowsPerBand)
-      .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
-      .mkString(" || '_' || ")
-    s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
-  }.mkString("\n  UNION ALL\n  ")
+  private def bandSelectsFor(r: Int): String =
+    (0 until numHashes / r).map { b =>
+      val key = (0 until r)
+        .map(x => s"CAST(mh${b * r + x} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+
+  private val bandSelects = bandSelectsFor(rowsPerBand)
 
   def oracles: Map[String, String] = Map(
 
@@ -3711,6 +3727,57 @@ object CorpusQueries {
          |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
          |       END AS recall
          |FROM m""".stripMargin,
+
+    "dedup_lsh_sweep" -> {
+      val perCfg = lshSweepConfigs.map { r =>
+        s"""bands_$r AS (
+           |  ${bandSelectsFor(r)}
+           |), cand_$r AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands_$r a JOIN bands_$r b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), m_$r AS (
+           |  SELECT $r AS rows_per_band, ${numHashes / r} AS n_bands,
+           |         (SELECT count(*) FROM exact) AS n_exact,
+           |         (SELECT count(*) FROM cand_$r) AS n_candidates,
+           |         (SELECT count(*) FROM cand_$r JOIN exact USING (d1, d2))
+           |           AS n_true_pos
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unions = lshSweepConfigs.map(r => s"SELECT * FROM m_$r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""$shingleCteSampled,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mhCols
+         |  FROM sh GROUP BY doc_id
+         |),
+         |$jaccardTailCapped,
+         |exact AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT common.d1, common.d2,
+         |           round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |    FROM common
+         |    JOIN sizes s1 ON common.d1 = s1.doc_id
+         |    JOIN sizes s2 ON common.d2 = s2.doc_id)
+         |  WHERE jaccard >= $jaccardThreshold
+         |),
+         |$perCfg,
+         |u AS (
+         |  $unions
+         |)
+         |SELECT rows_per_band, n_bands,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+         |       CASE WHEN n_candidates = 0 THEN 0.0
+         |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+         |       END AS precision,
+         |       CASE WHEN n_exact = 0 THEN 0.0
+         |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |       END AS recall
+         |FROM u ORDER BY rows_per_band""".stripMargin
+    },
 
     "dedup_clusters" ->
       s"""$clusterCte

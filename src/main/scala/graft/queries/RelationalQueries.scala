@@ -1447,6 +1447,31 @@ object RelationalQueries {
         .orderBy("ship_year")
     }),
 
+    // TPC-H Q22 shape (scalar aggregate subquery + anti join): customers
+    // with above-average positive balance and no RECENT order (none
+    // since 2000-01-01 — every synthetic customer has SOME order), per
+    // nation — the "dormant prospects" report. The scalar stats
+    // broadcast as a 1-row frame; the above-average compare is
+    // division-free (bal·n > Σbal in DECIMAL); the date filter pushes
+    // into the orders scan and the anti join shuffles only custkeys.
+    "q22_prospects" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
+          count(lit(1)).as("n_bal"))
+      c.crossJoin(broadcast(stats))
+        .filter(dec(col("c_acctbal")) * col("n_bal") > col("sum_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_prospects"),
+          round(sum(dec(col("c_acctbal"))).cast("double"), 2)
+            .as("total_balance"))
+        .orderBy("c_nationkey")
+    }),
+
     // t-closeness census — the third rung of the release-risk ladder
     // (k-anonymity → l-diversity → t-closeness): a QI group is unsafe
     // when its sensitive-value DISTRIBUTION diverges from the corpus-wide
@@ -2492,6 +2517,22 @@ object RelationalQueries {
           |         AS DOUBLE), 2) AS small_revenue
           |FROM lineitem JOIN pa USING (l_partkey)
           |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q22_prospects" ->
+        """WITH s AS (
+          |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+          |         count(*) AS n_bal
+          |  FROM customer WHERE c_acctbal > 0
+          |)
+          |SELECT c_nationkey, count(*) AS n_prospects,
+          |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |         AS total_balance
+          |FROM customer, s
+          |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "privacy_t_closeness" ->
