@@ -2507,6 +2507,27 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Faceted search — the result-page sidebar block: for the documents
+    // matching a query term, per-facet value counts (lang and source
+    // dimensions stacked into one table) plus the match volume. The
+    // token filter prunes to matching docs in the scan stage; the two
+    // facet rollups share that one frame. Facet tables are
+    // attribute-cardinality-sized at any corpus scale.
+    "search_facets" -> ((spark, dir) => {
+      val term = bm25Terms.head
+      val m = docs(spark, dir)
+        .filter(array_contains(T.tokens(col("text")), term))
+        .select(col("lang"), col("source"), col("n_chars"))
+      def facet(dim: String): DataFrame =
+        m.groupBy(col(dim).as("facet_value"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("n_chars")).as("match_chars"))
+          .select(lit(dim).as("facet_dim"), col("facet_value"),
+            col("n_matches"), col("match_chars"))
+      facet("lang").unionByName(facet("source"))
+        .orderBy("facet_dim", "facet_value")
+    }),
+
     // ANALYZE-style column statistics — the numbers a cost-based
     // optimizer (or a corpus datasheet) collects per column: null count,
     // exact NDV, and the mergeable HLL estimate beside it (the form that
@@ -3937,6 +3958,26 @@ object CorpusQueries {
          |GROUP BY layout ORDER BY layout""".stripMargin,
 
     "corpus_table_stats" -> tableStatsOracleSql,
+
+    "search_facets" ->
+      s"""WITH m AS (
+         |  SELECT lang, source, n_chars FROM (
+         |    SELECT lang, source, n_chars,
+         |           CASE WHEN length(trim(text)) = 0
+         |                THEN CAST([] AS VARCHAR[])
+         |                ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |    FROM documents) t
+         |  WHERE list_contains(ws, '${bm25Terms.head}')
+         |)
+         |SELECT 'lang' AS facet_dim, lang AS facet_value,
+         |       count(*) AS n_matches,
+         |       CAST(sum(n_chars) AS BIGINT) AS match_chars
+         |FROM m GROUP BY 2
+         |UNION ALL
+         |SELECT 'source', source, count(*),
+         |       CAST(sum(n_chars) AS BIGINT)
+         |FROM m GROUP BY 2
+         |ORDER BY facet_dim, facet_value""".stripMargin,
 
     "events_forget" ->
       s"""WITH ev AS (

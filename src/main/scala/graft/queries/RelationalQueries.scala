@@ -1447,6 +1447,45 @@ object RelationalQueries {
         .orderBy("ship_year")
     }),
 
+    // TPC-H Q6 shape (pure scan-filter-aggregate, the pushdown litmus):
+    // forecast-revenue delta from a (year, discount band, quantity cap)
+    // slice. Zero joins, zero windows — every predicate must reach the
+    // parquet scan and the whole query is one codegen span over the
+    // surviving rows. Revenue = Σ price·discount in exact DECIMAL.
+    "q6_band_revenue" -> ((spark, dir) => {
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double"), 2).as("revenue_delta"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Dwell-time census — the engagement metric between consecutive
+    // events: per event type of the CURRENT event, exact integer stats
+    // of the gap to the user's next event (gaps ≥ 8 h are session
+    // boundaries, not dwells, and are excluded — same constant as the
+    // sessionizer). One user-keyed window; mean via explicit floor-div.
+    "events_dwell_time" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("dwell_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dwell_us").isNotNull &&
+          col("dwell_us") < lit(28800000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_dwells"),
+          sum(col("dwell_us")).as("total_dwell_us"),
+          max(col("dwell_us")).as("max_dwell_us"))
+        .withColumn("mean_dwell_us",
+          expr("total_dwell_us div n_dwells"))
+        .orderBy("event_type")
+    }),
+
     // TPC-H Q22 shape (scalar aggregate subquery + anti join): customers
     // with above-average positive balance and no RECENT order (none
     // since 2000-01-01 — every synthetic customer has SOME order), per
@@ -2517,6 +2556,33 @@ object RelationalQueries {
           |         AS DOUBLE), 2) AS small_revenue
           |FROM lineitem JOIN pa USING (l_partkey)
           |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q6_band_revenue" ->
+        """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |         AS revenue_delta,
+          |       count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
+
+      "events_dwell_time" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+          |           ORDER BY epoch_us(ts), event_id) - epoch_us(ts)
+          |           AS dwell_us
+          |  FROM events
+          |)
+          |SELECT event_type, count(*) AS n_dwells,
+          |       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+          |       max(dwell_us) AS max_dwell_us,
+          |       CAST(sum(dwell_us) AS BIGINT) // count(*) AS mean_dwell_us
+          |FROM d
+          |WHERE dwell_us IS NOT NULL AND dwell_us < 28800000000
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q22_prospects" ->
