@@ -785,6 +785,34 @@ class PlanSpec extends SparkTestBase {
       "the type x day x hour domain must come from broadcasts")
   }
 
+  test("q6_band_revenue: every predicate reaches the parquet scan; one codegen span") {
+    val df = q("q6_band_revenue")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(explained.contains(p), s"predicate $p must push into the scan")
+    val nodes = executedNodes(df)
+    assert(!nodes.exists(_.toString.contains("Join")),
+      "Q6 is scan-filter-agg — no join belongs in the plan")
+  }
+
+  test("events_forget: deletion list broadcasts for both the semi and anti pass") {
+    val nodes = executedNodes(q("events_forget"))
+    val bcast = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("BroadcastHashJoin") &&
+        (n.toString.contains("LeftSemi") || n.toString.contains("LeftAnti")))
+    assert(bcast.size >= 2,
+      s"semi (purged) and anti (kept) passes must both broadcast the list, got ${bcast.size}")
+  }
+
+  test("corpus_filter_ablation: CUBE rides one aggregation pipeline (expand, no 8-way scan)") {
+    val nodes = executedNodes(q("corpus_filter_ablation"))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("Expand")),
+      "CUBE must plan as Expand + single agg, not separate scans per grouping set")
+  }
+
   test("emb_kmeans: assignment is a joinless codegen projection over the corpus") {
     val nodes = executedNodes(q("emb_kmeans"))
     // centroids ride into the plan as literals — the corpus never joins
