@@ -2432,6 +2432,10 @@ object CorpusQueries {
     // Same joinless codegen-projection plan as emb_kmeans.
     "emb_silhouette" -> ((spark, dir) => {
       val (x, cents) = kmeansTrain(spark, dir)
+      // b needs a second-nearest centroid; with one cluster the kernel's
+      // third slot is Long.MaxValue and the subtraction below would wrap
+      require(cents.length >= 2,
+        s"emb_silhouette needs k >= 2 trained centroids, got ${cents.length}")
       val nc = graft.corpus.VectorExpr.nearestCentroidL(col("xf"), cents)
       x.select(
           element_at(nc, 1).cast("int").as("cid"),

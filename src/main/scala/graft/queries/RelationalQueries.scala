@@ -479,6 +479,8 @@ object RelationalQueries {
     // exact integer millionths (n·10⁶ div row total — a float ratio is
     // the one step the engines could round apart). One session window +
     // one cur-keyed window over the tiny transition table.
+    // Overflow envelope: n_trans·10⁶ < 2⁶³ — exact to ~9·10¹²
+    // transitions per (cur, next) cell.
     "events_markov_next" -> ((spark, dir) => {
       val ev = XeFixture.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -1521,7 +1523,9 @@ object RelationalQueries {
     // 10·tvd_num > 8·N·n_g (⇔ tvd_num/(2·N·n_g) > 0.4) in pure BIGINT
     // algebra — no float division to diverge across engines. Scale: the
     // domain frame is |groups| × |values|, both bounded attribute
-    // cardinalities; the value and total frames broadcast.
+    // cardinalities; the value and total frames broadcast. Overflow
+    // envelope: cnt·N < 2⁶³ — exact to ~3·10⁹ rows; beyond that,
+    // pre-aggregate counts to a coarser grain before the cross-multiply.
     "privacy_t_closeness" -> ((spark, dir) => {
       val base = t(spark, dir, "customer")
         .select(col("c_mktsegment"),
@@ -1575,6 +1579,9 @@ object RelationalQueries {
     // via BIGINT division (float division would be the one step two
     // engines could disagree on). part broadcasts; lineitem never
     // shuffles for the join.
+    // Overflow envelope: promo_fp4·10⁴ < 2⁶³ holds to ~10¹⁴ in 4-dp
+    // units per month-group — beyond that, drop to 2-dp units before
+    // the bps division.
     "q14_promo_share" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")
       val p = t(spark, dir, "part").select(col("p_partkey"),
