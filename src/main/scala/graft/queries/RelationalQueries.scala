@@ -1044,6 +1044,41 @@ object RelationalQueries {
         .orderBy("minute_us", "event_type")
     }),
 
+    // Stream-STATIC join under the ORACLE gate (§2.9): the in-flight
+    // right-to-be-forgotten filter — a static erasure list joined into
+    // the live stream so deleted users' events never reach the sink
+    // (the streaming face of events_forget). Stream-static left-anti
+    // isn't in Spark's supported-join matrix, so the anti is the
+    // canonical left-outer + IS NULL; the static side broadcasts, so
+    // the stream never shuffles for it. Row-emitting (no watermark
+    // finalization needed); census computed from the sink.
+    "stream_forget" -> ((spark, dir) => {
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_sforget_$tag", dir)
+      val inDir = scratch("in"); val outDir = scratch("out")
+      val ckpt = scratch("ckpt")
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.coalesce(1).write.parquet(s"$inDir/b0")
+      val dels = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(13L)) === 0L)
+        .withColumn("_erased", lit(1))
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(ev.schema).parquet(s"$inDir/*")
+          .join(broadcast(dels), Seq("user_id"), "left_outer")
+          .filter(col("_erased").isNull).drop("_erased")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_after"),
+          countDistinct(col("user_id")).as("n_users_after"))
+        .orderBy("event_type")
+    }),
+
     // Built-in SESSION windows under the ORACLE gate (§2.9): Spark's
     // native session_window (gap-merging event-time windows, the
     // state-store-backed sibling of the flatMapGroupsWithState machine
@@ -2428,6 +2463,15 @@ object RelationalQueries {
           |       event_type, count(*) AS n_events
           |FROM events
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // batch truth for the streaming erasure filter
+      "stream_forget" ->
+        """SELECT event_type, count(*) AS n_after,
+          |       count(DISTINCT user_id) AS n_users_after
+          |FROM events
+          |WHERE user_id NOT IN (
+          |  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // batch truth for the native session_window stream: 30-min gap
       // sessions (break at diff >= gap), end = last event + gap
