@@ -2511,6 +2511,45 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Bloom-filter shard manifests — the Iceberg/parquet bloom story
+    // for POINT lookups, where min/max statistics (layout_manifest_prune)
+    // cannot prune at all: each shard publishes a bloomM-bit token
+    // filter built by the mergeable OR-aggregator, and a point probe
+    // scans only the maybe-shards. Output per probe token: shards a
+    // bloom manifest would scan vs the shards that truly contain it —
+    // the false-positive column is the read amplification the m/d
+    // sizing controls. Build is one map-side-combined UDAF pass; probes
+    // are manifest-grain.
+    "layout_bloom_prune" -> ((spark, dir) => {
+      import spark.implicits._
+      val t0 = docs(spark, dir)
+        .withColumn("shard", pmod(T.hash60(
+          concat(lit("shard|"), col("doc_id").cast("string"))), lit(nShards)))
+        .select(col("shard"), explode(T.tokens(col("text"))).as("token"))
+        .distinct()
+      val bitsets = t0
+        .select(col("shard"),
+          Sketches.saltedPositions(col("token"), bloomD, bloomM).as("ps"))
+        .groupBy("shard").agg(Sketches.bloomAgg(bloomM, col("ps")).as("bits"))
+      val probes = sketchProbes.toDF("probe")
+      val pw = probes.select(col("probe"),
+        array_distinct(Sketches.saltedPositions(col("probe"), bloomD, bloomM))
+          .as("pps"))
+      val maybe = bitsets.crossJoin(broadcast(pw))
+        .withColumn("hit", Sketches.bloomMightContain(col("bits"), col("pps")))
+        .groupBy(col("probe"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_shards_maybe"))
+      val actual = t0.join(broadcast(probes), t0("token") === probes("probe"))
+        .groupBy(col("probe")).agg(countDistinct(col("shard")).as("n_shards_actual"))
+      maybe.join(actual, Seq("probe"), "left")
+        .na.fill(0L, Seq("n_shards_actual"))
+        .select(col("probe"), lit(nShards).as("n_shards"),
+          col("n_shards_maybe"), col("n_shards_actual"),
+          (col("n_shards_maybe") - col("n_shards_actual"))
+            .as("n_false_positive_shards"))
+        .orderBy("probe")
+    }),
+
     // Faceted search — the result-page sidebar block: for the documents
     // matching a query term, per-facet value counts (lang and source
     // dimensions stacked into one table) plus the match volume. The
@@ -3962,6 +4001,47 @@ object CorpusQueries {
          |GROUP BY layout ORDER BY layout""".stripMargin,
 
     "corpus_table_stats" -> tableStatsOracleSql,
+
+    "layout_bloom_prune" -> {
+      val probesValues = sketchProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH t0 AS (
+         |  SELECT ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards
+         |           AS shard,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents
+         |), toks AS (
+         |  SELECT DISTINCT shard, unnest(ws) AS token FROM t0
+         |), pos AS (
+         |  SELECT DISTINCT shard,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || token")} % $bloomM AS pos
+         |  FROM toks, range($bloomD) s(i)
+         |), probes(probe) AS (VALUES $probesValues),
+         |pp AS (
+         |  SELECT DISTINCT probe,
+         |         ${h60("CAST(s.i AS VARCHAR) || '|' || probe")} % $bloomM AS pos
+         |  FROM probes, range($bloomD) s(i)
+         |), ppn AS (
+         |  SELECT probe, count(*) AS n_pp FROM pp GROUP BY 1
+         |), hit AS (
+         |  SELECT p.shard, pp.probe, count(*) AS n_hit
+         |  FROM pos p JOIN pp ON p.pos = pp.pos GROUP BY 1, 2
+         |), maybe AS (
+         |  SELECT probe, count(*) AS n_shards_maybe
+         |  FROM hit JOIN ppn USING (probe) WHERE n_hit = n_pp GROUP BY 1
+         |), act AS (
+         |  SELECT probe, count(DISTINCT shard) AS n_shards_actual
+         |  FROM toks JOIN probes ON token = probe GROUP BY 1
+         |)
+         |SELECT probes.probe, CAST($nShards AS BIGINT) AS n_shards,
+         |       coalesce(n_shards_maybe, 0) AS n_shards_maybe,
+         |       coalesce(n_shards_actual, 0) AS n_shards_actual,
+         |       coalesce(n_shards_maybe, 0) - coalesce(n_shards_actual, 0)
+         |         AS n_false_positive_shards
+         |FROM probes
+         |LEFT JOIN maybe USING (probe) LEFT JOIN act USING (probe)
+         |ORDER BY probes.probe""".stripMargin
+    },
 
     "search_facets" ->
       s"""WITH m AS (
