@@ -2511,6 +2511,60 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Referential-integrity audit between the text and embedding tables
+    // — the data-quality gate a multimodal corpus runs before training:
+    // docs with no vector (would silently drop from semantic dedup),
+    // vectors with no doc (stale index entries). Full-outer join on the
+    // shared id, census per source (orphan vectors report under the
+    // sentinel source '_no_doc').
+    "corpus_fk_audit" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("source"))
+      val e = emb(spark, dir).select(col("vec_id"))
+      d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+        .select(
+          coalesce(col("source"), lit("_no_doc")).as("source"),
+          col("doc_id").isNotNull.as("has_doc"),
+          col("vec_id").isNotNull.as("has_vec"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("has_doc") && col("has_vec"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("has_doc") && !col("has_vec"), 1L).otherwise(0L))
+            .as("n_docs_without_vec"),
+          sum(when(!col("has_doc") && col("has_vec"), 1L).otherwise(0L))
+            .as("n_vecs_without_doc"))
+        .orderBy("source")
+    }),
+
+    // Embedding outlier census off the trained k-means — the vector-
+    // cleaning pass that catches mis-embedded rows: a vector is an
+    // outlier when its squared distance to its own centroid exceeds
+    // twice the cluster mean (cross-multiplied: d·n > 2·Σd — no
+    // division, no floats). Two passes over the assignment projection;
+    // the per-cluster sums broadcast back.
+    "emb_outliers" -> ((spark, dir) => {
+      val (x, cents) = kmeansTrain(spark, dir)
+      val nc = graft.corpus.VectorExpr.nearestCentroidL(col("xf"), cents)
+      // the outlier rule runs on the 2^20-scaled distance so the
+      // cross-multiply d·n stays far inside BIGINT at corpus scale
+      // (raw dist·n overflows at ~3e4 vectors)
+      val assigned = x.select(col("vec_id"),
+          element_at(nc, 1).cast("int").as("cid"),
+          element_at(nc, 2).as("dist"))
+        .select(col("vec_id"), col("cid"),
+          expr("dist div 1048576L").as("d_s"))
+      val stats = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d_s")).as("sum_ds"))
+      assigned.join(broadcast(stats), Seq("cid"))
+        .withColumn("is_outlier",
+          col("d_s") * col("n_members") > col("sum_ds") * 2)
+        .groupBy(col("cid"))
+        .agg(max(col("n_members")).as("n_members"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          max(col("d_s")).as("max_dist_scaled"))
+        .orderBy("cid")
+    }),
+
     // Bloom-filter shard manifests — the Iceberg/parquet bloom story
     // for POINT lookups, where min/max statistics (layout_manifest_prune)
     // cannot prune at all: each shard publishes a bloomM-bit token
@@ -2898,6 +2952,28 @@ object CorpusQueries {
     "WITH " + cols.map(block).mkString(",\n") + "\n" +
       cols.map(c => s"SELECT * FROM row_$c").mkString("\nUNION ALL\n") +
       "\nORDER BY column_name"
+  }
+
+  /** The emb_outliers oracle: the kmeans chain through the final
+    * assignment (WITH distances), then the scaled cross-multiplied
+    * outlier rule and per-cluster rollup. */
+  private lazy val embOutliersOracleSql: String = {
+    val f = kmeansIters + 1
+    val prefix = kmeansOracleSql
+    val upToAssign = prefix.substring(0, prefix.indexOf("cks AS ("))
+    s"""${upToAssign}ds AS (
+       |  SELECT vec_id, cid, dist // 1048576 AS d_s FROM a$f
+       |), stats AS (
+       |  SELECT cid, count(*) AS n_members,
+       |         CAST(sum(d_s) AS BIGINT) AS sum_ds
+       |  FROM ds GROUP BY 1
+       |)
+       |SELECT ds.cid, max(n_members) AS n_members,
+       |       CAST(sum(CASE WHEN d_s * n_members > sum_ds * 2
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       max(d_s) AS max_dist_scaled
+       |FROM ds JOIN stats ON ds.cid = stats.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The emb_kmeans oracle, every Lloyd iteration UNROLLED (generated
@@ -3920,6 +3996,25 @@ object CorpusQueries {
     "emb_kmeans" -> kmeansOracleSql,
 
     "emb_silhouette" -> silhouetteOracleSql,
+
+    "emb_outliers" -> embOutliersOracleSql,
+
+    "corpus_fk_audit" ->
+      """WITH f AS (
+        |  SELECT coalesce(d.source, '_no_doc') AS source,
+        |         d.doc_id IS NOT NULL AS has_doc,
+        |         e.vec_id IS NOT NULL AS has_vec
+        |  FROM documents d FULL OUTER JOIN embeddings e
+        |    ON d.doc_id = e.vec_id
+        |)
+        |SELECT source, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN has_doc AND has_vec THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN has_doc AND NOT has_vec THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_docs_without_vec,
+        |       CAST(sum(CASE WHEN NOT has_doc AND has_vec THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_vecs_without_doc
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_tokenizer_fertility" ->
       s"""WITH per AS (

@@ -525,6 +525,37 @@ object RelationalQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // First-touch attribution — the winner-take-all complement of
+    // events_attribution_linear: each conversion credits ONLY its
+    // earliest in-window touch (ties by touch id). Same user-keyed pair
+    // join; the argmin is one conv-keyed row_number window; share in
+    // integer bps against the attributed-conversion total (1-row
+    // broadcast).
+    "events_attribution_first" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type"), unix_micros(col("ts")).as("t_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val lookbackUs = 7L * 24 * 3600 * 1000000L
+      val firsts = touches.join(conv, Seq("user_id"))
+        .filter(col("t_us") < col("c_us") &&
+          col("t_us") >= col("c_us") - lit(lookbackUs))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("conv_id"))
+            .orderBy(col("t_us"), col("touch_id"))))
+        .filter(col("rn") === 1)
+      val total = firsts.agg(count(lit(1)).as("n_attributed"))
+      firsts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first_touches"))
+        .crossJoin(broadcast(total))
+        .withColumn("share_bps",
+          expr("n_first_touches * 10000L div n_attributed"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive forecast error census — the monitoring baseline
     // every anomaly pipeline is judged against: predict each
     // (type, day, hour) cell's event count with the type's hour-of-day
@@ -2546,6 +2577,29 @@ object RelationalQueries {
           |       CAST(sum(v2 * v2) AS BIGINT) AS sumsq_v_fp2,
           |       CAST(sum(v6) AS BIGINT) // count(*) AS mean_v_fp6
           |FROM e GROUP BY 1, 2 ORDER BY event_type, arm""".stripMargin,
+
+      "events_attribution_first" ->
+        """WITH touches AS (
+          |  SELECT user_id, event_id AS touch_id, event_type,
+          |         epoch_us(ts) AS t_us
+          |  FROM events WHERE event_type IN ('view', 'click')
+          |), conv AS (
+          |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+          |  FROM events WHERE event_type = 'purchase'
+          |), firsts AS (
+          |  SELECT event_type, conv_id FROM (
+          |    SELECT t.event_type, c.conv_id,
+          |           row_number() OVER (PARTITION BY c.conv_id
+          |             ORDER BY t.t_us, t.touch_id) AS rn
+          |    FROM touches t JOIN conv c ON t.user_id = c.user_id
+          |    WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000) z
+          |  WHERE rn = 1
+          |), tot AS (SELECT count(*) AS n_attributed FROM firsts)
+          |SELECT event_type, count(*) AS n_first_touches,
+          |       max(n_attributed) AS n_attributed,
+          |       count(*) * 10000 // max(n_attributed) AS share_bps
+          |FROM firsts CROSS JOIN tot
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_forecast_baseline" ->
         """WITH ev AS (
