@@ -473,6 +473,32 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Entry/exit/bounce census per event type — the landing-page report:
+    // which event types open sessions, which close them, and how often
+    // an entry is the WHOLE session (bounce). One session assignment +
+    // one (user, session)-keyed window computing rank and size together;
+    // bounce rate in integer bps.
+    "events_entry_exit" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val s = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+        gapUs = 28800000000L)
+      val sw = Window.partitionBy(col("user_id"), col("session_seq"))
+      val flagged = s
+        .withColumn("rn", row_number().over(
+          sw.orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("n_in_session", count(lit(1)).over(sw))
+      flagged.groupBy(col("event_type"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_entries"),
+          sum(when(col("rn") === col("n_in_session"), 1L).otherwise(0L))
+            .as("n_exits"),
+          sum(when(col("rn") === 1 && col("n_in_session") === 1, 1L)
+            .otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_bps",
+          expr("n_bounces * 10000L div greatest(n_entries, 1L)"))
+        .orderBy("event_type")
+    }),
+
     // First-order Markov transition matrix over session paths — the
     // next-event model a product-analytics pipeline ships (and the raw
     // table events_pagerank's edge weights come from): P(next | cur) in
@@ -2542,6 +2568,28 @@ object RelationalQueries {
           |  AND o_orderdate < TIMESTAMP '1995-04-01'
           |GROUP BY 1, 2, 3
           |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "events_entry_exit" ->
+        s"""WITH $sessionCte,
+           |f AS (
+           |  SELECT event_type,
+           |         row_number() OVER (PARTITION BY user_id, session_seq
+           |           ORDER BY ts_us, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY user_id, session_seq)
+           |           AS n_in_session
+           |  FROM ss
+           |)
+           |SELECT event_type,
+           |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_entries,
+           |       CAST(sum(CASE WHEN rn = n_in_session THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_exits,
+           |       CAST(sum(CASE WHEN rn = 1 AND n_in_session = 1
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           |       sum(CASE WHEN rn = 1 AND n_in_session = 1 THEN 1 ELSE 0 END)
+           |         * 10000 // greatest(
+           |           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 1) AS bounce_bps
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_markov_next" ->
         s"""WITH $sessionCte,
