@@ -2511,6 +2511,41 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Dedup waterfall — the corpus-card headline table: docs and chars
+    // surviving each stage of the real pipeline order (raw → exact →
+    // normalized-exact → near-dup), each stage keeping the min-id
+    // survivor per group over the PREVIOUS stage's survivors (so the
+    // numbers compose; a stage-3 canonical that lost at stage 2 cedes
+    // to the smallest remaining member). Digests only ever GROUP —
+    // Spark uses hash60/native normalize, the oracle md5/regex chain;
+    // both partition identical texts identically (equivalence pinned
+    // by dedup_exact_normalized). Three digest-keyed windows + one
+    // broadcast of the near-dup artifact.
+    "corpus_dedup_funnel" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      val labels = clustersArtifact(spark, dir)
+        .select(col("doc_id"), col("canonical_id"))
+      def keepMinPer(df: DataFrame, key: Column): DataFrame =
+        df.withColumn("_rn", row_number().over(
+            Window.partitionBy(key).orderBy(col("doc_id"))))
+          .filter(col("_rn") === 1).drop("_rn")
+      val s1 = keepMinPer(d, T.hash60(col("text")))
+      val s2 = keepMinPer(s1, T.hash60(T.normalizeText(col("text"))))
+      val s3 = keepMinPer(
+        s2.join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("canon", coalesce(col("canonical_id"), col("doc_id"))),
+        col("canon"))
+      def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("total_chars"))
+      stage(d, 0, "raw")
+        .unionByName(stage(s1, 1, "exact"))
+        .unionByName(stage(s2, 2, "normalized"))
+        .unionByName(stage(s3, 3, "neardup"))
+        .orderBy("stage")
+    }),
+
     // Referential-integrity audit between the text and embedding tables
     // — the data-quality gate a multimodal corpus runs before training:
     // docs with no vector (would silently drop from semantic dedup),
@@ -3998,6 +4033,40 @@ object CorpusQueries {
     "emb_silhouette" -> silhouetteOracleSql,
 
     "emb_outliers" -> embOutliersOracleSql,
+
+    "corpus_dedup_funnel" ->
+      s"""$clusterCte,
+         |s1 AS (
+         |  SELECT doc_id, text, n_chars FROM (
+         |    SELECT doc_id, text, n_chars,
+         |           row_number() OVER (PARTITION BY md5(text)
+         |             ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn = 1
+         |), s2 AS (
+         |  SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars,
+         |           row_number() OVER (PARTITION BY md5(trim(regexp_replace(
+         |             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |             '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+         |    FROM s1) t WHERE rn = 1
+         |), s3 AS (
+         |  SELECT doc_id, n_chars FROM (
+         |    SELECT s2.doc_id, s2.n_chars,
+         |           row_number() OVER (PARTITION BY
+         |             coalesce(c.canonical_id, s2.doc_id)
+         |             ORDER BY s2.doc_id) AS rn
+         |    FROM s2 LEFT JOIN clus c ON s2.doc_id = c.doc_id) t
+         |  WHERE rn = 1
+         |)
+         |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
+         |UNION ALL
+         |SELECT 1, 'exact', count(*), CAST(sum(n_chars) AS BIGINT) FROM s1
+         |UNION ALL
+         |SELECT 2, 'normalized', count(*), CAST(sum(n_chars) AS BIGINT) FROM s2
+         |UNION ALL
+         |SELECT 3, 'neardup', count(*), CAST(sum(n_chars) AS BIGINT) FROM s3
+         |ORDER BY stage""".stripMargin,
 
     "corpus_fk_audit" ->
       """WITH f AS (
