@@ -1580,6 +1580,44 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // TPC-H Q16 shape (distinct-count across a bridge): per brand, how
+    // many DISTINCT suppliers shipped it and through how many parts —
+    // the supplier-diversity report. lineitem bridges part→supplier;
+    // part broadcasts; the distinct agg shuffles (brand, suppkey) pairs
+    // only (map-side partial dedup first).
+    "q16_brand_suppliers" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      val p = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    // Rate-limit audit — the abuse-detection census: each user's PEAK
+    // events-per-minute over the month, flagged above a threshold. One
+    // (user, minute) rollup + one user rollup; census at flag grain so
+    // the output stays constant-size at any user count.
+    "events_rate_limit_audit" -> ((spark, dir) => {
+      val perMin = XeFixture.events(spark, dir)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+            lit(60000000L))).as("minute_us"))
+        .groupBy(col("user_id"), col("minute_us"))
+        .agg(count(lit(1)).as("n_in_minute"))
+      perMin.groupBy(col("user_id"))
+        .agg(max(col("n_in_minute")).as("peak_minute"),
+          count(lit(1)).as("n_active_minutes"))
+        .withColumn("flagged", col("peak_minute") >= 2)
+        .groupBy(col("flagged"))
+        .agg(count(lit(1)).as("n_users"),
+          max(col("peak_minute")).as("max_peak"),
+          sum(col("n_active_minutes")).as("total_active_minutes"))
+        .orderBy("flagged")
+    }),
+
     // TPC-H Q22 shape (scalar aggregate subquery + anti join): customers
     // with above-average positive balance and no RECENT order (none
     // since 2000-01-01 — every synthetic customer has SOME order), per
@@ -2737,6 +2775,30 @@ object RelationalQueries {
           |FROM d
           |WHERE dwell_us IS NOT NULL AND dwell_us < 28800000000
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q16_brand_suppliers" ->
+        """SELECT p_brand,
+          |       count(DISTINCT l_suppkey) AS n_suppliers,
+          |       count(DISTINCT l_partkey) AS n_parts,
+          |       count(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_rate_limit_audit" ->
+        """WITH pm AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) - epoch_us(ts) % 60000000 AS minute_us,
+          |         count(*) AS n_in_minute
+          |  FROM events GROUP BY 1, 2
+          |), pu AS (
+          |  SELECT user_id, max(n_in_minute) AS peak_minute,
+          |         count(*) AS n_active_minutes
+          |  FROM pm GROUP BY 1
+          |)
+          |SELECT peak_minute >= 2 AS flagged, count(*) AS n_users,
+          |       max(peak_minute) AS max_peak,
+          |       CAST(sum(n_active_minutes) AS BIGINT) AS total_active_minutes
+          |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q22_prospects" ->
         """WITH s AS (
