@@ -2511,6 +2511,47 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Scaling-law size series — nested deterministic subsets (1% ⊂ 10%
+    // ⊂ 100% by hash threshold, so every smaller tier is contained in
+    // every larger one BY CONSTRUCTION — the property ablation runs
+    // need and random sampling loses). One projection computes the
+    // tier; the census is one rollup per tier over the same frame.
+    "corpus_size_series" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+        .withColumn("h", pmod(T.hash60(
+          concat(lit("series|"), col("doc_id").cast("string"))), lit(1000L)))
+      def tier(pct: Int): DataFrame =
+        d.filter(col("h") < pct * 10)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .select(lit(pct).as("tier_pct"), col("n_docs"),
+            col("total_chars"), col("n_sources"))
+      tier(1).unionByName(tier(10)).unionByName(tier(100))
+        .orderBy("tier_pct")
+    }),
+
+    // Embedding norm census per label — the sanity gate before any
+    // cosine machinery (an unnormalized slice silently breaks every
+    // dot-product ranking): squared L2 norm in the same 2²⁰ fixed
+    // point as k-means, per-label floor-mean and extremes. Pure
+    // projection + one agg.
+    "emb_norm_census" -> ((spark, dir) => {
+      val xf = transform(col("embedding"),
+        e => round(e.cast("double") * 1048576.0, 0).cast("long"))
+      emb(spark, dir)
+        .select(col("label"),
+          aggregate(xf, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+        .select(col("label"), expr("norm2 div 1048576").as("n2s"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("n2s")).as("min_norm2_scaled"),
+          max(col("n2s")).as("max_norm2_scaled"),
+          sum(col("n2s")).as("sum_norm2_scaled"))
+        .withColumn("mean_norm2_scaled",
+          expr("sum_norm2_scaled div n_vecs"))
+        .orderBy("label")
+    }),
+
     // Dedup waterfall — the corpus-card headline table: docs and chars
     // surviving each stage of the real pipeline order (raw → exact →
     // normalized-exact → near-dup), each stage keeping the min-id
@@ -4033,6 +4074,42 @@ object CorpusQueries {
     "emb_silhouette" -> silhouetteOracleSql,
 
     "emb_outliers" -> embOutliersOracleSql,
+
+    "corpus_size_series" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |         ${h60("'series|' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+         |  FROM documents
+         |)
+         |SELECT 1 AS tier_pct, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       count(DISTINCT source) AS n_sources
+         |FROM d WHERE h < 10
+         |UNION ALL
+         |SELECT 10, count(*), CAST(sum(n_chars) AS BIGINT),
+         |       count(DISTINCT source)
+         |FROM d WHERE h < 100
+         |UNION ALL
+         |SELECT 100, count(*), CAST(sum(n_chars) AS BIGINT),
+         |       count(DISTINCT source)
+         |FROM d WHERE h < 1000
+         |ORDER BY tier_pct""".stripMargin,
+
+    "emb_norm_census" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         CAST(list_aggregate(list_transform(embedding,
+        |           e -> CAST(round(CAST(e AS DOUBLE) * 1048576.0, 0) AS BIGINT)
+        |                * CAST(round(CAST(e AS DOUBLE) * 1048576.0, 0) AS BIGINT)),
+        |           'sum') AS BIGINT) // 1048576 AS n2s
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |       min(n2s) AS min_norm2_scaled,
+        |       max(n2s) AS max_norm2_scaled,
+        |       CAST(sum(n2s) AS BIGINT) AS sum_norm2_scaled,
+        |       CAST(sum(n2s) AS BIGINT) // count(*) AS mean_norm2_scaled
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_dedup_funnel" ->
       s"""$clusterCte,
