@@ -473,6 +473,56 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Time-series gap filling — the resampling operator every metrics
+    // store needs: per (type, hour) value sums on the FULL hourly grid,
+    // with empty hours filled by integer linear interpolation between
+    // the nearest observed neighbors (leading/trailing gaps carry the
+    // nearest observation). All arithmetic is fixed-point BIGINT with
+    // truncating division — identical on both engines. Two
+    // type-partitioned windows (forward and backward nearest-observed)
+    // over the bounded grid; census output stays type-grain.
+    "events_gap_fill" -> ((spark, dir) => {
+      // grid in hour-INDEX units (epoch_us div 3.6e9): interpolating in
+      // raw micros would overflow the (Δv · Δt) product at month spans
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hr"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
+      val observed = ev.groupBy("event_type", "hr")
+        .agg(sum(col("v6")).as("v"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("hr").distinct()))
+      val full = grid.join(observed, Seq("event_type", "hr"), "left")
+      val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bwd = Window.partitionBy(col("event_type"))
+        .orderBy(col("hr").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevV = last(col("v"), ignoreNulls = true).over(fwd)
+      val prevH = last(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(fwd)
+      val nextV = last(col("v"), ignoreNulls = true).over(bwd)
+      val nextH = last(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(bwd)
+      val filled = full
+        .withColumn("pv", prevV).withColumn("ph", prevH)
+        .withColumn("nv", nextV).withColumn("nh", nextH)
+        .withColumn("fv",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + expr(
+              "(nv - pv) * (hr - ph) div (nh - ph)")))
+      filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+          sum(coalesce(col("v"), lit(0L))).as("sum_observed_fp6"),
+          sum(when(col("v").isNull, col("fv")).otherwise(0L))
+            .as("sum_filled_fp6"))
+        .orderBy("event_type")
+    }),
+
     // Entry/exit/bounce census per event type — the landing-page report:
     // which event types open sessions, which close them, and how often
     // an entry is the WHOLE session (bounce). One session assignment +
@@ -2606,6 +2656,55 @@ object RelationalQueries {
           |  AND o_orderdate < TIMESTAMP '1995-04-01'
           |GROUP BY 1, 2, 3
           |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "events_gap_fill" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) // 3600000000 AS hr,
+          |         CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+          |  FROM events
+          |), obs AS (
+          |  SELECT event_type, hr, CAST(sum(v6) AS BIGINT) AS v
+          |  FROM ev GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT t.event_type, h.hr
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT hr FROM ev) h
+          |), f AS (
+          |  SELECT g.event_type, g.hr, o.v,
+          |         last_value(o.v IGNORE NULLS) OVER (
+          |           PARTITION BY g.event_type ORDER BY g.hr
+          |           ROWS UNBOUNDED PRECEDING) AS pv,
+          |         last_value(CASE WHEN o.v IS NOT NULL THEN g.hr END
+          |           IGNORE NULLS) OVER (
+          |           PARTITION BY g.event_type ORDER BY g.hr
+          |           ROWS UNBOUNDED PRECEDING) AS ph,
+          |         last_value(o.v IGNORE NULLS) OVER (
+          |           PARTITION BY g.event_type ORDER BY g.hr DESC
+          |           ROWS UNBOUNDED PRECEDING) AS nv,
+          |         last_value(CASE WHEN o.v IS NOT NULL THEN g.hr END
+          |           IGNORE NULLS) OVER (
+          |           PARTITION BY g.event_type ORDER BY g.hr DESC
+          |           ROWS UNBOUNDED PRECEDING) AS nh
+          |  FROM grid g LEFT JOIN obs o USING (event_type, hr)
+          |), filled AS (
+          |  SELECT event_type, v,
+          |         CASE WHEN v IS NOT NULL THEN v
+          |              WHEN pv IS NULL THEN nv
+          |              WHEN nv IS NULL THEN pv
+          |              ELSE pv + (nv - pv) * (hr - ph) // (nh - ph)
+          |         END AS fv
+          |  FROM f
+          |)
+          |SELECT event_type, count(*) AS n_hours,
+          |       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_observed,
+          |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_filled,
+          |       CAST(sum(coalesce(v, 0)) AS BIGINT) AS sum_observed_fp6,
+          |       CAST(sum(CASE WHEN v IS NULL THEN fv ELSE 0 END) AS BIGINT)
+          |         AS sum_filled_fp6
+          |FROM filled GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_entry_exit" ->
         s"""WITH $sessionCte,
