@@ -2530,6 +2530,29 @@ object CorpusQueries {
         .orderBy("tier_pct")
     }),
 
+    // Heaps-law vocabulary growth over the SAME nested size tiers as
+    // corpus_size_series: token occurrences vs distinct tokens at each
+    // checkpoint — the curve that says whether more data still buys
+    // vocabulary. ONE pass over the token explode: per-tier occurrence
+    // sums and distinct counts as conditional aggregates (nested tiers
+    // make the conditions prefixes of each other), unstacked to rows.
+    "vocab_growth" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+        .withColumn("h", pmod(T.hash60(
+          concat(lit("series|"), col("doc_id").cast("string"))), lit(1000L)))
+        .select(col("h"), explode(T.tokens(col("text"))).as("token"))
+      d.agg(
+          sum(when(col("h") < 10, 1L).otherwise(0L)).as("o1"),
+          countDistinct(when(col("h") < 10, col("token"))).as("d1"),
+          sum(when(col("h") < 100, 1L).otherwise(0L)).as("o10"),
+          countDistinct(when(col("h") < 100, col("token"))).as("d10"),
+          count(lit(1)).as("o100"),
+          countDistinct(col("token")).as("d100"))
+        .selectExpr("stack(3, 1, o1, d1, 10, o10, d10, 100, o100, d100)" +
+          " as (tier_pct, n_occurrences, n_distinct_tokens)")
+        .orderBy("tier_pct")
+    }),
+
     // Embedding norm census per label — the sanity gate before any
     // cosine machinery (an unnormalized slice silently breaks every
     // dot-product ranking): squared L2 norm in the same 2²⁰ fixed
@@ -4093,6 +4116,22 @@ object CorpusQueries {
          |SELECT 100, count(*), CAST(sum(n_chars) AS BIGINT),
          |       count(DISTINCT source)
          |FROM d WHERE h < 1000
+         |ORDER BY tier_pct""".stripMargin,
+
+    "vocab_growth" ->
+      s"""$tokCte,
+         |d AS (
+         |  SELECT ${h60("'series|' || CAST(doc_id AS VARCHAR)")} % 1000 AS h,
+         |         unnest(ws) AS token
+         |  FROM toks
+         |)
+         |SELECT 1 AS tier_pct, count(*) AS n_occurrences,
+         |       count(DISTINCT token) AS n_distinct_tokens
+         |FROM d WHERE h < 10
+         |UNION ALL
+         |SELECT 10, count(*), count(DISTINCT token) FROM d WHERE h < 100
+         |UNION ALL
+         |SELECT 100, count(*), count(DISTINCT token) FROM d
          |ORDER BY tier_pct""".stripMargin,
 
     "emb_norm_census" ->

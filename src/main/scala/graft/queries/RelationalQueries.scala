@@ -1646,6 +1646,32 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // Audience-overlap matrix — exact Jaccard between event-type user
+    // sets (the segmentation planner's input): per canonical type pair,
+    // |A∩B| from a self-join of the deduped (type, user) frame, |A∪B|
+    // by inclusion-exclusion, similarity in integer millionths. The
+    // pair scan is user-keyed (vocab² per user, never corpus²) — the
+    // events_type_lift discipline at user grain.
+    "events_audience_overlap" -> ((spark, dir) => {
+      val tu = XeFixture.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(false)
+      val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("t1"),
+          col("n").as("n1"))), Seq("t1"))
+        .join(broadcast(sizes.select(col("event_type").as("t2"),
+          col("n").as("n2"))), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          expr("n_both * 1000000L div (n1 + n2 - n_both)").as("jaccard_fp6"))
+        .orderBy("t1", "t2")
+    }),
+
     // Rate-limit audit — the abuse-detection census: each user's PEAK
     // events-per-minute over the month, flagged above a threshold. One
     // (user, minute) rollup + one user rollup; census at flag grain so
@@ -2882,6 +2908,24 @@ object RelationalQueries {
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_audience_overlap" ->
+        """WITH tu AS (
+          |  SELECT DISTINCT event_type, user_id FROM events
+          |), sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+          |inter AS (
+          |  SELECT a.event_type AS t1, b.event_type AS t2,
+          |         count(*) AS n_both
+          |  FROM tu a JOIN tu b
+          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2
+          |)
+          |SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_both,
+          |       n_both * 1000000 // (s1.n + s2.n - n_both) AS jaccard_fp6
+          |FROM inter
+          |JOIN sz s1 ON s1.event_type = t1
+          |JOIN sz s2 ON s2.event_type = t2
+          |ORDER BY t1, t2""".stripMargin,
 
       "events_rate_limit_audit" ->
         """WITH pm AS (
