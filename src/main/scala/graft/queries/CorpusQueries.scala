@@ -256,6 +256,9 @@ object CorpusQueries {
   // emb_kmeans knobs (mirrored literally in the unrolled oracle SQL)
   val kmeansK = 8
   val kmeansIters = 2
+
+  // ann_maxsim_topk: sub-vectors per embedding (dim must divide evenly)
+  val maxsimSegs = 4
   /** query docs for search_similar_doc = doc_id % this == 0 */
   val similarQueryStride = 211L
   val similarTopK = 5
@@ -2511,6 +2514,39 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Late-interaction (ColBERT-style) MaxSim retrieval — the
+    // multi-vector scoring family single-vector ANN can't express:
+    // each embedding is treated as 4 sub-vectors of 16 dims, and
+    // score(d) = Σ over query sub-vectors of the MAX dot product
+    // against any doc sub-vector. All dots in 2²⁰ fixed point (exact
+    // BIGINT; per-dot ≤ 7e13). The query's segments ride in as
+    // literals, so scoring is a pure projection over one corpus scan +
+    // TakeOrdered — the same scale shape as brute-force top-k, with
+    // 16 dots per row instead of 1.
+    "ann_maxsim_topk" -> ((spark, dir) => {
+      val e = emb(spark, dir)
+      def fp(c: Column): Column =
+        transform(c, x => round(x.cast("double") * 1048576.0, 0).cast("long"))
+      val qvec: Array[Long] = e.filter(col("vec_id") === 0)
+        .select(fp(col("embedding"))).head().getSeq[Long](0).toArray
+      require(qvec.length % maxsimSegs == 0,
+        s"embedding dim ${qvec.length} not divisible into $maxsimSegs segments")
+      val segLen = qvec.length / maxsimSegs
+      val qsegs: Array[Array[Long]] = qvec.grouped(segLen).toArray
+      val xf = fp(col("embedding"))
+      def dot(seg: Column, q: Array[Long]): Column =
+        aggregate(zip_with(seg, lit(q), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t)
+      val score = qsegs.map { q =>
+        greatest((0 until maxsimSegs).toIndexedSeq
+          .map(s => dot(slice(xf, s * segLen + 1, segLen), q)): _*)
+      }.reduce(_ + _)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), score.as("maxsim_fp"))
+        .orderBy(col("maxsim_fp").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Scaling-law size series — nested deterministic subsets (1% ⊂ 10%
     // ⊂ 100% by hash threshold, so every smaller tier is contained in
     // every larger one BY CONSTRUCTION — the property ablation runs
@@ -4097,6 +4133,33 @@ object CorpusQueries {
     "emb_silhouette" -> silhouetteOracleSql,
 
     "emb_outliers" -> embOutliersOracleSql,
+
+    "ann_maxsim_topk" -> {
+      val sl = 64 / maxsimSegs
+      s"""WITH x AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           e -> CAST(round(CAST(e AS DOUBLE) * 1048576.0, 0) AS BIGINT))
+         |           AS xf
+         |  FROM embeddings
+         |), q AS (SELECT xf AS qf FROM x WHERE vec_id = 0),
+         |d AS (
+         |  SELECT x.vec_id, t.i AS qi,
+         |         max(CAST(list_aggregate(list_transform(range(1, ${sl + 1}),
+         |           k -> xf[s.i * $sl + k] * qf[t.i * $sl + k]), 'sum')
+         |           AS BIGINT)) AS m
+         |  FROM x, q,
+         |       (SELECT unnest(range(0, $maxsimSegs)) AS i) s,
+         |       (SELECT unnest(range(0, $maxsimSegs)) AS i) t
+         |  WHERE x.vec_id <> 0
+         |  GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT vec_id, CAST(sum(m) AS BIGINT) AS maxsim_fp
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT vec_id, maxsim_fp FROM sc
+         |ORDER BY maxsim_fp DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "corpus_size_series" ->
       s"""WITH d AS (
