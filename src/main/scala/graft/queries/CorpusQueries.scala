@@ -2541,7 +2541,7 @@ object CorpusQueries {
         greatest((0 until maxsimSegs).toIndexedSeq
           .map(s => dot(slice(xf, s * segLen + 1, segLen), q)): _*)
       }.reduce(_ + _)
-      e.filter(col("vec_id") =!= 0)
+      Dedup.fanout(e.filter(col("vec_id") =!= 0))
         .select(col("vec_id"), score.as("maxsim_fp"))
         .orderBy(col("maxsim_fp").desc, col("vec_id"))
         .limit(10)
