@@ -2577,13 +2577,21 @@ object CorpusQueries {
         .withColumn("h", pmod(T.hash60(
           concat(lit("series|"), col("doc_id").cast("string"))), lit(1000L)))
         .select(col("h"), explode(T.tokens(col("text"))).as("token"))
-      d.agg(
-          sum(when(col("h") < 10, 1L).otherwise(0L)).as("o1"),
-          countDistinct(when(col("h") < 10, col("token"))).as("d1"),
-          sum(when(col("h") < 100, 1L).otherwise(0L)).as("o10"),
-          countDistinct(when(col("h") < 100, col("token"))).as("d10"),
-          count(lit(1)).as("o100"),
-          countDistinct(col("token")).as("d100"))
+      // nesting makes a token's SMALLEST doc-hash decide every tier it
+      // appears in — so per-tier distinct counts come from one
+      // token-keyed min exchange instead of a 3-way Expand of the full
+      // occurrence stream (15.6 → 8.6 s at the 500k-doc probe); the
+      // occurrence sums are map-side conditional aggregates on the
+      // same scan
+      val occ = d.agg(
+        sum(when(col("h") < 10, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("h") < 100, 1L).otherwise(0L)).as("o10"),
+        count(lit(1)).as("o100"))
+      val dist = d.groupBy(col("token")).agg(min(col("h")).as("mh"))
+        .agg(sum(when(col("mh") < 10, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("mh") < 100, 1L).otherwise(0L)).as("d10"),
+          count(lit(1)).as("d100"))
+      occ.crossJoin(dist)
         .selectExpr("stack(3, 1, o1, d1, 10, o10, d10, 100, o100, d100)" +
           " as (tier_pct, n_occurrences, n_distinct_tokens)")
         .orderBy("tier_pct")
