@@ -1646,6 +1646,56 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // Week-over-week change report — the KPI table every dashboard
+    // leads with: per (type, ISO week) volume and the signed change vs
+    // the previous week in integer basis points (lag window; first
+    // week reports 0). weekofyear/yearofweek are ISO on both engines.
+    "events_wow_change" -> ((spark, dir) => {
+      val wk = XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          (expr("extract(YEAROFWEEK FROM ts)") * 100 +
+            weekofyear(col("ts"))).cast("long").as("iso_week"))
+        .groupBy("event_type", "iso_week")
+        .agg(count(lit(1)).as("n_events"))
+      wk.withColumn("prev",
+          lag(col("n_events"), 1).over(
+            Window.partitionBy(col("event_type")).orderBy(col("iso_week"))))
+        .withColumn("wow_change_bps",
+          when(col("prev").isNull, 0L).otherwise(
+            expr("(n_events - prev) * 10000L div prev")))
+        .select(col("event_type"), col("iso_week"), col("n_events"),
+          coalesce(col("prev"), lit(0L)).as("prev_week_events"),
+          col("wow_change_bps"))
+        .orderBy("event_type", "iso_week")
+    }),
+
+    // Conversion-lag histogram — how long the click→purchase journey
+    // takes: the attribution pair frame bucketed into fixed lag bands
+    // (a CASE ladder, not float log2 — the one step engines could
+    // round apart). Same user-keyed pair join as the attribution
+    // family; histogram output is band-grain.
+    "events_conversion_lag" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("p_us") > col("c_us") &&
+          col("p_us") <= col("c_us") + lit(240L * 60000000L))
+        .withColumn("lag_us", col("p_us") - col("c_us"))
+        .withColumn("lag_band",
+          when(col("lag_us") < 60000000L, "a_under_1m")
+            .when(col("lag_us") < 300000000L, "b_1_5m")
+            .when(col("lag_us") < 900000000L, "c_5_15m")
+            .when(col("lag_us") < 3600000000L, "d_15_60m")
+            .otherwise("e_1_4h"))
+        .groupBy(col("lag_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("lag_band")
+    }),
+
     // Audience-overlap matrix — exact Jaccard between event-type user
     // sets (the segmentation planner's input): per canonical type pair,
     // |A∩B| from a self-join of the deduped (type, user) frame, |A∪B|
@@ -2908,6 +2958,49 @@ object RelationalQueries {
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_wow_change" ->
+        """WITH wk AS (
+          |  SELECT event_type,
+          |         CAST(yearweek(ts) AS BIGINT) AS iso_week,
+          |         count(*) AS n_events
+          |  FROM events GROUP BY 1, 2
+          |), l AS (
+          |  SELECT event_type, iso_week, n_events,
+          |         lag(n_events) OVER (PARTITION BY event_type
+          |           ORDER BY iso_week) AS prev
+          |  FROM wk
+          |)
+          |SELECT event_type, iso_week, n_events,
+          |       coalesce(prev, 0) AS prev_week_events,
+          |       CASE WHEN prev IS NULL THEN 0
+          |            ELSE CAST((n_events - prev) * 10000 // prev AS BIGINT)
+          |       END AS wow_change_bps
+          |FROM l ORDER BY event_type, iso_week""".stripMargin,
+
+      "events_conversion_lag" ->
+        """WITH c AS (
+          |  SELECT user_id, epoch_us(ts) AS c_us FROM events
+          |  WHERE event_type = 'click'
+          |), p AS (
+          |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+          |  WHERE event_type = 'purchase'
+          |), pairs AS (
+          |  SELECT c.user_id, p.p_us - c.c_us AS lag_us
+          |  FROM c JOIN p ON c.user_id = p.user_id
+          |  WHERE p.p_us > c.c_us AND p.p_us <= c.c_us + 14400000000
+          |), banded AS (
+          |  SELECT user_id,
+          |         CASE WHEN lag_us < 60000000 THEN 'a_under_1m'
+          |              WHEN lag_us < 300000000 THEN 'b_1_5m'
+          |              WHEN lag_us < 900000000 THEN 'c_5_15m'
+          |              WHEN lag_us < 3600000000 THEN 'd_15_60m'
+          |              ELSE 'e_1_4h' END AS lag_band
+          |  FROM pairs
+          |)
+          |SELECT lag_band, count(*) AS n_pairs,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_audience_overlap" ->
         """WITH tu AS (
