@@ -2527,8 +2527,11 @@ object CorpusQueries {
       val e = emb(spark, dir)
       def fp(c: Column): Column =
         transform(c, x => round(x.cast("double") * 1048576.0, 0).cast("long"))
-      val qvec: Array[Long] = e.filter(col("vec_id") === 0)
-        .select(fp(col("embedding"))).head().getSeq[Long](0).toArray
+      val qrows = e.filter(col("vec_id") === 0)
+        .select(fp(col("embedding"))).collect()
+      require(qrows.nonEmpty,
+        "ann_maxsim_topk: query vector (vec_id = 0) not found")
+      val qvec: Array[Long] = qrows.head.getSeq[Long](0).toArray
       require(qvec.length % maxsimSegs == 0,
         s"embedding dim ${qvec.length} not divisible into $maxsimSegs segments")
       val segLen = qvec.length / maxsimSegs

@@ -813,6 +813,22 @@ class PlanSpec extends SparkTestBase {
       "CUBE must plan as Expand + single agg, not separate scans per grouping set")
   }
 
+  test("ann_maxsim_topk: joinless projection + TakeOrdered, never a global sort") {
+    val nodes = executedNodes(q("ann_maxsim_topk"))
+    assert(!nodes.exists(_.toString.contains("Join")),
+      "maxsim scoring must be a pure projection (query segments are literals)")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "top-10 must run as per-partition heaps, not a global sort")
+  }
+
+  test("events_gap_fill / events_audience_overlap: no cartesian beyond broadcast domains") {
+    for (name <- Seq("events_gap_fill", "events_audience_overlap")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: grid/pair expansion must broadcast or ride equi-joins")
+    }
+  }
+
   test("emb_kmeans: assignment is a joinless codegen projection over the corpus") {
     val nodes = executedNodes(q("emb_kmeans"))
     // centroids ride into the plan as literals — the corpus never joins
