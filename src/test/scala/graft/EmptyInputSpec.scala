@@ -29,6 +29,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Search.postingsSummary(noDocs, "doc_id", "text", 1L).count() == 0)
   }
 
+  test("lshSweep on an empty corpus yields one all-zero row per config") {
+    val rows = Dedup.lshSweep(noDocs, "doc_id", "text", 3, 12, Seq(3, 4), 0.8)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 0L &&
+        r.getAs[Long]("n_candidates") == 0L &&
+        r.getAs[Long]("n_true_pos") == 0L)
+    }
+  }
+
   test("sessionization of an empty stream is an empty frame") {
     assert(Sessions.stats(noEvents, "user_id", "t", "event_id", 1000L).count() == 0)
   }
