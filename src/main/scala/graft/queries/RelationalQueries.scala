@@ -51,6 +51,25 @@ object RelationalQueries {
         col("is_current"))
   }
 
+  /** The attribution pair frame shared by the linear and first-touch
+    * models: every view/click joined to the same user's purchases
+    * within the 7-day lookback (ONE user-keyed equi-join, the window
+    * residual in-join). One definition, so the two models can never
+    * drift on the touch set they split credit over. */
+  private def attributionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = XeFixture.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    touches.join(conv, Seq("user_id"))
+      .filter(col("t_us") < col("c_us") &&
+        col("t_us") >= col("c_us") - lit(lookbackUs))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy single-pass aggregation; partial (map-side)
     // aggregation makes this shuffle only |groups| rows at scale.
@@ -608,17 +627,7 @@ object RelationalQueries {
     // integer bps against the attributed-conversion total (1-row
     // broadcast).
     "events_attribution_first" -> ((spark, dir) => {
-      val ev = XeFixture.events(spark, dir)
-      val touches = ev.filter(col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("event_id").as("touch_id"),
-          col("event_type"), unix_micros(col("ts")).as("t_us"))
-      val conv = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("conv_id"),
-          unix_micros(col("ts")).as("c_us"))
-      val lookbackUs = 7L * 24 * 3600 * 1000000L
-      val firsts = touches.join(conv, Seq("user_id"))
-        .filter(col("t_us") < col("c_us") &&
-          col("t_us") >= col("c_us") - lit(lookbackUs))
+      val firsts = attributionPairs(spark, dir)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("conv_id"))
             .orderBy(col("t_us"), col("touch_id"))))
@@ -1872,18 +1881,7 @@ object RelationalQueries {
     // both exchanges are keyed by high-cardinality ids and AQE handles
     // hot users.
     "events_attribution_linear" -> ((spark, dir) => {
-      val ev = XeFixture.events(spark, dir)
-      val touches = ev.filter(col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("event_id").as("touch_id"),
-          col("event_type"), unix_micros(col("ts")).as("t_us"))
-      val conv = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("conv_id"),
-          unix_micros(col("ts")).as("c_us"))
-      val lookbackUs = 7L * 24 * 3600 * 1000000L
-      val pairs = touches.join(conv, Seq("user_id"))
-        .filter(col("t_us") < col("c_us") &&
-          col("t_us") >= col("c_us") - lit(lookbackUs))
-      pairs
+      attributionPairs(spark, dir)
         .withColumn("n_touch",
           count(lit(1)).over(Window.partitionBy(col("conv_id"))))
         .withColumn("credit_fp", expr("1000000L div n_touch"))
@@ -1894,6 +1892,22 @@ object RelationalQueries {
         .orderBy("event_type")
     })
   )
+
+  /** Oracle twin of [[attributionPairs]] — one definition for both
+    * attribution oracles (CTE chain ending in `pairs`). */
+  private val attributionPairsCte =
+    """touches AS (
+      |  SELECT user_id, event_id AS touch_id, event_type,
+      |         epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |), conv AS (
+      |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), pairs AS (
+      |  SELECT t.event_type, t.touch_id, t.t_us, c.conv_id
+      |  FROM touches t JOIN conv c ON t.user_id = c.user_id
+      |  WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000
+      |)""".stripMargin
 
   def oracles: Map[String, String] = {
     val cte = XeFixture.sqlCte
@@ -2840,20 +2854,12 @@ object RelationalQueries {
           |FROM e GROUP BY 1, 2 ORDER BY event_type, arm""".stripMargin,
 
       "events_attribution_first" ->
-        """WITH touches AS (
-          |  SELECT user_id, event_id AS touch_id, event_type,
-          |         epoch_us(ts) AS t_us
-          |  FROM events WHERE event_type IN ('view', 'click')
-          |), conv AS (
-          |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
-          |  FROM events WHERE event_type = 'purchase'
-          |), firsts AS (
+        s"""WITH $attributionPairsCte, firsts AS (
           |  SELECT event_type, conv_id FROM (
-          |    SELECT t.event_type, c.conv_id,
-          |           row_number() OVER (PARTITION BY c.conv_id
-          |             ORDER BY t.t_us, t.touch_id) AS rn
-          |    FROM touches t JOIN conv c ON t.user_id = c.user_id
-          |    WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000) z
+          |    SELECT event_type, conv_id,
+          |           row_number() OVER (PARTITION BY conv_id
+          |             ORDER BY t_us, touch_id) AS rn
+          |    FROM pairs) z
           |  WHERE rn = 1
           |), tot AS (SELECT count(*) AS n_attributed FROM firsts)
           |SELECT event_type, count(*) AS n_first_touches,
@@ -3115,18 +3121,7 @@ object RelationalQueries {
           |FROM m ORDER BY ship_month""".stripMargin,
 
       "events_attribution_linear" ->
-        """WITH touches AS (
-          |  SELECT user_id, event_id AS touch_id, event_type,
-          |         epoch_us(ts) AS t_us
-          |  FROM events WHERE event_type IN ('view', 'click')
-          |), conv AS (
-          |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
-          |  FROM events WHERE event_type = 'purchase'
-          |), pairs AS (
-          |  SELECT t.event_type, t.touch_id, c.conv_id
-          |  FROM touches t JOIN conv c ON t.user_id = c.user_id
-          |  WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000
-          |), credited AS (
+        s"""WITH $attributionPairsCte, credited AS (
           |  SELECT event_type, conv_id,
           |         1000000 // count(*) OVER (PARTITION BY conv_id) AS credit_fp
           |  FROM pairs
