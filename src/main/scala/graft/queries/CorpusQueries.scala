@@ -235,6 +235,10 @@ object CorpusQueries {
   val lshEvalSampleMod = 2L
   // sweep design points: every value must divide numHashes
   val lshSweepConfigs = Seq(2, 3, 4, 6)
+  // jaccard-threshold sweep: base must be the minimum (pruning is
+  // lossless at the threshold the pair computation runs at)
+  val sweepBaseThreshold = 0.5
+  val sweepThresholds = Seq(0.5, 0.65, 0.8, 0.9)
   /** Deterministic synthetic URL per doc (the documents fixture carries
     * no url column): 21 registrable domains × 50 paths + tracking/query
     * noise — shared by the url analytics and the domain-cap curation,
@@ -814,6 +818,27 @@ object CorpusQueries {
       Dedup.lshEval(docs(spark, dir), "doc_id", "text",
         shingleK, numHashes, rowsPerBand, jaccardThreshold,
         lshEvalSampleMod)
+    }),
+
+    // Jaccard-threshold sensitivity sweep — the OTHER dedup tuning
+    // curve: pair volume and affected-doc count at each candidate
+    // threshold, from ONE pair computation at the lowest point (the
+    // PPJoin pruning is lossless at its given threshold, so pairs@0.5
+    // is a superset of every higher point). Says how aggressive the
+    // dedup can get before it starts merging distinct docs wholesale.
+    "dedup_threshold_sweep" -> ((spark, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
+          shingleK, sweepBaseThreshold)
+        .localCheckpoint(false)
+      sweepThresholds.map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(
+            p.select(col("d1").as("d")).unionAll(p.select(col("d2").as("d")))
+              .agg(countDistinct(col("d")).as("n_docs_in_pairs")))
+          .select(lit(t).as("threshold"), col("n_pairs"),
+            col("n_docs_in_pairs"))
+      }.reduce(_ unionByName _).orderBy("threshold")
     }),
 
     // Banding parameter sweep (Dedup.lshSweep): the full (b, r) tuning
@@ -4013,6 +4038,29 @@ object CorpusQueries {
          |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
          |       END AS recall
          |FROM m""".stripMargin,
+
+    "dedup_threshold_sweep" -> {
+      val pts = sweepThresholds.map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |       (SELECT count(*) FROM joined WHERE jaccard >= $t) AS n_pairs,
+           |       (SELECT count(DISTINCT d) FROM (
+           |          SELECT d1 AS d FROM joined WHERE jaccard >= $t
+           |          UNION ALL
+           |          SELECT d2 FROM joined WHERE jaccard >= $t) u)
+           |         AS n_docs_in_pairs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$shingleCte,
+         |$jaccardTailCapped,
+         |joined AS (
+         |  SELECT common.d1, common.d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON common.d1 = s1.doc_id
+         |  JOIN sizes s2 ON common.d2 = s2.doc_id
+         |)
+         |$pts
+         |ORDER BY threshold""".stripMargin
+    },
 
     "dedup_lsh_sweep" -> {
       val perCfg = lshSweepConfigs.map { r =>

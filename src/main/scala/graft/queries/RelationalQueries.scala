@@ -1655,6 +1655,29 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // Exact nearest-rank percentiles of the event value per type — the
+    // latency-style p50/p90/p99 report, division-free: the pick index
+    // is ceil(p·n) computed as (n·pct + 99) div 100 in BIGINT, the
+    // value exact fixed point. One type-keyed rank window. (The
+    // log-bucket sketch_quantile_hist is the streaming/mergeable
+    // sibling; this is the exact batch form.)
+    "events_value_percentiles" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
+      val w = Window.partitionBy(col("event_type"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(w.orderBy(col("v6"))))
+        .withColumn("n", count(lit(1)).over(w))
+      def pick(pct: Int): org.apache.spark.sql.Column =
+        max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("v6")))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          pick(50).as("p50_fp6"), pick(90).as("p90_fp6"),
+          pick(99).as("p99_fp6"))
+        .orderBy("event_type")
+    }),
+
     // Week-over-week change report — the KPI table every dashboard
     // leads with: per (type, ISO week) volume and the signed change vs
     // the previous week in integer basis points (lag window; first
@@ -2964,6 +2987,27 @@ object RelationalQueries {
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_value_percentiles" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+          |  FROM events
+          |), r AS (
+          |  SELECT event_type, v6,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY v6)
+          |           AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev
+          |)
+          |SELECT event_type, max(n) AS n_events,
+          |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v6 END)
+          |         AS p50_fp6,
+          |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v6 END)
+          |         AS p90_fp6,
+          |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v6 END)
+          |         AS p99_fp6
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_wow_change" ->
         """WITH wk AS (
