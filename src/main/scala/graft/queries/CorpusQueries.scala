@@ -2682,6 +2682,22 @@ object CorpusQueries {
         .orderBy("stage")
     }),
 
+    // Declarative data-quality battery (operators.Constraints — the
+    // dbt-tests surface): five named checks over documents evaluated in
+    // ONE aggregation pass (uniqueness rides the same aggregate as the
+    // row predicates). The census a pipeline gates its publish step on.
+    "corpus_constraints" -> ((spark, dir) => {
+      import graft.operators.Constraints._
+      audit(docs(spark, dir), Seq(
+        notNull("a_doc_id_not_null", col("doc_id")),
+        UniqueCheck("b_doc_id_unique", "doc_id"),
+        acceptedValues("c_lang_accepted", col("lang"),
+          Seq("en", "de", "fr", "es", "zh")),
+        inRange("d_chars_in_range", col("n_chars"), 1L, 100000L),
+        RowCheck("e_text_nonempty", length(trim(col("text"))) === 0)))
+        .orderBy("check_name")
+    }),
+
     // Referential-integrity audit between the text and embedding tables
     // — the data-quality gate a multimodal corpus runs before training:
     // docs with no vector (would silently drop from semantic dedup),
@@ -4305,6 +4321,31 @@ object CorpusQueries {
          |UNION ALL
          |SELECT 3, 'neardup', count(*), CAST(sum(n_chars) AS BIGINT) FROM s3
          |ORDER BY stage""".stripMargin,
+
+    "corpus_constraints" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS v0,
+        |         count(doc_id) - count(DISTINCT doc_id) AS v1,
+        |         CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN
+        |           ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS v2,
+        |         CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+        |           OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS v4
+        |  FROM documents
+        |), u AS (
+        |  SELECT 'a_doc_id_not_null' AS check_name, n_rows, v0 AS n_violations FROM s
+        |  UNION ALL SELECT 'b_doc_id_unique', n_rows, v1 FROM s
+        |  UNION ALL SELECT 'c_lang_accepted', n_rows, v2 FROM s
+        |  UNION ALL SELECT 'd_chars_in_range', n_rows, v3 FROM s
+        |  UNION ALL SELECT 'e_text_nonempty', n_rows, v4 FROM s
+        |)
+        |SELECT check_name, n_rows, n_violations,
+        |       n_violations = 0 AS passed
+        |FROM u ORDER BY check_name""".stripMargin,
 
     "corpus_fk_audit" ->
       """WITH f AS (
