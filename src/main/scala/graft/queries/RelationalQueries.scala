@@ -1776,6 +1776,31 @@ object RelationalQueries {
         .orderBy("flagged")
     }),
 
+    // TPC-H Q18 shape (HAVING semi-join + top-N): the large-volume
+    // orders report — orders whose total line quantity clears a
+    // threshold, joined back to customer, top 50 by quantity. The
+    // HAVING aggregate keys the same orderkey the join uses (one
+    // exchange serves both at scale); customer broadcasts; top-50 is
+    // TakeOrdered.
+    "q18_big_orders" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("total_qty").cast("double"), 2).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+          col("total_qty"))
+    }),
+
     // TPC-H Q22 shape (scalar aggregate subquery + anti join): customers
     // with above-average positive balance and no RECENT order (none
     // since 2000-01-01 — every synthetic customer has SOME order), per
@@ -3085,6 +3110,21 @@ object RelationalQueries {
           |       max(peak_minute) AS max_peak,
           |       CAST(sum(n_active_minutes) AS BIGINT) AS total_active_minutes
           |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q18_big_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey,
+          |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+          |  FROM lineitem GROUP BY 1
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+          |)
+          |SELECT c_custkey, c_name, o_orderkey,
+          |       epoch_us(o_orderdate) AS order_date_us,
+          |       round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+          |FROM big
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
 
       "q22_prospects" ->
         """WITH s AS (
