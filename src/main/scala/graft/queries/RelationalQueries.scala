@@ -1776,6 +1776,38 @@ object RelationalQueries {
         .orderBy("flagged")
     }),
 
+    // TPC-H Q21 shape (the correlated EXISTS + NOT-EXISTS pair,
+    // rewritten relationally): suppliers who were the SOLE late
+    // supplier on a multi-supplier order. Instead of two correlated
+    // subqueries per row, one (order, supplier) rollup + one order
+    // rollup decide both quantifiers — the standard decorrelation a
+    // production optimizer would have to find, written directly. Late
+    // = shipped > 90 days after order date; supplier broadcasts for
+    // the name; top 20 by blame count.
+    "q21_sole_late_supplier" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sup = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val perOS = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("is_late"), 1L).otherwise(0L)).as("any_late"))
+      val perO = perOS.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supps"), sum(col("any_late")).as("n_late_supps"))
+      perOS.join(perO, Seq("l_orderkey"))
+        .filter(col("any_late") === 1L && col("n_supps") >= 2 &&
+          col("n_late_supps") === 1L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_sole_late_orders"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_sole_late_orders"))
+        .orderBy(col("n_sole_late_orders").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q18 shape (HAVING semi-join + top-N): the large-volume
     // orders report — orders whose total line quantity clears a
     // threshold, joined back to customer, top 50 by quantity. The
@@ -3110,6 +3142,26 @@ object RelationalQueries {
           |       max(peak_minute) AS max_peak,
           |       CAST(sum(n_active_minutes) AS BIGINT) AS total_active_minutes
           |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q21_sole_late_supplier" ->
+        """WITH pos AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |                  THEN 1 ELSE 0 END) AS any_late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2
+          |), po AS (
+          |  SELECT l_orderkey, count(*) AS n_supps,
+          |         CAST(sum(any_late) AS BIGINT) AS n_late_supps
+          |  FROM pos GROUP BY 1
+          |)
+          |SELECT s_name, count(*) AS n_sole_late_orders
+          |FROM pos
+          |JOIN po USING (l_orderkey)
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE any_late = 1 AND n_supps >= 2 AND n_late_supps = 1
+          |GROUP BY 1
+          |ORDER BY n_sole_late_orders DESC, s_name LIMIT 20""".stripMargin,
 
       "q18_big_orders" ->
         """WITH big AS (
