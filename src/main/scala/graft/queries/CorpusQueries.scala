@@ -820,6 +820,36 @@ object CorpusQueries {
         lshEvalSampleMod)
     }),
 
+    // Source-overlap similarity matrix — dataset-lineage detection at
+    // SOURCE grain: shingle-set Jaccard between every source pair
+    // (two crawls of the same sites light up immediately). The heavy
+    // object is the distinct (source, shingle) frame — one exchange;
+    // the pair expansion is per-shingle sources² (≤ |sources|²
+    // constant), so the join output is linear in vocabulary at any
+    // corpus size. Jaccard in integer millionths.
+    "corpus_source_overlap" -> ((spark, dir) => {
+      val ss = Dedup.shinglePostings(docs(spark, dir)
+            .withColumnRenamed("source", "src"),
+          "src", "text", shingleK)
+        .select(col("doc_id").as("src"), col("shingle")).distinct()
+        .localCheckpoint(false)
+      val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      val common = ss.as("a").join(ss.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("s1"), col("b.src").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("src").as("s1"), col("n").as("n1"))),
+          Seq("s1"))
+        .join(broadcast(sizes.select(col("src").as("s2"), col("n").as("n2"))),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_common"),
+          expr("n_common * 1000000L div (n1 + n2 - n_common)")
+            .as("jaccard_fp6"))
+        .orderBy("s1", "s2")
+    }),
+
     // Jaccard-threshold sensitivity sweep — the OTHER dedup tuning
     // curve: pair volume and affected-doc count at each candidate
     // threshold, from ONE pair computation at the lowest point (the
@@ -4054,6 +4084,24 @@ object CorpusQueries {
          |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
          |       END AS recall
          |FROM m""".stripMargin,
+
+    "corpus_source_overlap" ->
+      s"""$shingleCte,
+         |ss AS (
+         |  SELECT DISTINCT d.source AS src, sh.shingle
+         |  FROM sh JOIN documents d USING (doc_id)
+         |), sz AS (SELECT src, count(*) AS n FROM ss GROUP BY 1),
+         |common AS (
+         |  SELECT a.src AS s1, b.src AS s2, count(*) AS n_common
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.src < b.src
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
+         |       n_common * 1000000 // (z1.n + z2.n - n_common) AS jaccard_fp6
+         |FROM common
+         |JOIN sz z1 ON z1.src = s1
+         |JOIN sz z2 ON z2.src = s2
+         |ORDER BY s1, s2""".stripMargin,
 
     "dedup_threshold_sweep" -> {
       val pts = sweepThresholds.map { t =>

@@ -1655,6 +1655,28 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // Day-of-week × hour activity heatmap — the traffic-shape matrix
+    // behind capacity planning: per (type, dow, hour) volumes with the
+    // cell's share of its type in integer bps. Cross-engine dow:
+    // Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday — the
+    // Spark side subtracts 1 so both emit 0..6.
+    "events_heatmap" -> ((spark, dir) => {
+      val cells = XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy("event_type", "dow", "hr")
+        .agg(count(lit(1)).as("n_events"))
+      cells
+        .withColumn("type_total",
+          sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("share_bps",
+          expr("n_events * 10000L div type_total"))
+        .select(col("event_type"), col("dow"), col("hr"), col("n_events"),
+          col("share_bps"))
+        .orderBy("event_type", "dow", "hr")
+    }),
+
     // Exact nearest-rank percentiles of the event value per type — the
     // latency-style p50/p90/p99 report, division-free: the pick index
     // is ceil(p·n) computed as (n·pct + 99) div 100 in BIGINT, the
@@ -3044,6 +3066,20 @@ object RelationalQueries {
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_heatmap" ->
+        """WITH cells AS (
+          |  SELECT event_type,
+          |         CAST(dayofweek(ts) AS BIGINT) AS dow,
+          |         CAST(hour(ts) AS BIGINT) AS hr,
+          |         count(*) AS n_events
+          |  FROM events GROUP BY 1, 2, 3
+          |)
+          |SELECT event_type, dow, hr, n_events,
+          |       CAST(n_events * 10000 //
+          |         CAST(sum(n_events) OVER (PARTITION BY event_type)
+          |           AS BIGINT) AS BIGINT) AS share_bps
+          |FROM cells ORDER BY event_type, dow, hr""".stripMargin,
 
       "events_value_percentiles" ->
         """WITH ev AS (
