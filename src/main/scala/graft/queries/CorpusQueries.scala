@@ -2655,6 +2655,28 @@ object CorpusQueries {
         .orderBy("tier_pct")
     }),
 
+    // Exact-duplicate vectors — the embedding twin of dedup_exact: rows
+    // whose FIXED-POINT component arrays are identical (a re-embedded
+    // batch or an upstream join bug shows up here before any cosine
+    // math runs). Digest = hash60 of the joined fp components; one
+    // digest-keyed agg.
+    "emb_exact_dups" -> ((spark, dir) => {
+      val fp = transform(col("embedding"),
+        e => round(e.cast("double") * 1048576.0, 0).cast("long"))
+      val g = emb(spark, dir)
+        .select(col("vec_id"), col("label"),
+          T.hash60(concat_ws(",",
+            transform(fp, v => v.cast("string")))).as("dig"))
+        .groupBy(col("dig"))
+        .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("canonical"))
+      g.agg(count(lit(1)).as("n_unique_vectors"),
+          sum(when(col("sz") > 1, col("sz") - 1).otherwise(0L))
+            .as("n_shadow_vectors"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          coalesce(max(when(col("sz") > 1, col("sz"))), lit(0L))
+            .as("largest_group"))
+    }),
+
     // Embedding norm census per label — the sanity gate before any
     // cosine machinery (an unnormalized slice silently breaks every
     // dot-product ranking): squared L2 norm in the same 2²⁰ fixed
@@ -4319,6 +4341,22 @@ object CorpusQueries {
          |UNION ALL
          |SELECT 100, count(*), count(DISTINCT token) FROM d
          |ORDER BY tier_pct""".stripMargin,
+
+    "emb_exact_dups" ->
+      s"""WITH g AS (
+         |  SELECT ${h60("array_to_string(list_transform(embedding, e -> CAST(CAST(round(CAST(e AS DOUBLE) * 1048576.0, 0) AS BIGINT) AS VARCHAR)), ',')")}
+         |           AS dig,
+         |         count(*) AS sz
+         |  FROM embeddings GROUP BY 1
+         |)
+         |SELECT count(*) AS n_unique_vectors,
+         |       CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shadow_vectors,
+         |       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_groups,
+         |       coalesce(max(CASE WHEN sz > 1 THEN sz END), 0)
+         |         AS largest_group
+         |FROM g""".stripMargin,
 
     "emb_norm_census" ->
       """WITH n AS (

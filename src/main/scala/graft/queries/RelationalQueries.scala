@@ -1655,6 +1655,28 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // New-vs-returning daily split — the growth-accounting census on
+    // top of daily actives: a user counts as NEW on their first-seen
+    // day, RETURNING on any later active day. One user-keyed min
+    // (first day) joined back to the distinct (user, day) activity
+    // frame; new share in integer bps.
+    "events_new_returning" -> ((spark, dir) => {
+      val ud = XeFixture.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ud.join(first, Seq("user_id"))
+        .withColumn("is_new", col("day") === col("first_day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"))
+        .withColumn("new_share_bps", expr("n_new * 10000L div n_active"))
+        .select(unix_date(col("day")).cast("long").as("day_idx"),
+          col("n_active"), col("n_new"), col("n_returning"),
+          col("new_share_bps"))
+        .orderBy("day_idx")
+    }),
+
     // Day-of-week × hour activity heatmap — the traffic-shape matrix
     // behind capacity planning: per (type, dow, hour) volumes with the
     // cell's share of its type in integer bps. Cross-engine dow:
@@ -3065,6 +3087,24 @@ object RelationalQueries {
           |       count(DISTINCT l_partkey) AS n_parts,
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_new_returning" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          |), f AS (
+          |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+          |)
+          |SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+          |         AS day_idx,
+          |       count(*) AS n_active,
+          |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_new,
+          |       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_returning,
+          |       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000
+          |         // count(*) AS new_share_bps
+          |FROM ud JOIN f USING (user_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_heatmap" ->
