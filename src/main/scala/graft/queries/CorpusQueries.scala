@@ -820,6 +820,32 @@ object CorpusQueries {
         lshEvalSampleMod)
     }),
 
+    // Method-agreement census between the two signature-based near-dup
+    // detectors — the validation table that says whether MinHash-LSH
+    // (set similarity) and SimHash (weighted-bit similarity) are seeing
+    // the same duplicates on THIS corpus, or one family is blind to a
+    // class the other catches. Full-outer join of the two pair sets;
+    // agreement as exact integer millionths of the union.
+    "dedup_method_agreement" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleK, numHashes, rowsPerBand, jaccardThreshold)
+        .select(col("d1"), col("d2")).withColumn("in_mh", lit(1))
+      val sh = Dedup.simhashPairs(d, "doc_id", "text", simhashMaxHamming)
+        .select(col("d1"), col("d2")).withColumn("in_sh", lit(1))
+      mh.join(sh, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_mh").isNull && col("in_sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_simhash_only"),
+          count(lit(1)).as("n_union"))
+        .withColumn("agreement_fp6",
+          expr("n_both * 1000000L div greatest(n_union, 1L)"))
+    }),
+
     // Source-overlap similarity matrix — dataset-lineage detection at
     // SOURCE grain: shingle-set Jaccard between every source pair
     // (two crawls of the same sites light up immediately). The heavy
@@ -4106,6 +4132,62 @@ object CorpusQueries {
          |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
          |       END AS recall
          |FROM m""".stripMargin,
+
+    "dedup_method_agreement" ->
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mhCols
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |$jaccardTailCapped,
+         |mh AS (
+         |  SELECT cand.d1, cand.d2
+         |  FROM cand
+         |  JOIN common ON cand.d1 = common.d1 AND cand.d2 = common.d2
+         |  JOIN sizes s1 ON cand.d1 = s1.doc_id
+         |  JOIN sizes s2 ON cand.d2 = s2.doc_id
+         |  WHERE round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6)
+         |        >= $jaccardThreshold
+         |), tk2 AS (
+         |  SELECT doc_id, ${h60("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+         |), votes2 AS (
+         |  SELECT doc_id,
+         |         ${(0 until simhashBits).map(b =>
+              s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+              .mkString(",\n         ")}
+         |  FROM tk2 GROUP BY doc_id
+         |), ssig AS (
+         |  SELECT doc_id,
+         |         CAST(${(0 until simhashBits).map(b =>
+              s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM votes2
+         |), shp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $simhashMaxHamming
+         |), u AS (
+         |  SELECT coalesce(mh.d1, shp.d1) AS d1, coalesce(mh.d2, shp.d2) AS d2,
+         |         mh.d1 IS NOT NULL AS in_mh, shp.d1 IS NOT NULL AS in_sh
+         |  FROM mh FULL OUTER JOIN shp ON mh.d1 = shp.d1 AND mh.d2 = shp.d2
+         |)
+         |SELECT CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_both,
+         |       CAST(sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_minhash_only,
+         |       CAST(sum(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_simhash_only,
+         |       count(*) AS n_union,
+         |       CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) * 1000000
+         |         // greatest(count(*), 1) AS BIGINT) AS agreement_fp6
+         |FROM u""".stripMargin,
 
     "corpus_source_overlap" ->
       s"""$shingleCte,
