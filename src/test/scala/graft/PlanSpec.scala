@@ -813,6 +813,24 @@ class PlanSpec extends SparkTestBase {
       "CUBE must plan as Expand + single agg, not separate scans per grouping set")
   }
 
+  test("q21_sole_late_supplier: decorrelated rollups — no nested-loop quantifiers") {
+    val nodes = executedNodes(q("q21_sole_late_supplier"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "both quantifiers must come from rollup joins, not correlated loops")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("BroadcastNestedLoop")),
+      "no nested-loop join anywhere in the decorrelated plan")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "top-20 must be per-partition heaps + driver merge")
+  }
+
+  test("corpus_source_overlap / dedup_method_agreement: equi-join pair scans only") {
+    for (name <- Seq("corpus_source_overlap", "dedup_method_agreement")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: pair generation must ride shingle/key equi-joins")
+    }
+  }
+
   test("ann_maxsim_topk: joinless projection + TakeOrdered, never a global sort") {
     val nodes = executedNodes(q("ann_maxsim_topk"))
     assert(!nodes.exists(_.toString.contains("Join")),
