@@ -820,6 +820,30 @@ object CorpusQueries {
         lshEvalSampleMod)
     }),
 
+    // Within- vs cross-source duplication split — WHERE the near-dups
+    // come from: intra-feed pairs mean a feed re-publishes itself,
+    // cross-feed pairs mean two sources mirror each other (different
+    // upstream fixes). Read-side consumer of the pairs artifact; two
+    // broadcast doc→source lookups; share in integer bps.
+    "dedup_within_cross_source" -> ((spark, dir) => {
+      val src = docs(spark, dir).select(col("doc_id"), col("source"))
+      val pairs = Dedup.pairsTable(docs(spark, dir), "doc_id", "text",
+          shingleK, jaccardThreshold, clustersArtifactPath(spark, dir))
+        .select(col("d1"), col("d2"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("d1"),
+          col("source").as("src1"))), Seq("d1"))
+        .join(broadcast(src.select(col("doc_id").as("d2"),
+          col("source").as("src2"))), Seq("d2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("src1") === col("src2"), 1L).otherwise(0L))
+            .as("n_within_source"),
+          sum(when(col("src1") =!= col("src2"), 1L).otherwise(0L))
+            .as("n_cross_source"))
+        .withColumn("within_bps",
+          expr("n_within_source * 10000L div greatest(n_pairs, 1L)"))
+    }),
+
     // Method-agreement census between the two signature-based near-dup
     // detectors — the validation table that says whether MinHash-LSH
     // (set similarity) and SimHash (weighted-bit similarity) are seeing
@@ -4132,6 +4156,23 @@ object CorpusQueries {
          |            ELSE round(CAST(n_true_pos AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
          |       END AS recall
          |FROM m""".stripMargin,
+
+    "dedup_within_cross_source" ->
+      s"""$clusterCte,
+         |ps AS (
+         |  SELECT p.d1, p.d2, a.source AS src1, b.source AS src2
+         |  FROM pairs p
+         |  JOIN documents a ON p.d1 = a.doc_id
+         |  JOIN documents b ON p.d2 = b.doc_id
+         |)
+         |SELECT count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN src1 = src2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_within_source,
+         |       CAST(sum(CASE WHEN src1 <> src2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_cross_source,
+         |       CAST(sum(CASE WHEN src1 = src2 THEN 1 ELSE 0 END) * 10000
+         |         // greatest(count(*), 1) AS BIGINT) AS within_bps
+         |FROM ps""".stripMargin,
 
     "dedup_method_agreement" ->
       s"""$shingleCte,

@@ -1655,6 +1655,33 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // Session-duration distribution — exact nearest-rank p50/p90 over
+    // gap-session lengths (µs) plus the single-event-session count
+    // (duration 0 — the bounce mass dominating any session-length
+    // histogram). Sessions from the shared assign operator; the rank
+    // window runs over the session-grain frame, corpus-size-free.
+    "events_session_percentiles" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val s = graft.operators.Sessions.assign(ev, "user_id", "ts", "event_id",
+        gapUs = 28800000000L)
+      val durs = s.groupBy(col("user_id"), col("session_seq"))
+        .agg((max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
+          count(lit(1)).as("n_ev"))
+      val w = Window.orderBy(col("dur_us"), col("user_id"), col("session_seq"))
+      val ranked = durs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+      ranked.agg(
+          max(col("n")).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_single_event"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+            col("dur_us"))).as("p50_dur_us"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"),
+            col("dur_us"))).as("p90_dur_us"))
+    }),
+
     // New-vs-returning daily split — the growth-accounting census on
     // top of daily actives: a user counts as NEW on their first-seen
     // day, RETURNING on any later active day. One user-keyed min
@@ -3088,6 +3115,29 @@ object RelationalQueries {
           |       count(*) AS n_lines
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_session_percentiles" ->
+        s"""WITH $sessionCte,
+           |durs AS (
+           |  SELECT user_id, session_seq,
+           |         max(ts_us) - min(ts_us) AS dur_us,
+           |         count(*) AS n_ev
+           |  FROM ss GROUP BY 1, 2
+           |), r AS (
+           |  SELECT dur_us, n_ev,
+           |         row_number() OVER (ORDER BY dur_us, user_id, session_seq)
+           |           AS rn,
+           |         count(*) OVER () AS n
+           |  FROM durs
+           |)
+           |SELECT max(n) AS n_sessions,
+           |       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_single_event,
+           |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN dur_us END)
+           |         AS p50_dur_us,
+           |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN dur_us END)
+           |         AS p90_dur_us
+           |FROM r""".stripMargin,
 
       "events_new_returning" ->
         """WITH ud AS (
