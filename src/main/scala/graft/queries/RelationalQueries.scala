@@ -1668,17 +1668,23 @@ object RelationalQueries {
       val durs = s.groupBy(col("user_id"), col("session_seq"))
         .agg((max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
           count(lit(1)).as("n_ev"))
-      val w = Window.orderBy(col("dur_us"), col("user_id"), col("session_seq"))
-      val ranked = durs
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-      ranked.agg(
-          max(col("n")).as("n_sessions"),
-          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_single_event"),
-          max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+      // nearest-rank via the cumulative count over DISTINCT durations:
+      // the one global window runs over the value domain, never the
+      // session count — the scale-honest exact-percentile shape (a
+      // session-grain rank window would serialize the corpus's whole
+      // session population through one partition)
+      val tot = durs.agg(count(lit(1)).as("n"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_single"))
+      val counts = durs.groupBy(col("dur_us")).agg(count(lit(1)).as("c"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("dur_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      cum.agg(max(col("n")).as("n_sessions"),
+          max(col("n_single")).as("n_single_event"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
             col("dur_us"))).as("p50_dur_us"),
-          max(when(col("rn") === expr("(n * 90 + 99) div 100"),
+          min(when(col("cum") >= expr("(n * 90 + 99) div 100"),
             col("dur_us"))).as("p90_dur_us"))
     }),
 
