@@ -1742,13 +1742,21 @@ object RelationalQueries {
       val ev = XeFixture.events(spark, dir)
         .select(col("event_type"),
           expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
-      val w = Window.partitionBy(col("event_type"))
-      val ranked = ev
-        .withColumn("rn", row_number().over(w.orderBy(col("v6"))))
-        .withColumn("n", count(lit(1)).over(w))
+      // cumulative counts over DISTINCT values per type: the rank
+      // window runs at value-domain grain, never event grain — a
+      // per-event row_number would serialize each type's full event
+      // population through one partition at corpus scale
+      val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val counts = ev.groupBy(col("event_type"), col("v6"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("v6"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), Seq("event_type"))
       def pick(pct: Int): org.apache.spark.sql.Column =
-        max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("v6")))
-      ranked.groupBy(col("event_type"))
+        min(when(col("cum") >= expr(s"(n * $pct + 99) div 100"), col("v6")))
+      cum.groupBy(col("event_type"))
         .agg(max(col("n")).as("n_events"),
           pick(50).as("p50_fp6"), pick(90).as("p90_fp6"),
           pick(99).as("p99_fp6"))
