@@ -671,6 +671,64 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // CUSUM changepoint detection over per-type daily volumes (Page
+    // 1954): one-sided upper CUSUM with slack k = mean/2 and alarm
+    // threshold h = 4·mean, computed EXACTLY by scaling everything by
+    // n_days — dev = n·x − S keeps n·(x − mean) integral — and turning
+    // the recursion S_t = max(0, S_{t-1} + dev_t − k) into the
+    // window-expressible identity S_t = cs_t − min(0, min_{j≤t} cs_j)
+    // over the cumulative sum cs. The day grid zero-fills silent days
+    // (a traffic collapse is a changepoint too, and skipping empty
+    // days would let the cumulative sum glide over them). Per-type
+    // windows order by day: parallel partitions, day-grain frames —
+    // the only corpus-scale shuffle is the daily count.
+    // Overflow envelope: |cs| ≤ n·S ≈ 3650 days × per-type events —
+    // BIGINT-safe to ~2.5e15 events per type.
+    "events_cusum" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+        .join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val byDay = byType.orderBy(col("day"))
+      val cu = grid
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("s", sum(col("x")).over(byType))
+        .withColumn("cs", sum(expr("n * x - s - s div 2")).over(byDay))
+        .withColumn("cusum", col("cs") - least(lit(0L), min(col("cs")).over(byDay)))
+      cu.groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_days"),
+          sum(when(col("cusum") > lit(4L) * col("s"), 1L).otherwise(0L))
+            .as("n_alarm_days"),
+          min(when(col("cusum") > lit(4L) * col("s"), col("day")))
+            .as("first_alarm_day"),
+          max(expr("cusum div n")).as("max_cusum"))
+        .orderBy("event_type")
+    }),
+
+    // Engagement stickiness: per day, the distinct actives (DAU), the
+    // trailing-7-day distinct actives (WAU) and DAU·10⁴ div WAU. The
+    // sliding distinct is EXACT via the day-grid join — the distinct
+    // (user, day) frame is the one corpus-scale shuffle; replicating
+    // it ≤7× against the broadcast day list (bounded: one row per
+    // calendar day) is linear, and the final countDistinct shuffles
+    // (day, user) pairs. No sketch, no window-over-users scan.
+    "events_stickiness" -> ((spark, dir) => {
+      val ud = XeFixture.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud.join(broadcast(days),
+          col("d") <= col("day") && col("d") >= date_sub(col("day"), 6))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_bps", expr("dau * 10000L div wau"))
+        .orderBy("day")
+    }),
+
     // Session co-occurrence lift between event-type pairs: observed
     // co-sessions over expected-under-independence — the association
     // census (log-free PMI twin, so it stays cross-engine exact) that
@@ -3066,6 +3124,58 @@ object RelationalQueries {
           |FROM full0 f JOIN seasonal s
           |  ON f.event_type = s.event_type AND f.hr = s.hr
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_cusum" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+          |), daily AS (
+          |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+          |  FROM ev GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT t.event_type, d.day, coalesce(daily.x, 0) AS x
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+          |  LEFT JOIN daily ON daily.event_type = t.event_type
+          |                 AND daily.day = d.day
+          |), st AS (
+          |  SELECT event_type, day, x,
+          |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+          |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+          |  FROM grid
+          |), cs AS (
+          |  SELECT event_type, day, n, s,
+          |         CAST(sum(n * x - s - s // 2) OVER (
+          |           PARTITION BY event_type ORDER BY day) AS BIGINT) AS cs
+          |  FROM st
+          |), cu AS (
+          |  SELECT event_type, day, n, s,
+          |         cs - least(CAST(0 AS BIGINT), CAST(min(cs) OVER (
+          |           PARTITION BY event_type ORDER BY day) AS BIGINT)) AS cusum
+          |  FROM cs
+          |)
+          |SELECT event_type,
+          |       CAST(min(n) AS BIGINT) AS n_days,
+          |       CAST(sum(CASE WHEN cusum > 4 * s THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_alarm_days,
+          |       min(CASE WHEN cusum > 4 * s THEN day END) AS first_alarm_day,
+          |       CAST(max(cusum // n) AS BIGINT) AS max_cusum
+          |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "events_stickiness" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+          |), days AS (SELECT DISTINCT d AS day FROM ud),
+          |dau AS (
+          |  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+          |), wau AS (
+          |  SELECT days.day,
+          |         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+          |  FROM days JOIN ud ON ud.d <= days.day AND ud.d >= days.day - 6
+          |  GROUP BY 1
+          |)
+          |SELECT dau.day, dau.dau, wau.wau,
+          |       dau.dau * 10000 // wau.wau AS stickiness_bps
+          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
       "q19_disjunctive" ->
         """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
