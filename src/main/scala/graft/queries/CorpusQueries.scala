@@ -43,6 +43,20 @@ object CorpusQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score_fp"))
 
+  /** Per-source length median (lower median, (n+1) div 2 nearest-rank) —
+    * the "keep" reference signal shared by `quality_kappa` and
+    * `quality_calibration`. Source-keyed rank windows: parallel
+    * partitions, never a global sort. Returns (source, med). */
+  private def sourceLengthMedian(d: DataFrame): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(bySource))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("source"), col("n_chars").as("med"))
+  }
+
   /** Deterministic output-shard manifest (see `corpus_shards`): hash60
     * sharding + per-shard stats and an order-independent content digest.
     * Shared by the manifest query and the compaction planner. */
@@ -253,6 +267,14 @@ object CorpusQueries {
 
   // per-domain doc cap for corpus_domain_cap (in lockstep with oracle)
   val domainCapN = 10
+
+  // corpus_epochs: training budget = this × total corpus chars
+  val epochsBudgetX = 3
+  // emb_matryoshka_eval: prefix dims evaluated against the full 64
+  val matryoshkaDims = Seq(16, 32)
+  // text_chi2_terms: min per-source doc frequency + terms kept per source
+  val chi2MinDf = 3
+  val chi2TopK = 5
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
@@ -1280,6 +1302,40 @@ object CorpusQueries {
         .orderBy("method")
     }),
 
+    // Matryoshka truncation eval (Kusupati et al. 2022, MRL): recall@k
+    // of brute-force search over the first-p embedding dims against the
+    // full-dim truth — the measurement that licenses storing/searching
+    // truncated vectors (a 4× memory + FLOP cut if recall holds). Same
+    // deterministic machinery as ann_recall_report (stride-sampled
+    // queries, exact-cosine tie-breaks), the candidate corpus is the
+    // SAME scan with a sliced vector column — no second dataset, and at
+    // scale the prefix slice is a pure projection the scan prunes to.
+    "emb_matryoshka_eval" -> ((spark, dir) => {
+      val e = emb(spark, dir)
+      val qPred = col("vec_id") % annQueryStride === 0
+      val pair = (d: DataFrame) => d.select(col("query_id"), col("neighbor_id"))
+      val truthPairs = pair(Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", qPred, annK))
+        .localCheckpoint(false)
+      val truth = truthPairs.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      val reports = matryoshkaDims.map { p =>
+        val trunc = e.select(col("vec_id"),
+          slice(col("embedding"), 1, p).as("embedding"))
+        val approx = pair(Similarity.bruteForceTopK(
+          trunc, "vec_id", "embedding", qPred, annK))
+        truth.crossJoin(
+            approx.join(truthPairs, Seq("query_id", "neighbor_id"))
+              .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits")))
+          .select(lit(s"prefix$p").as("method"), col("n_queries"),
+            col("n_truth"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall_at_k"))
+      }
+      reports.reduce(_ unionByName _).orderBy("method")
+    }),
+
     // Metadata-filtered ANN (Similarity.filteredTopK): top-k restricted
     // to corpus vectors passing a structured predicate (even labels
     // here), applied BEFORE scoring — post-filtering a plain top-k
@@ -1402,6 +1458,55 @@ object CorpusQueries {
       top.withColumn("rank", row_number().over(w))
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // Distinctive terms per source via the χ² test on doc-presence
+    // contingency tables — the keyword/feature-selection census that
+    // tells a curation pipeline WHAT a source is about (and catches a
+    // source whose "distinctive" terms are boilerplate artifacts). One
+    // occurrence-scale shuffle (the distinct doc-presence explode, the
+    // TF-IDF frame's grain); everything after is dictionary-grain.
+    // χ² = N·(O11·O22 − O12·O21)² / (row·col·(N−row)·(N−col)) with
+    // O11·O22 − O12·O21 = O11·N − row·col computed EXACTLY in BIGINT
+    // (envelope: O11·N ≤ N² — safe to ~3e9 docs), then ONE identical
+    // left-associated double expression on both engines (same operand
+    // order → same IEEE rounding → identical 6-dp values). Only
+    // over-represented terms (dlt > 0) with df ≥ chi2MinDf rank;
+    // ubiquitous terms (col = N) are excluded — zero denominator and
+    // zero signal. Top-k per source through the native per-key heaps.
+    "text_chi2_terms" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val pres = Dedup.fanout(d.select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          explode(T.tokens(col("text"))).as("term"))
+        .distinct()
+      val bySrcTerm = pres.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("df_in_source"))
+      val byTerm = pres.groupBy(col("term")).agg(count(lit(1)).as("df_total"))
+      val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("row_n"))
+      val nTot = d.agg(count(lit(1)).as("n_all"))
+      val scored = bySrcTerm.join(byTerm, "term")
+        .join(broadcast(bySrc), "source")
+        .crossJoin(broadcast(nTot))
+        .filter(col("df_in_source") >= chi2MinDf &&
+          col("df_total") < col("n_all") && col("row_n") < col("n_all"))
+        .withColumn("dlt",
+          col("df_in_source") * col("n_all") - col("row_n") * col("df_total"))
+        .filter(col("dlt") > 0)
+        .withColumn("chi2", round(
+          (col("n_all").cast("double") * col("dlt").cast("double") *
+            col("dlt").cast("double")) /
+            (col("row_n").cast("double") * col("df_total").cast("double") *
+              (col("n_all") - col("row_n")).cast("double") *
+              (col("n_all") - col("df_total")).cast("double")), 6))
+      val top = graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq("chi2" -> true, "term" -> false), chi2TopK)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("chi2").desc, col("term"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("source"), col("rank"), col("term"),
+          col("df_in_source"), col("df_total"), col("chi2"))
+        .orderBy("source", "rank")
     }),
 
     // KMV distinct sketch — the deterministic sketch family: synopsis =
@@ -2241,13 +2346,7 @@ object CorpusQueries {
     "quality_kappa" -> ((spark, dir) => {
       val d = docs(spark, dir)
       val clf = classifierScorePerDoc(d)
-      val bySource = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      val med = d.select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rn", row_number().over(bySource))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("source"), col("n_chars").as("med"))
+      val med = sourceLengthMedian(d)
       val sig = d.select(col("doc_id"), col("source"), col("n_chars"))
         .join(clf, Seq("doc_id"), "left")
         .join(broadcast(med), Seq("source"))
@@ -2268,6 +2367,69 @@ object CorpusQueries {
       c.select(col("n11"), col("n10"), col("n01"), col("n00"),
         round(po, 6).as("po"), round(pe, 6).as("pe"),
         round((po - pe) / (lit(1).cast("double") - pe), 6).as("kappa"))
+    }),
+
+    // Classifier calibration (reliability) table — does a higher
+    // classifier score actually mean a higher keep rate? Scores are
+    // bucketed into within-source deciles (ntile over source-keyed
+    // windows: parallel partitions, never a global sort — the
+    // cross-source aggregate then rolls the per-source deciles up),
+    // and each decile reports its keep rate against the same
+    // length-median reference signal quality_kappa scores the
+    // classifier with. A flat or inverted keep_bps curve says the
+    // filter threshold is miscalibrated BEFORE it drops half the
+    // corpus. All-integer output (counts, bps, exact score sums).
+    "quality_calibration" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val scored = d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(classifierScorePerDoc(d), Seq("doc_id"), "left")
+        .withColumn("score_fp", coalesce(col("score_fp"), lit(0L)))
+        .join(broadcast(sourceLengthMedian(d)), Seq("source"))
+        .withColumn("keep", (col("n_chars") >= col("med")).cast("long"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_fp"), col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_keep"),
+          sum(col("score_fp")).as("sum_score_fp"))
+        .withColumn("keep_bps", expr("n_keep * 10000L div n_docs"))
+        .select(col("decile"), col("n_docs"), col("n_keep"),
+          col("keep_bps"), col("sum_score_fp"))
+        .orderBy("decile")
+    }),
+
+    // Epoch/upsampling plan — the data-mixing step that turns "how much
+    // of each source do we HAVE" into "how many times do we REPEAT it"
+    // for a fixed training-token budget (the Muennighoff/datablations
+    // repeat regime). Budget = epochsBudgetX × corpus chars; the
+    // per-source target blends 50% uniform across sources with 50%
+    // proportional-to-size — the standard flattening that up-weights
+    // small high-quality sources without starving the head. The whole
+    // plan is per-source aggregate grain (one shuffle); the uniform/
+    // proportional split and ceil-epochs stay EXACT via DECIMAL(38,0)
+    // cross-multiplies (avail·budget overflows BIGINT at ~10 GB of
+    // chars — the oracle mirrors with HUGEINT), truncating div on both
+    // engines.
+    "corpus_epochs" -> ((spark, dir) => {
+      val bySource = docs(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("avail_chars"))
+      val tot = bySource.agg(sum(col("avail_chars")).as("total_chars"),
+        count(lit(1)).as("n_sources"))
+      bySource.crossJoin(broadcast(tot))
+        .withColumn("half", expr(
+          s"CAST(total_chars AS DECIMAL(38,0)) * $epochsBudgetX div 2"))
+        .withColumn("target_chars", expr(
+          """CAST(half div n_sources AS BIGINT) +
+            |CAST(half * avail_chars div total_chars AS BIGINT)""".stripMargin))
+        .withColumn("n_epochs", expr(
+          "(target_chars + avail_chars - 1L) div avail_chars"))
+        .withColumn("repeat_bps", expr(
+          "CAST(CAST(target_chars AS DECIMAL(38,0)) * 10000 div avail_chars AS BIGINT)"))
+        .select(col("source"), col("n_docs"), col("avail_chars"),
+          col("target_chars"), col("n_epochs"), col("repeat_bps"))
+        .orderBy("source")
     }),
 
     // ORC round-trip — the second columnar at-rest format (Spark ships
@@ -5268,6 +5430,59 @@ object CorpusQueries {
          |FROM truth
          |ORDER BY method""".stripMargin,
 
+    // Full-dim brute truth + one sliced-vector brute leg per prefix,
+    // recall composed exactly as in ann_recall_report.
+    "emb_matryoshka_eval" -> {
+      val prefixCtes = matryoshkaDims.map { p =>
+        s"""pemb$p AS (
+           |  SELECT vec_id, embedding[1:$p] AS embedding FROM embeddings
+           |), pnorms$p AS (
+           |  SELECT vec_id, embedding, $normSql AS nrm FROM pemb$p
+           |), pscored$p AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+           |  FROM (SELECT * FROM pnorms$p WHERE vec_id % $annQueryStride = 0) a
+           |  JOIN pnorms$p b ON a.vec_id <> b.vec_id
+           |), ptop$p AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM pscored$p) WHERE rank <= $annK
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unions = matryoshkaDims.map { p =>
+        s"""SELECT 'prefix$p' AS method, n_queries, n_truth,
+           |       (SELECT CAST(count(*) AS BIGINT)
+           |        FROM ptop$p JOIN btop USING (query_id, neighbor_id)) AS n_hits,
+           |       round(CAST((SELECT count(*) FROM ptop$p
+           |                   JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
+           |             / CAST(n_truth AS DOUBLE), 6) AS recall_at_k
+           |FROM truth""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), bscored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM (SELECT * FROM norms WHERE vec_id % $annQueryStride = 0) a
+         |  JOIN norms b ON a.vec_id <> b.vec_id
+         |), btop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM bscored) WHERE rank <= $annK
+         |),
+         |$prefixCtes,
+         |truth AS (
+         |  SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_truth
+         |  FROM btop
+         |)
+         |$unions
+         |ORDER BY method""".stripMargin
+    },
+
     "ann_topk_filtered" ->
       s"""WITH norms AS (
          |  SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings
@@ -5423,6 +5638,50 @@ object CorpusQueries {
          |)
          |SELECT doc_id, rank, term, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_chi2_terms" ->
+      s"""WITH stoks AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents
+         |), pres AS (
+         |  SELECT DISTINCT doc_id, source, term FROM (
+         |    SELECT doc_id, source, unnest(ws) AS term FROM stoks)
+         |), st AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS df_in_source
+         |  FROM pres GROUP BY 1, 2
+         |), tt AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df_total
+         |  FROM pres GROUP BY 1
+         |), srcn AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS row_n
+         |  FROM documents GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+         |), sc AS (
+         |  SELECT st.source, st.term, st.df_in_source, tt.df_total,
+         |         srcn.row_n, nn.n_all,
+         |         st.df_in_source * nn.n_all - srcn.row_n * tt.df_total AS dlt
+         |  FROM st JOIN tt USING (term) JOIN srcn USING (source) CROSS JOIN nn
+         |  WHERE st.df_in_source >= $chi2MinDf
+         |    AND tt.df_total < nn.n_all AND srcn.row_n < nn.n_all
+         |), scored AS (
+         |  SELECT source, term, df_in_source, df_total,
+         |         round((CAST(n_all AS DOUBLE) * CAST(dlt AS DOUBLE)
+         |                * CAST(dlt AS DOUBLE))
+         |               / (CAST(row_n AS DOUBLE) * CAST(df_total AS DOUBLE)
+         |                  * CAST(n_all - row_n AS DOUBLE)
+         |                  * CAST(n_all - df_total AS DOUBLE)), 6) AS chi2
+         |  FROM sc WHERE dlt > 0
+         |), ranked AS (
+         |  SELECT source, term, df_in_source, df_total, chi2,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY chi2 DESC, term) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT source, rank, term, df_in_source, df_total, chi2
+         |FROM ranked WHERE rank <= $chi2TopK ORDER BY source, rank""".stripMargin,
 
     "mm_resize" ->
       """WITH m AS (
@@ -6217,6 +6476,61 @@ object CorpusQueries {
          |       round((po_raw - pe_raw) / (CAST(1 AS DOUBLE) - pe_raw), 6)
          |         AS kappa
          |FROM stats""".stripMargin,
+
+    "quality_calibration" ->
+      s"""$tokCte,
+         |$clfPerDocCte, med AS (
+         |  SELECT source, n_chars AS med FROM (
+         |    SELECT source, n_chars,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY n_chars, doc_id) AS rn,
+         |           count(*) OVER (PARTITION BY source) AS n
+         |    FROM documents)
+         |  WHERE rn = (n + 1) // 2
+         |), scored AS (
+         |  SELECT d.doc_id, d.source,
+         |         coalesce(p.score_fp, 0) AS score_fp,
+         |         CASE WHEN d.n_chars >= m.med THEN 1 ELSE 0 END AS keep
+         |  FROM documents d
+         |  LEFT JOIN clfper p USING (doc_id)
+         |  JOIN med m USING (source)
+         |), dec AS (
+         |  SELECT CAST(ntile(10) OVER (PARTITION BY source
+         |           ORDER BY score_fp, doc_id) AS BIGINT) AS decile,
+         |         score_fp, keep
+         |  FROM scored
+         |)
+         |SELECT decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(keep) AS BIGINT) AS n_keep,
+         |       CAST(sum(keep) AS BIGINT) * 10000
+         |         // CAST(count(*) AS BIGINT) AS keep_bps,
+         |       CAST(sum(score_fp) AS BIGINT) AS sum_score_fp
+         |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "corpus_epochs" ->
+      s"""WITH bysrc AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS avail_chars
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(avail_chars) AS BIGINT) AS total_chars,
+         |         CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM bysrc
+         |), plan AS (
+         |  SELECT b.source, b.n_docs, b.avail_chars,
+         |         CAST(CAST(t.total_chars AS HUGEINT) * $epochsBudgetX // 2
+         |              // t.n_sources AS BIGINT)
+         |         + CAST(CAST(t.total_chars AS HUGEINT) * $epochsBudgetX // 2
+         |                * b.avail_chars // t.total_chars AS BIGINT)
+         |           AS target_chars
+         |  FROM bysrc b CROSS JOIN tot t
+         |)
+         |SELECT source, n_docs, avail_chars, target_chars,
+         |       (target_chars + avail_chars - 1) // avail_chars AS n_epochs,
+         |       CAST(CAST(target_chars AS HUGEINT) * 10000
+         |            // avail_chars AS BIGINT) AS repeat_bps
+         |FROM plan ORDER BY source""".stripMargin,
 
     "corpus_orc_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

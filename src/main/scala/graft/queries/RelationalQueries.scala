@@ -729,6 +729,54 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // Lag-1..7 autocorrelation of per-type daily volumes — the
+    // seasonality detector behind the forecast baseline (a strong lag-7
+    // ACF says weekly cycle; near-zero everywhere says the seasonal
+    // model is noise). EXACT in integers via the same n-scaling as
+    // events_cusum: y_t = n·x_t − S has Σy = 0 and keeps n·(x − mean)
+    // integral, and the n² factors cancel in the ratio, so
+    // acf_l = Σ y_t·y_{t+l} / Σ y_t² needs no float mean anywhere.
+    // The pair frame is the AGGREGATE-grain day grid self-joined on a
+    // ≤7-day band (each row meets ≤7 others; types × days rows total) —
+    // the only corpus-scale work is the daily count. Zero-variance
+    // series (den = 0) report 0 — both engines would otherwise divide
+    // by zero. Overflow envelope: den ≤ n·(n·X)² for max daily volume
+    // X, and acf_ppm multiplies by 10⁶ — BIGINT-safe to X ≈ 2M
+    // events/day/type on a 30-day window (drop to bps for the tail).
+    "events_autocorr" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+        .join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val g = grid
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("s", sum(col("x")).over(byType))
+        .withColumn("y", col("n") * col("x") - col("s"))
+      val den = g.groupBy(col("event_type"))
+        .agg(sum(col("y") * col("y")).as("den"))
+      val pairs = g.select(col("event_type"), col("day"), col("y")).as("a")
+        .join(g.select(col("event_type").as("bt"), col("day").as("bday"),
+            col("y").as("by")),
+          col("event_type") === col("bt") &&
+            col("bday") > col("day") &&
+            col("bday") <= date_add(col("day"), 7))
+        .select(col("event_type"),
+          datediff(col("bday"), col("day")).cast("long").as("lag"),
+          (col("y") * col("by")).as("yy"))
+      pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("yy")).as("num"))
+        .join(den, Seq("event_type"))
+        .withColumn("acf_ppm",
+          when(col("den") === 0, 0L)
+            .otherwise(expr("1000000L * num div den")))
+        .select(col("event_type"), col("lag"), col("n_terms"), col("acf_ppm"))
+        .orderBy("event_type", "lag")
+    }),
+
     // Session co-occurrence lift between event-type pairs: observed
     // co-sessions over expected-under-independence — the association
     // census (log-free PMI twin, so it stays cross-engine exact) that
@@ -3160,6 +3208,41 @@ object RelationalQueries {
           |       min(CASE WHEN cusum > 4 * s THEN day END) AS first_alarm_day,
           |       CAST(max(cusum // n) AS BIGINT) AS max_cusum
           |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "events_autocorr" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+          |), daily AS (
+          |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+          |  FROM ev GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT t.event_type, d.day, coalesce(daily.x, 0) AS x
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+          |  LEFT JOIN daily ON daily.event_type = t.event_type
+          |                 AND daily.day = d.day
+          |), g AS (
+          |  SELECT event_type, day,
+          |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+          |           - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
+          |  FROM grid
+          |), den AS (
+          |  SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+          |  FROM g GROUP BY 1
+          |), pairs AS (
+          |  SELECT a.event_type, datediff('day', a.day, b.day) AS lag,
+          |         a.y * b.y AS yy
+          |  FROM g a JOIN g b
+          |    ON a.event_type = b.event_type
+          |   AND b.day > a.day AND b.day <= a.day + 7
+          |)
+          |SELECT p.event_type, p.lag,
+          |       CAST(count(*) AS BIGINT) AS n_terms,
+          |       CASE WHEN d.den = 0 THEN 0
+          |            ELSE 1000000 * CAST(sum(yy) AS BIGINT) // d.den END AS acf_ppm
+          |FROM pairs p JOIN den d ON d.event_type = p.event_type
+          |GROUP BY p.event_type, p.lag, d.den
+          |ORDER BY p.event_type, p.lag""".stripMargin,
 
       "events_stickiness" ->
         """WITH ud AS (
