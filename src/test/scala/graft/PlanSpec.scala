@@ -863,4 +863,50 @@ class PlanSpec extends SparkTestBase {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
       "domain expansion must broadcast, not cartesian-shuffle")
   }
+
+  test("text_chi2_terms: count frames broadcast onto the dictionary — no cartesian") {
+    // the presence explode is the only occurrence-scale stage; the source
+    // row counts and the corpus total must ride in as broadcasts, and the
+    // dictionary-grain scoring must never cross-shuffle
+    val nodes = executedNodes(q("text_chi2_terms"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "chi2 contingency assembly must broadcast the bounded count frames")
+  }
+
+  test("events_autocorr / emb_matryoshka_eval: pair scans equi-join or broadcast, never cartesian") {
+    // autocorr's lag pairs ride a type-keyed join over the AGGREGATE-grain
+    // day grid; each matryoshka brute leg broadcasts its strided query side
+    for (name <- Seq("events_autocorr", "emb_matryoshka_eval")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: pair expansion must broadcast or ride equi-joins")
+    }
+  }
+
+  test("quality_calibration: score deciles are source-partitioned — no single-partition funnel") {
+    // ntile over a global window would funnel the corpus through one task;
+    // the per-source windows must leave no SinglePartition node beyond the
+    // keys=[] scalar-aggregate shape
+    val nodes = executedNodes(q("quality_calibration"))
+    val single = nodes.filter(n =>
+      n.toString.linesIterator.next().contains("SinglePartition"))
+    val funnels = single.filterNot { n =>
+      n.nodeName.contains("Exchange") &&
+        n.children.exists(c => c.toString.linesIterator.next().contains("keys=[]"))
+    }
+    assert(funnels.isEmpty,
+      s"found single-partition data funnels: ${funnels.map(_.nodeName)}")
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.forall(!_.toString.linesIterator.next().contains("windowspecdefinition()")),
+      "no window may run with an empty partition spec")
+  }
+
+  test("corpus_epochs: per-source rollup + broadcast total — bounded shuffles, no cartesian") {
+    val nodes = executedNodes(q("corpus_epochs"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "the 1-row total must broadcast onto the per-source plan")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 4,
+      s"epoch plan is aggregate-grain: source agg + scalar total + order, got ${shuffles.size}")
+  }
 }
