@@ -2547,6 +2547,39 @@ object CorpusQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // Triangle / clustering-coefficient census over the MUTUAL-kNN
+    // graph — the manifold-quality diagnostic (a healthy embedding has
+    // high local closure; cc near random means the neighborhoods are
+    // noise). Mutual edges = knn ∩ reverse(knn) (an equi-shuffle
+    // intersect), so undirected degree ≤ k and the id-ordered two-hop
+    // join is O(Σ d²) ≤ n·k² — the degree-ordered orientation that
+    // makes distributed triangle counting scale-safe (each triangle
+    // a<b<c is built and counted exactly once). Wedges = Σ d(d−1)/2
+    // in BIGINT; cc_ppm = 3·10⁶·tri div wedges stays integer-exact.
+    "emb_triangles" -> ((spark, dir) => {
+      val g = Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding",
+          srpPlanesConst, srpPlanesPerTable, knnGraphK)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(false)
+      val und = mutual.filter(col("a") < col("b"))
+      val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val wedgeStats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1L) div 2")).as("n_wedges"))
+      val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+      val closed = und.join(
+          und.select(col("a").as("b"), col("b").as("c")), "b")
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val triCount = closed.agg(count(lit(1)).as("n_triangles"))
+      wedgeStats.crossJoin(broadcast(edgeCount))
+        .crossJoin(broadcast(triCount))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            expr("3L * n_triangles * 1000000L div n_wedges"))
+            .otherwise(0L).as("cc_ppm"))
+    }),
+
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
     // over the first body bytes + the SimHash pigeonhole Hamming join
     // (Dedup.hammingPairs — same segments machinery, radius 2). The
@@ -3595,6 +3628,33 @@ object CorpusQueries {
       s"SELECT vec_id, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
   }
+
+  /** The ranked mutual-kNN WITH-chain (norms → buckets → cand → pairs →
+    * directed → ranked) shared by the knn_graph and emb_triangles
+    * oracles — one definition, so the graph both queries read can never
+    * drift. */
+  private lazy val knnRankedCtes: String =
+    s"""norms AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), buckets AS (
+       |  $bucketSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT v1, v2, round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM cand JOIN norms a ON v1 = a.vec_id JOIN norms b ON v2 = b.vec_id
+       |), directed AS (
+       |  SELECT v1 AS vec_id, v2 AS neighbor_id, cos_sim FROM pairs
+       |  UNION ALL
+       |  SELECT v2, v1, cos_sim FROM pairs
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |  FROM directed
+       |)""".stripMargin
 
   /** One unrolled Lloyd round per iteration for the PQ oracle: assign
     * every (vector, subspace) to its nearest centroid by EXACT integer
@@ -6586,30 +6646,38 @@ object CorpusQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "knn_graph" ->
-      s"""WITH norms AS (
-         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
-         |), buckets AS (
-         |  $bucketSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM buckets a JOIN buckets b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |), pairs AS (
-         |  SELECT v1, v2, round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
-         |  FROM cand JOIN norms a ON v1 = a.vec_id JOIN norms b ON v2 = b.vec_id
-         |), directed AS (
-         |  SELECT v1 AS vec_id, v2 AS neighbor_id, cos_sim FROM pairs
-         |  UNION ALL
-         |  SELECT v2, v1, cos_sim FROM pairs
-         |), ranked AS (
-         |  SELECT vec_id, neighbor_id, cos_sim,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
-         |  FROM directed
-         |)
+      s"""WITH $knnRankedCtes
          |SELECT vec_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cos_sim
          |FROM ranked WHERE rnk <= $knnGraphK
          |ORDER BY vec_id, rank""".stripMargin,
+
+    // mutual-kNN = knn ∩ reverse(knn); triangles via the id-ordered
+    // two-hop join (a<b<c built once); wedges from undirected degrees.
+    "emb_triangles" ->
+      s"""WITH $knnRankedCtes, knn AS (
+         |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
+         |), mut AS (
+         |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
+         |), und AS (
+         |  SELECT a, b FROM mut WHERE a < b
+         |), deg AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM mut GROUP BY a
+         |), wed AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg
+         |), edg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und
+         |), tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         |)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       CASE WHEN n_wedges > 0
+         |            THEN 3 * n_triangles * 1000000 // n_wedges
+         |            ELSE 0 END AS cc_ppm
+         |FROM wed CROSS JOIN edg CROSS JOIN tri""".stripMargin,
 
     // oracle = the unpruned all-pairs Hamming truth (the mm_near_dup
     // discipline): parity verifies the pigeonhole candidate set is

@@ -2024,6 +2024,106 @@ object RelationalQueries {
           col("total_qty"))
     }),
 
+    // TPC-H Q2 shape (correlated scalar-min subquery): for each part in
+    // a size slice, the EUROPE supplier(s) offering the minimum observed
+    // price. The reference formulation is a per-part correlated MIN
+    // subquery; the relational rewrite is the (part, supplier) price
+    // rollup with a part-keyed MIN window over it — the decorrelation a
+    // production optimizer must find, written directly. All dimensions
+    // (part slice, supplier⋈nation⋈region) broadcast; lineitem shuffles
+    // ONCE on the rollup key; the window runs at rollup grain. Ties on
+    // the minimum keep every achieving supplier (exact DECIMAL compare).
+    "q2_cheapest_supplier" -> ((spark, dir) => {
+      val p = t(spark, dir, "part").filter(col("p_size") === 25)
+        .select(col("p_partkey"), col("p_brand"))
+      val sn = t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val ps = t(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"))
+        .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      val w = Window.partitionBy(col("p_partkey"))
+      ps.withColumn("mc", min(col("cost")).over(w))
+        .filter(col("cost") === col("mc"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), round(col("cost").cast("double"), 2).as("min_cost"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // TPC-H Q15 shape (scalar aggregate over an aggregate — the "top
+    // supplier" view): quarterly revenue per supplier, keep the
+    // supplier(s) whose revenue EQUALS the global max. The max is a
+    // 1-row frame broadcast back onto the rollup (never a global sort);
+    // equality is exact DECIMAL, so ties all surface. The date filter
+    // pushes into the lineitem scan.
+    "q15_top_supplier" -> ((spark, dir) => {
+      val rev = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+      val mx = rev.agg(max(col("rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev") === col("max_rev"))
+        .join(broadcast(t(spark, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev").cast("double"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q8 shape (market share, the two-role nation join graph):
+    // within orders from ASIA customers, the yearly revenue share
+    // supplied by NATION_2 suppliers, in exact basis points. Customer
+    // and supplier each resolve to a nation INDEPENDENTLY (the join
+    // graph's defining feature); both dim chains broadcast, so the only
+    // big-big shuffle is lineitem⋈(filtered orders). Share stays exact:
+    // scale-4 DECIMAL revenue → DECIMAL(38,0) cross-multiply → div
+    // (BIGINT would overflow at num·10⁴ beyond ~sf1; the oracle mirrors
+    // with HUGEINT).
+    "q8_market_share" -> ((spark, dir) => {
+      val n = t(spark, dir, "nation")
+      val asiaCust = t(spark, dir, "customer")
+        .join(broadcast(n.filter(col("n_regionkey") === 2)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val o = t(spark, dir, "orders")
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val supp = t(spark, dir, "supplier")
+        .select(col("s_suppkey"), (col("s_nationkey") === 2).as("is_target"))
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("vol"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("vol")).as("total_rev"),
+          sum(when(col("is_target"), col("vol")).otherwise(lit(0).cast(DecimalType(18, 2))))
+            .as("target_rev"))
+        .withColumn("share_bps", expr(
+          """CAST(CAST(target_rev * 10000 AS DECIMAL(38,0)) * 10000
+            |     div CAST(total_rev * 10000 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+        .select(col("o_year"), col("n_lines"),
+          round(col("total_rev").cast("double"), 2).as("total_rev"),
+          round(col("target_rev").cast("double"), 2).as("target_rev"),
+          col("share_bps"))
+        .orderBy("o_year")
+    }),
+
     // TPC-H Q22 shape (scalar aggregate subquery + anti join): customers
     // with above-average positive balance and no RECENT order (none
     // since 2000-01-01 — every synthetic customer has SOME order), per
@@ -3510,6 +3610,73 @@ object RelationalQueries {
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+      "q2_cheapest_supplier" ->
+        """WITH sn AS (
+          |  SELECT s_suppkey, s_name, n_name
+          |  FROM supplier
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'
+          |), ps AS (
+          |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+          |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey AND p_size = 25
+          |  JOIN sn ON l_suppkey = s_suppkey
+          |  GROUP BY 1, 2, 3, 4, 5
+          |), m AS (
+          |  SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS mc FROM ps
+          |)
+          |SELECT p_partkey, p_brand, s_name, n_name,
+          |       round(CAST(cost AS DOUBLE), 2) AS min_cost
+          |FROM m WHERE cost = mc
+          |ORDER BY p_partkey, s_name""".stripMargin,
+
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY 1
+          |), mx AS (SELECT max(rev) AS max_rev FROM rev)
+          |SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 2) AS total_revenue
+          |FROM rev CROSS JOIN mx
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE rev = max_rev
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q8_market_share" ->
+        """WITH asia_orders AS (
+          |  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = 2
+          |), vols AS (
+          |  SELECT o_year,
+          |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+          |         (s_nationkey = 2) AS is_target
+          |  FROM lineitem
+          |  JOIN asia_orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |), agg AS (
+          |  SELECT o_year, CAST(count(*) AS BIGINT) AS n_lines,
+          |         sum(vol) AS total_rev,
+          |         sum(CASE WHEN is_target THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END)
+          |           AS target_rev
+          |  FROM vols GROUP BY 1
+          |)
+          |SELECT o_year, n_lines,
+          |       round(CAST(total_rev AS DOUBLE), 2) AS total_rev,
+          |       round(CAST(target_rev AS DOUBLE), 2) AS target_rev,
+          |       CAST(CAST(target_rev * 10000 AS HUGEINT) * 10000
+          |            // CAST(total_rev * 10000 AS HUGEINT) AS BIGINT) AS share_bps
+          |FROM agg ORDER BY o_year""".stripMargin,
 
       "q22_prospects" ->
         """WITH s AS (

@@ -901,6 +901,25 @@ class PlanSpec extends SparkTestBase {
       "no window may run with an empty partition spec")
   }
 
+  test("q2/q15/q8: dimension chains broadcast — at most the one big-big shuffle join") {
+    // q2: part slice + supplier⋈nation⋈region all broadcast, lineitem
+    // shuffles only for its rollup; q15: the scalar max rides back as a
+    // 1-row broadcast; q8: the only shuffle join is lineitem⋈orders
+    for (name <- Seq("q2_cheapest_supplier", "q15_top_supplier", "q8_market_share")) {
+      val nodes = executedNodes(q(name))
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size <= 1, s"$name has ${smj.size} sort-merge joins, expected <=1")
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: scalar frames must broadcast, never cartesian-shuffle")
+    }
+  }
+
+  test("emb_triangles: closure check rides id-ordered equi-joins, never all-pairs") {
+    val nodes = executedNodes(q("emb_triangles"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "triangle two-hop + closure must be equi-joins on node ids")
+  }
+
   test("corpus_epochs: per-source rollup + broadcast total — bounded shuffles, no cartesian") {
     val nodes = executedNodes(q("corpus_epochs"))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
