@@ -37,6 +37,19 @@ object CorpusQueries {
     * formula updated in one copy would make kappa silently measure
     * agreement with a stale signal). Returns (doc_id, n_toks,
     * score_fp); docs with zero tokens are absent (callers left-join). */
+  /** Mutual-kNN edge set (directed, both orientations present for every
+    * undirected edge): knn ∩ reverse(knn) — an equi-shuffle intersect, so
+    * degree ≤ k by construction. Shared by `emb_triangles` and
+    * `emb_communities`; checkpointed because both consumers walk it more
+    * than once. */
+  private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding",
+        srpPlanesConst, srpPlanesPerTable, knnGraphK)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+  }
+
   private def classifierScorePerDoc(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       .withColumn("w", T.hash60(concat(lit("clf|"), col("tok"))) % 2001L - 1000L)
@@ -275,6 +288,8 @@ object CorpusQueries {
   // text_chi2_terms: min per-source doc frequency + terms kept per source
   val chi2MinDf = 3
   val chi2TopK = 5
+  // emb_communities: synchronous label-propagation iterations
+  val lpaIters = 3
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
@@ -1509,6 +1524,35 @@ object CorpusQueries {
         .orderBy("source", "rank")
     }),
 
+    // Zipf rank-frequency census by FREQUENCY decade — the sanity check
+    // that the token distribution has the power-law head/tail a natural
+    // corpus must show (a flat total_occ per decade ≈ Zipf s≈1; a
+    // missing tail says the corpus is templated/duplicated). Banding by
+    // decimal digit count of the frequency keeps everything in exact
+    // integers (digits = length of the decimal string — no float log),
+    // and rank ranges come from a cumulative sum over the ≤19-row
+    // decade domain, so after the one occurrence-scale token rollup the
+    // whole query is decade-grain: no global token sort, no per-token
+    // rank window anywhere.
+    "text_zipf_bands" -> ((spark, dir) => {
+      val freq = Dedup.fanout(docs(spark, dir).select(col("text")))
+        .select(explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val bands = freq
+        .groupBy(length(col("freq").cast("string")).cast("long").as("digits"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("total_occ"),
+          min(col("freq")).as("min_freq"), max(col("freq")).as("max_freq"))
+      // decade-domain window (≤19 rows) — grain bounded by BIGINT digits
+      val w = Window.orderBy(col("digits").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bands
+        .withColumn("min_rank", coalesce(sum(col("n_tokens")).over(w), lit(0L)) + 1)
+        .withColumn("max_rank", col("min_rank") + col("n_tokens") - 1)
+        .select(col("digits"), col("n_tokens"), col("total_occ"),
+          col("min_freq"), col("max_freq"), col("min_rank"), col("max_rank"))
+        .orderBy("digits")
+    }),
+
     // KMV distinct sketch — the deterministic sketch family: synopsis =
     // k smallest portable hashes, so the ESTIMATE itself sits under the
     // DuckDB oracle gate (HLL never could). Exact count alongside shows
@@ -2557,11 +2601,7 @@ object CorpusQueries {
     // a<b<c is built and counted exactly once). Wedges = Σ d(d−1)/2
     // in BIGINT; cc_ppm = 3·10⁶·tri div wedges stays integer-exact.
     "emb_triangles" -> ((spark, dir) => {
-      val g = Similarity.knnGraph(emb(spark, dir), "vec_id", "embedding",
-          srpPlanesConst, srpPlanesPerTable, knnGraphK)
-        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
-      val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(false)
+      val mutual = mutualKnnEdges(spark, dir)
       val und = mutual.filter(col("a") < col("b"))
       val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
       val wedgeStats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -2578,6 +2618,40 @@ object CorpusQueries {
           when(col("n_wedges") > 0,
             expr("3L * n_triangles * 1000000L div n_wedges"))
             .otherwise(0L).as("cc_ppm"))
+    }),
+
+    // Community structure via synchronous label propagation over the
+    // mutual-kNN graph (Raghavan et al. 2007) — the third distributed
+    // graph pattern after connected components (dupClusters) and
+    // PageRank: LPA finds DENSE regions, not just connected ones, so it
+    // says whether the embedding space has topical cluster structure.
+    // Each of the fixed lpaIters rounds is one neighbor-label join +
+    // two bounded aggs (new label = most-frequent neighbor label, ties
+    // to the smallest — the max-then-min two-step keeps both engines
+    // deterministic without struct-ordering tricks); per-round work is
+    // O(edges) with degree ≤ k by the mutual filter. Output is the
+    // community-SIZE histogram — stable under any label renaming.
+    "emb_communities" -> ((spark, dir) => {
+      val mutual = mutualKnnEdges(spark, dir)
+      val nodes = emb(spark, dir).select(col("vec_id").as("id"))
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to lpaIters) {
+        val nb = mutual.join(labels, col("b") === col("id"))
+          .select(col("a"), col("label"))
+        val cnt = nb.groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        val mx = cnt.groupBy(col("a")).agg(max(col("c")).as("mc"))
+        val best = cnt.join(mx, Seq("a")).filter(col("c") === col("mc"))
+          .groupBy(col("a")).agg(min(col("label")).as("new_label"))
+        labels = nodes.join(best, col("id") === col("a"), "left")
+          .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
+          .localCheckpoint(false)
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size"))
+      sizes.groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .withColumn("n_members", col("community_size") * col("n_communities"))
+        .orderBy("community_size")
     }),
 
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
@@ -5743,6 +5817,28 @@ object CorpusQueries {
          |SELECT source, rank, term, df_in_source, df_total, chi2
          |FROM ranked WHERE rank <= $chi2TopK ORDER BY source, rank""".stripMargin,
 
+    "text_zipf_bands" ->
+      s"""$tokCte, freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY 1
+         |), bands AS (
+         |  SELECT CAST(length(CAST(freq AS VARCHAR)) AS BIGINT) AS digits,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(freq) AS BIGINT) AS total_occ,
+         |         min(freq) AS min_freq, max(freq) AS max_freq
+         |  FROM freq GROUP BY 1
+         |), rnk AS (
+         |  SELECT *,
+         |         coalesce(sum(n_tokens) OVER (ORDER BY digits DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         |           AS min_rank
+         |  FROM bands
+         |)
+         |SELECT digits, n_tokens, total_occ, min_freq, max_freq,
+         |       CAST(min_rank AS BIGINT) AS min_rank,
+         |       CAST(min_rank + n_tokens - 1 AS BIGINT) AS max_rank
+         |FROM rnk ORDER BY digits""".stripMargin,
+
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -6678,6 +6774,46 @@ object CorpusQueries {
          |            THEN 3 * n_triangles * 1000000 // n_wedges
          |            ELSE 0 END AS cc_ppm
          |FROM wed CROSS JOIN edg CROSS JOIN tri""".stripMargin,
+
+    // synchronous LPA unrolled lpaIters rounds: new label = the
+    // most-frequent neighbor label, ties to the smallest (max-then-min
+    // two-step), isolated nodes keep their own id.
+    "emb_communities" -> {
+      val iterCtes = (1 to lpaIters).map { i =>
+        val prev = s"lab${i - 1}"
+        s"""nb$i AS (
+           |  SELECT m.a, l.label FROM mut m JOIN $prev l ON m.b = l.id
+           |), cnt$i AS (
+           |  SELECT a, label, count(*) AS c FROM nb$i GROUP BY 1, 2
+           |), mx$i AS (
+           |  SELECT a, max(c) AS mc FROM cnt$i GROUP BY 1
+           |), best$i AS (
+           |  SELECT cnt$i.a AS a, min(cnt$i.label) AS new_label
+           |  FROM cnt$i JOIN mx$i ON cnt$i.a = mx$i.a AND cnt$i.c = mx$i.mc
+           |  GROUP BY 1
+           |), lab$i AS (
+           |  SELECT id, coalesce(b.new_label, id) AS label
+           |  FROM nodes LEFT JOIN best$i b ON id = b.a
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnRankedCtes, knn AS (
+         |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
+         |), mut AS (
+         |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
+         |), nodes AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |), lab0 AS (
+         |  SELECT id, id AS label FROM nodes
+         |),
+         |$iterCtes,
+         |sizes AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |  FROM lab$lpaIters GROUP BY 1
+         |)
+         |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities,
+         |       CAST(community_size * count(*) AS BIGINT) AS n_members
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // oracle = the unpruned all-pairs Hamming truth (the mm_near_dup
     // discipline): parity verifies the pigeonhole candidate set is

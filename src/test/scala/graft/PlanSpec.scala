@@ -920,6 +920,20 @@ class PlanSpec extends SparkTestBase {
       "triangle two-hop + closure must be equi-joins on node ids")
   }
 
+  test("emb_communities: every LPA round is an id equi-join — no cartesian") {
+    val nodes = executedNodes(q("emb_communities"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "label propagation must join neighbor labels on node ids")
+  }
+
+  test("text_zipf_bands: map-side partial aggregation before the token shuffle") {
+    // the one occurrence-scale stage is the token rollup; it must combine
+    // map-side so the exchange carries (term, partial-count), not tokens
+    val nodes = executedNodes(q("text_zipf_bands"))
+    val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(hashAggs.size >= 2, "expect partial + final aggregate pair on the token rollup")
+  }
+
   test("corpus_epochs: per-source rollup + broadcast total — bounded shuffles, no cartesian") {
     val nodes = executedNodes(q("corpus_epochs"))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
