@@ -1,0 +1,87 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph statistics over bounded-degree edge frames — the
+  * library half of `emb_triangles` / `emb_communities` (the queries wire
+  * these to the mutual-kNN graph; any other edge source with the same
+  * shape works).
+  *
+  * Edge-frame contract: `mutual` holds DIRECTED rows (a, b) with BOTH
+  * orientations present for every undirected edge and no self-loops —
+  * exactly what `knn ∩ reverse(knn)` produces. Keeping the contract at
+  * the edge layer means every downstream join is an id equi-join and
+  * per-node work is bounded by the (already-capped) degree.
+  */
+object Graphs {
+
+  /** Triangle / wedge / clustering-coefficient census, one output row.
+    *
+    * Triangles ride the id-ordered orientation (Suri & Vassilvitskii
+    * 2011's degree-ordering simplification): undirected edges a<b, the
+    * two-hop join builds each candidate a<b<c once, the closure join
+    * checks (a, c). Work is O(Σ d²) — with degree capped (k for a
+    * mutual-kNN graph) that is O(n·k²), never an all-pairs scan.
+    * Wedges = Σ d(d−1)/2 in BIGINT; cc_ppm = 3·10⁶·tri div wedges stays
+    * integer-exact (0 when the graph has no wedges).
+    */
+  def triangleCensus(mutual: DataFrame): DataFrame = {
+    val und = mutual.filter(col("a") < col("b"))
+    val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val wedgeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1L) div 2")), lit(0L)).as("n_wedges"))
+    val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+    val closed = und.join(
+        und.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triCount = closed.agg(count(lit(1)).as("n_triangles"))
+    wedgeStats.crossJoin(broadcast(edgeCount))
+      .crossJoin(broadcast(triCount))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3L * n_triangles * 1000000L div n_wedges"))
+          .otherwise(0L).as("cc_ppm"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), fixed round
+    * count, returning the final (id, label) assignment.
+    *
+    * Each round: new label = the most-frequent neighbor label, ties to
+    * the smallest — computed as a max-count agg followed by a min-label
+    * agg over the achievers (two bounded aggs instead of a struct
+    * ordering, so an oracle engine reproduces it verbatim). Nodes with
+    * no neighbors keep their own id. Fixed `iters` keeps the result
+    * deterministic (asynchronous/converged LPA is order-dependent);
+    * per-round cost is one O(edges) equi-join + aggregate-grain work.
+    * `localCheckpoint` per round caps the lineage the same way
+    * dupClusters' loop does. */
+  def lpaLabels(nodes: DataFrame, mutual: DataFrame, iters: Int): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val nb = mutual.join(labels, col("b") === col("id"))
+        .select(col("a"), col("label"))
+      val cnt = nb.groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      val mx = cnt.groupBy(col("a")).agg(max(col("c")).as("mc"))
+      val best = cnt.join(mx, Seq("a")).filter(col("c") === col("mc"))
+        .groupBy(col("a")).agg(min(col("label")).as("new_label"))
+      labels = nodes.join(best, col("id") === col("a"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Community-size histogram over an LPA assignment: (community_size,
+    * n_communities, n_members) — stable under any label renaming, which
+    * is what makes it oracle-comparable. */
+  def lpaCommunitySizes(nodes: DataFrame, mutual: DataFrame,
+                        iters: Int): DataFrame = {
+    val sizes = lpaLabels(nodes, mutual, iters).groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    sizes.groupBy(col("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .withColumn("n_members", col("community_size") * col("n_communities"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.corpus.{Dedup, Ingest, Multimodal, Similarity, Sketches, SparseSigExpr, TextAnalysis => T}
+import graft.corpus.{Dedup, Graphs, Ingest, Multimodal, Similarity, Sketches, SparseSigExpr, TextAnalysis => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -290,6 +290,10 @@ object CorpusQueries {
   val chi2TopK = 5
   // emb_communities: synchronous label-propagation iterations
   val lpaIters = 3
+  // text_textrank_terms: min co-occurrence weight, PR iterations, top-k
+  val textrankMinW = 3
+  val textrankIters = 10
+  val textrankTopK = 20
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
@@ -1553,6 +1557,32 @@ object CorpusQueries {
         .orderBy("digits")
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    // key terms = PageRank over the token ADJACENCY graph (consecutive
+    // pairs, symmetrized, co-occurrence-count weights, floor w ≥
+    // textrankMinW prunes hapax noise and bounds the graph to the
+    // phrase-forming vocabulary head). Rides the SAME fixed-point
+    // PageRank operator as events_pagerank — integer ranks, so the full
+    // 10-round iteration hash-gates against DuckDB. Edge building is
+    // one occurrence-scale rollup; iterations run at vocabulary grain;
+    // top-k is a TakeOrdered, never a global sort.
+    "text_textrank_terms" -> ((spark, dir) => {
+      val bg = Dedup.fanout(docs(spark, dir).select(col("text")))
+        .select(explode(T.kgrams(col("text"), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("a"),
+          substring_index(col("bg"), " ", -1).as("b"))
+        .filter(col("a") =!= col("b"))
+      val sym = bg.unionAll(bg.select(col("b").as("a"), col("a").as("b")))
+      val edges = sym.select(col("a").as("src"), col("b").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= textrankMinW)
+      graft.operators.PageRank.ranks(edges, textrankIters)
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(textrankTopK)
+        .select(col("node").as("term"), col("rank_fp"),
+          round(col("rank_fp").cast("double") / 1000000000.0, 6).as("rank"))
+    }),
+
     // KMV distinct sketch — the deterministic sketch family: synopsis =
     // k smallest portable hashes, so the ESTIMATE itself sits under the
     // DuckDB oracle gate (HLL never could). Exact count alongside shows
@@ -2600,25 +2630,8 @@ object CorpusQueries {
     // makes distributed triangle counting scale-safe (each triangle
     // a<b<c is built and counted exactly once). Wedges = Σ d(d−1)/2
     // in BIGINT; cc_ppm = 3·10⁶·tri div wedges stays integer-exact.
-    "emb_triangles" -> ((spark, dir) => {
-      val mutual = mutualKnnEdges(spark, dir)
-      val und = mutual.filter(col("a") < col("b"))
-      val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
-      val wedgeStats = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1L) div 2")).as("n_wedges"))
-      val edgeCount = und.agg(count(lit(1)).as("n_edges"))
-      val closed = und.join(
-          und.select(col("a").as("b"), col("b").as("c")), "b")
-        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      val triCount = closed.agg(count(lit(1)).as("n_triangles"))
-      wedgeStats.crossJoin(broadcast(edgeCount))
-        .crossJoin(broadcast(triCount))
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          when(col("n_wedges") > 0,
-            expr("3L * n_triangles * 1000000L div n_wedges"))
-            .otherwise(0L).as("cc_ppm"))
-    }),
+    "emb_triangles" -> ((spark, dir) =>
+      Graphs.triangleCensus(mutualKnnEdges(spark, dir))),
 
     // Community structure via synchronous label propagation over the
     // mutual-kNN graph (Raghavan et al. 2007) — the third distributed
@@ -2631,28 +2644,11 @@ object CorpusQueries {
     // deterministic without struct-ordering tricks); per-round work is
     // O(edges) with degree ≤ k by the mutual filter. Output is the
     // community-SIZE histogram — stable under any label renaming.
-    "emb_communities" -> ((spark, dir) => {
-      val mutual = mutualKnnEdges(spark, dir)
-      val nodes = emb(spark, dir).select(col("vec_id").as("id"))
-      var labels = nodes.select(col("id"), col("id").as("label"))
-      for (_ <- 1 to lpaIters) {
-        val nb = mutual.join(labels, col("b") === col("id"))
-          .select(col("a"), col("label"))
-        val cnt = nb.groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
-        val mx = cnt.groupBy(col("a")).agg(max(col("c")).as("mc"))
-        val best = cnt.join(mx, Seq("a")).filter(col("c") === col("mc"))
-          .groupBy(col("a")).agg(min(col("label")).as("new_label"))
-        labels = nodes.join(best, col("id") === col("a"), "left")
-          .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
-          .localCheckpoint(false)
-      }
-      val sizes = labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("community_size"))
-      sizes.groupBy(col("community_size"))
-        .agg(count(lit(1)).as("n_communities"))
-        .withColumn("n_members", col("community_size") * col("n_communities"))
-        .orderBy("community_size")
-    }),
+    "emb_communities" -> ((spark, dir) =>
+      Graphs.lpaCommunitySizes(
+          emb(spark, dir).select(col("vec_id").as("id")),
+          mutualKnnEdges(spark, dir), lpaIters)
+        .orderBy("community_size")),
 
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
     // over the first body bytes + the SimHash pigeonhole Hamming join
@@ -5839,6 +5835,38 @@ object CorpusQueries {
          |       CAST(min_rank + n_tokens - 1 AS BIGINT) AS max_rank
          |FROM rnk ORDER BY digits""".stripMargin,
 
+    // token-adjacency edges → the shared unrolled fixed-point PageRank
+    "text_textrank_terms" ->
+      s"""$tokCte,
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> [ws[i], ws[i+1]])) AS pr
+         |  FROM toks WHERE len(ws) >= 2
+         |), prs AS (
+         |  SELECT pr[1] AS a, pr[2] AS b FROM bg WHERE pr[1] <> pr[2]
+         |), sym AS (
+         |  SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs
+         |), edges AS (
+         |  SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM sym GROUP BY 1, 2 HAVING count(*) >= $textrankMinW
+         |), wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         |          FROM edges GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.wout
+         |       FROM edges e JOIN wo o USING (src)),
+         |nodes AS (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges
+         |), nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (
+         |  SELECT node, CAST(1000000000 AS BIGINT) // nn.n AS r
+         |  FROM nodes CROSS JOIN nn
+         |),
+         |${OracleFrags.prSteps(textrankIters, 1000000000L)}
+         |SELECT node AS term, r AS rank_fp,
+         |       round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+         |FROM pr$textrankIters
+         |ORDER BY rank_fp DESC, term LIMIT $textrankTopK""".stripMargin,
+
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -6760,7 +6788,7 @@ object CorpusQueries {
          |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM mut GROUP BY a
          |), wed AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |         coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) AS n_wedges
          |  FROM deg
          |), edg AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und

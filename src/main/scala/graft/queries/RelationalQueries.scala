@@ -2361,20 +2361,7 @@ object RelationalQueries {
     // aggregate over the recursive term) — each step mirrors
     // operators.PageRank bit-for-bit in BIGINT arithmetic
     val prScale = 1000000000L
-    val prSteps = (1 to 10).map { i =>
-      s"""pr$i AS (
-         |  SELECT n.node,
-         |         (15 * CAST($prScale AS BIGINT)) // (100 * nn.n)
-         |           + (85 * coalesce(s$i.contrib, 0)) // 100 AS r
-         |  FROM nodes n CROSS JOIN nn
-         |  LEFT JOIN (
-         |    SELECT e.dst AS node,
-         |           CAST(sum((p.r * e.w) // e.wout) AS BIGINT) AS contrib
-         |    FROM ew e JOIN pr${i - 1} p ON p.node = e.src
-         |    GROUP BY 1
-         |  ) s$i USING (node)
-         |)""".stripMargin
-    }.mkString(",\n")
+    val prSteps = OracleFrags.prSteps(10, prScale)
     Map(
       "events_pagerank" ->
         s"""WITH $sessionCte,

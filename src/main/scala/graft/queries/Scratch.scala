@@ -18,3 +18,27 @@ private[queries] object Scratch {
     p
   }
 }
+
+/** Oracle-SQL fragments shared across the query files — one definition
+  * per algorithm twin, so the DuckDB replay of an iterative operator
+  * cannot drift between the queries that use it. */
+private[queries] object OracleFrags {
+  /** Unrolled fixed-point PageRank steps (the DuckDB twin of
+    * [[graft.operators.PageRank.ranks]] at damp 85/100): expects CTEs
+    * `ew(src, dst, w, wout)`, `nodes(node)`, `nn(n)`, `pr0(node, r)` in
+    * scope and leaves `pr<iters>(node, r)` as the final table. */
+  def prSteps(iters: Int, scale: Long): String = (1 to iters).map { i =>
+    s"""pr$i AS (
+       |  SELECT n.node,
+       |         (15 * CAST($scale AS BIGINT)) // (100 * nn.n)
+       |           + (85 * coalesce(s$i.contrib, 0)) // 100 AS r
+       |  FROM nodes n CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |           CAST(sum((p.r * e.w) // e.wout) AS BIGINT) AS contrib
+       |    FROM ew e JOIN pr${i - 1} p ON p.node = e.src
+       |    GROUP BY 1
+       |  ) s$i USING (node)
+       |)""".stripMargin
+  }.mkString(",\n")
+}

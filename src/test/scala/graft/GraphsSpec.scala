@@ -1,0 +1,76 @@
+package graft
+
+import graft.corpus.Graphs
+import org.apache.spark.sql.DataFrame
+
+/** Planted-topology properties for the graph-statistics module: the
+  * census numbers are hand-countable on small graphs, so these pin the
+  * arithmetic (orientation builds each triangle once, wedge formula,
+  * ppm division) rather than echoing the implementation. */
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** undirected edge list → the directed-both-ways contract frame */
+  private def mutual(edges: (Long, Long)*): DataFrame =
+    (edges ++ edges.map { case (a, b) => (b, a) }).toDF("a", "b")
+
+  private def nodes(ids: Long*): DataFrame = ids.toDF("id")
+
+  test("two disjoint triangles: 2 triangles, 6 wedges, cc = 1.0") {
+    val m = mutual((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val r = Graphs.triangleCensus(m).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6 && r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_wedges") == 6 && r.getAs[Long]("n_triangles") == 2)
+    assert(r.getAs[Long]("cc_ppm") == 1000000L)
+  }
+
+  test("two 4-cliques + a bridge: 8 triangles, 30 wedges, cc = 0.8") {
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val m = mutual(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L)): _*)
+    val r = Graphs.triangleCensus(m).collect().head
+    assert(r.getAs[Long]("n_edges") == 13 && r.getAs[Long]("n_triangles") == 8)
+    assert(r.getAs[Long]("n_wedges") == 30 && r.getAs[Long]("cc_ppm") == 800000L)
+  }
+
+  test("a path has wedges but zero triangles and cc 0") {
+    val r = Graphs.triangleCensus(mutual((1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().head
+    assert(r.getAs[Long]("n_triangles") == 0 && r.getAs[Long]("n_wedges") == 2)
+    assert(r.getAs[Long]("cc_ppm") == 0L)
+  }
+
+  test("empty edge frame: all-zero census row, no divide-by-zero") {
+    val r = Graphs.triangleCensus(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().head
+    for (c <- Seq("n_nodes", "n_edges", "n_wedges", "n_triangles", "cc_ppm"))
+      assert(r.getAs[Long](c) == 0L, s"$c must be 0 on an empty graph")
+  }
+
+  test("LPA collapses each disjoint triangle into one community") {
+    val m = mutual((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val hist = Graphs.lpaCommunitySizes(nodes(1L, 2L, 3L, 4L, 5L, 6L), m, 3)
+      .collect()
+    assert(hist.length == 1)
+    assert(hist.head.getAs[Long]("community_size") == 3 &&
+      hist.head.getAs[Long]("n_communities") == 2 &&
+      hist.head.getAs[Long]("n_members") == 6)
+  }
+
+  test("LPA keeps isolated nodes as singletons") {
+    val m = mutual((1L, 2L), (2L, 3L), (1L, 3L))
+    val hist = Graphs.lpaCommunitySizes(nodes(1L, 2L, 3L, 7L, 8L), m, 3)
+      .collect().map(r => (r.getAs[Long]("community_size"),
+        r.getAs[Long]("n_communities"))).toMap
+    assert(hist == Map(3L -> 1L, 1L -> 2L))
+  }
+
+  test("LPA on an edgeless graph is all singletons") {
+    val hist = Graphs.lpaCommunitySizes(nodes(1L, 2L, 3L),
+      Seq.empty[(Long, Long)].toDF("a", "b"), 3).collect()
+    assert(hist.length == 1 &&
+      hist.head.getAs[Long]("community_size") == 1 &&
+      hist.head.getAs[Long]("n_communities") == 3)
+  }
+}

@@ -926,6 +926,18 @@ class PlanSpec extends SparkTestBase {
       "label propagation must join neighbor labels on node ids")
   }
 
+  test("text_textrank_terms: no cartesian; top-k never global-sorts") {
+    // at fixture scale the PR iteration runs behind PageRank's driver
+    // gate, so the returned plan is the rank table -> TakeOrdered; the
+    // edge rollup's plan properties are pinned by PageRankSpec's
+    // distributed-path equivalence instead
+    val nodes = executedNodes(q("text_textrank_terms"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "co-occurrence edges and PR contributions must ride equi-joins")
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "top-k terms must run as per-partition heaps")
+  }
+
   test("text_zipf_bands: map-side partial aggregation before the token shuffle") {
     // the one occurrence-scale stage is the token rollup; it must combine
     // map-side so the exchange carries (term, partial-count), not tokens
