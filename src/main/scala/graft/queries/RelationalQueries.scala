@@ -27,6 +27,16 @@ object RelationalQueries {
   /** exact money arithmetic: double col → decimal(18,2) before aggregation */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Benford expected first-digit proportions, round(10⁶·log10(1+1/d))
+    * — the published integer ppm table (sums to exactly 1,000,000). ONE
+    * SQL text evaluated by Spark's `expr` and DuckDB alike, so the
+    * irrational expectations are never recomputed in floats anywhere. */
+  private val benfordCaseSql: String =
+    """CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |     WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |     WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |     WHEN 9 THEN 45757 END AS BIGINT)""".stripMargin
+
   /** The customer SCD2 history (see `scd2_customers`): deterministic
     * 4-wave version stream → operators.Scd2. Shared by the history dump
     * and the temporal-lookup join. */
@@ -1102,6 +1112,35 @@ object RelationalQueries {
     }),
 
     // Robust outlier census (the MAD complement to events_anomaly's
+    // Benford first-digit conformity — the forensic data-quality check
+    // (Benford 1938; Nigrini's fraud-audit standard): natural
+    // multi-scale amounts follow P(d) = log10(1+1/d); fabricated or
+    // truncated feeds don't. Expected proportions are the PUBLISHED
+    // ppm table as integer literals in ONE CASE ladder shared verbatim
+    // by both engines (the irrational log10 values never get computed),
+    // the first digit comes from the exact micro-unit integer's decimal
+    // string (shifting by 10⁶ preserves the leading digit), and
+    // obs/dev stay in integer ppm. Two type-keyed rollups, 5-row
+    // broadcast back — aggregate grain after one scan.
+    "events_benford" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"),
+          round(col("value") * 1000000, 0).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .withColumn("digit",
+          substring(col("v").cast("string"), 1, 1).cast("long"))
+      val cnt = ev.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      cnt.join(broadcast(tot), "event_type")
+        .withColumn("obs_ppm", expr("n * 1000000L div n_type"))
+        .withColumn("benford_ppm", expr(benfordCaseSql))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+        .select(col("event_type"), col("digit"), col("n"),
+          col("obs_ppm"), col("benford_ppm"), col("dev_ppm"))
+        .orderBy("event_type", "digit")
+    }),
+
     // mean+3σ — a few extreme values inflate σ and hide themselves;
     // median/MAD does not care): per event type, the rank-based lower
     // median of value, the median absolute deviation, and how many
@@ -3295,6 +3334,29 @@ object RelationalQueries {
           |       min(CASE WHEN cusum > 4 * s THEN day END) AS first_alarm_day,
           |       CAST(max(cusum // n) AS BIGINT) AS max_cusum
           |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "events_benford" ->
+        s"""WITH ev AS (
+           |  SELECT event_type,
+           |         CAST(round(value * 1000000, 0) AS BIGINT) AS v
+           |  FROM events WHERE value IS NOT NULL
+           |), digs AS (
+           |  SELECT event_type,
+           |         CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM ev WHERE v > 0
+           |), cnt AS (
+           |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+           |  FROM digs GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+           |  FROM digs GROUP BY 1
+           |)
+           |SELECT c.event_type, c.digit, c.n,
+           |       c.n * 1000000 // t.n_type AS obs_ppm,
+           |       $benfordCaseSql AS benford_ppm,
+           |       abs(c.n * 1000000 // t.n_type - $benfordCaseSql) AS dev_ppm
+           |FROM cnt c JOIN tot t USING (event_type)
+           |ORDER BY event_type, digit""".stripMargin,
 
       "events_autocorr" ->
         """WITH ev AS (
