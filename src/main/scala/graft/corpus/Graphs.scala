@@ -84,4 +84,37 @@ object Graphs {
       .agg(count(lit(1)).as("n_communities"))
       .withColumn("n_members", col("community_size") * col("n_communities"))
   }
+
+  /** Newman modularity of a partition (Newman & Girvan 2004),
+    * Q = Σ_c [e_c/m − (d_c/2m)²], one output row. The numerator
+    * 4m·Σe_c − Σd_c² stays EXACT in BIGINT (envelope: 4m·e ≤ 4m² < 2⁶³
+    * → m < 1.5·10⁹ edges); Q itself is ONE division of two exact
+    * integers-as-doubles, so both engines round the identical quotient
+    * (an integral-ppm `div` would floor-vs-truncate DIVERGENTLY on the
+    * negative Q of an anti-community partition). Labels join the edge
+    * and degree frames on node ids; everything after is
+    * community-grain. Communities of isolated nodes have d_c = e_c = 0
+    * and drop out of both sums; `n_linked_comms` counts only
+    * communities touching an edge. */
+  def modularity(mutual: DataFrame, labels: DataFrame): DataFrame = {
+    val und = mutual.filter(col("a") < col("b"))
+    val lab = labels.select(col("id"), col("label"))
+    val e = und
+      .join(lab.select(col("id").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), "b")
+    val mm = e.agg(count(lit(1)).as("m"),
+      coalesce(sum(when(col("la") === col("lb"), 1L).otherwise(0L)), lit(0L))
+        .as("e_in"))
+    val dc = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .join(lab.select(col("id").as("a"), col("label")), "a")
+      .groupBy(col("label")).agg(sum(col("d")).as("d_c"))
+    val d2 = dc.agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("sum_d2"),
+      count(lit(1)).as("n_linked_comms"))
+    mm.crossJoin(broadcast(d2))
+      .select(col("m"), col("e_in"), col("n_linked_comms"),
+        when(col("m") === 0, 0.0).otherwise(expr(
+          """round(CAST(4 * m * e_in - sum_d2 AS DOUBLE)
+            |      / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)"""
+            .stripMargin)).as("modularity"))
+  }
 }

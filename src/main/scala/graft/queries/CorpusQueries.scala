@@ -2650,6 +2650,20 @@ object CorpusQueries {
           mutualKnnEdges(spark, dir), lpaIters)
         .orderBy("community_size")),
 
+    // Newman modularity of the LPA partition over the same mutual-kNN
+    // graph — the single number that says whether the communities
+    // emb_communities found are DENSER than chance (Q near 0 = the
+    // "structure" is noise; healthy topical embeddings land well
+    // above). Exact BIGINT numerator, one double division (see
+    // Graphs.modularity for the floor-vs-truncate hazard an integral
+    // ppm would hit on negative Q).
+    "emb_modularity" -> ((spark, dir) => {
+      val mutual = mutualKnnEdges(spark, dir)
+      Graphs.modularity(mutual,
+        Graphs.lpaLabels(emb(spark, dir).select(col("vec_id").as("id")),
+          mutual, lpaIters))
+    }),
+
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
     // over the first body bytes + the SimHash pigeonhole Hamming join
     // (Dedup.hammingPairs — same segments machinery, radius 2). The
@@ -3725,6 +3739,40 @@ object CorpusQueries {
        |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
        |  FROM directed
        |)""".stripMargin
+
+  /** The LPA WITH-chain shared by the emb_communities and
+    * emb_modularity oracles: mutual-kNN edges (`mut`), the node set, and
+    * `lpaIters` unrolled propagation rounds ending at
+    * `lab<lpaIters>(id, label)`. */
+  private lazy val lpaCtes: String = {
+    val iterCtes = (1 to lpaIters).map { i =>
+      val prev = s"lab${i - 1}"
+      s"""nb$i AS (
+         |  SELECT m.a, l.label FROM mut m JOIN $prev l ON m.b = l.id
+         |), cnt$i AS (
+         |  SELECT a, label, count(*) AS c FROM nb$i GROUP BY 1, 2
+         |), mx$i AS (
+         |  SELECT a, max(c) AS mc FROM cnt$i GROUP BY 1
+         |), best$i AS (
+         |  SELECT cnt$i.a AS a, min(cnt$i.label) AS new_label
+         |  FROM cnt$i JOIN mx$i ON cnt$i.a = mx$i.a AND cnt$i.c = mx$i.mc
+         |  GROUP BY 1
+         |), lab$i AS (
+         |  SELECT id, coalesce(b.new_label, id) AS label
+         |  FROM nodes LEFT JOIN best$i b ON id = b.a
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnRankedCtes, knn AS (
+       |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
+       |), mut AS (
+       |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
+       |), nodes AS (
+       |  SELECT vec_id AS id FROM embeddings
+       |), lab0 AS (
+       |  SELECT id, id AS label FROM nodes
+       |),
+       |$iterCtes""".stripMargin
+  }
 
   /** One unrolled Lloyd round per iteration for the PQ oracle: assign
     * every (vector, subspace) to its nearest centroid by EXACT integer
@@ -6806,42 +6854,49 @@ object CorpusQueries {
     // synchronous LPA unrolled lpaIters rounds: new label = the
     // most-frequent neighbor label, ties to the smallest (max-then-min
     // two-step), isolated nodes keep their own id.
-    "emb_communities" -> {
-      val iterCtes = (1 to lpaIters).map { i =>
-        val prev = s"lab${i - 1}"
-        s"""nb$i AS (
-           |  SELECT m.a, l.label FROM mut m JOIN $prev l ON m.b = l.id
-           |), cnt$i AS (
-           |  SELECT a, label, count(*) AS c FROM nb$i GROUP BY 1, 2
-           |), mx$i AS (
-           |  SELECT a, max(c) AS mc FROM cnt$i GROUP BY 1
-           |), best$i AS (
-           |  SELECT cnt$i.a AS a, min(cnt$i.label) AS new_label
-           |  FROM cnt$i JOIN mx$i ON cnt$i.a = mx$i.a AND cnt$i.c = mx$i.mc
-           |  GROUP BY 1
-           |), lab$i AS (
-           |  SELECT id, coalesce(b.new_label, id) AS label
-           |  FROM nodes LEFT JOIN best$i b ON id = b.a
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $knnRankedCtes, knn AS (
-         |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
-         |), mut AS (
-         |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
-         |), nodes AS (
-         |  SELECT vec_id AS id FROM embeddings
-         |), lab0 AS (
-         |  SELECT id, id AS label FROM nodes
-         |),
-         |$iterCtes,
+    "emb_communities" ->
+      s"""WITH $lpaCtes,
          |sizes AS (
          |  SELECT label, CAST(count(*) AS BIGINT) AS community_size
          |  FROM lab$lpaIters GROUP BY 1
          |)
          |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities,
          |       CAST(community_size * count(*) AS BIGINT) AS n_members
-         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Newman modularity over the same LPA partition: exact BIGINT
+    // numerator, ONE double division (an integral div would floor vs
+    // truncate divergently if Q were negative).
+    "emb_modularity" ->
+      s"""WITH $lpaCtes,
+         |und AS (
+         |  SELECT a, b FROM mut WHERE a < b
+         |), lae AS (
+         |  SELECT la.label AS la, lb.label AS lb
+         |  FROM und u
+         |  JOIN lab$lpaIters la ON u.a = la.id
+         |  JOIN lab$lpaIters lb ON u.b = lb.id
+         |), mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         coalesce(CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+         |                       AS BIGINT), 0) AS e_in
+         |  FROM lae
+         |), degs AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM mut GROUP BY 1
+         |), dc AS (
+         |  SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_c
+         |  FROM degs d JOIN lab$lpaIters l ON d.a = l.id GROUP BY 1
+         |), d2 AS (
+         |  SELECT coalesce(CAST(sum(d_c * d_c) AS BIGINT), 0) AS sum_d2,
+         |         CAST(count(*) AS BIGINT) AS n_linked_comms
+         |  FROM dc
+         |)
+         |SELECT m, e_in, n_linked_comms,
+         |       CASE WHEN m = 0 THEN 0.0
+         |            ELSE round(CAST(4 * m * e_in - sum_d2 AS DOUBLE)
+         |                       / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         |       END AS modularity
+         |FROM mm CROSS JOIN d2""".stripMargin,
 
     // oracle = the unpruned all-pairs Hamming truth (the mm_near_dup
     // discipline): parity verifies the pigeonhole candidate set is

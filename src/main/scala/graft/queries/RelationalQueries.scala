@@ -630,6 +630,53 @@ object RelationalQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // A/B outcome analysis — the read-out leg of events_ab_assignment:
+    // per-user conversion (≥1 purchase) by arm, rates in integer bps,
+    // and the 2×2 χ² independence statistic computed the text_chi2_terms
+    // way — determinant O11·O22 − O12·O21 EXACT in BIGINT (envelope
+    // n_a·n_b < 2⁶³ ≈ 3e9 users per arm), then ONE left-associated
+    // double expression identical on both engines. χ² ≈ 3.84 is the
+    // p<0.05 line for 1 dof — the number that says whether the lift is
+    // real before anyone ships the B arm. Aggregate grain after one
+    // scan + one distinct-user rollup; both arm rows broadcast into the
+    // single output row.
+    "events_ab_outcomes" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(pmod(graft.corpus.TextAnalysis.hash60(concat(lit("ab|"),
+            col("user_id").cast("string"))), lit(2L)) === 0L, "A")
+            .otherwise("B"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("cv", lit(1L))
+      val agg = users.join(conv, Seq("user_id"), "left")
+        .na.fill(0L, Seq("cv"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("c"))
+      val a = agg.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = agg.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("c").as("conv_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("rate_a_bps", expr("conv_a * 10000L div n_a"))
+        .withColumn("rate_b_bps", expr("conv_b * 10000L div n_b"))
+        .withColumn("dlt",
+          expr("conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b"))
+        .withColumn("chi2", expr(
+          """CASE WHEN conv_a + conv_b = 0
+            |       OR conv_a + conv_b = n_a + n_b THEN 0.0
+            |     ELSE round((CAST(n_a + n_b AS DOUBLE) * CAST(dlt AS DOUBLE)
+            |                 * CAST(dlt AS DOUBLE))
+            |                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            |                   * CAST(conv_a + conv_b AS DOUBLE)
+            |                   * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 6)
+            |END""".stripMargin))
+        .select(col("n_a"), col("conv_a"), col("rate_a_bps"),
+          col("n_b"), col("conv_b"), col("rate_b_bps"),
+          (col("rate_b_bps") - col("rate_a_bps")).as("lift_bps"),
+          col("chi2"))
+    }),
+
     // First-touch attribution — the winner-take-all complement of
     // events_attribution_linear: each conversion credits ONLY its
     // earliest in-window touch (ties by touch id). Same user-keyed pair
@@ -3249,6 +3296,40 @@ object RelationalQueries {
           |       CAST(sum(v2 * v2) AS BIGINT) AS sumsq_v_fp2,
           |       CAST(sum(v6) AS BIGINT) // count(*) AS mean_v_fp6
           |FROM e GROUP BY 1, 2 ORDER BY event_type, arm""".stripMargin,
+
+      "events_ab_outcomes" ->
+        """WITH users AS (
+          |  SELECT DISTINCT user_id,
+          |         CASE WHEN ('0x' || substring(md5('ab|' ||
+          |                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+          |              THEN 'A' ELSE 'B' END AS arm
+          |  FROM events
+          |), conv AS (
+          |  SELECT DISTINCT user_id, 1 AS cv FROM events
+          |  WHERE event_type = 'purchase'
+          |), agg AS (
+          |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(coalesce(cv, 0)) AS BIGINT) AS c
+          |  FROM users LEFT JOIN conv USING (user_id) GROUP BY 1
+          |), t AS (
+          |  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+          |         a.c * 10000 // a.n AS rate_a_bps,
+          |         b.c * 10000 // b.n AS rate_b_bps,
+          |         a.c * (b.n - b.c) - (a.n - a.c) * b.c AS dlt
+          |  FROM (SELECT * FROM agg WHERE arm = 'A') a
+          |  CROSS JOIN (SELECT * FROM agg WHERE arm = 'B') b
+          |)
+          |SELECT n_a, conv_a, rate_a_bps, n_b, conv_b, rate_b_bps,
+          |       rate_b_bps - rate_a_bps AS lift_bps,
+          |       CASE WHEN conv_a + conv_b = 0
+          |              OR conv_a + conv_b = n_a + n_b THEN 0.0
+          |            ELSE round((CAST(n_a + n_b AS DOUBLE) * CAST(dlt AS DOUBLE)
+          |                        * CAST(dlt AS DOUBLE))
+          |                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          |                          * CAST(conv_a + conv_b AS DOUBLE)
+          |                          * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 6)
+          |       END AS chi2
+          |FROM t""".stripMargin,
 
       "events_attribution_first" ->
         s"""WITH $attributionPairsCte, firsts AS (

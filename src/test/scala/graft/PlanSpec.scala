@@ -920,10 +920,18 @@ class PlanSpec extends SparkTestBase {
       "triangle two-hop + closure must be equi-joins on node ids")
   }
 
-  test("emb_communities: every LPA round is an id equi-join — no cartesian") {
-    val nodes = executedNodes(q("emb_communities"))
+  test("emb_communities / emb_modularity: every graph pass is an id equi-join — no cartesian") {
+    for (name <- Seq("emb_communities", "emb_modularity")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+        s"$name: labels/degrees must join edges on node ids")
+    }
+  }
+
+  test("events_ab_outcomes: aggregate grain — 1-row arm frames broadcast, no shuffled cross") {
+    val nodes = executedNodes(q("events_ab_outcomes"))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
-      "label propagation must join neighbor labels on node ids")
+      "the A/B pivot must broadcast its 1-row frames")
   }
 
   test("text_textrank_terms: no cartesian; top-k never global-sorts") {
