@@ -834,6 +834,45 @@ object RelationalQueries {
         .orderBy("event_type", "lag")
     }),
 
+    // Theil–Sen trend per event type (Sen 1968) — the robust slope the
+    // forecast baseline should sanity-check against: the MEDIAN of all
+    // pairwise day-slopes shrugs off the outlier days that wreck a
+    // least-squares fit. Slopes stay EXACT rationals (num = Δcount,
+    // den = Δdays); the median is nearest-rank over an ordering whose
+    // key is one double division of the two exact integers (identical
+    // IEEE quotient on both engines) with (num, den) tie-breaks. The
+    // pair frame is the AGGREGATE-grain day grid squared per type —
+    // O(types·days²); a multi-year horizon would band-limit the pairs
+    // (Siegel's repeated-median variant), not change the shape.
+    "events_theilsen" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+        .join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("x"))
+      val pairs = grid.select(col("event_type"), col("day"), col("x"))
+        .join(grid.select(col("event_type").as("bt"), col("day").as("bday"),
+            col("x").as("bx")),
+          col("event_type") === col("bt") && col("bday") > col("day"))
+        .select(col("event_type"), (col("bx") - col("x")).as("num"),
+          datediff(col("bday"), col("day")).cast("long").as("den"))
+      val byType = Window.partitionBy(col("event_type"))
+      val w = byType.orderBy(
+        col("num").cast("double") / col("den").cast("double"),
+        col("num"), col("den"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          col("num").as("med_num"), col("den").as("med_den"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("slope_per_day"))
+        .orderBy("event_type")
+    }),
+
     // Session co-occurrence lift between event-type pairs: observed
     // co-sessions over expected-under-independence — the association
     // census (log-free PMI twin, so it stays cross-engine exact) that
@@ -3415,6 +3454,38 @@ object RelationalQueries {
           |       min(CASE WHEN cusum > 4 * s THEN day END) AS first_alarm_day,
           |       CAST(max(cusum // n) AS BIGINT) AS max_cusum
           |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "events_theilsen" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+          |), daily AS (
+          |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+          |  FROM ev GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT t.event_type, d.day, coalesce(daily.x, 0) AS x
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+          |  LEFT JOIN daily ON daily.event_type = t.event_type
+          |                 AND daily.day = d.day
+          |), pairs AS (
+          |  SELECT a.event_type, b.x - a.x AS num,
+          |         CAST(datediff('day', a.day, b.day) AS BIGINT) AS den
+          |  FROM grid a JOIN grid b
+          |    ON a.event_type = b.event_type AND b.day > a.day
+          |), ranked AS (
+          |  SELECT event_type, num, den,
+          |         row_number() OVER (PARTITION BY event_type
+          |           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+          |                    num, den) AS rn,
+          |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+          |           AS n_pairs
+          |  FROM pairs
+          |)
+          |SELECT event_type, n_pairs, num AS med_num, den AS med_den,
+          |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+          |         AS slope_per_day
+          |FROM ranked WHERE rn = (n_pairs + 1) // 2
+          |ORDER BY event_type""".stripMargin,
 
       "events_benford" ->
         s"""WITH ev AS (
