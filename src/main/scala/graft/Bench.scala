@@ -86,6 +86,19 @@ object Bench {
         val b1 = buildOnce(); val b2 = buildOnce()
         Map("clusters_artifact_build" -> math.min(b1, b2))
       } else Map.empty
+    // same discipline for the mutual-kNN graph artifact feeding the
+    // triangle/LPA/modularity trio
+    val knnBuild: Map[String, Double] =
+      if (picked.contains("emb_triangles")) {
+        def buildOnce(): Double = {
+          val t0 = System.nanoTime()
+          try graft.queries.CorpusQueries.rebuildKnnArtifact(spark, sfDir)
+          catch { case _: Throwable => failed += "knn_artifact_build" }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val b1 = buildOnce(); val b2 = buildOnce()
+        Map("knn_artifact_build" -> math.min(b1, b2))
+      } else Map.empty
     val results = picked.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -120,7 +133,7 @@ object Bench {
     // its own entry in the query maps without inflating the trend line
     val ok = results.filterNot { case (k, _) => failed(k) }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val reported = (results ++ artifactBuild).map { case (k, v) =>
+    val reported = (results ++ artifactBuild ++ knnBuild).map { case (k, v) =>
       k -> (if (failed(k)) -1.0 else v)
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -85,6 +85,40 @@ object Graphs {
       .withColumn("n_members", col("community_size") * col("n_communities"))
   }
 
+  /** Artifact-backed mutual-kNN edge frame — the compute-once graph the
+    * triangle/LPA/modularity consumers share (the
+    * [[Dedup.clustersTable]] discipline: at corpus scale the kNN graph
+    * is built once per corpus version and read by many queries, never
+    * recomputed per consumer). Returns the directed-both-ways mutual
+    * edge set; `emb` is by-name so the source is only scanned when the
+    * artifact is absent. Publish is build-to-temp + one rename, so a
+    * concurrent builder loses cleanly and readers never see a
+    * half-written graph. */
+  def mutualKnnTable(emb: => DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], planesPerTable: Int, k: Int,
+      dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def published =
+      fs.exists(new org.apache.hadoop.fs.Path(path, "mutual/_SUCCESS"))
+    if (!published) {
+      val e = emb
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
+      val g = Similarity.knnGraph(e, idCol, vecCol, planes, planesPerTable, k)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "mutual").toString)
+      // re-check after the build: a concurrent winner keeps its artifact
+      if (!published) {
+        if (fs.exists(path)) fs.delete(path, true)
+        if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+      } else fs.delete(tmp, true)
+    }
+    org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/mutual")
+  }
+
   /** Newman modularity of a partition (Newman & Girvan 2004),
     * Q = Σ_c [e_c/m − (d_c/2m)²], one output row. The numerator
     * 4m·Σe_c − Σd_c² stays EXACT in BIGINT (envelope: 4m·e ≤ 4m² < 2⁶³
