@@ -123,9 +123,12 @@ object Graphs {
     * Q = Σ_c [e_c/m − (d_c/2m)²], one output row. The numerator
     * 4m·Σe_c − Σd_c² stays EXACT in BIGINT (envelope: 4m·e ≤ 4m² < 2⁶³
     * → m < 1.5·10⁹ edges); Q itself is ONE division of two exact
-    * integers-as-doubles, so both engines round the identical quotient
-    * (an integral-ppm `div` would floor-vs-truncate DIVERGENTLY on the
-    * negative Q of an anti-community partition). Labels join the edge
+    * integers-as-doubles, so both engines round the identical quotient.
+    * (A truncating integral ppm would also match — Spark `div` and
+    * DuckDB `//` both truncate toward zero, measured — but truncation
+    * toward zero is sign-asymmetric around Q=0, exactly where this
+    * diagnostic is read; the double keeps the near-zero resolution.)
+    * Labels join the edge
     * and degree frames on node ids; everything after is
     * community-grain. Communities of isolated nodes have d_c = e_c = 0
     * and drop out of both sums; `n_linked_comms` counts only

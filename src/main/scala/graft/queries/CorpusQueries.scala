@@ -2671,8 +2671,8 @@ object CorpusQueries {
     // emb_communities found are DENSER than chance (Q near 0 = the
     // "structure" is noise; healthy topical embeddings land well
     // above). Exact BIGINT numerator, one double division (see
-    // Graphs.modularity for the floor-vs-truncate hazard an integral
-    // ppm would hit on negative Q).
+    // Graphs.modularity: a truncating ppm would match cross-engine but
+    // is sign-asymmetric exactly at the Q=0 read-out point).
     "emb_modularity" -> ((spark, dir) => {
       val mutual = mutualKnnEdges(spark, dir)
       Graphs.modularity(mutual,
@@ -6881,8 +6881,8 @@ object CorpusQueries {
          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Newman modularity over the same LPA partition: exact BIGINT
-    // numerator, ONE double division (an integral div would floor vs
-    // truncate divergently if Q were negative).
+    // numerator, ONE double division of the two exact integers (both
+    // engines round the identical quotient).
     "emb_modularity" ->
       s"""WITH $lpaCtes,
          |und AS (

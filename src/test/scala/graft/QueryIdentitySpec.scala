@@ -80,4 +80,91 @@ class QueryIdentitySpec extends SparkTestBase {
         r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected.toSeq)
   }
+
+  test("Benford CASE-ladder constants ARE round(1e6*log10(1+1/d)) and sum to 1e6") {
+    val table = (1 to 9).map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+    assert(table == Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L))
+    assert(table.sum == 1000000L)
+  }
+
+  test("events_benford matches a driver-side first-digit replay at sf0.001") {
+    val dir = sf("sf0.001")
+    val vs = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(round(value * 1000000, 0) AS BIGINT) AS v")
+      .where("v IS NOT NULL AND v > 0")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val benford = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L)
+    val expected = vs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
+      val total = rows.size.toLong
+      rows.groupBy(r => r._2.toString.head.asDigit.toLong).toSeq.sortBy(_._1)
+        .map { case (d, g) =>
+          val obs = g.size.toLong * 1000000L / total
+          (t, d, g.size.toLong, obs, benford(d), math.abs(obs - benford(d)))
+        }
+    }
+    val got = RelationalQueries.queries("events_benford")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("events_theilsen matches a driver-side exact-rational median replay") {
+    val dir = sf("sf0.001")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val allDays = ev.map(_._2).distinct.sortBy(_.toEpochDay)
+    val expected = ev.map(_._1).distinct.sorted.map { t =>
+      val byDay = ev.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val xs = allDays.map(d => (d, byDay.getOrElse(d, 0L)))
+      val pairs = for {
+        i <- xs.indices; j <- (i + 1) until xs.size
+      } yield (xs(j)._2 - xs(i)._2,
+        xs(j)._1.toEpochDay - xs(i)._1.toEpochDay)
+      // the query's exact ordering: double quotient, then (num, den)
+      val sorted = pairs.sortBy { case (n, d) => (n.toDouble / d, n, d) }
+      val med = sorted((sorted.size + 1) / 2 - 1)
+      (t, pairs.size.toLong, med._1, med._2)
+    }
+    val got = RelationalQueries.queries("events_theilsen")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("events_autocorr matches the n-scaled centered ACF replayed on the driver") {
+    val dir = sf("sf0.001")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val allDays = ev.map(_._2).distinct.sortBy(_.toEpochDay)
+    val expected = ev.map(_._1).distinct.sorted.flatMap { t =>
+      val byDay = ev.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val xs = allDays.map(d => (d, byDay.getOrElse(d, 0L)))
+      val n = xs.size.toLong
+      val s = xs.map(_._2).sum
+      val ys = xs.map { case (d, x) => (d, n * x - s) }
+      val den = ys.map(y => y._2 * y._2).sum
+      (1L to 7L).flatMap { lag =>
+        val terms = for {
+          (d1, y1) <- ys; (d2, y2) <- ys
+          l = d2.toEpochDay - d1.toEpochDay if l == lag
+        } yield y1 * y2
+        // truncating division: Spark `div` and DuckDB `//` both
+        // truncate toward zero on negatives (= Scala Long `/`)
+        if (terms.isEmpty) None
+        else Some((t, lag, terms.size.toLong,
+          if (den == 0) 0L else 1000000L * terms.sum / den))
+      }
+    }
+    val got = RelationalQueries.queries("events_autocorr")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected.toSeq)
+  }
 }
