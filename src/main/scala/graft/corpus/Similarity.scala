@@ -240,8 +240,18 @@ object Similarity {
     * buckets collide are near-dup candidates; with `numPlanes` bits the
     * candidate set shrinks ~2^planes-fold — the LSH "scale path" next to
     * the exact [[nearDupPairs]] baseline. Recall is tunable via plane
-    * count (fewer planes = higher recall, more candidates). */
+    * count (fewer planes = higher recall, more candidates). Native
+    * whole-bucket codegen kernel ([[VectorExpr.srpBucketF]]) — the HOF
+    * form it replaced lives on as [[srpBucketHof]] for the
+    * three-way-identity spec. */
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    VectorExpr.srpBucketF(vec, planes)
+
+  /** Interpreted HOF twin of [[srpBucket]] (zip_with + aggregate fold,
+    * the shape the DuckDB oracle mirrors with list_reduce) — kept as
+    * the reference implementation the native kernel is spec-checked
+    * against. */
+  private[graft] def srpBucketHof(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val dotP = aggregate(
         zip_with(vec, typedlit(plane.toSeq), (x, h) => x.cast("double") * h),

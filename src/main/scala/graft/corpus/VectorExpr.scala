@@ -28,6 +28,28 @@ object VectorOps {
     while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
     math.sqrt(acc)
   }
+
+  /** SRP bucket id over a float vector: bit p set iff
+    * dot(vec, planes(p)) ≥ 0. Each dot is the same index-order
+    * left-fold double accumulation as the HOF form (`zip_with` +
+    * `aggregate`) and the DuckDB `list_reduce` oracle, so the signs —
+    * and therefore the buckets — are bit-identical across all three
+    * (SimilaritySpec cross-checks). Vector and plane dims must match;
+    * min-length is taken defensively. */
+  def srpBucket(a: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(a.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * plane(i); i += 1 }
+      if (acc >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 }
 
 /**
@@ -381,11 +403,44 @@ case class SemContamHitsF(child: Expression, evalVecs: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Whole-bucket SRP hash in one codegen call: the HOF form evaluates
+  * `planesPerTable` interpreted zip_with/aggregate chains per row (each
+  * paying a lambda-variable bind per element); this reads the Tungsten
+  * float array in place and folds every plane in one native loop —
+  * same fold order, so buckets are bit-identical to the HOF and
+  * list_reduce oracle forms. */
+case class SrpBucketF(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "srp_bucket_f"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.srpBucket(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.corpus.VectorOps.srpBucket($a, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketF =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   import org.apache.spark.sql.graft.bridge
 
   def dotF(a: Column, b: Column): Column =
     bridge.column(DotProductF(bridge.expression(a), bridge.expression(b)))
+
+  def srpBucketF(v: Column, planes: Array[Array[Double]]): Column =
+    bridge.column(SrpBucketF(bridge.expression(v), planes))
 
   def normF(a: Column): Column =
     bridge.column(NormF(bridge.expression(a)))

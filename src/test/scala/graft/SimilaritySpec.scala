@@ -183,6 +183,19 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native srpBucket kernel ≡ the interpreted HOF fold on every fixture vector") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val planes = graft.queries.CorpusQueries.srpPlanesConst
+    for (t <- 0 until planes.length / 4) {
+      val sub = planes.slice(t * 4, (t + 1) * 4)
+      val diff = emb.select(
+        Similarity.srpBucket($"embedding", sub).as("native"),
+        Similarity.srpBucketHof($"embedding", sub).as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(diff == 0, s"table $t: native and HOF buckets diverged on $diff vectors")
+    }
+  }
+
   test("srpPlanes are deterministic and bounded") {
     val a = Similarity.srpPlanes(16, 64)
     val b = Similarity.srpPlanes(16, 64)
