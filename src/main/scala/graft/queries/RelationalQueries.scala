@@ -1165,6 +1165,77 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Whale concentration — the volume-dominance audit (for a training
+    // pipeline this is the same shape as "one crawl source is half the
+    // corpus"): the top-25 users by total value, each with exact-ppm
+    // share of the global total and the cumulative running share. The
+    // top-k is a TakeOrdered (per-partition heaps, k-bounded — the
+    // scale-safe way to ask "who are the whales"; a full Lorenz/Gini
+    // would need a global user sort, which is exactly what this query
+    // refuses to do); the running share is a window over the ≤k
+    // survivors. Integer micro-units end-to-end; ties broken by
+    // user_id.
+    "events_whales" -> ((spark, dir) => {
+      val totals = XeFixture.events(spark, dir)
+        .select(col("user_id"),
+          expr("CAST(round(coalesce(value, 0) * 1000000, 0) AS BIGINT)").as("v6"))
+        .groupBy(col("user_id")).agg(sum(col("v6")).as("total_fp6"))
+      val grand = totals.agg(sum(col("total_fp6")).as("grand_fp6"))
+      val top = totals
+        .orderBy(col("total_fp6").desc, col("user_id"))
+        .limit(25)
+      val w = Window.orderBy(col("total_fp6").desc, col("user_id"))
+      top.crossJoin(broadcast(grand))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("share_ppm", expr(
+          "CAST(CAST(total_fp6 AS DECIMAL(38,0)) * 1000000 div grand_fp6 AS BIGINT)"))
+        .withColumn("cum_fp6", sum(col("total_fp6"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_share_ppm", expr(
+          "CAST(CAST(cum_fp6 AS DECIMAL(38,0)) * 1000000 div grand_fp6 AS BIGINT)"))
+        .select(col("rank"), col("user_id"), col("total_fp6"),
+          col("share_ppm"), col("cum_share_ppm"))
+        .orderBy("rank")
+    }),
+
+    // Cohort LTV triangle — the growth-accounting complement of
+    // events_retention: for each signup-week cohort, CUMULATIVE
+    // purchase value per member through week 0,1,2,… since first seen.
+    // Reading down a column says whether newer cohorts monetize faster;
+    // a flat row says the cohort stopped spending. Value stays in exact
+    // integer micro-units; the cumulative ride is a window over the
+    // (cohort, age) AGGREGATE grid — cohorts² cells, never row grain —
+    // and per-member LTV is integer div by the fixed cohort size.
+    "events_cohort_ltv" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("CAST(round(coalesce(value, 0) * 1000000, 0) AS BIGINT)").as("v6"),
+          col("event_type"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+      // ISO year*100+week (the events_wow_change idiom ≡ DuckDB
+      // yearweek) so a span crossing New Year never folds two cohorts
+      val cohortW = (expr("extract(YEAROFWEEK FROM first_day)") * 100 +
+        weekofyear(col("first_day"))).cast("long").as("cohort_week")
+      val sized = first.groupBy(cohortW)
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .select(cohortW,
+          expr("CAST(datediff(d, first_day) div 7 AS BIGINT)").as("age_week"),
+          col("v6"))
+        .groupBy(col("cohort_week"), col("age_week"))
+        .agg(sum(col("v6")).as("week_value_fp6"), count(lit(1)).as("n_purchases"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sized), Seq("cohort_week"))
+        .withColumn("cum_value_fp6", sum(col("week_value_fp6")).over(w))
+        .withColumn("ltv_per_user_fp6", expr("cum_value_fp6 div cohort_size"))
+        .select(col("cohort_week"), col("age_week"), col("cohort_size"),
+          col("n_purchases"), col("week_value_fp6"), col("cum_value_fp6"),
+          col("ltv_per_user_fp6"))
+        .orderBy("cohort_week", "age_week")
+    }),
+
     // Per-minute rate anomaly detection: minutes whose event count
     // exceeds mean + 3σ for their type. Variance from exact integer
     // sums (n·Σc² - (Σc)²) — only the final threshold runs in doubles,
@@ -3486,6 +3557,67 @@ object RelationalQueries {
           |         AS slope_per_day
           |FROM ranked WHERE rn = (n_pairs + 1) // 2
           |ORDER BY event_type""".stripMargin,
+
+      "events_whales" ->
+        """WITH totals AS (
+          |  SELECT user_id,
+          |         CAST(sum(CAST(round(coalesce(value, 0) * 1000000, 0)
+          |                       AS BIGINT)) AS BIGINT) AS total_fp6
+          |  FROM events GROUP BY 1
+          |), grand AS (
+          |  SELECT CAST(sum(total_fp6) AS BIGINT) AS grand_fp6 FROM totals
+          |), top AS (
+          |  SELECT user_id, total_fp6 FROM totals
+          |  ORDER BY total_fp6 DESC, user_id LIMIT 25
+          |), ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY total_fp6 DESC, user_id)
+          |           AS BIGINT) AS rank,
+          |         user_id, total_fp6,
+          |         CAST(sum(total_fp6) OVER (ORDER BY total_fp6 DESC, user_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum_fp6
+          |  FROM top
+          |)
+          |SELECT rank, user_id, total_fp6,
+          |       CAST(CAST(total_fp6 AS HUGEINT) * 1000000 // grand_fp6
+          |            AS BIGINT) AS share_ppm,
+          |       CAST(CAST(cum_fp6 AS HUGEINT) * 1000000 // grand_fp6
+          |            AS BIGINT) AS cum_share_ppm
+          |FROM ranked CROSS JOIN grand ORDER BY rank""".stripMargin,
+
+      "events_cohort_ltv" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d,
+          |         CAST(round(coalesce(value, 0) * 1000000, 0) AS BIGINT) AS v6,
+          |         event_type
+          |  FROM events
+          |), first AS (
+          |  SELECT user_id, min(d) AS first_day FROM ev GROUP BY 1
+          |), sized AS (
+          |  SELECT CAST(yearweek(first_day) AS BIGINT) AS cohort_week,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+          |  FROM first GROUP BY 1
+          |), cells AS (
+          |  SELECT CAST(yearweek(first_day) AS BIGINT) AS cohort_week,
+          |         datediff('day', first_day, d) // 7 AS age_week,
+          |         CAST(sum(v6) AS BIGINT) AS week_value_fp6,
+          |         CAST(count(*) AS BIGINT) AS n_purchases
+          |  FROM ev JOIN first USING (user_id)
+          |  WHERE event_type = 'purchase'
+          |  GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT c.cohort_week, c.age_week, s.cohort_size, c.n_purchases,
+          |         c.week_value_fp6,
+          |         CAST(sum(c.week_value_fp6) OVER (
+          |           PARTITION BY c.cohort_week ORDER BY c.age_week
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum_value_fp6
+          |  FROM cells c JOIN sized s USING (cohort_week)
+          |)
+          |SELECT cohort_week, age_week, cohort_size, n_purchases,
+          |       week_value_fp6, cum_value_fp6,
+          |       cum_value_fp6 // cohort_size AS ltv_per_user_fp6
+          |FROM cum ORDER BY cohort_week, age_week""".stripMargin,
 
       "events_benford" ->
         s"""WITH ev AS (

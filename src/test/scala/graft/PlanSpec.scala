@@ -928,6 +928,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("events_whales: top-k runs as per-partition heaps, never a global user sort") {
+    val nodes = executedNodes(q("events_whales"))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "the whale pick must be a TakeOrdered over per-user totals")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "the 1-row grand total must broadcast")
+  }
+
+  test("events_cohort_ltv: cumulative ride is cohort-grid grain — no cartesian") {
+    val nodes = executedNodes(q("events_cohort_ltv"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "cohort sizes must broadcast onto the aggregate grid")
+  }
+
   test("events_ab_outcomes: aggregate grain — 1-row arm frames broadcast, no shuffled cross") {
     val nodes = executedNodes(q("events_ab_outcomes"))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
