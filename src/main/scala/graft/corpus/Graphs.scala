@@ -119,6 +119,41 @@ object Graphs {
     org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/mutual")
   }
 
+  /** Synchronous k-core peel (Seidman 1983): each round drops EVERY
+    * node whose current degree is below k, then the edges touching
+    * them — the order-independent formulation, so a fixed round count
+    * is deterministic and an oracle can replay it verbatim (unlike
+    * sequential peeling, whose result depends on removal order mid-
+    * round). `rounds` bounds the iteration the way lpaLabels' iters
+    * does: both engines run exactly `rounds` steps, so parity holds
+    * even before the fixpoint; on a degree-capped graph (mutual-kNN:
+    * deg ≤ k_nn) peeling converges in a handful of rounds. Per-round
+    * cost is one degree rollup + two id equi-joins — O(edges). */
+  def kCoreEdges(mutual: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = mutual.select(col("a"), col("b"))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a").as("node"))
+      e = e.join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select(col("a"), col("b")).localCheckpoint(false)
+    }
+    e
+  }
+
+  /** One census row per k: nodes and undirected edges surviving the
+    * k-core peel — the "how much of the graph is densely supported"
+    * ladder (a kNN graph whose 2-core is tiny is mostly hairs). */
+  def kCoreCensus(mutual: DataFrame, ks: Seq[Int], rounds: Int): DataFrame =
+    ks.map { k =>
+      val e = kCoreEdges(mutual, k, rounds)
+      e.agg(
+          coalesce(countDistinct(col("a")), lit(0L)).as("n_core_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_core_edges"))
+        .select(lit(k.toLong).as("k"), col("n_core_nodes"),
+          col("n_core_edges"))
+    }.reduce(_ unionByName _)
+
   /** Newman modularity of a partition (Newman & Girvan 2004),
     * Q = Σ_c [e_c/m − (d_c/2m)²], one output row. The numerator
     * 4m·Σe_c − Σd_c² stays EXACT in BIGINT (envelope: 4m·e ≤ 4m² < 2⁶³

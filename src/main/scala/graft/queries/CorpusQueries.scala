@@ -306,6 +306,9 @@ object CorpusQueries {
   val chi2TopK = 5
   // emb_communities: synchronous label-propagation iterations
   val lpaIters = 3
+  // emb_kcore: core orders reported + synchronous peel rounds
+  val kCoreKs = Seq(2, 3)
+  val kCoreRounds = 6
   // text_textrank_terms: min co-occurrence weight, PR iterations, top-k
   val textrankMinW = 3
   val textrankIters = 10
@@ -2679,6 +2682,17 @@ object CorpusQueries {
         Graphs.lpaLabels(emb(spark, dir).select(col("vec_id").as("id")),
           mutual, lpaIters))
     }),
+
+    // k-core ladder over the mutual-kNN graph — how much of the
+    // embedding neighborhood structure is DENSELY supported vs hairs
+    // (a kNN graph whose 2-core is tiny is mostly isolated spokes; the
+    // 3-core is where real cluster mass lives). Synchronous fixed-round
+    // peel (see Graphs.kCoreEdges) so both engines replay the identical
+    // deterministic sequence; each k's peel reads the SAME materialized
+    // graph artifact.
+    "emb_kcore" -> ((spark, dir) =>
+      Graphs.kCoreCensus(mutualKnnEdges(spark, dir), kCoreKs, kCoreRounds)
+        .orderBy("k")),
 
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
     // over the first body bytes + the SimHash pigeonhole Hamming join
@@ -6913,6 +6927,41 @@ object CorpusQueries {
          |                       / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
          |       END AS modularity
          |FROM mm CROSS JOIN d2""".stripMargin,
+
+    // per k: the unrolled synchronous peel (drop deg<k nodes each
+    // round), then one census row; legs UNION ALL. Every peel CTE is
+    // MATERIALIZED: each round references the previous one three times
+    // (degree rollup + two endpoint joins), so inlining would expand
+    // the base scans 3^rounds-fold — measured as a too-many-open-files
+    // blowup before materialization.
+    "emb_kcore" -> {
+      val legs = kCoreKs.map { k =>
+        val peels = (1 to kCoreRounds).map { r =>
+          s"""keep_${k}_$r AS MATERIALIZED (
+             |  SELECT a AS node FROM e_${k}_${r - 1}
+             |  GROUP BY 1 HAVING count(*) >= $k
+             |), e_${k}_$r AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM e_${k}_${r - 1} e
+             |  JOIN keep_${k}_$r ka ON e.a = ka.node
+             |  JOIN keep_${k}_$r kb ON e.b = kb.node
+             |)""".stripMargin
+        }.mkString(",\n")
+        (s"""e_${k}_0 AS MATERIALIZED (SELECT a, b FROM mut),
+            |$peels""".stripMargin,
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |       coalesce(CAST(count(DISTINCT a) AS BIGINT), 0) AS n_core_nodes,
+             |       CAST(count(*) // 2 AS BIGINT) AS n_core_edges
+             |FROM e_${k}_$kCoreRounds""".stripMargin)
+      }
+      s"""WITH $knnRankedCtes, knn AS (
+         |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
+         |), mut AS MATERIALIZED (
+         |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
+         |),
+         |${legs.map(_._1).mkString(",\n")}
+         |${legs.map(_._2).mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin
+    },
 
     // oracle = the unpruned all-pairs Hamming truth (the mm_near_dup
     // discipline): parity verifies the pigeonhole candidate set is

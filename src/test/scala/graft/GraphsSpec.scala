@@ -66,6 +66,26 @@ class GraphsSpec extends SparkTestBase {
     assert(hist == Map(3L -> 1L, 1L -> 2L))
   }
 
+  test("k-core peel: a path has an empty 2-core; a triangle with a tail keeps the triangle") {
+    val path = mutual((1L, 2L), (2L, 3L), (3L, 4L))
+    val r1 = Graphs.kCoreCensus(path, Seq(2), 6).collect().head
+    assert(r1.getAs[Long]("n_core_nodes") == 0 && r1.getAs[Long]("n_core_edges") == 0)
+    // triangle {1,2,3} + tail 3-4: the tail peels, the triangle survives
+    val tri = mutual((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val r2 = Graphs.kCoreCensus(tri, Seq(2), 6).collect().head
+    assert(r2.getAs[Long]("n_core_nodes") == 3 && r2.getAs[Long]("n_core_edges") == 3)
+  }
+
+  test("k-core peel: K4 is its own 3-core; nothing is a 4-core") {
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val k4 = mutual(clique(Seq(1L, 2L, 3L, 4L)): _*)
+    val rows = Graphs.kCoreCensus(k4, Seq(3, 4), 6).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_core_nodes"), r.getAs[Long]("n_core_edges"))).toMap
+    assert(rows(3L) == ((4L, 6L)) && rows(4L) == ((0L, 0L)))
+  }
+
   test("LPA on an edgeless graph is all singletons") {
     val hist = Graphs.lpaCommunitySizes(nodes(1L, 2L, 3L),
       Seq.empty[(Long, Long)].toDF("a", "b"), 3).collect()

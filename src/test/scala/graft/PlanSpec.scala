@@ -928,6 +928,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("emb_kcore: every peel round is a degree rollup + id equi-joins — no cartesian") {
+    val nodes = executedNodes(q("emb_kcore"))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "k-core peeling must join survivors on node ids")
+  }
+
   test("events_whales: top-k runs as per-partition heaps, never a global user sort") {
     val nodes = executedNodes(q("events_whales"))
     assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
