@@ -1165,6 +1165,51 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Hour-of-day variance decomposition (one-way ANOVA η²) — does
+    // time-of-day EXPLAIN the volume variance, or is the heatmap
+    // pattern noise? Over the zero-filled (type, day, hour) grid every
+    // hour group has the same size m = n_days, which makes η² EXACT in
+    // integers: with 24 equal groups, η² = m·Σ_g(24·S_g − S)² /
+    // Σ(24m·x − S)² — no rational group means anywhere (the unequal-
+    // size general form would need per-group denominators). Products
+    // ride DECIMAL(38,0) (S ~ total events per type; squaring leaves
+    // BIGINT around 3M events/type). Everything after the hourly
+    // rollup is grid grain.
+    "events_hour_anova" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+      val cells = ev.groupBy("event_type", "day", "hr").agg(count(lit(1)).as("x"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(ev.select("day").distinct()))
+        .crossJoin(broadcast(spark.range(24).select(col("id").as("hr"))))
+        .join(cells, Seq("event_type", "day", "hr"), "left")
+        .na.fill(0L, Seq("x"))
+      val byType = Window.partitionBy(col("event_type"))
+      val g = grid
+        .withColumn("nn", count(lit(1)).over(byType))
+        .withColumn("m", expr("nn div 24"))
+        .withColumn("s", sum(col("x")).over(byType))
+      val tot = g.groupBy(col("event_type"), col("m"), col("s"))
+        .agg(sum(expr(
+          """CAST(24 * m * x - s AS DECIMAL(38,0)) *
+            |CAST(24 * m * x - s AS DECIMAL(38,0))""".stripMargin)).as("ss_tot"))
+      val hourly = g.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("x")).as("sg"), first(col("m")).as("m"), first(col("s")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr(
+          """CAST(24 * sg - s AS DECIMAL(38,0)) *
+            |CAST(24 * sg - s AS DECIMAL(38,0))""".stripMargin)).as("ssg"),
+          first(col("m")).as("m2"))
+      tot.join(hourly, Seq("event_type"))
+        .withColumn("eta2_ppm",
+          when(col("ss_tot") === 0, 0L).otherwise(expr(
+            "CAST(CAST(m2 AS DECIMAL(38,0)) * ssg * 1000000 div ss_tot AS BIGINT)")))
+        .select(col("event_type"), col("m").cast("long").as("n_days"),
+          col("s").as("n_events"), col("eta2_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Whale concentration — the volume-dominance audit (for a training
     // pipeline this is the same shape as "one crawl source is half the
     // corpus"): the top-25 users by total value, each with exact-ppm
@@ -3556,6 +3601,48 @@ object RelationalQueries {
           |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
           |         AS slope_per_day
           |FROM ranked WHERE rn = (n_pairs + 1) // 2
+          |ORDER BY event_type""".stripMargin,
+
+      "events_hour_anova" ->
+        """WITH ev AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(hour(ts) AS BIGINT) AS hr
+          |  FROM events
+          |), cells AS (
+          |  SELECT event_type, day, hr, CAST(count(*) AS BIGINT) AS x
+          |  FROM ev GROUP BY 1, 2, 3
+          |), grid AS (
+          |  SELECT t.event_type, d.day, h.hr, coalesce(cells.x, 0) AS x
+          |  FROM (SELECT DISTINCT event_type FROM ev) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+          |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS hr FROM range(0, 24)) h
+          |  LEFT JOIN cells ON cells.event_type = t.event_type
+          |               AND cells.day = d.day AND cells.hr = h.hr
+          |), stats AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) // 24 AS m,
+          |         CAST(sum(x) AS BIGINT) AS s
+          |  FROM grid GROUP BY 1
+          |), tot AS (
+          |  SELECT g.event_type,
+          |         sum(CAST(24 * st.m * g.x - st.s AS HUGEINT)
+          |             * CAST(24 * st.m * g.x - st.s AS HUGEINT)) AS ss_tot
+          |  FROM grid g JOIN stats st USING (event_type) GROUP BY 1
+          |), hg AS (
+          |  SELECT event_type, hr, CAST(sum(x) AS BIGINT) AS sg
+          |  FROM grid GROUP BY 1, 2
+          |), ssb AS (
+          |  SELECT h.event_type,
+          |         sum(CAST(24 * h.sg - st.s AS HUGEINT)
+          |             * CAST(24 * h.sg - st.s AS HUGEINT)) AS ssg
+          |  FROM hg h JOIN stats st USING (event_type) GROUP BY 1
+          |)
+          |SELECT st.event_type, st.m AS n_days, st.s AS n_events,
+          |       CASE WHEN t.ss_tot = 0 THEN 0
+          |            ELSE CAST(CAST(st.m AS HUGEINT) * b.ssg * 1000000
+          |                      // t.ss_tot AS BIGINT)
+          |       END AS eta2_ppm
+          |FROM stats st JOIN tot t USING (event_type)
+          |JOIN ssb b USING (event_type)
           |ORDER BY event_type""".stripMargin,
 
       "events_whales" ->
