@@ -154,6 +154,37 @@ object Graphs {
           col("n_core_edges"))
     }.reduce(_ unionByName _)
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list (which IS
+    * the undirected edge-end enumeration the definition wants). Every
+    * sum is an exact BIGINT; r itself is computed from those integers
+    * in doubles with two sqrts — IEEE requires sqrt correctly rounded,
+    * so both engines produce the identical double from the identical
+    * integers. r > 0 = hubs link hubs (a kNN graph on clustered
+    * embeddings); r < 0 = hub-and-spoke. One degree rollup + one edge
+    * join; aggregate grain after. */
+  def assortativity(mutual: DataFrame): DataFrame = {
+    val deg = mutual.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val xy = mutual
+      .join(deg.select(col("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
+    xy.agg(count(lit(1)).as("n_ends"),
+        coalesce(sum(col("dx")), lit(0L)).as("sx"),
+        coalesce(sum(col("dy")), lit(0L)).as("sy"),
+        coalesce(sum(col("dx") * col("dx")), lit(0L)).as("sxx"),
+        coalesce(sum(col("dy") * col("dy")), lit(0L)).as("syy"),
+        coalesce(sum(col("dx") * col("dy")), lit(0L)).as("sxy"))
+      .select(col("n_ends"), col("sxy"),
+        when(col("n_ends") === 0 ||
+            (col("n_ends") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n_ends") * col("syy") - col("sy") * col("sy")) === 0, 0.0)
+          .otherwise(expr(
+            """round(CAST(n_ends * sxy - sx * sy AS DOUBLE)
+              |      / (sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE))
+              |         * sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE))), 6)"""
+              .stripMargin)).as("assortativity"))
+  }
+
   /** Newman modularity of a partition (Newman & Girvan 2004),
     * Q = Σ_c [e_c/m − (d_c/2m)²], one output row. The numerator
     * 4m·Σe_c − Σd_c² stays EXACT in BIGINT (envelope: 4m·e ≤ 4m² < 2⁶³

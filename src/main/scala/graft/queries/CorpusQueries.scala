@@ -2694,6 +2694,34 @@ object CorpusQueries {
       Graphs.kCoreCensus(mutualKnnEdges(spark, dir), kCoreKs, kCoreRounds)
         .orderBy("k")),
 
+    // Degree assortativity of the mutual-kNN graph — r > 0 says dense
+    // regions link to dense regions (clustered embedding space), r < 0
+    // says hub-and-spoke. Exact integer sums; the final r is doubles +
+    // two IEEE-correctly-rounded sqrts, identical on both engines.
+    "emb_assortativity" -> ((spark, dir) =>
+      Graphs.assortativity(mutualKnnEdges(spark, dir))),
+
+    // Herfindahl–Hirschman concentration of the corpus mixture, by
+    // docs AND by chars — the one-number "is this mixture dominated by
+    // one source" gate (10⁶ = monopoly; 10⁶/n_sources = uniform).
+    // Exact: Σc_i² and C² ride DECIMAL(38,0); one integral ppm div.
+    "corpus_herfindahl" -> ((spark, dir) => {
+      val by = docs(spark, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc"))
+      by.agg(count(lit(1)).as("n_sources"),
+          sum(expr("CAST(nd AS DECIMAL(38,0)) * nd")).as("sd2"),
+          sum(col("nd")).as("d"),
+          sum(expr("CAST(nc AS DECIMAL(38,0)) * nc")).as("sc2"),
+          sum(col("nc")).as("c"))
+        .select(col("n_sources"),
+          expr("""CAST(sd2 * 1000000 div
+                 |     (CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)""".stripMargin)
+            .as("hhi_docs_ppm"),
+          expr("""CAST(sc2 * 1000000 div
+                 |     (CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)""".stripMargin)
+            .as("hhi_chars_ppm"))
+    }),
+
     // Multimodal near-dup, byte-ORDER-sensitive path: 60-bit average-hash
     // over the first body bytes + the SimHash pigeonhole Hamming join
     // (Dedup.hammingPairs — same segments machinery, radius 2). The
@@ -6927,6 +6955,53 @@ object CorpusQueries {
          |                       / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
          |       END AS modularity
          |FROM mm CROSS JOIN d2""".stripMargin,
+
+    "emb_assortativity" ->
+      s"""WITH $knnRankedCtes, knn AS (
+         |  SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rnk <= $knnGraphK
+         |), mut AS MATERIALIZED (
+         |  SELECT a, b FROM knn INTERSECT SELECT b, a FROM knn
+         |), deg AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM mut GROUP BY 1
+         |), xy AS (
+         |  SELECT da.d AS dx, db.d AS dy
+         |  FROM mut m JOIN deg da ON m.a = da.a JOIN deg db ON m.b = db.a
+         |), sums AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         |         coalesce(CAST(sum(dx) AS BIGINT), 0) AS sx,
+         |         coalesce(CAST(sum(dy) AS BIGINT), 0) AS sy,
+         |         coalesce(CAST(sum(dx * dx) AS BIGINT), 0) AS sxx,
+         |         coalesce(CAST(sum(dy * dy) AS BIGINT), 0) AS syy,
+         |         coalesce(CAST(sum(dx * dy) AS BIGINT), 0) AS sxy
+         |  FROM xy
+         |)
+         |SELECT n_ends, sxy,
+         |       CASE WHEN n_ends = 0
+         |              OR n_ends * sxx - sx * sx = 0
+         |              OR n_ends * syy - sy * sy = 0 THEN 0.0
+         |            ELSE round(CAST(n_ends * sxy - sx * sy AS DOUBLE)
+         |                       / (sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE))
+         |                          * sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE))), 6)
+         |       END AS assortativity
+         |FROM sums""".stripMargin,
+
+    "corpus_herfindahl" ->
+      """WITH by_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(n_chars) AS BIGINT) AS nc
+        |  FROM documents GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |         sum(CAST(nd AS HUGEINT) * nd) AS sd2,
+        |         CAST(sum(nd) AS HUGEINT) AS d,
+        |         sum(CAST(nc AS HUGEINT) * nc) AS sc2,
+        |         CAST(sum(nc) AS HUGEINT) AS c
+        |  FROM by_src
+        |)
+        |SELECT n_sources,
+        |       CAST(sd2 * 1000000 // (d * d) AS BIGINT) AS hhi_docs_ppm,
+        |       CAST(sc2 * 1000000 // (c * c) AS BIGINT) AS hhi_chars_ppm
+        |FROM s""".stripMargin,
 
     // per k: the unrolled synchronous peel (drop deg<k nodes each
     // round), then one census row; legs UNION ALL. Every peel CTE is

@@ -86,6 +86,20 @@ class GraphsSpec extends SparkTestBase {
     assert(rows(3L) == ((4L, 6L)) && rows(4L) == ((0L, 0L)))
   }
 
+  test("assortativity: a star is perfectly disassortative, a regular graph guards to 0") {
+    val star = mutual((0L, 1L), (0L, 2L), (0L, 3L))
+    val r1 = Graphs.assortativity(star).collect().head
+    assert(r1.getAs[Double]("assortativity") == -1.0)
+    // triangle: every degree equal -> zero variance -> guarded 0.0
+    val tri = mutual((1L, 2L), (2L, 3L), (1L, 3L))
+    val r2 = Graphs.assortativity(tri).collect().head
+    assert(r2.getAs[Double]("assortativity") == 0.0)
+    // empty graph: n_ends = 0, no divide
+    val r3 = Graphs.assortativity(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().head
+    assert(r3.getAs[Long]("n_ends") == 0L && r3.getAs[Double]("assortativity") == 0.0)
+  }
+
   test("LPA on an edgeless graph is all singletons") {
     val hist = Graphs.lpaCommunitySizes(nodes(1L, 2L, 3L),
       Seq.empty[(Long, Long)].toDF("a", "b"), 3).collect()
