@@ -313,6 +313,9 @@ object CorpusQueries {
   val textrankMinW = 3
   val textrankIters = 10
   val textrankTopK = 20
+  // text_burstiness: df floor + terms reported
+  val burstinessMinDf = 5
+  val burstinessTopK = 20
 
   // output shard count for the corpus_shards manifest
   val nShards = 16L
@@ -1574,6 +1577,24 @@ object CorpusQueries {
         .select(col("digits"), col("n_tokens"), col("total_occ"),
           col("min_freq"), col("max_freq"), col("min_rank"), col("max_rank"))
         .orderBy("digits")
+    }),
+
+    // Term burstiness (Church & Gale 1995): occurrences-per-containing-
+    // doc, cf·10⁶ div df — a term that appears 40 times in 3 docs is a
+    // TOPIC marker (or boilerplate); one that appears once everywhere
+    // is glue. The top of this list is the curation review queue for
+    // template contamination. One occurrence-scale rollup (count +
+    // distinct-doc count share the exchange); top-k is a TakeOrdered.
+    "text_burstiness" -> ((spark, dir) => {
+      val occ = Dedup.fanout(docs(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      occ.groupBy(col("term"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= burstinessMinDf)
+        .withColumn("burst_ppm", expr("cf * 1000000L div df"))
+        .orderBy(col("burst_ppm").desc, col("term"))
+        .limit(burstinessTopK)
+        .select(col("term"), col("cf"), col("df"), col("burst_ppm"))
     }),
 
     // TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
@@ -5940,6 +5961,18 @@ object CorpusQueries {
          |       CAST(min_rank AS BIGINT) AS min_rank,
          |       CAST(min_rank + n_tokens - 1 AS BIGINT) AS max_rank
          |FROM rnk ORDER BY digits""".stripMargin,
+
+    "text_burstiness" ->
+      s"""$tokCte, occ AS (
+         |  SELECT doc_id, unnest(ws) AS term FROM toks
+         |), agg AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM occ GROUP BY 1
+         |)
+         |SELECT term, cf, df, cf * 1000000 // df AS burst_ppm
+         |FROM agg WHERE df >= $burstinessMinDf
+         |ORDER BY burst_ppm DESC, term LIMIT $burstinessTopK""".stripMargin,
 
     // token-adjacency edges → the shared unrolled fixed-point PageRank
     "text_textrank_terms" ->

@@ -1165,6 +1165,53 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // TPC-H Q13 shape (the double aggregate over an outer join):
+    // distribution of customers by order count, INCLUDING the
+    // zero-order customers a plain inner join would silently drop —
+    // the classic histogram-of-a-histogram. First rollup at customer
+    // grain off the left join, second at count grain (bounded domain).
+    "q13_custdist" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer").select(col("c_custkey"))
+      val o = t(spark, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Inter-arrival burstiness per event type: the squared coefficient
+    // of variation of user-level gaps (CV² = var/mean²; 1 = Poisson,
+    // >1 = bursty, <1 = regular) — the traffic-shape diagnostic behind
+    // rate-limit sizing. Gaps reuse the dwell definition (same 8 h
+    // session fence). EXACT: cv2_ppm = (n·Σx² − S²)·10⁶ div S² with
+    // Σx² in DECIMAL(38,0) — the SUM of µs² squares leaves
+    // BIGINT almost immediately (10⁶ gaps of ~17 min each is 10²⁴),
+    // so the decimal ride is mandatory, not headroom.
+    "events_burstiness" -> ((spark, dir) => {
+      val ev = XeFixture.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("gap_us").isNotNull && col("gap_us") >= 0 &&
+          col("gap_us") < lit(28800000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).as("s1"),
+          sum(expr("CAST(gap_us AS DECIMAL(38,0)) * gap_us")).as("s2"))
+        .filter(col("s1") > 0)
+        .select(col("event_type"), col("n_gaps"),
+          expr("s1 div n_gaps").as("mean_gap_us"),
+          expr("""CAST((CAST(n_gaps AS DECIMAL(38,0)) * s2
+                 |      - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000
+                 |     div (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"""
+            .stripMargin).as("cv2_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Hour-of-day variance decomposition (one-way ANOVA η²) — does
     // time-of-day EXPLAIN the volume variance, or is the heatmap
     // pattern noise? Over the zero-filled (type, day, hour) grid every
@@ -3602,6 +3649,42 @@ object RelationalQueries {
           |         AS slope_per_day
           |FROM ranked WHERE rn = (n_pairs + 1) // 2
           |ORDER BY event_type""".stripMargin,
+
+      "q13_custdist" ->
+        """WITH per AS (
+          |  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY 1
+          |)
+          |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM per GROUP BY 1
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      "events_burstiness" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events
+          |), gaps AS (
+          |  SELECT event_type,
+          |         lead(ts_us, 1) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id) - ts_us AS gap_us
+          |  FROM ev
+          |), g AS (
+          |  SELECT event_type, gap_us FROM gaps
+          |  WHERE gap_us IS NOT NULL AND gap_us >= 0
+          |    AND gap_us < 28800000000
+          |), agg AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+          |         CAST(sum(gap_us) AS BIGINT) AS s1,
+          |         sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+          |  FROM g GROUP BY 1
+          |)
+          |SELECT event_type, n_gaps,
+          |       s1 // n_gaps AS mean_gap_us,
+          |       CAST((CAST(n_gaps AS HUGEINT) * s2
+          |             - CAST(s1 AS HUGEINT) * s1) * 1000000
+          |            // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS cv2_ppm
+          |FROM agg WHERE s1 > 0 ORDER BY event_type""".stripMargin,
 
       "events_hour_anova" ->
         """WITH ev AS (

@@ -928,6 +928,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q13_custdist: zero-order customers survive the outer join; both rollups partial-agg") {
+    val nodes = executedNodes(q("q13_custdist"))
+    val hashAggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(hashAggs.size >= 2, "both aggregation levels must combine map-side")
+    // the synthetic fixture gives every customer an order, so assert
+    // the JOIN TYPE, not the zero bucket: an inner-join regression
+    // would silently drop order-less customers in production
+    assert(nodes.exists(n => n.toString.linesIterator.next().contains("LeftOuter")),
+      "the customer-orders join must stay LEFT OUTER")
+  }
+
+  test("text_burstiness / events_burstiness: one rollup, top-k heaps, no cartesian") {
+    for (name <- Seq("text_burstiness", "events_burstiness")) {
+      val nodes = executedNodes(q(name))
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")), name)
+    }
+    val nodes = executedNodes(q("text_burstiness"))
+    assert(nodes.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "burstiness top-k must be per-partition heaps")
+  }
+
   test("emb_kcore: every peel round is a degree rollup + id equi-joins — no cartesian") {
     val nodes = executedNodes(q("emb_kcore"))
     assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
