@@ -2977,6 +2977,41 @@ object CorpusQueries {
         .orderBy("layout")
     }),
 
+    // Clustering depth per layout — the Delta-OPTIMIZE-style metric
+    // that quantifies WHY range layout prunes and hash layout doesn't:
+    // per shard, how many shards' [min,max] key intervals overlap it
+    // (depth 1 = perfectly clustered; depth = n_shards means every
+    // file must be read for any range probe). The interval self-join
+    // runs at MANIFEST grain (nShards² cells at worst, thousands at a
+    // real lake's file count) — never touches the data after the one
+    // min/max rollup per layout.
+    "layout_clustering_depth" -> ((spark, dir) => {
+      val d = docs(spark, dir).select(col("doc_id"))
+      def manifest(shard: Column, layout: String): DataFrame =
+        d.withColumn("shard", shard)
+          .groupBy(col("shard"))
+          .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .withColumn("layout", lit(layout))
+      val m = manifest(pmod(T.hash60(
+          concat(lit("shard|"), col("doc_id").cast("string"))), lit(nShards)),
+          "hash")
+        .unionByName(manifest(expr(s"doc_id div ${pruneSpan}L"), "range"))
+        .localCheckpoint(false)
+      val depth = m.as("a")
+        .join(m.select(col("layout"), col("min_doc").as("bmin"),
+            col("max_doc").as("bmax")),
+          Seq("layout"))
+        .filter(col("min_doc") <= col("bmax") && col("max_doc") >= col("bmin"))
+        .groupBy(col("layout"), col("shard"))
+        .agg(count(lit(1)).as("depth"))
+      depth.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_shards"),
+          max(col("depth")).as("max_depth"),
+          expr("CAST(sum(depth) * 1000000 div count(1) AS BIGINT)")
+            .as("avg_depth_ppm"))
+        .orderBy("layout")
+    }),
+
     // Late-interaction (ColBERT-style) MaxSim retrieval — the
     // multi-vector scoring family single-vector ANN can't express:
     // each embedding is treated as 4 sub-vectors of 16 dims, and
@@ -5042,6 +5077,31 @@ object CorpusQueries {
          |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> frame_hash
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
          |FROM l GROUP BY format ORDER BY format""".stripMargin,
+
+    "layout_clustering_depth" ->
+      s"""WITH m AS (
+         |  SELECT 'hash' AS layout,
+         |         ${h60("'shard|' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |         doc_id
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'range', doc_id // $pruneSpan, doc_id FROM documents
+         |), man AS (
+         |  SELECT layout, shard,
+         |         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |  FROM m GROUP BY 1, 2
+         |), depth AS (
+         |  SELECT a.layout, a.shard, CAST(count(*) AS BIGINT) AS depth
+         |  FROM man a JOIN man b
+         |    ON a.layout = b.layout
+         |   AND a.min_doc <= b.max_doc AND a.max_doc >= b.min_doc
+         |  GROUP BY 1, 2
+         |)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
+         |       max(depth) AS max_depth,
+         |       CAST(sum(depth) AS BIGINT) * 1000000
+         |         // CAST(count(*) AS BIGINT) AS avg_depth_ppm
+         |FROM depth GROUP BY layout ORDER BY layout""".stripMargin,
 
     "layout_manifest_prune" ->
       s"""WITH m AS (
