@@ -43,6 +43,64 @@ class StreamingSpec extends SparkTestBase {
     assert(q.recentProgress.length > 1) // maxFilesPerTrigger=1 → several batches
   }
 
+  test("stateful aggregation state survives a checkpoint restart") {
+    // Run 1 sees PART of a window's events, then the query is torn
+    // down entirely; run 2 is a NEW start() on the same checkpoint and
+    // delivers the rest plus a later watermark-advancing drop. The
+    // finalized window must count events from BOTH runs — only possible
+    // if run 2 reloaded run 1's aggregation state from the checkpoint
+    // instead of starting empty (a fresh-state restart undercounts;
+    // losing the offsets log would double-count).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restart-in").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ck").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString + "/sink"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq((ts("2024-01-01 00:00:00"), "a", 1L))
+      .toDF("e_time_of_event_utc", "event_name", "c_duration_us").schema
+
+    def runOnce(): Unit = {
+      val stream = EventStream.readEventDir(
+        spark, s"$dir/drop*", schema, maxFilesPerTrigger = 1)
+      val q = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: three events in minute 0 — window stays OPEN (no watermark past it)
+    Seq((ts("2024-01-01 00:00:01"), "a", 10L),
+      (ts("2024-01-01 00:00:20"), "a", 10L),
+      (ts("2024-01-01 00:00:40"), "b", 5L))
+      .toDF("e_time_of_event_utc", "event_name", "c_duration_us")
+      .coalesce(1).write.parquet(s"$dir/drop1")
+    runOnce()
+
+    // run 2 (fresh query object, same checkpoint): two more minute-0
+    // events, then a separate LATER drop that advances the watermark
+    // past minute 0. Each drop is one file (coalesce) and the advancer
+    // is written second, so file order keeps the stragglers ahead of
+    // the watermark bump — the test measures state recovery, not
+    // event-time lateness.
+    Seq((ts("2024-01-01 00:00:50"), "a", 10L),
+      (ts("2024-01-01 00:00:55"), "b", 5L))
+      .toDF("e_time_of_event_utc", "event_name", "c_duration_us")
+      .coalesce(1).write.parquet(s"$dir/drop2")
+    Thread.sleep(1100) // distinct mtime: the source orders files by it
+    Seq((ts("2024-01-01 01:00:00"), "c", 1L))
+      .toDF("e_time_of_event_utc", "event_name", "c_duration_us")
+      .coalesce(1).write.parquet(s"$dir/drop3")
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .filter(col("minute") === ts("2024-01-01 00:00:00"))
+      .select("event_name", "n", "total_duration_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 3L, 30L), ("b", 2L, 10L)),
+      s"minute-0 window must merge both runs' events, got $got")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
     import org.apache.spark.sql.streaming.Trigger
     val events = XeFixture.frame(spark, sf("sf0.001"))
