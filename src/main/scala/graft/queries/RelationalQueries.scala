@@ -1165,6 +1165,39 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Incremental view maintenance for JOINS — the delta algebra
+    // events_incr_refresh applies to aggregates, extended to the
+    // binary-join case: Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, so a
+    // materialized join view absorbs a new batch by joining ONLY the
+    // deltas against the old snapshots (plus the tiny Δ⋈Δ corner) —
+    // never re-joining the full tables. The query RETURNS the
+    // incrementally-maintained view (old view ∪ delta terms), rolled
+    // up per nation; the oracle recomputes the view FROM SCRATCH on
+    // the combined tables — the hash gate is exactly the delta-algebra
+    // identity. Deterministic split: orderkey%97 / custkey%89 are the
+    // "arriving batch".
+    "ivm_join_delta" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val dO = o.filter(col("o_orderkey") % 97 === 0)
+      val oOld = o.filter(col("o_orderkey") % 97 =!= 0)
+      val dC = c.filter(col("c_custkey") % 89 === 0)
+      val cOld = c.filter(col("c_custkey") % 89 =!= 0)
+      def j(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), dec(col("o_totalprice")).as("p"))
+      val maintained = j(oOld, cOld)
+        .unionByName(j(dO, cOld))
+        .unionByName(j(oOld, dC))
+        .unionByName(j(dO, dC))
+      maintained.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("p")).cast("double"), 2).as("total_price"))
+        .orderBy("c_nationkey")
+    }),
+
     // TPC-H Q13 shape (the double aggregate over an outer join):
     // distribution of customers by order count, INCLUDING the
     // zero-order customers a plain inner join would silently drop —
@@ -3649,6 +3682,14 @@ object RelationalQueries {
           |         AS slope_per_day
           |FROM ranked WHERE rn = (n_pairs + 1) // 2
           |ORDER BY event_type""".stripMargin,
+
+      // from-scratch recompute: the hash match IS the delta-algebra proof
+      "ivm_join_delta" ->
+        """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+          |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |                  AS DOUBLE), 2) AS total_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q13_custdist" ->
         """WITH per AS (
