@@ -746,45 +746,19 @@ object Dedup {
   private def ensureNearDupArtifact(docs: => DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double,
       dir: String): org.apache.spark.sql.SparkSession = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    // any session works for the fs probe; the by-name docs frame is only
-    // forced (and its source only scanned) when the artifact is absent
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    def published =
-      fs.exists(new org.apache.hadoop.fs.Path(path, "edges/_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(path, "labels/_SUCCESS"))
-    if (published) return org.apache.spark.sql.SparkSession.active
-    val d = docs
-    // build into a private temp dir, then publish with one rename —
-    // two concurrent builders (two processes sharing the scratch fs)
-    // each write their own temp; exactly one rename lands, the loser
-    // deletes its temp and reads the winner's artifact. Never
-    // overwrite-in-place: a reader mid-scan of a published artifact
-    // must not see its files deleted under it. One rename also means
-    // edges and labels appear together — never a half-published pair.
-    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-      path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    // the pairs frame feeds the edges write AND the components loop;
-    // the two consume it in SEQUENTIAL actions, so the lazy checkpoint
-    // materializes on the first and is reused by the second
-    val pairs = jaccardPairs(d, idCol, textCol, k, threshold)
-      .localCheckpoint(false)
-    pairs.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
-    dupClusters(pairs).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "labels").toString)
-    // `published` is a def — RE-evaluated here, after the build: a
-    // concurrent builder that landed while we computed makes this branch
-    // discard our tmp instead of deleting a live artifact. (A sub-ms
-    // TOCTOU window between this check and the delete remains — closing
-    // it needs an FS with atomic rename-over or an external lock.)
-    if (!published) {
-      // a half-written artifact from a killed run (dir, no _SUCCESS)
-      // blocks the rename target — clear it, it was never publishable
-      if (fs.exists(path)) fs.delete(path, true)
-      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
-    } else fs.delete(tmp, true)
-    d.sparkSession
+    ArtifactPublish.ensure(dir, Seq("edges", "labels")) { tmp =>
+      val d = docs
+      // the pairs frame feeds the edges write AND the components loop;
+      // the two consume it in SEQUENTIAL actions, so the lazy checkpoint
+      // materializes on the first and is reused by the second
+      val pairs = jaccardPairs(d, idCol, textCol, k, threshold)
+        .localCheckpoint(false)
+      pairs.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "edges").toString)
+      dupClusters(pairs).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "labels").toString)
+    }
+    org.apache.spark.sql.SparkSession.active
   }
 
   /** Triangle/wedge census over an undirected edge list given in

@@ -86,35 +86,29 @@ object Graphs {
   }
 
   /** Artifact-backed mutual-kNN edge frame — the compute-once graph the
-    * triangle/LPA/modularity consumers share (the
+    * triangle/LPA/modularity/k-core consumers share (the
     * [[Dedup.clustersTable]] discipline: at corpus scale the kNN graph
     * is built once per corpus version and read by many queries, never
     * recomputed per consumer). Returns the directed-both-ways mutual
     * edge set; `emb` is by-name so the source is only scanned when the
-    * artifact is absent. Publish is build-to-temp + one rename, so a
-    * concurrent builder loses cleanly and readers never see a
-    * half-written graph. */
+    * artifact is absent. Publish semantics (and their one honest race
+    * caveat) live in [[ArtifactPublish.ensure]] — one copy for every
+    * artifact. */
   def mutualKnnTable(emb: => DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], planesPerTable: Int, k: Int,
       dir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    def published =
-      fs.exists(new org.apache.hadoop.fs.Path(path, "mutual/_SUCCESS"))
-    if (!published) {
-      val e = emb
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
-      val g = Similarity.knnGraph(e, idCol, vecCol, planes, planesPerTable, k)
+    ArtifactPublish.ensure(dir, Seq("mutual")) { tmp =>
+      // checkpoint: intersect consumes the expensive knn plan TWICE
+      // (forward + reversed); without the cut both children re-run the
+      // candidate join + scoring + heaps whenever AQE breaks exchange
+      // reuse
+      val g = Similarity.knnGraph(emb, idCol, vecCol, planes,
+          planesPerTable, k)
         .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+        .localCheckpoint(false)
       g.intersect(g.select(col("b").as("a"), col("a").as("b")))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "mutual").toString)
-      // re-check after the build: a concurrent winner keeps its artifact
-      if (!published) {
-        if (fs.exists(path)) fs.delete(path, true)
-        if (!fs.rename(tmp, path)) fs.delete(tmp, true)
-      } else fs.delete(tmp, true)
     }
     org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/mutual")
   }
@@ -126,9 +120,14 @@ object Graphs {
     * sequential peeling, whose result depends on removal order mid-
     * round). `rounds` bounds the iteration the way lpaLabels' iters
     * does: both engines run exactly `rounds` steps, so parity holds
-    * even before the fixpoint; on a degree-capped graph (mutual-kNN:
-    * deg ≤ k_nn) peeling converges in a handful of rounds. Per-round
-    * cost is one degree rollup + two id equi-joins — O(edges). */
+    * even before the fixpoint. A degree cap does NOT bound the round
+    * count — a 2-core peel of an L-node path needs ~L/2 synchronous
+    * rounds — so the result is an UPPER BOUND on the k-core until the
+    * peel converges; [[kCoreCensus]] reports `n_underfilled` (nodes
+    * still below k in the final edge set — 0 iff the fixpoint was
+    * reached) so a non-converged bound can never read as exact.
+    * Per-round cost is one degree rollup + two id equi-joins —
+    * O(edges). */
   def kCoreEdges(mutual: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = mutual.select(col("a"), col("b"))
     for (_ <- 1 to rounds) {
@@ -143,23 +142,36 @@ object Graphs {
 
   /** One census row per k: nodes and undirected edges surviving the
     * k-core peel — the "how much of the graph is densely supported"
-    * ladder (a kNN graph whose 2-core is tiny is mostly hairs). */
-  def kCoreCensus(mutual: DataFrame, ks: Seq[Int], rounds: Int): DataFrame =
+    * ladder (a kNN graph whose 2-core is tiny is mostly hairs).
+    * `n_underfilled` counts nodes still under k in the final edge set:
+    * 0 means the peel CONVERGED and the row is the exact k-core;
+    * anything else means `rounds` expired first and the row is only an
+    * upper bound. */
+  def kCoreCensus(mutual: DataFrame, ks: Seq[Int], rounds: Int): DataFrame = {
+    require(ks.nonEmpty, "kCoreCensus needs at least one core order k")
     ks.map { k =>
       val e = kCoreEdges(mutual, k, rounds)
+      val under = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k)
+        .agg(count(lit(1)).as("n_underfilled"))
       e.agg(
           coalesce(countDistinct(col("a")), lit(0L)).as("n_core_nodes"),
           (count(lit(1)) / 2).cast("long").as("n_core_edges"))
+        .crossJoin(broadcast(under))
         .select(lit(k.toLong).as("k"), col("n_core_nodes"),
-          col("n_core_edges"))
+          col("n_core_edges"), col("n_underfilled"))
     }.reduce(_ unionByName _)
+  }
 
   /** Degree assortativity (Newman 2002): Pearson correlation of
     * endpoint degrees over the directed-both-ways edge list (which IS
-    * the undirected edge-end enumeration the definition wants). Every
-    * sum is an exact BIGINT; r itself is computed from those integers
-    * in doubles with two sqrts — IEEE requires sqrt correctly rounded,
-    * so both engines produce the identical double from the identical
+    * the undirected edge-end enumeration the definition wants). The
+    * sums and every cross product ride DECIMAL(38,0) (oracle: HUGEINT)
+    * — in BIGINT, n·Σd² wraps silently around 3·10⁸ edges even at the
+    * kNN degree cap, and a single 3·10⁶-degree hub overflows Σd² on
+    * its own. r itself is computed from those exact integers in
+    * doubles with two sqrts — IEEE requires sqrt correctly rounded, so
+    * both engines produce the identical double from the identical
     * integers. r > 0 = hubs link hubs (a kNN graph on clustered
     * embeddings); r < 0 = hub-and-spoke. One degree rollup + one edge
     * join; aggregate grain after. */
@@ -168,20 +180,24 @@ object Graphs {
     val xy = mutual
       .join(deg.select(col("a"), col("d").as("dx")), "a")
       .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
+    val zero = lit(0).cast("decimal(38,0)")
     xy.agg(count(lit(1)).as("n_ends"),
-        coalesce(sum(col("dx")), lit(0L)).as("sx"),
-        coalesce(sum(col("dy")), lit(0L)).as("sy"),
-        coalesce(sum(col("dx") * col("dx")), lit(0L)).as("sxx"),
-        coalesce(sum(col("dy") * col("dy")), lit(0L)).as("syy"),
-        coalesce(sum(col("dx") * col("dy")), lit(0L)).as("sxy"))
-      .select(col("n_ends"), col("sxy"),
-        when(col("n_ends") === 0 ||
-            (col("n_ends") * col("sxx") - col("sx") * col("sx")) === 0 ||
-            (col("n_ends") * col("syy") - col("sy") * col("sy")) === 0, 0.0)
+        coalesce(sum(expr("CAST(dx AS DECIMAL(38,0))")), zero).as("sx"),
+        coalesce(sum(expr("CAST(dy AS DECIMAL(38,0))")), zero).as("sy"),
+        coalesce(sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")), zero).as("sxx"),
+        coalesce(sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")), zero).as("syy"),
+        coalesce(sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")), zero).as("sxy"))
+      .withColumn("varx", expr(
+        "CAST(n_ends AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("vary", expr(
+        "CAST(n_ends AS DECIMAL(38,0)) * syy - sy * sy"))
+      .select(col("n_ends"),
+        expr("CAST(sxy AS BIGINT)").as("sxy"),
+        when(col("n_ends") === 0 || col("varx") === 0 || col("vary") === 0, 0.0)
           .otherwise(expr(
-            """round(CAST(n_ends * sxy - sx * sy AS DOUBLE)
-              |      / (sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE))
-              |         * sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE))), 6)"""
+            """round(CAST(CAST(n_ends AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+              |      / (sqrt(CAST(varx AS DOUBLE))
+              |         * sqrt(CAST(vary AS DOUBLE))), 6)"""
               .stripMargin)).as("assortativity"))
   }
 
@@ -194,6 +210,9 @@ object Graphs {
     * DuckDB `//` both truncate toward zero, measured — but truncation
     * toward zero is sign-asymmetric around Q=0, exactly where this
     * diagnostic is read; the double keeps the near-zero resolution.)
+    * CONTRACT: `labels` must cover every endpoint of `mutual` — an
+    * unlabeled endpoint drops its edges from m/e_in while d_c still
+    * counts the full degree, biasing Q out of [-1/2, 1] with no error.
     * Labels join the edge
     * and degree frames on node ids; everything after is
     * community-grain. Communities of isolated nodes have d_c = e_c = 0

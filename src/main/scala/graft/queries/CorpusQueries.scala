@@ -7060,15 +7060,15 @@ object CorpusQueries {
          |  SELECT da.d AS dx, db.d AS dy
          |  FROM mut m JOIN deg da ON m.a = da.a JOIN deg db ON m.b = db.a
          |), sums AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_ends,
-         |         coalesce(CAST(sum(dx) AS BIGINT), 0) AS sx,
-         |         coalesce(CAST(sum(dy) AS BIGINT), 0) AS sy,
-         |         coalesce(CAST(sum(dx * dx) AS BIGINT), 0) AS sxx,
-         |         coalesce(CAST(sum(dy * dy) AS BIGINT), 0) AS syy,
-         |         coalesce(CAST(sum(dx * dy) AS BIGINT), 0) AS sxy
+         |  SELECT CAST(count(*) AS HUGEINT) AS n_ends,
+         |         coalesce(sum(CAST(dx AS HUGEINT)), 0) AS sx,
+         |         coalesce(sum(CAST(dy AS HUGEINT)), 0) AS sy,
+         |         coalesce(sum(CAST(dx AS HUGEINT) * dx), 0) AS sxx,
+         |         coalesce(sum(CAST(dy AS HUGEINT) * dy), 0) AS syy,
+         |         coalesce(sum(CAST(dx AS HUGEINT) * dy), 0) AS sxy
          |  FROM xy
          |)
-         |SELECT n_ends, sxy,
+         |SELECT CAST(n_ends AS BIGINT) AS n_ends, CAST(sxy AS BIGINT) AS sxy,
          |       CASE WHEN n_ends = 0
          |              OR n_ends * sxx - sx * sx = 0
          |              OR n_ends * syy - sy * sy = 0 THEN 0.0
@@ -7118,7 +7118,10 @@ object CorpusQueries {
             |$peels""".stripMargin,
           s"""SELECT CAST($k AS BIGINT) AS k,
              |       coalesce(CAST(count(DISTINCT a) AS BIGINT), 0) AS n_core_nodes,
-             |       CAST(count(*) // 2 AS BIGINT) AS n_core_edges
+             |       CAST(count(*) // 2 AS BIGINT) AS n_core_edges,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM (
+             |          SELECT a FROM e_${k}_$kCoreRounds
+             |          GROUP BY 1 HAVING count(*) < $k)) AS n_underfilled
              |FROM e_${k}_$kCoreRounds""".stripMargin)
       }
       s"""WITH $knnRankedCtes, knn AS (

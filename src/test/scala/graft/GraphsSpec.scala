@@ -70,10 +70,26 @@ class GraphsSpec extends SparkTestBase {
     val path = mutual((1L, 2L), (2L, 3L), (3L, 4L))
     val r1 = Graphs.kCoreCensus(path, Seq(2), 6).collect().head
     assert(r1.getAs[Long]("n_core_nodes") == 0 && r1.getAs[Long]("n_core_edges") == 0)
+    assert(r1.getAs[Long]("n_underfilled") == 0, "4-node path converges in 6 rounds")
     // triangle {1,2,3} + tail 3-4: the tail peels, the triangle survives
     val tri = mutual((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val r2 = Graphs.kCoreCensus(tri, Seq(2), 6).collect().head
     assert(r2.getAs[Long]("n_core_nodes") == 3 && r2.getAs[Long]("n_core_edges") == 3)
+    assert(r2.getAs[Long]("n_underfilled") == 0)
+  }
+
+  test("k-core peel reports non-convergence instead of passing a bound off as exact") {
+    // a 12-node path needs ~5 synchronous rounds to empty its 2-core;
+    // with rounds=1 the interior survives and n_underfilled must say so
+    val long = mutual((1L to 11L).map(i => (i, i + 1)): _*)
+    val r = Graphs.kCoreCensus(long, Seq(2), 1).collect().head
+    assert(r.getAs[Long]("n_core_edges") > 0, "one round cannot finish the peel")
+    assert(r.getAs[Long]("n_underfilled") > 0,
+      "the unconverged bound must be flagged")
+    // and with enough rounds the same graph converges to the empty core
+    val done = Graphs.kCoreCensus(long, Seq(2), 8).collect().head
+    assert(done.getAs[Long]("n_core_edges") == 0 &&
+      done.getAs[Long]("n_underfilled") == 0)
   }
 
   test("k-core peel: K4 is its own 3-core; nothing is a 4-core") {
