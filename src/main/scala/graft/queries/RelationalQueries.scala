@@ -1168,19 +1168,22 @@ object RelationalQueries {
     // Incremental view maintenance for JOINS — the delta algebra
     // events_incr_refresh applies to aggregates, extended to the
     // binary-join case: Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, so a
-    // materialized join view absorbs a new batch by joining ONLY the
-    // deltas against the old snapshots (plus the tiny Δ⋈Δ corner) —
-    // never re-joining the full tables. The query RETURNS the
-    // incrementally-maintained view (old view ∪ delta terms), rolled
-    // up per nation; the oracle recomputes the view FROM SCRATCH on
-    // the combined tables — the hash gate is exactly the delta-algebra
-    // identity. Deterministic split: orderkey%97 / custkey%89 are the
-    // "arriving batch".
+    // production deployment absorbs a batch by joining ONLY the deltas
+    // against the materialized old view. Nothing persists between
+    // verify runs, so THIS query recomputes the old-view term inline —
+    // what the hash gate proves is the delta-algebra identity (the
+    // four terms partition the from-scratch join the oracle computes),
+    // not the incremental COST, which needs the materialized view.
+    // Both base tables are checkpointed so the four terms read one
+    // scan each, not four. Deterministic split: orderkey%97 /
+    // custkey%89 are the "arriving batch".
     "ivm_join_delta" -> ((spark, dir) => {
       val o = t(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(false)
       val c = t(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
+        .localCheckpoint(false)
       val dO = o.filter(col("o_orderkey") % 97 === 0)
       val oOld = o.filter(col("o_orderkey") % 97 =!= 0)
       val dC = c.filter(col("c_custkey") % 89 === 0)
