@@ -232,6 +232,65 @@ object Multimodal {
     * [[nearDupSignatures]] path: aHash degrades gracefully under small
     * local edits (one changed byte flips at most one bit plus the mean),
     * where the set-based trigram signature is blind to byte ORDER. */
+  /** 8×8 DCT-II basis in 2¹⁴ fixed point: T(u)(x) = round(2¹⁴ · c(u) ·
+    * cos((2x+1)uπ/16)). Generated ONCE here and interpolated as integer
+    * literals into the DuckDB oracle, so the irrational cosines are
+    * never recomputed anywhere — the same published-table discipline as
+    * the Benford ladder. */
+  val dctTableFp: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8)
+    math.round(16384.0 * c * math.cos((2 * x + 1) * u * math.Pi / 16))
+  }
+
+  /** pHash near-dup: the DCT perceptual hash (the robust sibling of
+    * [[ahashNearDup]] — aHash flips bits under any brightness shift,
+    * pHash compares DCT coefficients against their own median, so it is
+    * invariant to monotone intensity changes and keys on STRUCTURE).
+    * The first 64 body bytes form the 8×8 "pixel" block (decode is the
+    * documented stub everywhere in this module); C = T·P·Tᵀ runs as two
+    * relational matrix multiplies in exact integers (T in 2¹⁴ fixed
+    * point — coefficient magnitudes ≤ 255·64·2²⁸ ≈ 4.4e12, well inside
+    * BIGINT); bit i of the 63-bit hash = [AC coefficient i > the lower
+    * median of all 63 ACs] (DC is excluded — it is the block mean aHash
+    * already keys on). Per doc the whole pipeline is ~1k multiply-adds
+    * at (doc, u, v) grain — linear in corpus size; candidate pairs ride
+    * the same Hamming pigeonhole segments as SimHash/aHash. */
+  def phashNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = media.sparkSession
+    val tRows = for { u <- 0 until 8; x <- 0 until 8 }
+      yield (u, x, dctTableFp(u)(x))
+    import spark.implicits._
+    val tdf = tRows.toDF("u", "x", "t")
+    val px = media
+      .select(col("doc_id"), bodyGrams(col("payload"), 64, 1).as("bs"))
+      .filter(size(col("bs")) === 64)
+      .select(col("doc_id"), posexplode(col("bs")))
+      .select(col("doc_id"), expr("CAST(pos div 8 AS INT)").as("x"),
+        expr("CAST(pos % 8 AS INT)").as("y"), col("col").as("p"))
+    val m = px.join(broadcast(tdf), "x")
+      .groupBy(col("doc_id"), col("u"), col("y"))
+      .agg(sum(col("t") * col("p")).as("mv"))
+    val c = m.join(broadcast(tdf.toDF("v", "y", "t2")), "y")
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(sum(col("mv") * col("t2")).as("cv"))
+    val ac = c.filter(!(col("u") === 0 && col("v") === 0))
+      .withColumn("idx", (col("u") * 8 + col("v") - 1).cast("int"))
+    // lower median of the 63 ACs: rank within the per-doc 63-row group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cv"), col("idx"))
+    val med = ac.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 32)
+      .select(col("doc_id"), col("cv").as("med"))
+    val sig = ac.join(med, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cv") > col("med"),
+        // 2^idx exact in double for idx ≤ 62 (powers of two), lossless cast
+        expr("CAST(pow(2.0, idx) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .repartition(col("doc_id"))
+    Dedup.hammingPairs(sig, maxHamming, 63)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   def ahashNearDup(media: DataFrame, maxHamming: Int, nBits: Int): DataFrame = {
     val sig = media
       .select(col("doc_id"), ahash(col("payload"), nBits).as("simhash"))

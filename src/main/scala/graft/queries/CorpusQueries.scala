@@ -344,6 +344,8 @@ object CorpusQueries {
   // multimodal aHash near-dup: signature width + Hamming radius
   val ahashBits = 60
   val ahashMaxHamming = 2
+  // mm_phash_neardup: Hamming radius over the 63-bit DCT hash
+  val phashMaxHamming = 2
 
   // BPE training depth for vocab_bpe_merges (oracle CTE chain length)
   val bpeTrainMerges = 8
@@ -2753,6 +2755,17 @@ object CorpusQueries {
     "mm_ahash_neardup" -> ((spark, dir) => {
       Multimodal.ahashNearDup(
           Multimodal.withPayload(docs(spark, dir)), ahashMaxHamming, ahashBits)
+        .orderBy("d1", "d2")
+    }),
+
+    // pHash near-dup: DCT perceptual hash over the stub-decoded 8×8
+    // block — invariant to monotone intensity shifts where aHash flips
+    // (each bit compares an AC coefficient to the ACs' own median).
+    // Exact integer DCT in 2¹⁴ fixed point; same pigeonhole Hamming
+    // join as SimHash/aHash. See Multimodal.phashNearDup.
+    "mm_phash_neardup" -> ((spark, dir) => {
+      Multimodal.phashNearDup(
+          Multimodal.withPayload(docs(spark, dir)), phashMaxHamming)
         .orderBy("d1", "d2")
     }),
 
@@ -7165,6 +7178,58 @@ object CorpusQueries {
          |)
          |SELECT d1, d2, hamming FROM prs
          |WHERE hamming <= $ahashMaxHamming
+         |ORDER BY d1, d2""".stripMargin,
+
+    // exact integer DCT replay: T interpolated as the SAME 2¹⁴
+    // fixed-point literals the Spark side generated; truth is the
+    // unpruned all-pairs Hamming (the mm_ahash discipline — parity
+    // proves the pigeonhole candidate set is complete at the radius)
+    "mm_phash_neardup" -> {
+      val tVals = (for { u <- 0 until 8; x <- 0 until 8 }
+        yield s"($u, $x, ${Multimodal.dctTableFp(u)(x)})").mkString(", ")
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
+         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+         |  FROM documents
+         |), bytes AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
+         |  FROM media, range(0, 64) t(i)
+         |  WHERE octet_length(payload) - 4 >= 64
+         |), tdf AS (
+         |  SELECT * FROM (VALUES $tVals) AS tv(u, x, t)
+         |), px AS (
+         |  SELECT doc_id, i // 8 AS x, i % 8 AS y, b AS p FROM bytes
+         |), m AS (
+         |  SELECT doc_id, u, y, CAST(sum(t * p) AS BIGINT) AS mv
+         |  FROM px JOIN tdf USING (x) GROUP BY 1, 2, 3
+         |), c AS (
+         |  SELECT m.doc_id, m.u, t2.u AS v, CAST(sum(m.mv * t2.t) AS BIGINT) AS cv
+         |  FROM m JOIN tdf t2 ON t2.x = m.y GROUP BY 1, 2, 3
+         |), ac AS (
+         |  SELECT doc_id, CAST(u * 8 + v - 1 AS INTEGER) AS idx, cv
+         |  FROM c WHERE NOT (u = 0 AND v = 0)
+         |), med AS (
+         |  SELECT doc_id, cv AS med FROM (
+         |    SELECT doc_id, cv,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY cv, idx) AS rn
+         |    FROM ac) WHERE rn = 32
+         |), sig AS (
+         |  SELECT ac.doc_id,
+         |         CAST(sum(CASE WHEN ac.cv > med.med
+         |                       THEN (CAST(1 AS BIGINT) << ac.idx) ELSE 0 END)
+         |              AS BIGINT) AS phash
+         |  FROM ac JOIN med USING (doc_id) GROUP BY 1
+         |), prs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, hamming FROM prs
+         |WHERE hamming <= $phashMaxHamming
          |ORDER BY d1, d2""".stripMargin
+    }
   )
 }

@@ -600,12 +600,14 @@ class PlanSpec extends SparkTestBase {
       s"expected partial+final TopKPerKeyExec, got ${topk.size} heap nodes")
   }
 
-  test("mm_ahash_neardup: signature is a scan projection; pair scan equi-joins") {
-    val nodes = executedNodes(q("mm_ahash_neardup"))
-    assert(nodes.forall(n => {
-      val c = n.getClass.getSimpleName
-      !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
-    }), "the Hamming pair scan must stay a segment equi-join")
+  test("mm_ahash_neardup / mm_phash_neardup: pair scans stay segment equi-joins") {
+    for (name <- Seq("mm_ahash_neardup", "mm_phash_neardup")) {
+      val nodes = executedNodes(q(name))
+      assert(nodes.forall(n => {
+        val c = n.getClass.getSimpleName
+        !c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoop")
+      }), s"$name: the Hamming pair scan must stay a segment equi-join")
+    }
   }
 
   test("text_classifier_score: one doc-keyed aggregation, no join on the score path") {
