@@ -935,6 +935,31 @@ object CorpusQueries {
           expr("n_both * 1000000L div greatest(n_union, 1L)"))
     }),
 
+    // aHash vs pHash pair-set census — the multimodal twin of
+    // dedup_method_agreement: do the brightness-keyed (aHash) and
+    // structure-keyed (pHash) perceptual hashes see the same byte-level
+    // near-dups on THIS corpus? High ahash_only mass = intensity-shift
+    // false positives; high phash_only = aHash missing structural
+    // matches. Full-outer join of two already-linear pair pipelines.
+    "mm_hash_agreement" -> ((spark, dir) => {
+      val media = Multimodal.withPayload(docs(spark, dir))
+      val ah = Multimodal.ahashNearDup(media, ahashMaxHamming, ahashBits)
+        .select(col("d1"), col("d2")).withColumn("in_ah", lit(1))
+      val ph = Multimodal.phashNearDup(media, phashMaxHamming)
+        .select(col("d1"), col("d2")).withColumn("in_ph", lit(1))
+      ah.join(ph, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(when(col("in_ah").isNotNull && col("in_ph").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_ah").isNotNull && col("in_ph").isNull, 1L)
+            .otherwise(0L)).as("n_ahash_only"),
+          sum(when(col("in_ah").isNull && col("in_ph").isNotNull, 1L)
+            .otherwise(0L)).as("n_phash_only"),
+          count(lit(1)).as("n_union"))
+        .withColumn("agreement_fp6",
+          expr("n_both * 1000000L div greatest(n_union, 1L)"))
+    }),
+
     // Source-overlap similarity matrix — dataset-lineage detection at
     // SOURCE grain: shingle-set Jaccard between every source pair
     // (two crawls of the same sites light up immediately). The heavy
@@ -3495,6 +3520,85 @@ object CorpusQueries {
     * string_split_regex('', ...) yields [''] (len 1) in DuckDB where
     * Spark's guard yields [], and a blank doc would desync every
     * token-derived oracle. */
+  /** payload-synthesis CTE shared by every mm_* oracle */
+  private val mmMediaCte: String =
+    // no line here may BEGIN with '||': this fragment is interpolated
+    // into outer stripMargin'd templates, which would eat the first '|'
+    """media AS (
+      |  SELECT doc_id,
+      |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0') ||
+      |                  lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
+      |  FROM documents
+      |)""".stripMargin
+
+  /** aHash pair chain (expects `media` in scope) ending at
+    * `aprs(d1, d2, hamming)` — shared by the aHash and agreement
+    * oracles so the two can never drift. */
+  private lazy val ahashPairCtes: String =
+    s"""abytes AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
+       |  FROM media, range(0, $ahashBits) t(i)
+       |  WHERE i < least(octet_length(payload) - 4, $ahashBits)
+       |), astats AS (
+       |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS s, count(*) AS n
+       |  FROM abytes GROUP BY doc_id
+       |), asig AS (
+       |  SELECT b.doc_id,
+       |         CAST(sum(CASE WHEN b.b > (st.s // st.n)
+       |                       THEN (CAST(1 AS BIGINT) << b.i) ELSE 0 END)
+       |              AS BIGINT) AS ahash
+       |  FROM abytes b JOIN astats st USING (doc_id)
+       |  WHERE st.n >= 8 GROUP BY b.doc_id
+       |), aprs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+       |  FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** pHash pair chain (expects `media` in scope) ending at
+    * `pprs(d1, d2, hamming)`; the DCT basis is interpolated from
+    * [[Multimodal.dctTableFp]] as fixed-point integer literals. */
+  private lazy val phashPairCtes: String = {
+    val tVals = (for { u <- 0 until 8; x <- 0 until 8 }
+      yield s"($u, $x, ${Multimodal.dctTableFp(u)(x)})").mkString(", ")
+    s"""pbytes AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
+       |  FROM media, range(0, 64) t(i)
+       |  WHERE octet_length(payload) - 4 >= 64
+       |), tdf AS (
+       |  SELECT * FROM (VALUES $tVals) AS tv(u, x, t)
+       |), ppx AS (
+       |  SELECT doc_id, i // 8 AS x, i % 8 AS y, b AS p FROM pbytes
+       |), pm AS (
+       |  SELECT doc_id, u, y, CAST(sum(t * p) AS BIGINT) AS mv
+       |  FROM ppx JOIN tdf USING (x) GROUP BY 1, 2, 3
+       |), pc AS (
+       |  SELECT pm.doc_id, pm.u, t2.u AS v, CAST(sum(pm.mv * t2.t) AS BIGINT) AS cv
+       |  FROM pm JOIN tdf t2 ON t2.x = pm.y GROUP BY 1, 2, 3
+       |), pac AS (
+       |  SELECT doc_id, CAST(u * 8 + v - 1 AS INTEGER) AS idx, cv
+       |  FROM pc WHERE NOT (u = 0 AND v = 0)
+       |), pmed AS (
+       |  SELECT doc_id, cv AS med FROM (
+       |    SELECT doc_id, cv,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY cv, idx) AS rn
+       |    FROM pac) WHERE rn = 32
+       |), psig AS (
+       |  SELECT pac.doc_id,
+       |         CAST(sum(CASE WHEN pac.cv > pmed.med
+       |                       THEN (CAST(1 AS BIGINT) << pac.idx) ELSE 0 END)
+       |              AS BIGINT) AS phash
+       |  FROM pac JOIN pmed USING (doc_id) GROUP BY 1
+       |), pprs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   private val tokCte =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -7151,32 +7255,9 @@ object CorpusQueries {
     // discipline): parity verifies the pigeonhole candidate set is
     // COMPLETE at the radius, not just that scoring matches.
     "mm_ahash_neardup" ->
-      s"""WITH media AS (
-         |  SELECT doc_id,
-         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
-         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
-         |  FROM documents
-         |), bytes AS (
-         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-         |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
-         |  FROM media, range(0, $ahashBits) t(i)
-         |  WHERE i < least(octet_length(payload) - 4, $ahashBits)
-         |), stats AS (
-         |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS s, count(*) AS n
-         |  FROM bytes GROUP BY doc_id
-         |), sig AS (
-         |  SELECT b.doc_id,
-         |         CAST(sum(CASE WHEN b.b > (st.s // st.n)
-         |                       THEN (CAST(1 AS BIGINT) << b.i) ELSE 0 END)
-         |              AS BIGINT) AS ahash
-         |  FROM bytes b JOIN stats st USING (doc_id)
-         |  WHERE st.n >= 8 GROUP BY b.doc_id
-         |), prs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |)
-         |SELECT d1, d2, hamming FROM prs
+      s"""WITH $mmMediaCte,
+         |$ahashPairCtes
+         |SELECT d1, d2, hamming FROM aprs
          |WHERE hamming <= $ahashMaxHamming
          |ORDER BY d1, d2""".stripMargin,
 
@@ -7184,52 +7265,32 @@ object CorpusQueries {
     // fixed-point literals the Spark side generated; truth is the
     // unpruned all-pairs Hamming (the mm_ahash discipline — parity
     // proves the pigeonhole candidate set is complete at the radius)
-    "mm_phash_neardup" -> {
-      val tVals = (for { u <- 0 until 8; x <- 0 until 8 }
-        yield s"($u, $x, ${Multimodal.dctTableFp(u)(x)})").mkString(", ")
-      s"""WITH media AS (
-         |  SELECT doc_id,
-         |         from_hex(lpad(to_hex(n_chars % 64 + 16), 4, '0')
-         |                  || lpad(to_hex(doc_id % 48 + 16), 4, '0')) || encode(text) AS payload
-         |  FROM documents
-         |), bytes AS (
-         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-         |         ('0x' || substring(hex(payload), CAST(9 + i * 2 AS INTEGER), 2))::BIGINT AS b
-         |  FROM media, range(0, 64) t(i)
-         |  WHERE octet_length(payload) - 4 >= 64
-         |), tdf AS (
-         |  SELECT * FROM (VALUES $tVals) AS tv(u, x, t)
-         |), px AS (
-         |  SELECT doc_id, i // 8 AS x, i % 8 AS y, b AS p FROM bytes
-         |), m AS (
-         |  SELECT doc_id, u, y, CAST(sum(t * p) AS BIGINT) AS mv
-         |  FROM px JOIN tdf USING (x) GROUP BY 1, 2, 3
-         |), c AS (
-         |  SELECT m.doc_id, m.u, t2.u AS v, CAST(sum(m.mv * t2.t) AS BIGINT) AS cv
-         |  FROM m JOIN tdf t2 ON t2.x = m.y GROUP BY 1, 2, 3
-         |), ac AS (
-         |  SELECT doc_id, CAST(u * 8 + v - 1 AS INTEGER) AS idx, cv
-         |  FROM c WHERE NOT (u = 0 AND v = 0)
-         |), med AS (
-         |  SELECT doc_id, cv AS med FROM (
-         |    SELECT doc_id, cv,
-         |           row_number() OVER (PARTITION BY doc_id
-         |             ORDER BY cv, idx) AS rn
-         |    FROM ac) WHERE rn = 32
-         |), sig AS (
-         |  SELECT ac.doc_id,
-         |         CAST(sum(CASE WHEN ac.cv > med.med
-         |                       THEN (CAST(1 AS BIGINT) << ac.idx) ELSE 0 END)
-         |              AS BIGINT) AS phash
-         |  FROM ac JOIN med USING (doc_id) GROUP BY 1
-         |), prs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |)
-         |SELECT d1, d2, hamming FROM prs
+    "mm_phash_neardup" ->
+      s"""WITH $mmMediaCte,
+         |$phashPairCtes
+         |SELECT d1, d2, hamming FROM pprs
          |WHERE hamming <= $phashMaxHamming
-         |ORDER BY d1, d2""".stripMargin
-    }
+         |ORDER BY d1, d2""".stripMargin,
+
+    "mm_hash_agreement" ->
+      s"""WITH $mmMediaCte,
+         |$ahashPairCtes,
+         |$phashPairCtes,
+         |af AS (SELECT d1, d2 FROM aprs WHERE hamming <= $ahashMaxHamming),
+         |pf AS (SELECT d1, d2 FROM pprs WHERE hamming <= $phashMaxHamming),
+         |j AS (
+         |  SELECT coalesce(a.d1, p.d1) AS d1,
+         |         a.d1 IS NOT NULL AS in_ah, p.d1 IS NOT NULL AS in_ph
+         |  FROM af a FULL OUTER JOIN pf p
+         |    ON a.d1 = p.d1 AND a.d2 = p.d2
+         |)
+         |SELECT CAST(sum(CASE WHEN in_ah AND in_ph THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |       CAST(sum(CASE WHEN in_ah AND NOT in_ph THEN 1 ELSE 0 END) AS BIGINT) AS n_ahash_only,
+         |       CAST(sum(CASE WHEN NOT in_ah AND in_ph THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_only,
+         |       CAST(count(*) AS BIGINT) AS n_union,
+         |       CAST(sum(CASE WHEN in_ah AND in_ph THEN 1 ELSE 0 END) * 1000000
+         |            // greatest(count(*), 1) AS BIGINT) AS agreement_fp6
+         |FROM j""".stripMargin
+
   )
 }
