@@ -242,6 +242,61 @@ object Multimodal {
     math.round(16384.0 * c * math.cos((2 * x + 1) * u * math.Pi / 16))
   }
 
+  /** Row-level pHash kernel: the whole 8×8 DCT + median + bit pack in
+    * one pass over the payload bytes — the relational formulation
+    * ([[phashCoeffs]]) pushes ~1k intermediate rows per doc through two
+    * groupBys; this is a projection. Arithmetic is IDENTICAL (same
+    * fixed-point table, same lower-median ordering by (coefficient,
+    * index), same strict > compare), spec-cross-checked per doc and
+    * still hash-gated by the relational DuckDB oracle. */
+  private[graft] def phashKernel(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null || payload.length - 4 < 64) return null
+    val t = dctTableFp
+    val p = Array.ofDim[Long](8, 8)
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) { p(x)(y) = (payload(4 + 8 * x + y) & 0xff).toLong; y += 1 }
+      x += 1
+    }
+    val m = Array.ofDim[Long](8, 8) // m(u)(y) = Σ_x t(u)(x)·p(x)(y)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0L; var i = 0
+        while (i < 8) { acc += t(u)(i) * p(i)(y); i += 1 }
+        m(u)(y) = acc; y += 1
+      }
+      u += 1
+    }
+    // c(u)(v) = Σ_y m(u)(y)·t(v)(y); collect the 63 ACs as (cv, idx)
+    val ac = new Array[(Long, Int)](63)
+    var k = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var acc = 0L; var i = 0
+          while (i < 8) { acc += m(u)(i) * t(v)(i); i += 1 }
+          ac(k) = (acc, u * 8 + v - 1); k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val med = ac.sortBy(identity)(Ordering.Tuple2(Ordering.Long, Ordering.Int))
+      .apply(31)._1 // lower median of 63 = rank 32
+    var hash = 0L
+    ac.foreach { case (cv, idx) => if (cv > med) hash |= (1L << idx) }
+    hash
+  }
+
+  private val phashUdf =
+    org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => Option(phashKernel(b)).map(Long2long))
+
   /** pHash near-dup: the DCT perceptual hash (the robust sibling of
     * [[ahashNearDup]] — aHash flips bits under any brightness shift,
     * pHash compares DCT coefficients against their own median, so it is
@@ -256,6 +311,18 @@ object Multimodal {
     * at (doc, u, v) grain — linear in corpus size; candidate pairs ride
     * the same Hamming pigeonhole segments as SimHash/aHash. */
   def phashNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = media
+      .select(col("doc_id"), phashUdf(col("payload")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .repartition(col("doc_id"))
+    Dedup.hammingPairs(sig, maxHamming, 63)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** The relational (doc, u, v)-grain signature pipeline — the form the
+    * DuckDB oracle replays CTE-for-CTE; kept as the reference
+    * implementation [[phashKernel]] is spec-checked against. */
+  private[graft] def phashSigRelational(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val tRows = for { u <- 0 until 8; x <- 0 until 8 }
       yield (u, x, dctTableFp(u)(x))
@@ -281,14 +348,11 @@ object Multimodal {
     val med = ac.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 32)
       .select(col("doc_id"), col("cv").as("med"))
-    val sig = ac.join(med, "doc_id")
+    ac.join(med, "doc_id")
       .groupBy(col("doc_id"))
       .agg(sum(when(col("cv") > col("med"),
         // 2^idx exact in double for idx ≤ 62 (powers of two), lossless cast
         expr("CAST(pow(2.0, idx) AS BIGINT)")).otherwise(0L)).as("simhash"))
-      .repartition(col("doc_id"))
-    Dedup.hammingPairs(sig, maxHamming, 63)
-      .select(col("d1"), col("d2"), col("hamming"))
   }
 
   def ahashNearDup(media: DataFrame, maxHamming: Int, nBits: Int): DataFrame = {

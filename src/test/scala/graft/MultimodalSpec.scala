@@ -63,6 +63,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(2) == Seq(4, 68, 132))             // 200-char body → 3 frames
   }
 
+  test("native pHash kernel is bit-identical to the relational DCT pipeline") {
+    // the one-pass row kernel vs the (doc, u, v)-grain matrix-multiply
+    // form the oracle replays — every fixture doc must hash identically
+    val media = Multimodal.withPayload(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"))
+    val rel = Multimodal.phashSigRelational(media)
+      .withColumnRenamed("simhash", "rel_hash")
+    val nat = media.select($"doc_id",
+      org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+        Option(Multimodal.phashKernel(b)).map(x => x: Long)).apply($"payload")
+        .as("nat_hash"))
+      .filter($"nat_hash".isNotNull)
+    val joined = rel.join(nat, "doc_id")
+    assert(joined.count() == rel.count() && joined.count() == nat.count(),
+      "both forms must hash exactly the same doc set")
+    assert(joined.filter($"rel_hash" =!= $"nat_hash").count() == 0,
+      "kernel and relational hashes diverged")
+  }
+
   test("mm_near_dup prefix-filter candidates lose no pair vs all-pairs at the threshold") {
     // sparse byte-trigram-histogram signatures for the sf0.01 corpus;
     // all-pairs cosine is the ground truth the df-ordered one-sided
