@@ -29,7 +29,11 @@ object Multimodal {
 
   /** Synthesize a payload column: 4-byte dims header + the UTF-8 text bytes
     * standing in for compressed media. Pure built-ins, so the same bytes
-    * are constructible in the DuckDB oracle (from_hex || encode). */
+    * are constructible in the DuckDB oracle (from_hex || encode).
+    * CONTRACT: width/height must be in [0, 65535] — lpad TRUNCATES a
+    * longer hex string, silently corrupting the header (the jdbc-sink
+    * "caller owns validity" discipline; withPayload's derivations stay
+    * in range by construction). */
   def synthPayload(text: Column, width: Column, height: Column): Column =
     concat(
       unhex(concat(lpad(hex(width), 4, "0"), lpad(hex(height), 4, "0"))),
@@ -45,24 +49,6 @@ object Multimodal {
           .when(col("doc_id") % 3 === 1, "jpg")
           .otherwise("webp"))
       .withColumn("payload", synthPayload(col("text"), col("width"), col("height")))
-
-  /** Body-byte nibbles of the first `maxBytes` payload bytes as one-char
-    * hex strings — `low=false` gives the high nibble (coarse byte class),
-    * `low=true` the low nibble (fine content signature). The hex string
-    * binds ONCE as a lambda variable (interpreted HOFs do no CSE —
-    * inlined, the hex would re-run per nibble). */
-  def bodyNibbles(payload: Column, maxBytes: Int, low: Boolean): Column = {
-    val h = substring(hex(payload), 9, maxBytes * 2) // body starts after 4-byte header
-    val nFull = least((octet_length(payload) - 4).cast("int"), lit(maxBytes))
-    val off = if (low) 2 else 1
-    element_at(transform(array(struct(h.as("h"), nFull.as("n"))), s => {
-      val hh = s.getField("h")
-      val n = s.getField("n")
-      when(n <= 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), n - 1), i =>
-          substring(hh, i * lit(2) + off, lit(1))))
-    }), 1)
-  }
 
   /** Overlapping byte `gram`-grams (big-endian packed into a long, e.g.
     * g=3 → b₁·65536+b₂·256+b₃) over the first `maxBytes` body bytes —
@@ -203,7 +189,10 @@ object Multimodal {
     * stable signature. One pure projection per row: the whole signature
     * build pipelines inside the scan at any scale. */
   def ahash(payload: Column, nBits: Int): Column = {
-    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1, 60], got $nBits")
+    // lower bound 8, not 1: bodyGrams caps at nBits bytes and the n < 8
+    // short-body rule below would then null EVERY signature — a silent
+    // "no near-dups anywhere" instead of an error
+    require(nBits >= 8 && nBits <= 60, s"nBits must be in [8, 60], got $nBits")
     val bytes = bodyGrams(payload, nBits, 1)
     element_at(transform(array(struct(bytes.as("bs"))), s => {
       val bs = s.getField("bs")
@@ -224,14 +213,6 @@ object Multimodal {
     }), 1)
   }
 
-  /** Multimodal near-dup via aHash + Hamming pigeonhole: signature is
-    * [[ahash]] per payload, candidate pairs come from
-    * [[Dedup.hammingPairs]]' segment equi-join (complete by the
-    * pigeonhole argument, never an all-pairs scan), verified with the
-    * exact Hamming distance. The byte-level twin of the trigram-prefix
-    * [[nearDupSignatures]] path: aHash degrades gracefully under small
-    * local edits (one changed byte flips at most one bit plus the mean),
-    * where the set-based trigram signature is blind to byte ORDER. */
   /** 8×8 DCT-II basis in 2¹⁴ fixed point: T(u)(x) = round(2¹⁴ · c(u) ·
     * cos((2x+1)uπ/16)). Generated ONCE here and interpolated as integer
     * literals into the DuckDB oracle, so the irrational cosines are
@@ -244,7 +225,7 @@ object Multimodal {
 
   /** Row-level pHash kernel: the whole 8×8 DCT + median + bit pack in
     * one pass over the payload bytes — the relational formulation
-    * ([[phashCoeffs]]) pushes ~1k intermediate rows per doc through two
+    * ([[phashSigRelational]]) pushes ~1k intermediate rows per doc through two
     * groupBys; this is a projection. Arithmetic is IDENTICAL (same
     * fixed-point table, same lower-median ordering by (coefficient,
     * index), same strict > compare), spec-cross-checked per doc and
@@ -302,18 +283,22 @@ object Multimodal {
     * pHash compares DCT coefficients against their own median, so it is
     * invariant to monotone intensity changes and keys on STRUCTURE).
     * The first 64 body bytes form the 8×8 "pixel" block (decode is the
-    * documented stub everywhere in this module); C = T·P·Tᵀ runs as two
-    * relational matrix multiplies in exact integers (T in 2¹⁴ fixed
-    * point — coefficient magnitudes ≤ 255·64·2²⁸ ≈ 4.4e12, well inside
-    * BIGINT); bit i of the 63-bit hash = [AC coefficient i > the lower
-    * median of all 63 ACs] (DC is excluded — it is the block mean aHash
-    * already keys on). Per doc the whole pipeline is ~1k multiply-adds
-    * at (doc, u, v) grain — linear in corpus size; candidate pairs ride
-    * the same Hamming pigeonhole segments as SimHash/aHash. */
+    * documented stub everywhere in this module); the signature comes
+    * from the one-pass [[phashKernel]] (integer DCT in 2¹⁴ fixed point,
+    * coefficient magnitudes ≤ 255·64·2²⁸ ≈ 4.4e12 — inside BIGINT; bit
+    * i = [AC coefficient i > the lower median of all 63 ACs], DC
+    * excluded since it is the block mean aHash already keys on); the
+    * relational (doc, u, v)-grain twin the oracle replays lives in
+    * [[phashSigRelational]]. Candidate pairs ride the same Hamming
+    * pigeonhole segments as SimHash/aHash. The length pre-filter below
+    * is the kernel's exact null condition — filtering on the UDF output
+    * instead would let predicate pushdown re-evaluate the whole DCT per
+    * row (Project + Filter both running the kernel). */
   def phashNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
     val sig = media
+      .filter(col("payload").isNotNull &&
+        org.apache.spark.sql.functions.octet_length(col("payload")) >= 68)
       .select(col("doc_id"), phashUdf(col("payload")).as("simhash"))
-      .filter(col("simhash").isNotNull)
       .repartition(col("doc_id"))
     Dedup.hammingPairs(sig, maxHamming, 63)
       .select(col("d1"), col("d2"), col("hamming"))
@@ -355,6 +340,14 @@ object Multimodal {
         expr("CAST(pow(2.0, idx) AS BIGINT)")).otherwise(0L)).as("simhash"))
   }
 
+  /** Multimodal near-dup via aHash + Hamming pigeonhole: signature is
+    * [[ahash]] per payload, candidate pairs come from
+    * [[Dedup.hammingPairs]]' segment equi-join (complete by the
+    * pigeonhole argument, never an all-pairs scan), verified with the
+    * exact Hamming distance. The byte-level twin of the trigram-prefix
+    * [[nearDupSignatures]] path: aHash degrades gracefully under small
+    * local edits (one changed byte flips at most one bit plus the mean),
+    * where the set-based trigram signature is blind to byte ORDER. */
   def ahashNearDup(media: DataFrame, maxHamming: Int, nBits: Int): DataFrame = {
     val sig = media
       .select(col("doc_id"), ahash(col("payload"), nBits).as("simhash"))
@@ -383,6 +376,13 @@ object Multimodal {
   private[corpus] def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedMedia] =
     batch.map { m =>
       val b = m.payload
+      // a truncated payload yields a zero-dims stub row, not an
+      // ArrayIndexOutOfBounds that kills the whole partition after
+      // retries — one bad ingest row must not poison the batch
+      if (b == null || b.length < headerLen)
+        DecodedMedia(m.doc_id, m.format, 0, 0,
+          if (b == null) 0L else b.length.toLong, 0.0, 0)
+      else {
       val width = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
       val height = ((b(2) & 0xff) << 8) | (b(3) & 0xff)
       val body = b.drop(headerLen)
@@ -391,5 +391,6 @@ object Multimodal {
         else body.take(n).map(_ & 0xff).sum.toDouble / n
       DecodedMedia(m.doc_id, m.format, width, height, b.length.toLong, mean,
         n_frames = math.min((b.length - headerLen) / 64, 8))
+      }
     }
 }

@@ -24,8 +24,17 @@ object SparseSigOps {
     * (see `Multimodal.nearDupSignatures` for the completeness proof):
     * 1 + #{k in 1..p-1 : suffixSq(k)·10¹² ≥ t2num·nsq}, computed with a
     * running prefix square-sum. Exact integer arithmetic — both sides
-    * ≤ ~4·10¹⁵ for 64-byte histograms (nsq ≤ 62²). */
+    * ≤ ~4·10¹⁵ for 64-byte histograms (nsq ≤ 62²). The envelope is
+    * ENFORCED, not assumed: both cross products carry a 10¹² factor, so
+    * nsq beyond ~9.2·10⁶ (a caller passing maxBytes ≳ 3000) would wrap
+    * Long and silently SHORTEN the prefix — an incompleteness bug, the
+    * one failure mode this filter must never have. Fail loudly
+    * instead. */
   def prefixLen(e: ArrayData, nsq: Long, t2num: Long): Int = {
+    require(nsq <= 9000000L,
+      s"prefixLen integer envelope exceeded (nsq=$nsq > 9e6): the 1e12 " +
+        "cross products would overflow Long and silently drop near-dup " +
+        "pairs; reduce maxBytes or widen the arithmetic")
     val p = e.numElements()
     if (p <= 1) return 1
     var pre = 0L
