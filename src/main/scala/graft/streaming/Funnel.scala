@@ -12,7 +12,8 @@ case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
 case class FunnelCompletion(user_id: Long, t_view: Timestamp,
                             t_click: Timestamp, t_purchase: Timestamp)
 
-private case class FunnelState(tView: Long, tClick: Long, done: Boolean)
+private case class FunnelState(tView: Long, tClick: Long, done: Boolean,
+                               lastUs: Long)
 
 /**
  * Streaming ordered-milestone funnel (view → click → purchase) — the
@@ -38,33 +39,27 @@ object Funnel {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
 
-    // java.sql.Timestamp.getTime is MILLIS — comparing or re-emitting
-    // through it silently truncates the events' microsecond component.
-    // All state and comparisons run in exact epoch-micros.
-    def toMicros(t: Timestamp): Long = {
-      val secondsMs = t.getTime - t.getNanos / 1000000
-      secondsMs * 1000L + t.getNanos / 1000
-    }
-    def fromMicros(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
-
+    // All state and comparisons run in exact epoch-micros (TimeUs — the
+    // one shared Timestamp conversion; `getTime` alone truncates µs).
     def update(userId: Long, batch: Iterator[FunnelEvent],
                state: GroupState[FunnelState]): Iterator[FunnelCompletion] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var s = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, done = false))
+      var s = state.getOption.getOrElse(
+        FunnelState(Long.MinValue, Long.MinValue, done = false,
+          lastUs = Long.MinValue))
       var out = List.empty[FunnelCompletion]
-      var lastUs = Long.MinValue
       // tie-break equal timestamps by stage order so a same-instant
       // view→click→purchase chain completes, matching the batch form's
       // at-or-after (>=) semantics
       val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
-      batch.toSeq.sortBy(e => (toMicros(e.ts), stageRank.getOrElse(e.event_type, 3)))
+      batch.toSeq.sortBy(e => (TimeUs.micros(e.ts), stageRank.getOrElse(e.event_type, 3)))
         .foreach { e =>
-        val t = toMicros(e.ts)
-        lastUs = math.max(lastUs, t)
+        val t = TimeUs.micros(e.ts)
+        // max'd against the PERSISTED last activity: a straggler batch
+        // whose events all precede it must never pull the timeout
+        // earlier (that expired state under still-active funnels and
+        // silently lost completions)
+        s = s.copy(lastUs = math.max(s.lastUs, t))
         if (!s.done) e.event_type match {
           case "view" if s.tView == Long.MinValue =>
             s = s.copy(tView = t)
@@ -72,15 +67,23 @@ object Funnel {
               && t >= s.tView =>
             s = s.copy(tClick = t)
           case "purchase" if s.tClick != Long.MinValue && t >= s.tClick =>
-            out ::= FunnelCompletion(userId, fromMicros(s.tView),
-              fromMicros(s.tClick), fromMicros(t))
+            out ::= FunnelCompletion(userId, TimeUs.fromMicros(s.tView),
+              TimeUs.fromMicros(s.tClick), TimeUs.fromMicros(t))
             s = s.copy(done = true)
           case _ => ()
         }
       }
       state.update(s)
-      if (lastUs != Long.MinValue)
-        state.setTimeoutTimestamp(lastUs / 1000L + idleTimeoutMs)
+      if (s.lastUs != Long.MinValue) {
+        // ceil-ms (TimeUs.timeoutMs): a floor could expire state up to
+        // 999 µs early. Done users keep a 10×-idle TOMBSTONE so the
+        // exactly-once contract survives ordinary quiet periods; a user
+        // returning after even that horizon can re-emit — the explicit
+        // price of O(active-users) state (remembering every completer
+        // forever would grow state without bound).
+        val horizon = if (s.done) idleTimeoutMs * 10 else idleTimeoutMs
+        state.setTimeoutTimestamp(TimeUs.timeoutMs(s.lastUs, horizon))
+      }
       out.reverseIterator
     }
 

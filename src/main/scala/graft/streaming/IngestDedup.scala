@@ -47,22 +47,12 @@ object IngestDedup {
     * exactly when the engine is trying to recover it). */
   def storeDirDigests(spark: org.apache.spark.sql.SparkSession,
                       digestDir: String,
-                      excludeBatch: Option[Long] = None): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(digestDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!hasBatches)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("digest",
-            org.apache.spark.sql.types.StringType))))
-    else {
-      val all = spark.read.parquet(digestDir) // `batch` = partition column
-      excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
-        .select(col("digest"))
-    }
-  }
+                      excludeBatch: Option[Long] = None): DataFrame =
+    BatchStore.read(spark, digestDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digest",
+          org.apache.spark.sql.types.StringType))),
+      excludeBatch)
 
   /** The CLOSED ingest loop as a foreachBatch sink: each micro-batch is
     * admitted against the digest store AS OF batch start, the admitted

@@ -26,6 +26,16 @@ object MvRefresh {
   def refresh(stateDir: String, keyCols: Seq[String], valueFp: Column)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // A fresh checkpoint over an existing stateDir restarts batch ids
+    // at 0: versionBefore(0) would silently drop all accumulated state
+    // while read() keeps serving the stale old max version forever —
+    // writers and readers diverging with no error. Refuse loudly;
+    // v == batchId is the legitimate replay-overwrite case.
+    val stale = publishedVersions(spark, stateDir).filter(_ > batchId)
+    require(stale.isEmpty,
+      s"stateDir $stateDir holds versions ${stale.sorted.mkString(",")} " +
+        s"beyond batch $batchId — a restarted checkpoint must use a fresh " +
+        "stateDir (or resume the old checkpoint)")
     val delta = IncrementalAgg.partials(batch, keyCols, valueFp)
     val merged = versionBefore(spark, stateDir, batchId) match {
       case Some(st) => IncrementalAgg.merge(Seq(st, delta), keyCols)

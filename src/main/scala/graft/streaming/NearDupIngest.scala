@@ -38,20 +38,8 @@ object NearDupIngest {
     * caller's own id on replay. */
   def storeCorpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  excludeBatch: Option[Long] = None): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!hasBatches)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val all = spark.read.parquet(corpusDir) // `batch` = partition column
-      excludeBatch.fold(all)(b => all.filter(col("batch") =!= b))
-        .select(schema.fieldNames.toSeq.map(col): _*)
-    }
-  }
+                  excludeBatch: Option[Long] = None): DataFrame =
+    BatchStore.read(spark, corpusDir, schema, excludeBatch)
 
   /** Admit the batch rows with no Jaccard-≥-threshold near-duplicate in
     * `store`; UNCAPPED similarity (maxDf = ∞) so the pair relation is a

@@ -36,16 +36,12 @@ object Sessionize extends Serializable {
     // Exact epoch-micros of a Timestamp — `getTime` alone is MILLIS and
     // silently truncates the sub-ms micros parquet event times carry,
     // which would desync gap comparisons (an 8h+0.5ms gap must split)
-    // and the emitted session bounds vs any µs-exact batch twin. Local
-    // defs: the task closure must not capture the (non-serializable)
-    // enclosing module.
-    def micros(ts: Timestamp): Long =
-      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-    def fromMicros(us: Long): Timestamp = {
-      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    // and the emitted session bounds vs any µs-exact batch twin.
+    // TimeUs is the ONE shared conversion (a serializable object, safe
+    // in task closures — Funnel and this operator previously carried
+    // drifting hand-rolled copies).
+    def micros(ts: Timestamp): Long = TimeUs.micros(ts)
+    def fromMicros(us: Long): Timestamp = TimeUs.fromMicros(us)
 
     def update(sessionId: Long, batch: Iterator[SessionEvent],
                state: GroupState[OpenSession]): Iterator[SessionSummary] = {
