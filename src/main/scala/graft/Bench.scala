@@ -99,28 +99,36 @@ object Bench {
         val b1 = buildOnce(); val b2 = buildOnce()
         Map("knn_artifact_build" -> math.min(b1, b2))
       } else Map.empty
-    val results = picked.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Release per-query state OUTSIDE the timed window: localCheckpoint
-      // blocks stay pinned in the BlockManager until the ContextCleaner's
-      // periodic GC (default every 30 min) notices the dead RDD refs.
-      // Across 40+ queries that accumulates into executor-memory pressure
-      // (GC thrash, dropped heartbeats) that taxes every LATER query — the
-      // long-running-cluster analogue is per-job cleanup, not one shared
-      // ever-growing block store.
-      def cleanup(): Unit = {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
-      val t1 = once(); cleanup()
-      val t2 = once(); cleanup()
-      name -> math.min(t1, t2)
+    // Release per-query state OUTSIDE the timed window: localCheckpoint
+    // blocks stay pinned in the BlockManager until the ContextCleaner's
+    // periodic GC (default every 30 min) notices the dead RDD refs.
+    // Across 40+ queries that accumulates into executor-memory pressure
+    // (GC thrash, dropped heartbeats) that taxes every LATER query — the
+    // long-running-cluster analogue is per-job cleanup, not one shared
+    // ever-growing block store.
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      val t = (System.nanoTime() - t0) / 1e9
+      cleanup(); t
+    }
+    // The two min-of-2 passes are INTERLEAVED as full rounds (pass 1 over
+    // every query, then pass 2) rather than back-to-back per query: a
+    // shared-host neighbor's multi-second burst inflates BOTH
+    // back-to-back runs of whichever query it lands on, so min-of-2 never
+    // filters it; with the passes minutes apart the same burst taxes two
+    // DIFFERENT queries once each and the min recovers both (r13's
+    // unchanged-code control drifted +37% under back-to-back pairing).
+    val pass1 = picked.map { case (name, fn) => name -> once(name, fn) }
+    val pass2 = picked.map { case (name, fn) => name -> once(name, fn) }
+    val results = picked.map { case (name, _) =>
+      name -> math.min(pass1(name), pass2(name))
     }
     // Locale.ROOT: f"" interpolation formats with the JVM default locale,
     // and a comma-decimal locale (de_DE …) would make this invalid JSON

@@ -332,17 +332,39 @@ object Dedup {
     * (store_id, batch_id, common, jaccard ≥ threshold). */
   def incrementalPairs(store: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, k: Int, threshold: Double,
-                       maxDf: Int = defaultMaxDf): DataFrame = {
+                       maxDf: Int = defaultMaxDf): DataFrame =
+    // The checkpoint keeps the df-cap's hot-list aggregate from
+    // re-tokenizing the store; at scale callers skip this entry point
+    // entirely and feed PERSISTED postings to
+    // [[incrementalPairsFromPostings]] (what [[graft.streaming
+    // .NearDupIngest]] does — the store text is tokenized exactly once,
+    // when its batch is admitted).
+    incrementalPairsFromPostings(
+      sizedPostings(store, idCol, textCol, k).localCheckpoint(false),
+      sizedPostings(batch, idCol, textCol, k), threshold, maxDf)
+
+  /** The (doc_id, n_shingles, shingle) postings frame of `docs` — the
+    * persistable store-side input of [[incrementalPairsFromPostings]].
+    * Writing each admitted batch's postings beside the corpus is what
+    * makes continuous ingest O(batch) instead of O(corpus): admission
+    * joins the new batch against this table, never the store text. */
+  def sizedShinglePostings(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame =
+    sizedPostings(docs, idCol, textCol, k)
+
+  /** [[incrementalPairs]] with the store side ALREADY tokenized —
+    * `storePostings` in [[sizedShinglePostings]] shape, typically read
+    * from a persisted (at scale: shingle-bucketed) postings table. */
+  def incrementalPairsFromPostings(storePostings: DataFrame,
+                                   batchPostings: DataFrame,
+                                   threshold: Double,
+                                   maxDf: Int = defaultMaxDf): DataFrame = {
     // df cap on the STORE side only: store df is the knowable, persisted
     // statistic (at scale it lives alongside the bucketed postings
     // table), and a store-ubiquitous shingle is exactly the one whose
-    // posting list would fan every batch doc out quadratically. The
-    // checkpoint keeps the cap's hot-list aggregate from re-tokenizing
-    // the store (at scale the store postings are a read-once persisted
-    // table and the hot list is persisted beside it).
-    val sp = dfCapped(
-      sizedPostings(store, idCol, textCol, k).localCheckpoint(false), maxDf)
-    val bp = sizedPostings(batch, idCol, textCol, k)
+    // posting list would fan every batch doc out quadratically.
+    val sp = dfCapped(storePostings, maxDf)
+    val bp = batchPostings
     // PPJoin length filter in the join condition: jaccard ≥ t forces
     // the set sizes within a factor t of each other (common ≤ min(n1,n2)
     // and common ≥ t·(n1+n2)/(1+t) ⟹ n1 ≥ t·n2 ∧ n2 ≥ t·n1), so a

@@ -242,7 +242,7 @@ object TextAnalysis {
     regexp_count(text, lit("�")).cast("long")
 
   def mojibakePairCount(text: Column): Column =
-    regexp_count(text, lit("Ã[ -¿]")).cast("long")
+    regexp_count(text, lit("Ã[\\u00A0-\\u00BF]")).cast("long")
 
   def nonAsciiCount(text: Column): Column =
     regexp_count(text, lit("[^\\x00-\\x7F]")).cast("long")

@@ -47,12 +47,14 @@ object Constraints {
         (count(col(c)) - countDistinct(col(c))).as(s"v$i")
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // unstack to one row per check; stack args are (name, v_i) literals
-    val stackArgs = checks.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
-    row.selectExpr("n_rows",
-        s"stack(${checks.size}, $stackArgs) as (check_name, n_violations)")
-      .select(col("check_name"), col("n_rows"), col("n_violations"),
-        (col("n_violations") === 0L).as("passed"))
+    // unstack to one row per check with typed Columns (never string SQL:
+    // a quote or other metacharacter in a check name must stay data)
+    val pairs = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"v$i").as("n_violations"))
+    }
+    row.select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"), col("n_rows"),
+        col("kv.n_violations").as("n_violations"),
+        (col("kv.n_violations") === 0L).as("passed"))
   }
 }

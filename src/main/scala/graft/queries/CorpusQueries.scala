@@ -4919,8 +4919,8 @@ object CorpusQueries {
          |       CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT)
          |         AS shadow_chars,
          |       count(DISTINCT canon) AS n_groups,
-         |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*)
-         |         AS dup_bps
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
+         |         // count(*) AS BIGINT) AS dup_bps
          |FROM withc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_readability" ->
@@ -5242,9 +5242,10 @@ object CorpusQueries {
          |       CAST(sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
          |                     THEN n_docs ELSE 0 END) AS BIGINT) AS rows_scanned,
          |       max(rows_matching) AS rows_matching,
-         |       sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
+         |       CAST(sum(CASE WHEN min_doc <= $pruneHi AND max_doc >= $pruneLo
          |                THEN n_docs ELSE 0 END) * 10000
-         |         // greatest(max(rows_matching), 1) AS amplification_bps
+         |         // greatest(max(rows_matching), 1) AS BIGINT)
+         |         AS amplification_bps
          |FROM man CROSS JOIN mt
          |GROUP BY layout ORDER BY layout""".stripMargin,
 

@@ -3394,7 +3394,7 @@ object RelationalQueries {
       // sessions (break at diff >= gap), end = last event + gap
       "stream_session_window" ->
         """WITH se AS (
-          |  SELECT user_id, epoch_us(ts) AS ts_us,
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
           |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
           |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
           |                   >= 1800000000
@@ -3403,7 +3403,8 @@ object RelationalQueries {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |), ss AS (
           |  SELECT user_id, ts_us,
-          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+          |         sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id
           |           ROWS UNBOUNDED PRECEDING) AS seq
           |  FROM se
           |)
@@ -3495,9 +3496,11 @@ object RelationalQueries {
            |         AS BIGINT) AS n_exits,
            |       CAST(sum(CASE WHEN rn = 1 AND n_in_session = 1
            |                THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
-           |       sum(CASE WHEN rn = 1 AND n_in_session = 1 THEN 1 ELSE 0 END)
+           |       CAST(sum(CASE WHEN rn = 1 AND n_in_session = 1
+           |                THEN 1 ELSE 0 END)
            |         * 10000 // greatest(
-           |           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 1) AS bounce_bps
+           |           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 1)
+           |         AS BIGINT) AS bounce_bps
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_markov_next" ->
@@ -4006,8 +4009,8 @@ object RelationalQueries {
           |         AS BIGINT) AS n_new,
           |       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
           |         AS BIGINT) AS n_returning,
-          |       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000
-          |         // count(*) AS new_share_bps
+          |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000
+          |         // count(*) AS BIGINT) AS new_share_bps
           |FROM ud JOIN f USING (user_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -7,30 +7,40 @@ import org.apache.spark.sql.functions._
 /**
  * Streaming NEAR-duplicate admission — the fuzzy twin of [[IngestDedup]]
  * (which refuses only byte-exact texts): each arriving micro-batch is
- * checked against the admitted corpus with `Dedup.incrementalPairs`
- * (shingle-Jaccard ≥ t), and only docs with NO near-duplicate already
- * in the store land. This is the production shape of continuous corpus
- * building: re-pairing the whole corpus per ingest is O(corpus) work
- * for O(batch) new data, so admission joins the batch against the
- * persisted store instead — and a trivially-reworded copy of an
- * admitted doc is refused, which exact-digest admission cannot do.
+ * checked against the admitted corpus (shingle-Jaccard ≥ t), and only
+ * docs with NO near-duplicate already in the store land. This is the
+ * production shape of continuous corpus building: a trivially-reworded
+ * copy of an admitted doc is refused, which exact-digest admission
+ * cannot do.
+ *
+ * THE STORE IS NEVER RE-TOKENIZED. Each admitted batch persists its
+ * docs' (doc_id, n_shingles, shingle) postings beside the corpus
+ * (`_postings/batch=<id>/`, hidden from corpus readers by the
+ * underscore prefix), and admission joins the arriving batch's postings
+ * against that table — `Dedup.incrementalPairsFromPostings`' asymmetric
+ * join, where only the (small) batch side is newly tokenized and
+ * shuffled. Per-batch work is O(batch + matched postings), not
+ * O(corpus): at 100 TB the postings table is additionally bucketed by
+ * shingle so the probe is a co-located join, but the layout here is
+ * already the at-scale shape.
  *
  * Semantics mirror [[IngestDedup.admitLoop]]: admission is judged
  * against the store AS OF batch start (within-batch near-dups all
  * admit), per-batch directories overwrite on replay (exactly-once at
  * the sink under at-least-once replay), and a replayed batch excludes
- * its own previous partition from the store view so it can never
- * self-refuse.
- *
- * Scale: the per-batch cost is `incrementalPairs`' asymmetric join —
- * only the (small) batch side shuffles fully; at 100 TB the store
- * postings are a persisted table bucketed by shingle (the
- * incrementalPairs contract), or the admission check swaps to
- * LSH-bucket probing with the same store-vs-batch shape. Here the
- * store is re-tokenized per batch, which is the right trade at
- * fixture scale and explicitly NOT the at-scale layout.
+ * its own previous partition from BOTH the corpus and postings stores
+ * so it can never self-refuse. The two per-batch writes (corpus, then
+ * postings) are individually idempotent, and Structured Streaming only
+ * commits the offset after both return — a crash between them replays
+ * the whole batch.
  */
 object NearDupIngest {
+
+  /** Hidden sibling of the corpus store holding each admitted batch's
+    * postings as `batch=<id>/` parquet. The leading underscore keeps
+    * Spark's file listing from picking the postings up when the corpus
+    * directory itself is read. */
+  def postingsDir(corpusDir: String): String = s"$corpusDir/_postings"
 
   /** The admitted corpus as a growing `batch=<id>/` parquet directory;
     * absent/empty → an empty frame of `schema` (first batch admits
@@ -41,11 +51,33 @@ object NearDupIngest {
                   excludeBatch: Option[Long] = None): DataFrame =
     BatchStore.read(spark, corpusDir, schema, excludeBatch)
 
+  /** The persisted postings store in [[Dedup.sizedShinglePostings]]
+    * shape (same store semantics as [[storeCorpus]]). */
+  def storePostings(spark: org.apache.spark.sql.SparkSession,
+                    corpusDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    excludeBatch: Option[Long] = None): DataFrame =
+    BatchStore.read(spark, postingsDir(corpusDir), schema, excludeBatch)
+
   /** Admit the batch rows with no Jaccard-≥-threshold near-duplicate in
-    * `store`; UNCAPPED similarity (maxDf = ∞) so the pair relation is a
-    * doc-pair property independent of store composition — what lets an
-    * external oracle replay sequential admission from one global pair
-    * set. */
+    * the store postings; UNCAPPED similarity (maxDf = ∞) so the pair
+    * relation is a doc-pair property independent of store composition —
+    * what lets an external oracle replay sequential admission from one
+    * global pair set. `batchPostings` must be the batch's own
+    * [[Dedup.sizedShinglePostings]] (passed in, not recomputed, so the
+    * caller's checkpoint serves both admission and the postings write). */
+  def admitAgainstPostings(storePost: DataFrame, batch: DataFrame,
+                           batchPostings: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    val rejected = Dedup.incrementalPairsFromPostings(storePost,
+        batchPostings, threshold, maxDf = Int.MaxValue)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
+  /** Tokenize-the-store variant for one-shot batch use where no
+    * postings store exists (small corpora, ad-hoc checks). The
+    * streaming loop does NOT use this — see [[admitLoop]]. */
   def admit(store: DataFrame, batch: DataFrame, idCol: String,
             textCol: String, k: Int, threshold: Double): DataFrame = {
     val rejected = Dedup.incrementalPairs(store, batch, idCol, textCol,
@@ -55,13 +87,25 @@ object NearDupIngest {
   }
 
   /** The closed loop as a foreachBatch sink (see [[IngestDedup.admitLoop]]
-    * for the replay discipline it copies). */
+    * for the replay discipline it copies). Reads ONLY the postings
+    * store — the admitted corpus text is write-only here. */
   def admitLoop(idCol: String, textCol: String, k: Int, threshold: Double,
                 corpusDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val store = storeCorpus(spark, corpusDir, batch.schema,
+    // one tokenization pass over the batch, reused by the admission join
+    // and the admitted-postings write
+    val bp = Dedup.sizedShinglePostings(batch, idCol, textCol, k)
+      .localCheckpoint(false)
+    val sp = storePostings(spark, corpusDir, bp.schema,
       excludeBatch = Some(batchId))
-    admit(store, batch, idCol, textCol, k, threshold)
-      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
+      .localCheckpoint(false)
+    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    // the admitted docs' postings, filtered from the batch postings
+    // already in hand — never re-derived from text
+    bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .write.mode("overwrite")
+      .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
   }
 }

@@ -504,6 +504,51 @@ class StreamingSpec extends SparkTestBase {
       s"replay must converge to the same corpus, got $finalIds")
   }
 
+  test("near-dup ingest admission scans the postings store, never the corpus text") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val corpusDir = Files.createTempDirectory("graft-nd-plan").toString + "/corpus"
+    def loop(rows: Seq[(Long, String, String)], id: Long): Unit =
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)(
+        rows.toDF("doc_id", "text", "source"), id)
+    loop(Seq((1L, "the quick brown fox jumps over the lazy dog in the garden today", "s")), 0L)
+    loop(Seq((2L, "some completely different text about spark clusters here", "s")), 1L)
+
+    // every admitted batch persisted its postings beside the corpus
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { b =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${NearDupIngest.postingsDir(corpusDir)}/batch=$b/_SUCCESS")),
+        s"admitted batch $b must persist its postings")
+    }
+    // and the postings stay hidden from a plain corpus read
+    val schema = Seq((0L, "x", "s")).toDF("doc_id", "text", "source").schema
+    assert(NearDupIngest.storeCorpus(spark, corpusDir, schema).count() == 2)
+
+    // a NEW batch's admission plan: every file scan reads the postings
+    // store — the corpus text is never touched (O(batch), not O(corpus))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+      (11L, "an entirely unrelated document with novel words", "s")
+    ).toDF("doc_id", "text", "source")
+    val bp = graft.corpus.Dedup.sizedShinglePostings(batch, "doc_id", "text", 3)
+    val sp = NearDupIngest.storePostings(spark, corpusDir, bp.schema)
+    val admitted = NearDupIngest.admitAgainstPostings(sp, batch, bp, "doc_id", 0.8)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // shell whose children aren't visible to collect() pre-execution
+    val scans = admitted.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty, "expected a file scan of the postings store")
+    assert(scans.forall(_.contains("_postings")),
+      s"admission must scan ONLY the postings store, scanned: $scans")
+    // postings-only admission still refuses the reworded copy
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(11L),
+      "near-dup refused and novel doc admitted off postings alone")
+  }
+
   test("quantile histogram aggregates across micro-batches to the batch sketch") {
     // the log2-bucket histogram is a plain additive counter map, so its
     // streaming twin is just a grouped count in complete mode — the

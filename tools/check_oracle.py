@@ -36,6 +36,43 @@ def canon(rows, cols):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
 
+# DuckDB types with no Spark/parquet twin: the driver's hash is
+# type-sensitive, so an oracle column of one of these ALWAYS hash-diverges
+# even when every value is identical (the round-13 246/250 failure mode —
+# an uncast sum() widened to HUGEINT before a `//`). Exact base-type
+# match: "TIME" must not catch "TIMESTAMP".
+BANNED_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+                "UTINYINT", "INT128", "TIME", "INTERVAL", "BIT", "UUID"}
+
+def base(t):
+    """Strip parameters/list suffix: DECIMAL(18,3) -> DECIMAL, INT[] -> INT."""
+    return t.split("(")[0].rstrip("[]").strip()
+
+def is_banned(t):
+    return base(t) in BANNED_TYPES
+
+# Hash-equivalence classes, calibrated against the driver's gate
+# (CORRECTNESS_r13: INTEGER-vs-BIGINT and TIMESTAMP-vs-TIMESTAMPTZ pairs
+# hash GREEN; HUGEINT-vs-BIGINT hashes RED): integer widths collapse, as
+# do float widths and timestamp zone variants; everything else must
+# match exactly. A cross-CLASS divergence (int-vs-float, DECIMAL-vs-int)
+# changes the hashed value representation and fails.
+def hclass(t):
+    b = base(t)
+    suffix = "[]" * ((len(t.replace(" ", "")) - len(t.replace(" ", "").rstrip("[]"))) // 2)
+    if b in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int" + suffix
+    if b in ("FLOAT", "DOUBLE"):
+        return "float" + suffix
+    if b.startswith("TIMESTAMP"):
+        return "timestamp" + suffix
+    return b + suffix
+
+def coltypes(rel_sql):
+    """[(col_lower, type_upper)] via DESCRIBE, order-insensitive by name."""
+    rows = con.execute(f"DESCRIBE {rel_sql}").fetchall()
+    return sorted((r[0].lower(), r[1].upper()) for r in rows)
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
@@ -47,12 +84,27 @@ for name, sql in sorted(oracle.items()):
         exp_rel = con.execute(sql)
         exp_cols = [d[0].lower() for d in exp_rel.description]
         exp = exp_rel.fetchall()
+        got_types = coltypes(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        exp_types = coltypes(sql)
     except Exception as e:
         print(f"FAIL {name}: exec error: {str(e)[:200]}")
         fails += 1
         continue
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        fails += 1
+        continue
+    banned = [(c, t) for c, t in exp_types if is_banned(t)]
+    if banned:
+        print(f"FAIL {name}: oracle column type has no Spark twin "
+              f"(driver hash WILL diverge): {banned} — add an explicit CAST")
+        fails += 1
+        continue
+    classdiff = [(g, e) for g, e in zip(got_types, exp_types)
+                 if (g[0], hclass(g[1])) != (e[0], hclass(e[1]))]
+    if classdiff:
+        print(f"FAIL {name}: column hash classes diverge (driver hash is "
+              f"type-sensitive): spark-vs-oracle {classdiff}")
         fails += 1
         continue
     g, e = canon(got, got_cols), canon(exp, exp_cols)
