@@ -14,16 +14,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * artifact. Never overwrite-in-place: a reader mid-scan of a published
   * artifact must not see files deleted under it.
   *
-  * The delete+rename landing step is guarded by an exclusive lock file
+  * The delete+rename landing step runs under an exclusive lock file
   * (`create(..., overwrite=false)` — atomic on HDFS and object stores
   * with conditional-put semantics; best-effort on the local FS): only
   * the lock holder may delete a stale target and rename over it, so a
-  * concurrent builder can no longer have its freshly-landed artifact
-  * deleted in the TOCTOU window between the post-build `published`
-  * re-check and the delete. A builder that loses the lock discards its
-  * temp — the holder's artifact is the one readers will see. A lock
-  * older than [[LockStaleMs]] is presumed leaked by a crashed publisher
-  * and broken.
+  * concurrent builder can never have its freshly-landed artifact
+  * deleted in the TOCTOU window between a `published` re-check and the
+  * delete. Two invariants the retry loop preserves:
+  *
+  *  - `ensure` returns ONLY once the artifact is published — a builder
+  *    that loses the lock waits for the holder to land (or for the
+  *    holder's leaked lock to go stale) instead of returning its caller
+  *    into a not-yet-existing read path;
+  *  - a lock older than [[LockStaleMs]] is presumed leaked by a crashed
+  *    publisher and broken ATOMICALLY: the breaker renames the stale
+  *    lock to a private tombstone first, so exactly one contender wins
+  *    the break and a second contender can never delete the winner's
+  *    fresh lock (the delete-after-reobserve race).
   *
   * The filesystem comes from the ACTIVE session's hadoopConfiguration —
   * a bare `new Configuration()` would drop every `spark.hadoop.*`
@@ -37,22 +44,34 @@ private[corpus] object ArtifactPublish {
     * guarded section is two metadata ops, not the build). */
   private val LockStaleMs = 15L * 60 * 1000
 
-  /** Run `body` under an exclusive lock file next to `path`. Returns
-    * false (without running `body`) if another publisher holds the
-    * lock. */
-  private def withPublishLock(fs: FileSystem, path: Path)
-                             (body: => Unit): Boolean = {
-    val lock = new Path(path.getParent, path.getName + "._publish_lock")
-    try {
-      val st = fs.getFileStatus(lock)
-      if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs)
-        fs.delete(lock, false)
-    } catch { case _: java.io.FileNotFoundException => () }
-    val acquired =
-      try { fs.create(lock, false).close(); true }
+  /** Upper bound on how long a losing builder waits for SOMEONE to
+    * land the artifact before giving up loudly: one full staleness
+    * horizon (a leaked lock is breakable by then) plus slack. */
+  private val MaxWaitMs = LockStaleMs + 5L * 60 * 1000
+
+  private def lockPath(path: Path) =
+    new Path(path.getParent, path.getName + "._publish_lock")
+
+  /** Try to take the lock once. Any create failure reads as "not
+    * acquired" — safe because the caller retries in a loop, so a
+    * transient FS error degrades to a wait, never to a silent skip. A
+    * stale lock is broken by renaming it to a private tombstone first:
+    * rename is atomic, so of N contenders that all observed staleness,
+    * exactly one wins the rename and the rest fail and re-poll —
+    * nobody can delete a FRESH lock created after their observation. */
+  private def tryAcquire(fs: FileSystem, lock: Path): Boolean = {
+    try { fs.create(lock, false).close(); return true }
+    catch { case _: java.io.IOException => () }
+    val stale =
+      try (System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime) > LockStaleMs
       catch { case _: java.io.IOException => false }
-    if (acquired) try body finally fs.delete(lock, false)
-    acquired
+    if (stale) {
+      val tomb = new Path(lock.getParent,
+        lock.getName + ".stale_" + java.util.UUID.randomUUID().toString.take(8))
+      if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+    }
+    false
   }
 
   def ensure(dir: String, subdirs: Seq[String])(build: Path => Unit): Unit = {
@@ -67,17 +86,30 @@ private[corpus] object ArtifactPublish {
       path.getName + "._tmp_" + java.util.UUID.randomUUID().toString.take(8))
     try {
       build(tmp)
-      val landed = withPublishLock(fs, path) {
-        if (!published) {
-          // a half-written artifact from a killed run (dir, no _SUCCESS)
-          // blocks the rename target — clear it, it was never publishable
-          if (fs.exists(path)) fs.delete(path, true)
-          if (!fs.rename(tmp, path)) fs.delete(tmp, true)
-        } else fs.delete(tmp, true)
+      val lock = lockPath(path)
+      val deadline = System.currentTimeMillis() + MaxWaitMs
+      while (true) {
+        if (published) { fs.delete(tmp, true); return }
+        if (tryAcquire(fs, lock)) {
+          try {
+            if (!published) {
+              // a half-written artifact from a killed run (dir, no
+              // _SUCCESS) blocks the rename target — clear it, it was
+              // never publishable
+              if (fs.exists(path)) fs.delete(path, true)
+              if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+            } else fs.delete(tmp, true)
+          } finally fs.delete(lock, false)
+          return
+        }
+        // lock held: a concurrent publisher is landing — wait for its
+        // artifact rather than returning the caller into a missing path
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"artifact publish wedged: $lock held past the staleness " +
+              s"horizon and $dir never published")
+        Thread.sleep(200)
       }
-      // lock lost: a concurrent publisher is landing its copy — ours is
-      // redundant; never touch the target without the lock
-      if (!landed) fs.delete(tmp, true)
     } catch {
       case e: Throwable => fs.delete(tmp, true); throw e
     }

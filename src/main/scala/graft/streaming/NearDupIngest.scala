@@ -86,26 +86,63 @@ object NearDupIngest {
     batch.join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** Loud guard against a corpus whose postings sidecar is missing or
+    * behind — a pre-postings-layout corpus resumed under this code, or
+    * a lost/deleted `_postings` directory: admission against an empty
+    * postings table would SILENTLY admit every near-duplicate, and a
+    * degrading dedup invariant must be an error, not a quiet corpus of
+    * copies. `selfBatch` is excluded on both sides (a replayed batch's
+    * own partial attempt may legitimately lack its postings twin). */
+  private def requirePostingsCoverCorpus(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      selfBatch: Long): Unit = {
+    def batchIds(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).toSet
+    }
+    val self = s"batch=$selfBatch"
+    val missing = (batchIds(corpusDir) - self) --
+      (batchIds(postingsDir(corpusDir)) - self)
+    require(missing.isEmpty,
+      s"near-dup ingest store at $corpusDir has admitted batches with no " +
+        s"postings sidecar (${missing.toSeq.sorted.mkString(", ")}); " +
+        "admitting against an incomplete postings table would silently " +
+        "accept near-duplicates — rebuild the postings " +
+        "(Dedup.sizedShinglePostings over each batch) or start a fresh store")
+  }
+
   /** The closed loop as a foreachBatch sink (see [[IngestDedup.admitLoop]]
     * for the replay discipline it copies). Reads ONLY the postings
-    * store — the admitted corpus text is write-only here. */
+    * store — the admitted corpus text is write-only here. The two
+    * intermediate frames are persisted for their double use and
+    * unpersisted before returning: a continuous stream otherwise pins
+    * two block sets per micro-batch until the ContextCleaner's periodic
+    * sweep (default 30 min) notices the dead refs. */
   def admitLoop(idCol: String, textCol: String, k: Int, threshold: Double,
                 corpusDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    requirePostingsCoverCorpus(spark, corpusDir, batchId)
     // one tokenization pass over the batch, reused by the admission join
     // and the admitted-postings write
-    val bp = Dedup.sizedShinglePostings(batch, idCol, textCol, k)
-      .localCheckpoint(false)
-    val sp = storePostings(spark, corpusDir, bp.schema,
-      excludeBatch = Some(batchId))
-    val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
-      .localCheckpoint(false)
-    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-    // the admitted docs' postings, filtered from the batch postings
-    // already in hand — never re-derived from text
-    bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .write.mode("overwrite")
-      .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
+    val bp = Dedup.sizedShinglePostings(batch, idCol, textCol, k).persist()
+    try {
+      val sp = storePostings(spark, corpusDir, bp.schema,
+        excludeBatch = Some(batchId))
+      val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
+        .persist()
+      try {
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        // the admitted docs' postings, filtered from the batch postings
+        // already in hand — never re-derived from text
+        bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .write.mode("overwrite")
+          .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
+      } finally { admitted.unpersist(false); () }
+    } finally { bp.unpersist(false); () }
   }
 }

@@ -547,6 +547,17 @@ class StreamingSpec extends SparkTestBase {
     // postings-only admission still refuses the reworded copy
     assert(admitted.select("doc_id").as[Long].collect().toSet == Set(11L),
       "near-dup refused and novel doc admitted off postings alone")
+
+    // a corpus whose postings sidecar went missing must FAIL LOUDLY:
+    // admitting against an empty postings table would silently accept
+    // every near-duplicate (pre-postings-layout corpus, lost _postings)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      NearDupIngest.postingsDir(corpusDir)), true)
+    val e = intercept[IllegalArgumentException] {
+      loop(Seq((30L, "whatever text arrives next", "s")), 2L)
+    }
+    assert(e.getMessage.contains("postings sidecar"),
+      s"guard must name the missing sidecar, got: ${e.getMessage}")
   }
 
   test("quantile histogram aggregates across micro-batches to the batch sketch") {

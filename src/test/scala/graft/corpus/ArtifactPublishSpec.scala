@@ -35,7 +35,7 @@ class ArtifactPublishSpec extends SparkTestBase {
     assert(v == Seq("a"), "compute-if-absent: the first landing wins")
   }
 
-  test("a held lock makes a builder discard its temp without touching the live artifact") {
+  test("a held lock makes a builder WAIT for the holder, then discard its temp untouched") {
     spark
     val dir = Files.createTempDirectory("graft-pub2").toString + "/art"
     publishOne(dir, "live")
@@ -44,14 +44,25 @@ class ArtifactPublishSpec extends SparkTestBase {
     // delete the marker so the contender believes it must (re)publish
     fs.create(new Path(dir + "._publish_lock"), false).close()
     fs.delete(new Path(dir, "t/_SUCCESS"), false)
-    publishOne(dir, "contender")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val contender = Future { publishOne(dir, "contender") }
+    // while the (fresh) lock is held and nothing is published, ensure()
+    // must NOT return — returning would send its caller into a read of
+    // a possibly-missing artifact
+    Thread.sleep(1500)
+    assert(!contender.isCompleted, "contender must wait while the lock is held")
+    // the holder lands: marker restored, lock released
+    fs.create(new Path(dir, "t/_SUCCESS"), true).close()
+    fs.delete(new Path(dir + "._publish_lock"), false)
+    Await.result(contender, 60.seconds)
     // the contender must NOT have deleted or renamed over the live data
     import spark.implicits._
     val v = spark.read.parquet(s"$dir/t").as[String].collect().toSeq
     assert(v == Seq("live"), "lock loser must leave the target untouched")
     val siblings = fs.listStatus(new Path(dir).getParent).map(_.getPath.getName)
     assert(!siblings.exists(_.contains("._tmp_")), "loser discarded its temp")
-    fs.delete(new Path(dir + "._publish_lock"), false)
   }
 
   test("a stale lock from a crashed publisher is broken and publish proceeds") {

@@ -9,6 +9,7 @@ Verify's own query-list arg for targeted runs).
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -44,29 +45,29 @@ def canon(rows, cols):
 BANNED_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
                 "UTINYINT", "INT128", "TIME", "INTERVAL", "BIT", "UUID"}
 
-def base(t):
-    """Strip parameters/list suffix: DECIMAL(18,3) -> DECIMAL, INT[] -> INT."""
-    return t.split("(")[0].rstrip("[]").strip()
-
 def is_banned(t):
-    return base(t) in BANNED_TYPES
+    """Word-level scan of the FULL type string, so a banned type nested
+    inside STRUCT(...)/MAP(...)/list types is still caught (a struct
+    field's HUGEINT hash-diverges exactly like a top-level one). All
+    TIMESTAMP spellings are collapsed first so neither the TIMESTAMP
+    token nor the words of WITH TIME ZONE can trip the TIME ban."""
+    s = re.sub(r"TIMESTAMP(_NS|_MS|_S)?( WITH TIME ZONE)?", "TS", t)
+    return any(tok in BANNED_TYPES
+               for tok in re.findall(r"[A-Z][A-Z_0-9]*", s))
 
 # Hash-equivalence classes, calibrated against the driver's gate
 # (CORRECTNESS_r13: INTEGER-vs-BIGINT and TIMESTAMP-vs-TIMESTAMPTZ pairs
 # hash GREEN; HUGEINT-vs-BIGINT hashes RED): integer widths collapse, as
-# do float widths and timestamp zone variants; everything else must
-# match exactly. A cross-CLASS divergence (int-vs-float, DECIMAL-vs-int)
-# changes the hashed value representation and fails.
+# do float widths and timestamp zone variants; everything else —
+# including DECIMAL precision/scale and struct internals, which survive
+# the substitution verbatim — must match exactly. A cross-CLASS
+# divergence (int-vs-float, DECIMAL-vs-int) changes the hashed value
+# representation and fails.
 def hclass(t):
-    b = base(t)
-    suffix = "[]" * ((len(t.replace(" ", "")) - len(t.replace(" ", "").rstrip("[]"))) // 2)
-    if b in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-        return "int" + suffix
-    if b in ("FLOAT", "DOUBLE"):
-        return "float" + suffix
-    if b.startswith("TIMESTAMP"):
-        return "timestamp" + suffix
-    return b + suffix
+    s = re.sub(r"TIMESTAMP(_NS|_MS|_S)?( WITH TIME ZONE)?", "TS", t)
+    s = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT)\b", "INT", s)
+    s = re.sub(r"\b(FLOAT|DOUBLE)\b", "FLT", s)
+    return s
 
 def coltypes(rel_sql):
     """[(col_lower, type_upper)] via DESCRIBE, order-insensitive by name."""
