@@ -363,6 +363,12 @@ object Dedup {
     // statistic (at scale it lives alongside the bucketed postings
     // table), and a store-ubiquitous shingle is exactly the one whose
     // posting list would fan every batch doc out quadratically.
+    // (A store-side semi-join prune on the batch's distinct shingles
+    // was measured here and REJECTED: when micro-batches are a
+    // non-trivial fraction of the store — any bootstrap or backfill —
+    // the extra pass costs more than the pruned shuffle saves, and with
+    // the at-scale shingle-bucketed postings layout the main join is
+    // already co-located, making the prune a pure extra scan.)
     val sp = dfCapped(storePostings, maxDf)
     val bp = batchPostings
     // PPJoin length filter in the join condition: jaccard ≥ t forces

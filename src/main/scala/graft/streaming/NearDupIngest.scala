@@ -51,13 +51,26 @@ object NearDupIngest {
                   excludeBatch: Option[Long] = None): DataFrame =
     BatchStore.read(spark, corpusDir, schema, excludeBatch)
 
-  /** The persisted postings store in [[Dedup.sizedShinglePostings]]
-    * shape (same store semantics as [[storeCorpus]]). */
+  /** The persisted postings store in [[batchPostings]] shape (same
+    * store semantics as [[storeCorpus]]). */
   def storePostings(spark: org.apache.spark.sql.SparkSession,
                     corpusDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     excludeBatch: Option[Long] = None): DataFrame =
     BatchStore.read(spark, postingsDir(corpusDir), schema, excludeBatch)
+
+  /** The batch's postings in the PERSISTED store shape: the shingle is
+    * the 64-bit xxhash of the string, not the string itself — a k-token
+    * shingle string replicates the text ~k-fold, so hashing shrinks the
+    * postings store (and every admission join's shuffle) several-fold;
+    * the join only needs equality. A hash collision can only ADD a
+    * spurious common-shingle count to one candidate pair — at 2^64 the
+    * expected effect on a Jaccard admission threshold is nil, the same
+    * trade MinHash itself makes. */
+  def batchPostings(batch: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
+    Dedup.sizedShinglePostings(batch, idCol, textCol, k)
+      .withColumn("shingle", xxhash64(col("shingle")))
 
   /** Admit the batch rows with no Jaccard-≥-threshold near-duplicate in
     * the store postings; UNCAPPED similarity (maxDf = ∞) so the pair
@@ -127,8 +140,8 @@ object NearDupIngest {
     val spark = batch.sparkSession
     requirePostingsCoverCorpus(spark, corpusDir, batchId)
     // one tokenization pass over the batch, reused by the admission join
-    // and the admitted-postings write
-    val bp = Dedup.sizedShinglePostings(batch, idCol, textCol, k).persist()
+    // and the admitted-postings write (hashed shape — see batchPostings)
+    val bp = batchPostings(batch, idCol, textCol, k).persist()
     try {
       val sp = storePostings(spark, corpusDir, bp.schema,
         excludeBatch = Some(batchId))

@@ -532,7 +532,7 @@ class StreamingSpec extends SparkTestBase {
       (10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
       (11L, "an entirely unrelated document with novel words", "s")
     ).toDF("doc_id", "text", "source")
-    val bp = graft.corpus.Dedup.sizedShinglePostings(batch, "doc_id", "text", 3)
+    val bp = NearDupIngest.batchPostings(batch, "doc_id", "text", 3)
     val sp = NearDupIngest.storePostings(spark, corpusDir, bp.schema)
     val admitted = NearDupIngest.admitAgainstPostings(sp, batch, bp, "doc_id", 0.8)
     // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
