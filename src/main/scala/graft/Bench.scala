@@ -118,17 +118,18 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       cleanup(); t
     }
-    // The two min-of-2 passes are INTERLEAVED as full rounds (pass 1 over
-    // every query, then pass 2) rather than back-to-back per query: a
-    // shared-host neighbor's multi-second burst inflates BOTH
-    // back-to-back runs of whichever query it lands on, so min-of-2 never
-    // filters it; with the passes minutes apart the same burst taxes two
-    // DIFFERENT queries once each and the min recovers both (r13's
-    // unchanged-code control drifted +37% under back-to-back pairing).
-    val pass1 = picked.map { case (name, fn) => name -> once(name, fn) }
-    val pass2 = picked.map { case (name, fn) => name -> once(name, fn) }
-    val results = picked.map { case (name, _) =>
-      name -> math.min(pass1(name), pass2(name))
+    // Min-of-2 passes run BACK-TO-BACK per query, deliberately: an
+    // interleaved variant (full pass 1 over all queries, then pass 2,
+    // to decorrelate shared-host bursts) was measured on this box at
+    // +24% TOTAL (218 s vs 176 s at sf0.1) — with 250 queries between a
+    // query's two runs, the whole-stage-codegen cache and page-cache
+    // locality are gone and BOTH passes run cold. Back-to-back, the
+    // second pass measures warm steady-state, which is also the honest
+    // long-running-cluster number; residual round-over-round drift on
+    // unchanged queries is environmental (see NOTES_r14 §4's quiet-box
+    // A/B, where it vanishes).
+    val results = picked.map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
     }
     // Locale.ROOT: f"" interpolation formats with the JVM default locale,
     // and a comma-decimal locale (de_DE …) would make this invalid JSON

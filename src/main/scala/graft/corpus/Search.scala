@@ -99,9 +99,17 @@ object Search {
   /** Inverted-index materialization — the index-build side of retrieval:
     * per token, document frequency, total term frequency, and the top
     * document by tf (ties → smaller doc id). `minDf` drops the long tail
-    * so the output is the dictionary-sized head. One token-keyed shuffle
-    * for the tf groupBy; df/top-doc ride the SAME partitioning (token
-    * prefix of the grouping key → no second exchange). */
+    * so the output is the dictionary-sized head.
+    *
+    * Two token-keyed exchanges, BOTH of aggregated rows: the raw explode
+    * never shuffles (map-side combine folds it to (token, doc_id, tf)
+    * partials first), and the per-token pass is a plain aggregate whose
+    * top-doc rides a struct-min — min(struct(-tf, doc_id)) is
+    * lexicographic largest-tf-then-smallest-id, so the old
+    * row_number window (a full sort of the tf frame that ALSO forced
+    * its own exchange, since hash(token, doc_id) does not satisfy a
+    * token-only window) disappears and the second exchange carries
+    * map-combined per-token partials instead of every tf row. */
   def postingsSummary(docs: DataFrame, idCol: String, textCol: String,
                       minDf: Long): DataFrame = {
     val tf = docs
@@ -109,14 +117,13 @@ object Search {
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id"))
-    tf.withColumn("_rn", row_number().over(w))
-      .groupBy(col("token"))
+    tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"),
-        max(when(col("_rn") === 1, col("doc_id"))).as("top_doc_id"),
-        max(when(col("_rn") === 1, col("tf"))).as("top_tf"))
+        min(struct((-col("tf")).as("_ntf"), col("doc_id").as("doc_id"),
+          col("tf").as("tf"))).as("_top"))
+      .select(col("token"), col("df"), col("total_tf"),
+        col("_top.doc_id").as("top_doc_id"), col("_top.tf").as("top_tf"))
       .filter(col("df") >= minDf)
   }
 

@@ -29,6 +29,10 @@ object Sketches {
   /** Typed KMV aggregator over pre-hashed values (longs in [0, 2^60)).
     * Buffer = sorted array of ≤ k distinct smallest hashes. */
   class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Double] {
+    // k = 1 is degenerate: kmvEstimate(1, h) is (k-1)·2^60/h = 0 for any
+    // h, and NaN (then a NumberFormatException in BigDecimal) when the
+    // one retained hash is 0 — refuse at construction, not mid-job
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     override def zero: Seq[Long] = Seq.empty
 
     private def insert(buf: Seq[Long], h: Long): Seq[Long] =
@@ -354,23 +358,30 @@ object Sketches {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // every working column is underscore-prefixed (the file-wide _v/_est
+    // convention): a bare `b`/`n`/`cum`/`total`/`need`/`lo` would
+    // collide with a user keyCol of the same name and resolve
+    // ambiguously. The OUTPUT names (q, n_total, est) stay reserved.
+    require(!Set("q", "n_total", "est").contains(keyCol),
+      s"logHistQuantiles: keyCol '$keyCol' collides with an output column")
     val pos = df.filter(col(valCol) > 0)
       .select(col(keyCol), col(valCol).cast("long").as("_v"))
     val hist = pos
-      .groupBy(col(keyCol), (length(bin(col("_v"))) - 1).as("b"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol), (length(bin(col("_v"))) - 1).as("_b"))
+      .agg(count(lit(1)).as("_n"))
     val byKey = Window.partitionBy(col(keyCol))
     val cum = hist
-      .withColumn("cum", sum(col("n")).over(byKey.orderBy(col("b"))))
-      .withColumn("total", sum(col("n")).over(byKey))
-    val qdf = quantiles.toDF("q", "qnum", "qden")
+      .withColumn("_cum", sum(col("_n")).over(byKey.orderBy(col("_b"))))
+      .withColumn("_total", sum(col("_n")).over(byKey))
+    val qdf = quantiles.toDF("q", "_qnum", "_qden")
     cum.crossJoin(broadcast(qdf))
-      .withColumn("need", expr("(total * qnum + qden - 1) div qden"))
-      .filter(col("cum") >= col("need"))
-      .withColumn("lo", expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-      .withColumn("_est", col("lo") + expr("((need - (cum - n)) * lo) div n"))
+      .withColumn("_need", expr("(_total * _qnum + _qden - 1) div _qden"))
+      .filter(col("_cum") >= col("_need"))
+      .withColumn("_lo", expr("shiftleft(cast(1 as bigint), cast(_b as int))"))
+      .withColumn("_est",
+        col("_lo") + expr("((_need - (_cum - _n)) * _lo) div _n"))
       .groupBy(col(keyCol), col("q"))
-      .agg(min(col("total")).as("n_total"),
-        min_by(col("_est"), col("b")).as("est"))
+      .agg(min(col("_total")).as("n_total"),
+        min_by(col("_est"), col("_b")).as("est"))
   }
 }

@@ -40,9 +40,12 @@ object Constraints {
   /** Evaluate every check in one aggregation pass. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Constraints.audit needs at least one check")
+    // coalesce: sum over a ZERO-ROW frame is NULL, which would make an
+    // empty-partition audit report passed = NULL (neither pass nor
+    // fail) for row checks while unique checks report 0/true
     val aggs = checks.zipWithIndex.map {
       case (RowCheck(_, viol), i) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"v$i")
+        coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"v$i")
       case (UniqueCheck(_, c), i) =>
         (count(col(c)) - countDistinct(col(c))).as(s"v$i")
     }

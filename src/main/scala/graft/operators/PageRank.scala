@@ -56,10 +56,16 @@ object PageRank {
     require(n > 0, "PageRank over an empty edge list")
     // w ≤ 0 would make the two paths diverge (the driver loop throws on
     // a zero wout, the SQL `div` returns NULL and silently skips the
-    // edge) — refuse loudly instead; the edge frame is checkpointed so
-    // this probe is one cheap job
-    require(e.filter(col("w") <= 0).isEmpty,
-      "PageRank edge weights must be positive")
+    // edge) — and so would NULLs: a NULL w slips past a bare `w <= 0`
+    // filter (NULL predicate drops the row from the PROBE, not the
+    // graph), then NPEs in the driver loop while the SQL path silently
+    // drops the edge; a NULL src/dst is a real node to the driver's
+    // index map but invisible to the distributed equi-joins. Refuse all
+    // of them loudly; the edge frame is checkpointed so this probe is
+    // one cheap job
+    require(e.filter(col("w").isNull || col("w") <= 0 ||
+        col("src").isNull || col("dst").isNull).isEmpty,
+      "PageRank edges must have non-null src/dst and positive weights")
     // the counts above double as the edge materialization either path needs
     if (e.count() <= driverGateEdges) {
       val spark = edges.sparkSession

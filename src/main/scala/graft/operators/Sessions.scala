@@ -31,10 +31,18 @@ object Sessions {
              gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // First-row detection is row_number, NOT lag(ts_us).isNull: the lag
+    // of a PREVIOUS ROW'S NULL timestamp is also null, which would open
+    // a fresh session on every consecutive NULL-ts event. NULL-ts rows
+    // (sorted first) form one session of their own; the first real-ts
+    // row after them starts fresh (second branch) instead of silently
+    // joining the NULL block through a NULL gap comparison.
     df.withColumn("ts_us", unix_micros(col(tsCol)))
       .withColumn("_new",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
-          .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L)))
+        when(row_number().over(w) === 1, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull && col("ts_us").isNotNull, 1L)
+          .when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
       .withColumn("session_seq", sum(col("_new")).over(run))
       .drop("_new")
   }

@@ -42,8 +42,9 @@ object ZOrder {
   def zOrderSql(x: String, y: String, bits: Int = 16): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).map { i =>
-      val sx = s"((($x >> $i) & 1) << ${2 * i})"
-      val sy = s"((($y >> $i) & 1) << ${2 * i + 1})"
+      // $x/$y parenthesized — see zOrderSqlN
+      val sx = s"(((($x) >> $i) & 1) << ${2 * i})"
+      val sy = s"(((($y) >> $i) & 1) << ${2 * i + 1})"
       s"$sx | $sy"
     }.mkString("(", " | ", ")")
   }
@@ -72,6 +73,10 @@ object ZOrder {
     (for {
       i <- 0 until bits
       (d, di) <- dims.zipWithIndex
-    } yield s"((($d >> $i) & 1) << ${i * n + di})").mkString("(", " | ", ")")
+      // $d parenthesized: a compound dimension expression ("a % 8")
+      // must bind before >> on BOTH engines regardless of their
+      // operator-precedence tables — this string is the one formula
+      // whose bit-identity the cross-engine gate relies on
+    } yield s"(((($d) >> $i) & 1) << ${i * n + di})").mkString("(", " | ", ")")
   }
 }

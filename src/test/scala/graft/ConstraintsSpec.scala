@@ -54,6 +54,26 @@ class ConstraintsSpec extends SparkTestBase {
     assert(scans == 1, s"expected one source scan for the whole battery, got $scans")
   }
 
+  test("an EMPTY frame reports 0 violations / passed, never NULL") {
+    // sum over zero rows is NULL without the coalesce — an
+    // empty-partition audit must report a definite pass, not a
+    // neither-pass-nor-fail NULL that filters silently
+    val out = Constraints.audit(dirty.filter(lit(false)), Seq(
+      Constraints.notNull("id_not_null", col("doc_id")),
+      UniqueCheck("id_unique", "doc_id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("id_not_null") == ((0L, 0L, true)))
+    assert(out("id_unique") == ((0L, 0L, true)))
+  }
+
+  test("a quote in a check name is data, not SQL") {
+    val out = Constraints.audit(dirty, Seq(
+      Constraints.notNull("id isn't null, 'quoted'", col("doc_id"))))
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "id isn't null, 'quoted'")
+  }
+
   test("empty check list fails loudly") {
     intercept[IllegalArgumentException] {
       Constraints.audit(dirty, Seq.empty)

@@ -28,6 +28,26 @@ class SessionsSpec extends SparkTestBase {
       (1L, 13L, 2L), (2L, 20L, 1L)))
   }
 
+  test("NULL timestamps form ONE session; the first real row starts fresh") {
+    // lag(ts).isNull-based first-row detection would open a session per
+    // consecutive NULL-ts row AND silently pull the first real row into
+    // the NULL block through a NULL gap comparison
+    val df = Seq(
+      (1L, None, 10L), (1L, None, 11L), (1L, None, 12L),
+      (1L, Some(ts(0)), 13L), (1L, Some(ts(5)), 14L),
+      (1L, Some(ts(100)), 15L)
+    ).toDF("user_id", "t", "event_id")
+    val got = Sessions.assign(df, "user_id", "t", "event_id",
+        gapUs = 30L * 60 * 1000000)
+      .select("event_id", "session_seq")
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 1L && got(11L) == 1L && got(12L) == 1L,
+      "all NULL-ts rows share one session")
+    assert(got(13L) == 2L && got(14L) == 2L,
+      "first real-ts row opens a fresh session")
+    assert(got(15L) == 3L, "gap splitting unaffected")
+  }
+
   test("equal timestamps stay in one session and break ties on the tie column") {
     val df = Seq((1L, ts(0), 2L), (1L, ts(0), 1L), (1L, ts(0), 3L))
       .toDF("user_id", "t", "event_id")
