@@ -220,13 +220,18 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj.isEmpty && cart.isEmpty)
   }
 
-  test("search_postings: df/top-doc aggregation adds no second token exchange") {
-    // window (token) and groupBy (token) share the same partitioning:
-    // exactly one token-keyed shuffle + one final sort exchange
+  test("search_postings: both postings exchanges carry aggregated rows") {
+    // (token, doc_id) tf exchange, token summary exchange (map-side
+    // combined partials since the top-doc is a struct-min inside the
+    // aggregate, not a window), + at most a final sort exchange. A
+    // row_number window here would add a full tf sort and break the
+    // partial aggregation.
     val nodes = executedNodes(q("search_postings"))
     val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
     assert(shuffles.size <= 3,
-      s"expected tf exchange (+fanout/sort), got ${shuffles.size}")
+      s"expected tf + token-agg (+sort) exchanges, got ${shuffles.size}")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "top-doc must ride the aggregate, not a window sort")
   }
 
   test("mm_near_dup: candidate generation is an equi-join, never a cartesian") {
