@@ -192,7 +192,11 @@ object Graphs {
       .withColumn("vary", expr(
         "CAST(n_ends AS DECIMAL(38,0)) * syy - sy * sy"))
       .select(col("n_ends"),
-        expr("CAST(sxy AS BIGINT)").as("sxy"),
+        // sxy stays DECIMAL(38,0): a BIGINT re-cast would reintroduce
+        // the exact overflow the decimal sums were adopted against (a
+        // 3e6-degree hub's Σdx·dy ≈ 2.7e19 > 2^63 — Spark nulls it,
+        // DuckDB throws, silently diverging the engines)
+        expr("CAST(sxy AS DECIMAL(38,0))").as("sxy"),
         when(col("n_ends") === 0 || col("varx") === 0 || col("vary") === 0, 0.0)
           .otherwise(expr(
             """round(CAST(CAST(n_ends AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)

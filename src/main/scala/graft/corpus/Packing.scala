@@ -61,6 +61,9 @@ object Packing {
     * The running sum parallelizes per stratum (partitioned window). */
   def packOffsets(docs: DataFrame, stratumCol: String, idCol: String,
                   nTokensCol: Column, binSize: Int): DataFrame = {
+    // binSize 0 would make every `div` below a silent NULL (non-ANSI
+    // integer division by zero), not an error — refuse like chunk() does
+    require(binSize >= 1, s"binSize must be >= 1, got $binSize")
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -28,9 +28,15 @@ object Similarity {
       lit(0.0), _ + _))
 
   /** Cosine similarity rounded to 6 dp (rounding decouples the compare
-    * from last-ulp division noise). */
-  def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    * from last-ulp division noise). NULL — not NaN — on a zero-norm
+    * side: 0/0 is NaN, and Spark orders NaN ABOVE every real number, so
+    * an unguarded failed-embed (all-zero) vector would pass every
+    * `>= threshold` filter and steal rank 1 of every descending top-k;
+    * NULL instead fails filters and sorts last under `desc`. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, round(dot(a, b) / d, 6))
+  }
 
   /** Hot-path dot/norm as native codegen'd Catalyst expressions
     * ([[VectorExpr]]): identical IEEE result to the HOF fold (sequential
@@ -41,9 +47,12 @@ object Similarity {
   private def dotUdf(a: Column, b: Column): Column = VectorExpr.dotF(a, b)
   private def normUdf(a: Column): Column = VectorExpr.normF(a)
 
-  /** cosine from a precomputed-norm pair: round(dot/(n1*n2), 6). */
+  /** cosine from a precomputed-norm pair: round(dot/(n1*n2), 6); NULL
+    * on a zero-norm side (same NaN trap as [[cosine]] — every
+    * exact-cosine path in this file flows through one of the two, so
+    * the guard lives exactly twice). */
   private def cosineFast(e1: Column, n1: Column, e2: Column, n2: Column): Column =
-    round(dotUdf(e1, e2) / (n1 * n2), 6)
+    when(n1 > 0 && n2 > 0, round(dotUdf(e1, e2) / (n1 * n2), 6))
 
   /** All pairs (v1 < v2) with cosine ≥ threshold. Quadratic by intent —
     * the exact-verification baseline. At scale, use [[ivfTopK]] or the
@@ -107,11 +116,15 @@ object Similarity {
   def semanticContamination(corpus: DataFrame, eval_ : DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val evalRows = eval_.select(col(vecCol))
-      .filter(col(vecCol).isNotNull).collect()
-    require(evalRows.length <= (1 << 20),
-      s"eval set has ${evalRows.length} vectors — beyond the 2^20 " +
+    // cap check BEFORE the collect — a require after it cannot prevent
+    // the driver OOM it exists for; the count is an eval-set-side scan
+    val evalVecs = eval_.select(col(vecCol))
+      .filter(col(vecCol).isNotNull).localCheckpoint(false)
+    val nEval = evalVecs.count()
+    require(nEval <= (1 << 20),
+      s"eval set has $nEval vectors — beyond the 2^20 " +
         "driver-resident cap; shard the eval set or use the LSH candidates")
+    val evalRows = evalVecs.collect()
     val evs: Array[Array[Float]] =
       evalRows.map(_.getSeq[Float](0).toArray)
     Dedup.fanout(corpus)
@@ -174,24 +187,12 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for a query subset. The query side
     * is broadcast (it is small by construction), so the big side streams
-    * once with no shuffle before the per-query top-k. */
+    * once with no shuffle before the per-query top-k. Delegates to
+    * [[filteredTopK]] with an always-true corpus predicate so the
+    * scoring/tie-break/ranking tail exists exactly once. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
-    val queries = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        normUdf(col(vecCol)).as("qnrm"))
-    val ranked = Dedup.fanout(emb)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-        normUdf(col(vecCol)).as("nnrm"))
-      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
-  }
+                     queryPred: Column, k: Int): DataFrame =
+    filteredTopK(emb, idCol, vecCol, queryPred, lit(true), k)
 
   /** Metadata-filtered ANN — the retrieval pattern where a query carries
     * a structured predicate ("only docs with license X / label Y")
@@ -280,6 +281,15 @@ object Similarity {
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       planes: Array[Array[Double]], planesPerTable: Int,
                       threshold: Double): DataFrame = {
+    // refuse bad plane sizing loudly: planes.length < planesPerTable
+    // would make numTables 0 — an EMPTY result read as "no near-dups"
+    // (and an empty kNN graph artifact published for every downstream
+    // consumer); a non-multiple would silently discard trailing planes
+    // and lower recall with no warning
+    require(planes.nonEmpty && planesPerTable >= 1 &&
+        planes.length % planesPerTable == 0,
+      s"planes (${planes.length}) must be a positive multiple of " +
+        s"planesPerTable ($planesPerTable)")
     val numTables = planes.length / planesPerTable
     val tableBuckets = (0 until numTables).map { t =>
       val sub = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
@@ -322,6 +332,13 @@ object Similarity {
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                planes: Array[Array[Double]], planesPerTable: Int,
                k: Int): DataFrame = {
+    // same loud sizing contract as srpNearDupPairs — an empty graph
+    // artifact published from numTables = 0 would poison every
+    // downstream triangle/LPA/modularity consumer silently
+    require(planes.nonEmpty && planesPerTable >= 1 &&
+        planes.length % planesPerTable == 0,
+      s"planes (${planes.length}) must be a positive multiple of " +
+        s"planesPerTable ($planesPerTable)")
     val numTables = planes.length / planesPerTable
     val tableBuckets = (0 until numTables).map { t =>
       val sub = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
@@ -430,7 +447,17 @@ object Similarity {
   /** The Lloyd training loop behind [[kmeansAssign]], exposed for callers
     * that need the centroid table itself (PQ sub-quantizers): seeded from
     * the k smallest ids, `iters` rounds of assignment (native codegen
-    * expression) + per-dimension means. Deterministic given the data. */
+    * expression) + per-dimension means.
+    *
+    * Determinism: exact given the data AND the fp-reduction order — the
+    * per-dimension means are distributed DOUBLE sums, so two cluster
+    * shapes (or two shuffle-fetch orders) can differ in the last ulp.
+    * The oracle-gated queries tolerate this because assignments and the
+    * reported aggregates are rounding-stable at fixture scale; a caller
+    * needing bit-identical training on any cluster shape should use the
+    * fixed-point integer discipline of [[pqCodebooks]] (associative LONG
+    * sums), which is also why THAT trainer takes [[Dedup.fanout]] and
+    * this one deliberately does not (fanout changes the sum order). */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = emb
@@ -524,7 +551,11 @@ object Similarity {
     val dim = dimRow.get.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val embQ = pqQuantized(emb, idCol, vecCol)
+    // fanout: the per-round assignment scan is the compute-heavy pass of
+    // the whole PQ pipeline and must use every core on few-file corpora;
+    // safe for reproducibility because every per-round sum is an exact
+    // LONG sum (associative — partitioning cannot change the books)
+    val embQ = pqQuantized(Dedup.fanout(emb), idCol, vecCol)
     // seeds: the kSub smallest-id vectors, sliced per subspace — exactly
     // the seeds the per-subspace kmeansCentroids(slice) form would pick
     val seedRows = embQ.orderBy(col(idCol)).limit(kSub)
@@ -632,12 +663,17 @@ object Similarity {
                      topK: Int, shortlist: Int): DataFrame = {
     val cand = pqTopK(emb, idCol, vecCol, queryPred, m, kSub, iters, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val withNorm = emb.select(col(idCol), col(vecCol), normUdf(col(vecCol)).as("nrm"))
+    // queryPred filters the FULL-column frame (every sibling API's
+    // contract) — filtering a projection narrowed to (id, vec, nrm)
+    // would crash on any metadata-column predicate
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        normUdf(col(vecCol)).as("qnrm"))
     val scored = cand
-      .join(broadcast(withNorm.filter(queryPred).select(col(idCol).as("query_id"),
-        col(vecCol).as("qvec"), col("nrm").as("qnrm"))), Seq("query_id"))
-      .join(withNorm.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("nvec"), col("nrm").as("nnrm")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec"), normUdf(col(vecCol)).as("nnrm")),
+        Seq("neighbor_id"))
       .withColumn("cos_sim",
         cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
     val w = Window.partitionBy(col("query_id"))

@@ -39,7 +39,9 @@ object Vocab {
     Dedup.fanout(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode_outer(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .join(broadcast(vocab.select(col("token").as("tok"))
+      // distinct: a duplicate vocab row would MULTIPLY matching token
+      // rows through the left join, silently inflating n_tokens
+      .join(broadcast(vocab.select(col("token").as("tok")).distinct()
         .withColumn("_in_vocab", lit(1))), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("tok")).as("n_tokens"),
@@ -111,14 +113,19 @@ object Vocab {
     * string, count), ordered merges). */
   private def trainBpe(docs: DataFrame, textCol: String, nMerges: Int)
       : (Array[(String, String, Long)], Seq[(Int, String, String, Long)]) = {
-    val words = Dedup.fanout(docs.select(col(textCol)))
+    val wordsDf = Dedup.fanout(docs.select(col(textCol)))
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= bpeMaxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .collect()
-    require(words.length <= bpeMaxVocab,
-      s"word dictionary ${words.length} exceeds bpeMaxVocab $bpeMaxVocab — " +
+      .localCheckpoint(false)
+    // the gate must fire BEFORE the dictionary lands on the driver — a
+    // require after collect() cannot prevent the OOM it documents; the
+    // checkpoint keeps the count from recomputing the aggregation
+    val nWords = wordsDf.count()
+    require(nWords <= bpeMaxVocab,
+      s"word dictionary $nWords exceeds bpeMaxVocab $bpeMaxVocab — " +
         "raise the gate only with driver memory to back it")
+    val words = wordsDf.collect()
     // space-delimited symbol strings, padded so every symbol is
     // space-bounded and a literal " x y " match aligns to whole symbols
     var dict: Array[(String, String, Long)] = words.map { r =>

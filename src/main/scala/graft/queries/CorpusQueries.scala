@@ -7186,7 +7186,8 @@ object CorpusQueries {
          |         coalesce(sum(CAST(dx AS HUGEINT) * dy), 0) AS sxy
          |  FROM xy
          |)
-         |SELECT CAST(n_ends AS BIGINT) AS n_ends, CAST(sxy AS BIGINT) AS sxy,
+         |SELECT CAST(n_ends AS BIGINT) AS n_ends,
+         |       CAST(sxy AS DECIMAL(38,0)) AS sxy,
          |       CASE WHEN n_ends = 0
          |              OR n_ends * sxx - sx * sx = 0
          |              OR n_ends * syy - sy * sy = 0 THEN 0.0

@@ -32,6 +32,13 @@ class PackingSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (1L, 3, 1)))
   }
 
+  test("packOffsets refuses binSize < 1 (div-by-zero would null silently)") {
+    val docs = Seq((1L, "a", 300)).toDF("doc_id", "src", "n")
+    intercept[IllegalArgumentException] {
+      Packing.packOffsets(docs, "src", "doc_id", col("n"), binSize = 0)
+    }
+  }
+
   test("packOffsets: offsets contiguous per stratum, bin spans exact") {
     val docs = Seq(
       (1L, "a", 300), (2L, "a", 300), (3L, "a", 500), (4L, "b", 10)

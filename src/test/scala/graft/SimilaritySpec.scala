@@ -86,6 +86,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(post.count() == 1)
   }
 
+  test("a zero-norm vector never matches, never ranks, never drops a survivor") {
+    // 0/0 cosine is NaN, and Spark sorts NaN ABOVE every real number —
+    // unguarded, a failed-embed all-zero vector passes >= threshold
+    // filters and steals rank 1 of every top-k
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val pairs = Similarity.nearDupPairs(withZero, "vec_id", "embedding", 0.5)
+      .collect()
+    assert(!pairs.exists(r => r.getLong(0) == 9L || r.getLong(1) == 9L),
+      "zero vector must emit no near-dup pair")
+    val topk = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
+      col("vec_id") === 0, 5).orderBy("rank").collect()
+    assert(topk.head.getLong(2) == 1L, "rank 1 must stay the true near-dup")
+    assert(!topk.take(4).exists(_.getLong(2) == 9L),
+      "zero vector must not outrank any real neighbor")
+    val surv = Similarity.semDedupSurvivors(withZero, "vec_id", "embedding",
+      "label", 0.5).select("vec_id").as[Long].collect().toSet
+    assert(surv.contains(9L) && !surv.contains(1L),
+      "zero vector drops nobody; the real near-dup still dedups")
+  }
+
+  test("pqTopKReranked accepts a metadata-column query predicate") {
+    val got = Similarity.pqTopKReranked(vecs, "vec_id", "embedding",
+      col("label") === 1 && col("vec_id") === 2, m = 3, kSub = 2,
+      iters = 2, topK = 2, shortlist = 4).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) == 2L))
+  }
+
+  test("SRP plane sizing that would yield zero tables fails loudly") {
+    val planes = Similarity.srpPlanes(8, 3)
+    intercept[IllegalArgumentException] {
+      Similarity.srpNearDupPairs(vecs, "vec_id", "embedding", planes,
+        planesPerTable = 16, threshold = 0.8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(vecs, "vec_id", "embedding", planes,
+        planesPerTable = 3, k = 2) // 8 % 3 != 0: trailing planes dropped
+    }
+  }
+
   test("ivfTopK only probes the query's bucket") {
     val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
       col("vec_id") === 0, 3).collect()

@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
 class VocabSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("oovStats: duplicate vocab rows don't inflate n_tokens") {
+    val docs = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val dupVocab = Seq("the", "the", "cat").toDF("token") // union of 2 lists
+    val got = Vocab.oovStats(docs, "doc_id", "text", dupVocab).collect().head
+    assert(got.getLong(1) == 5L, s"n_tokens must be 5, got ${got.getLong(1)}")
+    assert(got.getLong(2) == 2L, "and/hat are OOV")
+  }
+
   test("bpeMerges learns hand-computable rules in frequency order") {
     // "abab" x3 and "cd" x2: pairs round 1 — (a,b): 2 per word x3 = 6,
     // (b,a): 1x3 = 3, (c,d): 2. First merge (a,b) -> ab; round 2 the
