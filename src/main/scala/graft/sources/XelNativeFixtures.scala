@@ -127,6 +127,7 @@ object XelNativeFixtures {
     val (_, ids, _) = defaultIds(meta)
     val schema = StructType(df.schema.fields.filter(_.name != keyCol))
     val keyIdx = df.schema.fieldIndex(keyCol)
+    XelbFixtures.guardRows(df, "XelNativeFixtures")
     val grouped = df.collect().groupBy(_.get(keyIdx))
     grouped.toSeq.sortBy(_._1.toString).map { case (key, rs) =>
       val path = s"$dir/${sessionName}_${key}_0.xeln"

@@ -402,7 +402,14 @@ class XelbBatchWrite(dir: String, schema: org.apache.spark.sql.types.StructType)
         val t = new Path(tmp)
         val fs = t.getFileSystem(new Configuration())
         fs.delete(new Path(dest), false)
-        fs.rename(t, new Path(dest))
+        // FileSystem.rename reports failure by RETURNING false, not
+        // throwing — ignoring it would let commit() succeed while this
+        // partition's file never appears (silent data loss; the
+        // streaming log below uses FileContext.rename for the same
+        // reason)
+        if (!fs.rename(t, new Path(dest)))
+          throw new java.io.IOException(
+            s"xelb commit: rename $tmp -> $dest failed; partition output would be lost")
       case _ =>
     }
 

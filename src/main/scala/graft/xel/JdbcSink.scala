@@ -135,6 +135,20 @@ object JdbcSink {
     types.map { t =>
       val table = tableFor(t)
       val slice = df.filter(col("event_name") === t).drop("event_name")
+      // -c parity (`EventMetadata.cs:160-175`): DROP each event table
+      // before the load; absence is not an error (the reference executes
+      // the DROP and catches the exception). Without this, a -c rerun
+      // silently appends every event a second time.
+      if (cfg.clearTables) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+          val stmt = conn.createStatement()
+          try { stmt.execute(s"DROP TABLE ${quote(table)}"); () }
+          catch { case _: java.sql.SQLException => () }
+          finally stmt.close()
+        } finally conn.close()
+      }
       ensureTableSchemaMatches(slice, url, table)
       bulkAppend(slice, url, table, cfg)
       // D5: the reference picks columnstore vs clustered-rowstore by the

@@ -292,11 +292,17 @@ object LoaderMain {
     // tracking phase (S7/D4): the dbo.tbl_ImportedXEventFiles analogue —
     // per-file aggregates plus the run timestamp, appended next to the data
     // (or left to the JDBC caller's tracking database)
+    // checkpointed: the per-file frame is tiny (one row per rollover
+    // file), the tracking write and the event total below both consume
+    // it, and the run scans the source ONCE for it instead of paying a
+    // dedicated frame.count() pass (this input is 100 TB-shaped)
     val lineage = Pipeline.lineage(shaped)
       .withColumn("loaded_at", current_timestamp())
+      .localCheckpoint(false)
     a.outDir.foreach(dir => lineage.write.mode("append").parquet(s"$dir/_lineage"))
 
-    val nEvents = frame.count()
+    val nEvents = lineage.agg(coalesce(sum(col("n_events")), lit(0L)))
+      .head().getLong(0)
     LoaderReport(
       filePattern = patternInUse,
       filesProcessed = files.size.toLong,

@@ -140,7 +140,11 @@ object Pipeline {
       case f if f.dataType == StringType && EventSchema.xmlColumns.contains(f.name)
           && !cfg.xmlUnbounded =>
         ("xml", XelFunctions.truncatedFlag(col(f.name), cfg.xmlLimit))
-      case f if f.dataType == StringType && (f.name.startsWith("c_") || f.name.startsWith("a_")) =>
+      // xml columns under -x are EXEMPT in applyWidthLimits — they must
+      // not fall through to the string counter here, or the report would
+      // count truncations that never happened
+      case f if f.dataType == StringType && !EventSchema.xmlColumns.contains(f.name)
+          && (f.name.startsWith("c_") || f.name.startsWith("a_")) =>
         ("string", XelFunctions.truncatedFlag(col(f.name), cfg.stringLimit))
       case f if f.dataType == BinaryType =>
         ("binary", XelFunctions.truncatedFlag(col(f.name), cfg.binaryLimit))
@@ -160,14 +164,22 @@ object Pipeline {
    */
   def writeDemuxed(df: DataFrame, targetDir: String, cfg: XelConfig,
       mode: String = "append"): DataFrame = {
-    df.sortWithinPartitions("event_name", "c_event_sequence")
+    // the sequence cluster key is optional (XELB schemas are arbitrary;
+    // run() only requires event_name) — the guarded sibling
+    // CatalogDdl.writeDemuxedTables set this precedent
+    val sortCols = Seq("event_name", "c_event_sequence")
+      .filter(df.columns.contains)
+    df.sortWithinPartitions(sortCols.map(col): _*)
       .write
       .mode(mode)
       .option("maxRecordsPerFile", cfg.batchSize)
       .partitionBy("event_name")
       .parquet(targetDir)
-    df.sparkSession.read.parquet(targetDir)
-      .groupBy("event_name").agg(count(lit(1)).as("n_rows"))
+    // counts from the INPUT frame, not a target read-back: an append
+    // into a populated store would otherwise report pre-existing rows
+    // and event types from earlier runs as loaded by THIS one — and the
+    // read-back is a full extra scan of the (growing) store per load
+    df.groupBy("event_name").agg(count(lit(1)).as("n_rows"))
   }
 
   /**
@@ -179,15 +191,22 @@ object Pipeline {
    * uniqueness, not density; any stable unique id joins event rows back to
    * their file, and a hash of the name computes where the row already is.
    */
-  def lineage(df: DataFrame, fileCol: String = "source_file"): DataFrame =
+  def lineage(df: DataFrame, fileCol: String = "source_file"): DataFrame = {
+    // the time columns are optional (run() requires only event_name):
+    // a schema without them gets NULL bounds, not a post-write crash
+    // that strands a half-finished load behind errorifexists
+    val evTime =
+      if (df.columns.contains("e_time_of_event_utc")) col("e_time_of_event_utc")
+      else lit(null).cast("timestamp")
     df.groupBy(col(fileCol))
       .agg(count(lit(1)).as("n_events"),
-        min(col("e_time_of_event_utc")).as("first_event"),
-        max(col("e_time_of_event_utc")).as("last_event"))
+        min(evTime).as("first_event"),
+        max(evTime).as("last_event"))
       .withColumn("file_id",
         conv(substring(md5(col(fileCol)), 1, 15), 16, 10).cast("long"))
       .select(col("file_id"), col(fileCol).as("file_name"),
         col("n_events"), col("first_event"), col("last_event"))
+  }
 
   /** E1 — error budget: fail the load when bad rows exceed the per-file
     * budget, else return the good rows. "Bad" is a caller-supplied predicate

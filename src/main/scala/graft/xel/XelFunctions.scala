@@ -53,9 +53,22 @@ object XelFunctions {
   def hashToBin(hash: Column): Column = unhex(hashToBinHex(hash))
 
   /** Hex-string form of [[hashToBin]] — used at query edges where the
-    * DuckDB oracle compares strings rather than blobs (SURVEY.md §7.4). */
-  def hashToBinHex(hash: Column): Column =
-    lpad(hex(hash.cast("long")), 16, "0")
+    * DuckDB oracle compares strings rather than blobs (SURVEY.md §7.4).
+    *
+    * The hash may arrive as a LONG (fixtures) or as the DECIMAL(38,0)
+    * the sources synthesize for XE's uint64 — and HALF the uint64 space
+    * does not fit a signed long, where a bare cast NULLs (non-ANSI) and
+    * silently loses the companion. Values ≥ 2^63 are re-centered by
+    * 2^64 first, so the two's-complement bit pattern — which IS the
+    * unsigned big-endian byte string — survives the cast exactly. */
+  def hashToBinHex(hash: Column): Column = {
+    val d = hash.cast("decimal(38,0)")
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val asLong = when(d >= two63, (d - two64).cast("long"))
+      .otherwise(d.cast("long"))
+    lpad(hex(asLong), 16, "0")
+  }
 
   // --- F6: callstack → debugger command ------------------------------------
   // (`XELoader/EventHolder.cs:341-358`): split the blob into

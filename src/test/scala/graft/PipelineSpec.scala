@@ -75,6 +75,21 @@ class PipelineSpec extends SparkTestBase {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((1L, 1L, 1L)))
   }
 
+  test("-x exempts XML from the width pass AND from the truncation counters") {
+    // an -x xml column is never truncated, so it must count ZERO in
+    // every class — not fall through to the string counter and report a
+    // truncation that never happened
+    val cfg = XelConfig(stringLimit = 4, xmlLimit = 6, limitWidths = true,
+      xmlUnbounded = true)
+    val df = Seq(("aaaaaaaa", "xxxxxxxx"))
+      .toDF("c_statement", "c_showplan_xml")
+    val out = Pipeline.applyWidthLimits(df, cfg).collect()(0)
+    assert(out.getString(0).length == 4 && out.getString(1) == "xxxxxxxx")
+    val stats = Pipeline.truncationStats(df, cfg).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1)) == ((1L, 0L)),
+      "only the real string truncation counts; the exempt XML counts nowhere")
+  }
+
   test("width limits off: identity") {
     val df = Seq(Tuple1("a" * 5000)).toDF("c_statement")
     val out = Pipeline.applyWidthLimits(df, XelConfig.default).collect()(0)

@@ -55,6 +55,18 @@ class XelFunctionsSpec extends SparkTestBase {
     assert(r.getString(0) == "00000000000000FF")
   }
 
+  test("uint64 hashes past 2^63 keep their big-endian bytes (DECIMAL source)") {
+    // the sources map XE's uint64 to DECIMAL(38,0); a bare long cast
+    // NULLs half the hash space and silently loses the DMV companion
+    val df = Seq("9223372036854775808",      // 2^63
+                 "18446744073709551615",     // 2^64 - 1
+                 "81985529216486895")        // fits signed: passthrough
+      .toDF("s").select(col("s").cast("decimal(38,0)").as("h"))
+      .select(F.hashToBinHex(col("h")).as("hx"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("8000000000000000", "FFFFFFFFFFFFFFFF", "0123456789ABCDEF"))
+  }
+
   // --- F6: callstack frames (`XELoader/EventHolder.cs:341-358`) -----------
   test("callstack: frame reversal, hex case, trailing remainder dropped") {
     def fmt(bytes: Array[Byte], fl: Int, cmd: String = "ln") =
