@@ -100,13 +100,17 @@ object Dedup {
                             k: Int, maxDf: Int): DataFrame =
     dfCapped(shinglePostings(docs, idCol, textCol, k), maxDf)
 
-  /** Per-source exact-duplicate summary over md5(text). */
+  /** Per-source exact-duplicate summary over md5(text). The dup count
+    * is over NON-NULL texts (count(digest), not count(*)): a null-text
+    * doc — routine after PERMISSIVE ingest — duplicates nothing, and
+    * charging it as a dup would inflate exactly the rate this summary
+    * measures. */
   def exactDupSummary(docs: DataFrame, textCol: String, byCol: String): DataFrame =
     docs.withColumn("digest", md5(col(textCol)))
       .groupBy(col(byCol))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("digest")).as("n_unique_texts"))
-      .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
+        countDistinct(col("digest")).as("n_unique_texts"),
+        (count(col("digest")) - countDistinct(col("digest"))).as("n_dup_docs"))
 
   /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join:
     * postings ⋈ postings on shingle (d1 < d2) → common counts, then join
@@ -207,17 +211,27 @@ object Dedup {
         .select("d1", "d2", "common", "jaccard")
     } else {
       val post = dfAnnotated(raw, maxDf)
+      // PRUNING threshold, strictly below the verify threshold: the
+      // final filter admits round(j, 6) ≥ t, i.e. true jaccard up to
+      // 5e-7 BELOW t — so every pruning floor must be derived from
+      // tP < t − 5e-7, or a boundary pair the verify step would admit
+      // gets pruned before verification once n reaches ~10⁶ (an
+      // absolute 1e-6 slack on the count comparison is not enough at
+      // that scale). tP in the ceil() also absorbs the IEEE round-up
+      // of t·n across an integer boundary (0.07·100 = 7.000…001 would
+      // otherwise shorten the prefix by one row and lose a pair).
+      val tP = threshold - 1e-6
       // jaccard ≥ t ⟹ common ≥ t·(n1+n2)/(1+t) ≥ t·max(n1,n2): both
       // sides satisfy the prefix floor with their own full size, so a
       // two-sided prefix self-join generates a complete candidate set
       val prefix = rarityPrefix(rankedPostings(post),
-          lit(threshold) * col("n_shingles"))
+          lit(tP) * col("n_shingles"))
         // per-doc size-bound pre-prune: a qualifying pair needs
         // common ≥ t·(n1+n2)/(1+t) and n2 ≥ t·n1 forces
         // m1 ≥ common ≥ t·n1 — docs whose capped rows fall short of
         // their own floor cannot appear in any qualifying pair
         .filter(col("_m").cast("double") >=
-          lit(threshold) * col("n_shingles").cast("double") - lit(1e-6))
+          lit(tP) * col("n_shingles").cast("double") - lit(1e-6))
         .localCheckpoint(false)
       // PPJoin-style candidate pruning (Xiao et al. 2008), both filters
       // LOSSLESS under the capped semantics (common ≤ min(m1, m2), the
@@ -239,8 +253,8 @@ object Dedup {
       val floorDefect = lit(1e-6)
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-            least(col("a._m"), col("b._m")).cast("double") * (1.0 + threshold) >=
-              lit(threshold) * (col("a.n_shingles") + col("b.n_shingles")).cast("double") -
+            least(col("a._m"), col("b._m")).cast("double") * (1.0 + tP) >=
+              lit(tP) * (col("a.n_shingles") + col("b.n_shingles")).cast("double") -
                 floorDefect)
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(min(col("a._rnk")).as("i1"), min(col("b._rnk")).as("j1"),
@@ -248,8 +262,8 @@ object Dedup {
           min(col("a.n_shingles")).as("fn1"), min(col("b.n_shingles")).as("fn2"))
         .filter(
           least(col("m1") - col("i1") + 1, col("m2") - col("j1") + 1).cast("double") *
-            (1.0 + threshold) >=
-            lit(threshold) * (col("fn1") + col("fn2")).cast("double") - floorDefect)
+            (1.0 + tP) >=
+            lit(tP) * (col("fn1") + col("fn2")).cast("double") - floorDefect)
         .select("d1", "d2")
       verifyCandidates(post, cand)
         .withColumn("jaccard",
@@ -297,10 +311,14 @@ object Dedup {
         // (44 s → 112 s). Jaccard keeps its positional filter because
         // its candidates are already canonically ordered (d1 < d2) and
         // the groupBy replaces the distinct one-for-one.
+        // pruning threshold tP: same round-to-6dp admission argument as
+        // the jaccard prefix path — floors must undershoot the verify
+        // threshold by more than the rounding window
+        val tP = threshold - 1e-6
         val prefix = rarityPrefix(rankedPostings(post),
-            lit(threshold) * col("n_shingles"))
+            lit(tP) * col("n_shingles"))
           .filter(col("_m").cast("double") >=
-            lit(threshold) * col("n_shingles").cast("double") - lit(1e-6))
+            lit(tP) * col("n_shingles").cast("double") - lit(1e-6))
           .select("doc_id", "shingle")
           .localCheckpoint(false)
         val cand = prefix.as("a").join(post.as("b"),
@@ -378,11 +396,15 @@ object Dedup {
     // dropped BEFORE the pair shuffle — lossless, and at scale it
     // prunes the dominant cost (candidate aggregation volume). The
     // 1e-6 slack keeps the double comparison conservative.
+    // threshold − 1e-6 in the length filter, not threshold: the verify
+    // step admits round(j, 6) ≥ t (true j up to 5e-7 below t), and at
+    // n_shingles ~ 10⁶ the absolute 1e-6 slack alone cannot cover that
+    // relative window (same argument as jaccardPairs' tP)
     sp.as("a").join(bp.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.n_shingles").cast("double") >=
-          lit(threshold) * col("b.n_shingles").cast("double") - lit(1e-6) &&
+          lit(threshold - 1e-6) * col("b.n_shingles").cast("double") - lit(1e-6) &&
         col("b.n_shingles").cast("double") >=
-          lit(threshold) * col("a.n_shingles").cast("double") - lit(1e-6))
+          lit(threshold - 1e-6) * col("a.n_shingles").cast("double") - lit(1e-6))
       .groupBy(col("a.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))
       .agg(count(lit(1)).as("common"),
         min(col("a.n_shingles")).as("n1"), min(col("b.n_shingles")).as("n2"))
@@ -477,10 +499,8 @@ object Dedup {
     // projections — each behind its own broadcast — and the final join).
     // Unmaterialized, every branch re-runs the band self-join pipeline;
     // the candidate set is near-dup-sized (tiny), so pin it once.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = bandCollisions(bands)
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_bands_matched"))
       .localCheckpoint(false)
     // verify: true Jaccard restricted to docs that appear in a candidate
@@ -516,33 +536,23 @@ object Dedup {
     * gap is negligible in practice). */
   def lshEval(docs: DataFrame, idCol: String, textCol: String, k: Int,
               numHashes: Int, rowsPerBand: Int, threshold: Double,
-              sampleMod: Long = 1L): DataFrame = {
-    val sampled =
-      if (sampleMod <= 1L) docs
-      else docs.filter(
-        pmod(hash60(col(idCol).cast("string")), lit(sampleMod)) === 0L)
-    val exact = jaccardPairs(sampled, idCol, textCol, k, threshold)
-      .select(col("d1"), col("d2")).localCheckpoint(false)
-    val bands = lshBands(
-      minhashSignatures(sampled, idCol, textCol, k, numHashes),
-      numHashes, rowsPerBand)
-    val cand = bands.as("a").join(bands.as("b"),
+              sampleMod: Long = 1L): DataFrame =
+    // one-config sweep: the candidate join, sampling, truth leg, and
+    // precision/recall algebra exist ONCE (in lshSweep) — a diagnostic
+    // that duplicated them could silently diverge from the pipeline it
+    // certifies
+    lshSweep(docs, idCol, textCol, k, numHashes, Seq(rowsPerBand),
+        threshold, sampleMod)
+      .select("n_exact", "n_candidates", "n_true_pos", "precision", "recall")
+
+  /** Band-collision candidate pairs (d1 < d2) from an [[lshBands]]
+    * frame — the ONE candidate-generation join every LSH consumer
+    * shares (production pipeline, eval, sweep). */
+  private def bandCollisions(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct().localCheckpoint(false)
-    val tp = cand.join(exact, Seq("d1", "d2"))
-    val m = exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_true_pos")))
-    m.select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
-      when(col("n_candidates") === 0, 0.0).otherwise(
-        round(col("n_true_pos").cast("double") /
-          col("n_candidates").cast("double"), 6)).as("precision"),
-      when(col("n_exact") === 0, 0.0).otherwise(
-        round(col("n_true_pos").cast("double") /
-          col("n_exact").cast("double"), 6)).as("recall"))
-  }
 
   /** Banding parameter SWEEP — [[lshEval]] generalized to the tuning
     * curve: one signature frame and one exact-truth frame (both pinned
@@ -567,12 +577,10 @@ object Dedup {
     val sigs = minhashSignatures(sampled, idCol, textCol, k, numHashes)
       .localCheckpoint(false)
     rowsPerBandConfigs.map { r =>
-      val bands = lshBands(sigs, numHashes, r)
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // cand feeds two aggregates (count + true-positive join) — pin it
+      // so the band self-join runs once per config, not twice
+      val cand = bandCollisions(lshBands(sigs, numHashes, r))
+        .distinct().localCheckpoint(false)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(cand.join(exact, Seq("d1", "d2"))
@@ -601,7 +609,10 @@ object Dedup {
       .withColumnRenamed("doc_id", "eval_doc_id")
     trainPost.join(broadcast(evalPost), Seq("shingle"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_shingles"),
+      // countDistinct, not count: one shared shingle present in three
+      // eval docs is ONE shared shingle (count(*) would report join
+      // rows and overstate overlap by the eval-side multiplicity)
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
         countDistinct(col("eval_doc_id")).as("n_eval_docs_hit"))
   }
 

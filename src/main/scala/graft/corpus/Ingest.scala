@@ -120,7 +120,14 @@ object Ingest {
 
   /** Header-less CSV with the same contract stance (a header row is
     * per-file state a line-splittable reader can't see; the schema IS
-    * the header). Callers with newline-bearing text belong on JSONL. */
+    * the header). Callers with newline-bearing text belong on JSONL.
+    *
+    * CONTRACT: whitespace-only lines are non-records here too — skipped
+    * like blank JSONL lines, not parsed and not charged to the corrupt
+    * budget. A record whose FIRST field is legitimately whitespace-only
+    * is indistinguishable from editor noise on a headerless line format;
+    * data with such fields belongs on JSONL, where the framing is
+    * explicit (the oracle twin pins this skip-don't-charge behavior). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val parsed = withCorrupt(schema)
     spark.read.text(path)

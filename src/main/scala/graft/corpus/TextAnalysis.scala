@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens of trimmed text; single source of truth for token
-    * semantics across all corpus operators. Empty text → empty array. */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    * semantics across all corpus operators. Empty OR NULL text → empty
+    * array (NULL would otherwise propagate through split() and turn
+    * every downstream ratio/score NULL, silently dropping null-text
+    * rows — routine after PERMISSIVE ingest — from filters and
+    * aggregates instead of scoring them as empty). */
+  def tokens(text: Column): Column = {
+    val t = trim(coalesce(text, lit("")))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
     * long. 15 hex chars = 60 bits < 2^63, so the conv() result always fits
@@ -282,9 +288,12 @@ object TextAnalysis {
 
   /** International phone: plus-prefixed digit run. Deliberately narrow —
     * bare digit runs collide with ids/quantities and redaction must not
-    * eat real data. */
+    * eat real data. NO upper bound on the run: a {7,15} cap would match
+    * only the first 15 digits of a longer run and LEAK the tail after
+    * the `<PHONE>` placeholder (lookarounds are banned for RE2 parity,
+    * so an unbounded run is the redaction-safe spelling). */
   val phonePattern: String =
-    "\\+\\d{7,15}"
+    "\\+\\d{7,}"
 
   /** Per-kind PII match counts — the audit side of redaction. */
   def piiCounts(text: Column): (Column, Column, Column) =
@@ -333,10 +342,13 @@ object TextAnalysis {
 
   /** Fraction of the raw bytes that are tag markup — the text-to-markup
     * ratio used to drop boilerplate-heavy pages (nav/ad shells carry far
-    * more tag than text). */
+    * more tag than text). 0.0 on empty text (the sibling-ratio
+    * contract: an unguarded 0/0 is NULL and silently drops empty docs
+    * from boilerplate filters and per-domain averages). */
   def markupRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, htmlTagPattern, "")))
-      .cast("double") / length(text).cast("double"), 6)
+    when(length(text) === 0, 0.0).otherwise(
+      round((length(text) - length(regexp_replace(text, htmlTagPattern, "")))
+        .cast("double") / length(text).cast("double"), 6))
 
   /** Non-overlapping `segLen`-token segments in document order (last one
     * may be short) — the "line" unit of C4-style repeated-boilerplate

@@ -53,16 +53,25 @@ object Urls {
     TextAnalysis.matchCount(url, trackingParamPattern) > 0
 
   /** Canonical form for URL-level dedup: lowercase; drop scheme, query
-    * string, fragment, a leading `www.`, and any trailing slash run. The
-    * query string is dropped WHOLESALE (not just utm_*) — the standard
-    * aggressive policy for crawl dedup; callers needing param-preserving
-    * canonicalization filter before this step. Each regex has a single
-    * parse (no alternation), so Java and RE2 agree on every byte. */
+    * string, fragment, a leading `userinfo@`, a `:port` on the
+    * authority, a leading `www.`, and any trailing slash run. The
+    * userinfo/port strip mirrors [[host]] — without it,
+    * `https://example.com:443/p` and `https://user@example.com/p`
+    * survive URL dedup as distinct keys for the same page, the exact
+    * failure the host() strip was added to prevent for domain
+    * bucketing. The query string is dropped WHOLESALE (not just
+    * utm_*) — the standard aggressive policy for crawl dedup; callers
+    * needing param-preserving canonicalization filter before this step.
+    * Each regex has a single parse (no alternation), so Java and RE2
+    * agree on every byte; the port strip's anchored `[^/:]` class keeps
+    * it off path segments. */
   def canonicalize(url: Column): Column = {
     val noScheme = regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", "")
     val noFragment = regexp_replace(noScheme, "#.*", "")
     val noQuery = regexp_replace(noFragment, "\\?.*", "")
-    val noWww = regexp_replace(noQuery, "^www\\.", "")
+    val noUser = regexp_replace(noQuery, "^[^@/]*@", "")
+    val noPort = regexp_replace(noUser, "^([^/:]+):[0-9]+", "$1")
+    val noWww = regexp_replace(noPort, "^www\\.", "")
     regexp_replace(noWww, "/+$", "")
   }
 }

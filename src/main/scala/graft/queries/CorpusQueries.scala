@@ -4259,8 +4259,10 @@ object CorpusQueries {
          |        '^[^@/]*@', ''), ':[0-9]+$$', ''),
          |      '${graft.corpus.Urls.registrableDomainPattern}', 1) AS domain,
          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(
          |      regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-         |      '#.*', ''), '\\?.*', ''), '^www\\.', ''), '/+$$', '') AS canon,
+         |      '#.*', ''), '\\?.*', ''), '^[^@/]*@', ''),
+         |      '^([^/:]+):[0-9]+', '\\1'), '^www\\.', ''), '/+$$', '') AS canon,
          |    CASE WHEN len(regexp_extract_all(url,
          |      '${graft.corpus.Urls.trackingParamPattern}')) > 0
          |         THEN 1 ELSE 0 END AS tracked
@@ -4595,7 +4597,7 @@ object CorpusQueries {
       """SELECT source,
         |       count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique_texts,
-        |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |       count(text) - count(DISTINCT md5(text)) AS n_dup_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_ngram_jaccard" ->
@@ -6025,7 +6027,7 @@ object CorpusQueries {
          |ep AS (SELECT s.doc_id AS eval_doc_id, s.shingle FROM sh s
          |       JOIN documents d USING (doc_id) WHERE d.source = 'src0')
          |SELECT tp.doc_id,
-         |       count(*) AS n_shared_shingles,
+         |       count(DISTINCT shingle) AS n_shared_shingles,
          |       count(DISTINCT eval_doc_id) AS n_eval_docs_hit
          |FROM tp JOIN ep USING (shingle)
          |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,

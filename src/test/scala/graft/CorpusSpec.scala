@@ -254,7 +254,10 @@ class CorpusSpec extends SparkTestBase {
       (2L, "server 192.168.0.1 and 10.0.0.255 up"),
       (3L, "call +4915123456789 today"),
       (4L, "none here, just words"),
-      (5L, "a@b.co 1.2.3.4 +1234567 all three")
+      (5L, "a@b.co 1.2.3.4 +1234567 all three"),
+      // 17 digits: a {7,15}-capped pattern would redact only the first
+      // 15 and LEAK the tail as "<PHONE>67"
+      (6L, "long +12345678901234567 run")
     ).toDF("doc_id", "text")
     val (ne, ni, np) = T.piiCounts(col("text"))
     val got = df.select(col("doc_id"), ne.as("e"), ni.as("i"), np.as("p"),
@@ -266,7 +269,8 @@ class CorpusSpec extends SparkTestBase {
       (2L, 0L, 2L, 0L, "server <IP> and <IP> up"),
       (3L, 0L, 0L, 1L, "call <PHONE> today"),
       (4L, 0L, 0L, 0L, "none here, just words"),
-      (5L, 1L, 1L, 1L, "<EMAIL> <IP> <PHONE> all three")))
+      (5L, 1L, 1L, 1L, "<EMAIL> <IP> <PHONE> all three"),
+      (6L, 0L, 0L, 1L, "long <PHONE> run")))
   }
 
   test("incrementalPairs ≡ full self-join pairs restricted to store×batch") {

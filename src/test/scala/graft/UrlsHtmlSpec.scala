@@ -65,6 +65,18 @@ class UrlsHtmlSpec extends SparkTestBase {
     assert(one(Urls.canonicalize(lit("http://wwwx.com/p"))) == "wwwx.com/p")
   }
 
+  test("canonicalize strips userinfo and port like host() — one page, one key") {
+    // the three spellings of the same page must collapse to ONE dedup key
+    assert(one(Urls.canonicalize(lit("https://example.com:443/page"))) ==
+      "example.com/page")
+    assert(one(Urls.canonicalize(lit("https://user@example.com/page"))) ==
+      "example.com/page")
+    assert(one(Urls.canonicalize(lit("https://user@www.example.com:8080/page"))) ==
+      "example.com/page")
+    // a colon-bearing PATH segment is not a port
+    assert(one(Urls.canonicalize(lit("http://a.com/x:8080/y"))) == "a.com/x:8080/y")
+  }
+
   test("hasTracking flags utm params only") {
     assert(one(Urls.hasTracking(lit("http://a.com/p?utm_source=x"))) == "true")
     assert(one(Urls.hasTracking(lit("http://a.com/p?id=utm_source"))) == "false")
