@@ -35,7 +35,7 @@ object CollapseTruncation extends Rule[LogicalPlan] {
  * get the same kernels the DataFrame operators use:
  * `dot_f(a, b)`, `norm_f(a)`, `minhash_sig(shingles, k)`, `kgrams(text, k)`, `shingles(text, k)`,
  * `simhash_sig(tokens, bits)`, `text_features(text)`,
- * `callstack_debug_cmd(stack, len, cmd)`.
+ * `normalize_text(text)`, `callstack_debug_cmd(stack, len, cmd)`.
  * Int/string parameters must be literals (they are codegen'd constants,
  * like the reference's fixed frame length).
  */

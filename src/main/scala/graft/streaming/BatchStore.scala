@@ -19,6 +19,30 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * id on replay, so a replayed batch never sees its previous partial
   * attempt's output and self-refuses (see admitLoop). */
 object BatchStore {
+
+  /** Refuse a store whose partitions are AHEAD of the current batch id —
+    * the signature of a RESTARTED CHECKPOINT over an existing store
+    * (batch ids reset to 0): proceeding would overwrite the old
+    * partitions one by one, silent progressive data loss. Under the
+    * engine's sequential offsets + replay, a `batch=<id>` dir with
+    * id > batchId cannot legitimately exist (a replay sees at most its
+    * own id). */
+  def requireNotAhead(spark: SparkSession, dir: String, batchId: Long,
+                      what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val ahead = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption)
+      .filter(_ > batchId)
+    require(ahead.isEmpty,
+      s"$what store at $dir holds batches ${ahead.sorted.mkString(",")} " +
+        s"beyond batch $batchId — a restarted checkpoint must use a fresh " +
+        "store directory (or resume the old checkpoint); continuing would " +
+        "overwrite previously ingested partitions one by one")
+  }
+
   def read(spark: SparkSession, dir: String, schema: StructType,
            excludeBatch: Option[Long] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -30,11 +30,16 @@ object IngestDedup {
 
   /** Admit only stream rows whose exact text is absent from the store.
     * `digests` must be [[storeDigests]]-shaped (a `digest` column).
-    * Append-mode safe: no aggregation, no watermark requirement. */
-  def admit(stream: DataFrame, digests: DataFrame, textCol: String): DataFrame =
-    stream.withColumn("digest", md5(col(textCol)))
-      .join(digests, Seq("digest"), "left_anti")
-      .drop("digest")
+    * Append-mode safe: no aggregation, no watermark requirement. The
+    * join key rides an underscore-prefixed internal column so a
+    * caller's own `digest` column (a natural name on crawl pipelines)
+    * passes through untouched instead of being clobbered and dropped. */
+  def admit(stream: DataFrame, digests: DataFrame, textCol: String): DataFrame = {
+    val tmp = "_graft_digest"
+    stream.withColumn(tmp, md5(col(textCol)))
+      .join(digests.withColumnRenamed("digest", tmp), Seq(tmp), "left_anti")
+      .drop(tmp)
+  }
 
   /** The digest store as a growing parquet directory of per-batch
     * partitions (`batch=<id>/`) — the read side of [[admitLoop]]'s
@@ -68,6 +73,10 @@ object IngestDedup {
   def admitLoop(textCol: String, digestDir: String, corpusDir: String)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a restarted checkpoint over an existing store would re-number
+    // batches from 0 and overwrite old partitions one by one — refuse
+    BatchStore.requireNotAhead(spark, corpusDir, batchId, "ingest corpus")
+    BatchStore.requireNotAhead(spark, digestDir, batchId, "ingest digest")
     val admitted = admit(batch,
       storeDirDigests(spark, digestDir, excludeBatch = Some(batchId)), textCol)
     admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")

@@ -22,38 +22,80 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object MvRefresh {
 
   /** The foreachBatch hook: `stream.writeStream.foreachBatch(
-    * MvRefresh.refresh(dir, Seq("k"), col("v")) _)`. */
-  def refresh(stateDir: String, keyCols: Seq[String], valueFp: Column)(
+    * MvRefresh.refresh(dir, Seq("k"), col("v")) _)`.
+    *
+    * `streamId` (optional): any string stable for the LIFE OF THE
+    * CHECKPOINT (its path is the natural choice). When set, the state
+    * dir is stamped on first use and any later stream with a DIFFERENT
+    * id is refused — this closes the one restart hole the version guard
+    * below cannot see: an old stateDir holding exactly `v0` is
+    * indistinguishable from this stream's own batch-0 replay by
+    * versions alone. */
+  def refresh(stateDir: String, keyCols: Seq[String], valueFp: Column,
+              streamId: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    requireSameStream(spark, stateDir, streamId)
+    // one listing per batch — versionBefore and prune reuse it (a
+    // listing plus per-version _SUCCESS probes is driver-side RPC cost
+    // an object store charges for three times over otherwise)
+    val versions = publishedVersions(spark, stateDir)
     // A fresh checkpoint over an existing stateDir restarts batch ids
     // at 0: versionBefore(0) would silently drop all accumulated state
     // while read() keeps serving the stale old max version forever —
     // writers and readers diverging with no error. Refuse loudly;
     // v == batchId is the legitimate replay-overwrite case.
-    val stale = publishedVersions(spark, stateDir).filter(_ > batchId)
+    val stale = versions.filter(_ > batchId)
     require(stale.isEmpty,
       s"stateDir $stateDir holds versions ${stale.sorted.mkString(",")} " +
         s"beyond batch $batchId — a restarted checkpoint must use a fresh " +
         "stateDir (or resume the old checkpoint)")
     val delta = IncrementalAgg.partials(batch, keyCols, valueFp)
-    val merged = versionBefore(spark, stateDir, batchId) match {
+    val merged = versionBefore(spark, stateDir, versions, batchId) match {
       case Some(st) => IncrementalAgg.merge(Seq(st, delta), keyCols)
       case None => delta
     }
     // reads touch only versions < batchId, so overwriting v<batchId>
     // (the replay case) never destroys this computation's own input
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    prune(spark, stateDir, batchId)
+    prune(spark, stateDir, versions :+ batchId, batchId)
   }
 
-  /** Latest published state, if any. */
-  def read(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    versionBefore(spark, stateDir, Long.MaxValue)
+  /** Latest published state, if any. LAZY over the current max version:
+    * the returned frame is valid for the retention window (two further
+    * batches — see prune) and must be acted on or pinned
+    * (localCheckpoint) within it; a consumer that holds it across many
+    * batches will find the version's files pruned under it. */
+  def read(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val versions = publishedVersions(spark, stateDir)
+    versionBefore(spark, stateDir, versions, Long.MaxValue)
+  }
+
+  /** First-use stamp + same-stream check (see [[refresh]]'s streamId). */
+  private def requireSameStream(spark: SparkSession, stateDir: String,
+                                streamId: Option[String]): Unit =
+    streamId.foreach { id =>
+      val marker = new Path(stateDir, "_stream_id")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) {
+        val prev = {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        require(prev == id,
+          s"stateDir $stateDir belongs to stream '$prev', not '$id' — a " +
+            "restarted checkpoint must use a fresh stateDir")
+      } else {
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+    }
 
   private def versionBefore(spark: SparkSession, stateDir: String,
-                            id: Long): Option[DataFrame] = {
-    publishedVersions(spark, stateDir).filter(_ < id) match {
+                            versions: Seq[Long], id: Long): Option[DataFrame] = {
+    versions.filter(_ < id) match {
       case Seq() => None
       case vs => Some(spark.read.parquet(s"$stateDir/v${vs.max}"))
     }
@@ -74,11 +116,14 @@ object MvRefresh {
   }
 
   /** Keep the newest two versions ≤ `upTo` (current + one undo step for
-    * an in-flight replay of the previous batch); delete the rest. */
-  private def prune(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
+    * an in-flight replay of the previous batch); delete the rest.
+    * `versions` is the caller's pre-write listing plus its own new
+    * version — no second listing. */
+  private def prune(spark: SparkSession, stateDir: String,
+                    versions: Seq[Long], upTo: Long): Unit = {
     val path = new Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    publishedVersions(spark, stateDir).filter(_ <= upTo)
+    versions.distinct.filter(_ <= upTo)
       .sorted.dropRight(2)
       .foreach(v => fs.delete(new Path(path, s"v$v"), true))
   }

@@ -138,6 +138,9 @@ object NearDupIngest {
   def admitLoop(idCol: String, textCol: String, k: Int, threshold: Double,
                 corpusDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a restarted checkpoint re-numbering batches from 0 would overwrite
+    // old partitions progressively — refuse (same guard as IngestDedup)
+    BatchStore.requireNotAhead(spark, corpusDir, batchId, "near-dup corpus")
     requirePostingsCoverCorpus(spark, corpusDir, batchId)
     // one tokenization pass over the batch, reused by the admission join
     // and the admitted-postings write (hashed shape — see batchPostings)

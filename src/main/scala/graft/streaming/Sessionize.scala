@@ -76,10 +76,10 @@ object Sessionize extends Serializable {
       }
       open.foreach { s =>
         state.update(s)
-        // close once the watermark is `gap` past the session's last event
-        // (timeout API is ms — round UP so the µs-exact boundary is never
-        // crossed a millisecond early)
-        state.setTimeoutTimestamp(math.floorDiv(s.endUs + gapUs + 999L, 1000L))
+        // close once the watermark is `gap` past the session's last
+        // event — the ONE shared ceil-ms definition (TimeUs.timeoutMs),
+        // not an inline copy that could drift from Funnel's
+        state.setTimeoutTimestamp(TimeUs.timeoutMs(s.endUs, gapMs))
       }
       closed.reverseIterator
     }

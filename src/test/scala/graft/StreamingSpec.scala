@@ -187,13 +187,19 @@ class StreamingSpec extends SparkTestBase {
     assert(after2.count() == 3, "dup of batch-1 admit must be refused")
     assert(!after2.select("doc_id").as[Long].collect().contains(10L))
 
-    // replay of batch 1 (at-least-once redelivery): per-batch overwrite
-    // converges — same corpus, same digest store, no duplication
-    val b1 = Seq((1L, "doc alpha body", "s"), (2L, "doc beta body", "s"))
+    // replay of the LATEST batch (at-least-once redelivery — the engine
+    // only ever redelivers the last uncommitted batch; an EARLIER id
+    // reappearing is the restarted-checkpoint signature the loop now
+    // refuses): per-batch overwrite converges — same corpus, same
+    // digest store, no duplication, and the replayed batch must not
+    // self-refuse against its own previous partition
+    val b2 = Seq((10L, "doc alpha body", "s"), (3L, "doc gamma body", "s"))
       .toDF("doc_id", "text", "source")
-    IngestDedup.admitLoop("text", digestDir, corpusDir)(b1, 0L)
+    IngestDedup.admitLoop("text", digestDir, corpusDir)(b2, 1L)
     val after3 = spark.read.schema(schema).parquet(s"$corpusDir/batch=*")
     assert(after3.count() == 3, "replayed batch must overwrite, not duplicate")
+    assert(!after3.select("doc_id").as[Long].collect().contains(10L),
+      "the dup stays refused on replay")
     // digest store holds exactly the three admitted texts
     assert(IngestDedup.storeDirDigests(spark, digestDir).count() == 3)
   }
@@ -494,11 +500,12 @@ class StreamingSpec extends SparkTestBase {
     loop(Seq((20L, "tonight was quiet and nothing else happened anywhere", "s")), 2L)
     assert(corpus.select("doc_id").as[Long].collect().toSet.contains(20L))
 
-    // replay of batch 1 (at-least-once redelivery): overwrite converges,
-    // and the replayed batch must not self-refuse against its own
-    // previous partition
-    loop(Seq((10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
-             (11L, "an entirely unrelated document with novel words", "s")), 1L)
+    // replay of the LATEST batch (at-least-once redelivery — the engine
+    // only ever redelivers the last uncommitted batch; an earlier id
+    // reappearing is the restarted-checkpoint signature the loop now
+    // refuses): overwrite converges, and the replayed batch must not
+    // self-refuse against its own previous partition
+    loop(Seq((20L, "tonight was quiet and nothing else happened anywhere", "s")), 2L)
     val finalIds = corpus.select("doc_id").as[Long].collect().toSet
     assert(finalIds == Set(1L, 2L, 3L, 11L, 20L),
       s"replay must converge to the same corpus, got $finalIds")
@@ -558,6 +565,62 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("postings sidecar"),
       s"guard must name the missing sidecar, got: ${e.getMessage}")
+  }
+
+  test("a restarted checkpoint (batch ids reset to 0) is refused by both ingest loops") {
+    import spark.implicits._
+    import graft.streaming.{IngestDedup, NearDupIngest}
+    // exact-dedup loop: batches 0..2 ingested, then a NEW checkpoint
+    // replays from 0 — proceeding would overwrite old partitions
+    val base = Files.createTempDirectory("graft-restart").toString
+    def rows(id: Long) = Seq((id, s"text number $id", "s"))
+      .toDF("doc_id", "text", "source")
+    (0L to 2L).foreach(b =>
+      IngestDedup.admitLoop("text", s"$base/dig", s"$base/corp")(rows(b), b))
+    val e1 = intercept[IllegalArgumentException] {
+      IngestDedup.admitLoop("text", s"$base/dig", s"$base/corp")(rows(9L), 0L)
+    }
+    assert(e1.getMessage.contains("restarted checkpoint"))
+    // near-dup loop: same guard
+    (0L to 1L).foreach(b =>
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, s"$base/nd")(
+        rows(b + 10), b))
+    val e2 = intercept[IllegalArgumentException] {
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, s"$base/nd")(
+        rows(99L), 0L)
+    }
+    assert(e2.getMessage.contains("restarted checkpoint"))
+    // a legitimate replay of the CURRENT batch still passes
+    IngestDedup.admitLoop("text", s"$base/dig", s"$base/corp")(rows(2L), 2L)
+  }
+
+  test("MvRefresh streamId stamp refuses a different stream over the same stateDir") {
+    import spark.implicits._
+    import graft.streaming.MvRefresh
+    val dir = Files.createTempDirectory("graft-mv-sid").toString + "/state"
+    def b(v: Long) = Seq(("k", v)).toDF("k", "v")
+    MvRefresh.refresh(dir, Seq("k"), col("v"), Some("ckpt-A"))(b(1L), 0L)
+    // same stream continues and replays fine
+    MvRefresh.refresh(dir, Seq("k"), col("v"), Some("ckpt-A"))(b(2L), 1L)
+    MvRefresh.refresh(dir, Seq("k"), col("v"), Some("ckpt-A"))(b(2L), 1L)
+    // a NEW checkpoint (old stateDir holding only low versions slips
+    // past the version guard at batch 0) is refused by the stamp
+    val e = intercept[IllegalArgumentException] {
+      MvRefresh.refresh(dir, Seq("k"), col("v"), Some("ckpt-B"))(b(7L), 0L)
+    }
+    assert(e.getMessage.contains("belongs to stream"))
+  }
+
+  test("ingest admission preserves a caller's own digest column") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val stream = Seq((1L, "some text", "caller-digest-1"))
+      .toDF("doc_id", "text", "digest")
+    val store = Seq("no-match").toDF("digest")
+    val got = IngestDedup.admit(stream,
+      store.select(col("digest")), "text").collect().head
+    assert(got.getAs[String]("digest") == "caller-digest-1",
+      "the caller's digest column must pass through untouched")
   }
 
   test("quantile histogram aggregates across micro-batches to the batch sketch") {
