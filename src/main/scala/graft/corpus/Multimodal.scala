@@ -385,10 +385,14 @@ object Multimodal {
       else {
       val width = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
       val height = ((b(2) & 0xff) << 8) | (b(3) & 0xff)
-      val body = b.drop(headerLen)
-      val n = math.min(16, body.length)
-      val mean = if (n == 0) 0.0
-        else body.take(n).map(_ & 0xff).sum.toDouble / n
+      // index into the payload directly — drop()/take() would copy the
+      // whole (potentially large) media body per record just to average
+      // at most 16 bytes, doubling allocation in the batched hot loop
+      val n = math.min(16, b.length - headerLen)
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (b(headerLen + i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
       DecodedMedia(m.doc_id, m.format, width, height, b.length.toLong, mean,
         n_frames = math.min((b.length - headerLen) / 64, 8))
       }

@@ -76,7 +76,9 @@ object SparseSigOps {
     * header) as unsigned big-endian longs — value-identical to
     * conv(substring(hex(payload), …), 16, 10). */
   def bodyGrams(payload: Array[Byte], maxBytes: Int, gram: Int): ArrayData = {
-    val header = 4
+    // the ONE header-length constant (Multimodal owns the payload
+    // layout) — a drifting local copy would silently shift every gram
+    val header = Multimodal.headerLen
     val n = math.min(payload.length - header, maxBytes)
     if (n < gram)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)

@@ -30,7 +30,12 @@ object XelQueries {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     val path = s"$base/graft_xelb_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete() reports failure by RETURNING false — proceeding into an
+    // append over stale rollover files would be exactly the leak this
+    // helper exists to prevent, misreported as an ingest-path hash bug
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new java.io.IOException(s"could not wipe scratch dir $path")
     path
   }
 
@@ -632,10 +637,11 @@ object XelQueries {
            |       count(DISTINCT c_session_id) AS n_sessions,
            |       max(c_event_sequence) AS max_seq,
            |       CAST(sum(a_query_hash) AS BIGINT) AS hash_sum,
-           |       count(DISTINCT CASE c_session_id % 4
+           |       count(DISTINCT CASE ((c_session_id % 4) + 4) % 4
            |         WHEN 0 THEN 'low' WHEN 1 THEN 'medium'
            |         WHEN 2 THEN 'high' ELSE 'critical' END) AS n_severities,
-           |       CAST(sum(CASE WHEN c_session_id % 4 = 3 THEN 1 ELSE 0 END)
+           |       CAST(sum(CASE WHEN ((c_session_id % 4) + 4) % 4 = 3
+           |                THEN 1 ELSE 0 END)
            |            AS BIGINT) AS n_critical
            |FROM xe WHERE c_event_sequence <= 30000
            |GROUP BY event_name ORDER BY event_name""".stripMargin,

@@ -48,25 +48,45 @@ object CatalogDdl {
   def writeDemuxedTables(df: DataFrame, cfg: XelConfig): Seq[String] = {
     val spark = df.sparkSession
     ensureNamespace(spark, cfg)
-    val types = df.select(col("event_name")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    types.map { t =>
-      val table = tableName(cfg, t)
-      if (cfg.appendMode)
-        require(spark.catalog.tableExists(table),
-          s"append mode (-a) skips DDL: table $table must already exist")
-      else if (cfg.clearTables)
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-      val slice = df.filter(col("event_name") === t).drop("event_name")
-      val clustered =
-        if (slice.columns.contains("c_event_sequence"))
-          slice.sortWithinPartitions("c_event_sequence")
-        else slice
-      clustered.write
-        .mode("append")
-        .option("maxRecordsPerFile", cfg.batchSize)
-        .saveAsTable(table)
-      table
-    }
+    // one source scan for the whole load: the per-type slices below are
+    // in-memory filters over this pin, not T re-reads of the input
+    // (DISK-spillable — at the 100 TB framing T extra source scans cost
+    // far more than one spill-backed materialization)
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rawTypes = pinned.select(col("event_name")).distinct()
+        .collect().map(r => Option(r.getString(0)))
+      // a null demux key must be a clear error before any DDL runs, not
+      // an NPE from sorting — and never a table named "null"
+      require(!rawTypes.contains(None),
+        "input contains rows with a NULL event_name — the demux key " +
+          "must be non-null (fix or filter the source)")
+      val types = rawTypes.flatten.sorted.toSeq
+      types.map { t =>
+        val table = tableName(cfg, t)
+        if (cfg.appendMode)
+          require(spark.catalog.tableExists(table),
+            s"append mode (-a) skips DDL: table $table must already exist")
+        else if (cfg.clearTables)
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+        else
+          // default mode mirrors the -o path's errorifexists stance
+          // (LoaderMain: a plain rerun "must not silently duplicate
+          // data") — append is reserved for -a, replace for -c
+          require(!spark.catalog.tableExists(table),
+            s"table $table already exists — rerun with -a to append or " +
+              "-c to replace (a plain rerun must not silently duplicate)")
+        val slice = pinned.filter(col("event_name") === t).drop("event_name")
+        val clustered =
+          if (slice.columns.contains("c_event_sequence"))
+            slice.sortWithinPartitions("c_event_sequence")
+          else slice
+        clustered.write
+          .mode("append")
+          .option("maxRecordsPerFile", cfg.batchSize)
+          .saveAsTable(table)
+        table
+      }
+    } finally { pinned.unpersist(false); () }
   }
 }

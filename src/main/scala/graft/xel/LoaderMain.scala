@@ -232,8 +232,10 @@ object LoaderMain {
 
     val (files, patternInUse) = discoverFiles(a)
 
-    // DDL phase — skipped wholesale in append mode (FileProcessor.cs:35-49)
-    if (a.catalogTables) CatalogDdl.ensureNamespace(spark, cfg)
+    // DDL phase — owned by writeDemuxedTables itself (it ensures the
+    // namespace before any table DDL; a second ensureNamespace here
+    // would make -w drop and recreate the namespace TWICE per run);
+    // skipped wholesale in append mode (FileProcessor.cs:35-49)
 
     // read: XELB rollover container (the .xel stand-in), the public XML
     // event-export format, or a parquet dir — dispatched on extension

@@ -48,6 +48,13 @@ object XeFixture {
     * session-local TimestampType, value-preserving because every entry point
     * pins `spark.sql.session.timeZone=UTC`. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // DELIBERATE session-wide side effect (and a necessary one): the
+    // nanos flag is a SQLConf consulted when the scan EXECUTES, so a
+    // set-and-restore scope would break the lazy frame this returns.
+    // Consequence for cohabiting code: TIMESTAMP(NANOS) parquet columns
+    // read anywhere later in this session arrive as raw int64 nanos
+    // instead of erroring — any such reader must convert explicitly,
+    // exactly as done below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
