@@ -192,11 +192,17 @@ object Graphs {
       .withColumn("vary", expr(
         "CAST(n_ends AS DECIMAL(38,0)) * syy - sy * sy"))
       .select(col("n_ends"),
-        // sxy stays DECIMAL(38,0): a BIGINT re-cast would reintroduce
-        // the exact overflow the decimal sums were adopted against (a
-        // 3e6-degree hub's Σdx·dy ≈ 2.7e19 > 2^63 — Spark nulls it,
-        // DuckDB throws, silently diverging the engines)
-        expr("CAST(sxy AS DECIMAL(38,0))").as("sxy"),
+        // sxy crosses the output edge as STRING: the DECIMAL(38,0)
+        // arithmetic stays internal (a BIGINT re-cast would reintroduce
+        // the exact overflow the decimal sums were adopted against — a
+        // 3e6-degree hub's Σdx·dy ≈ 2.7e19 > 2^63: Spark nulls it,
+        // DuckDB throws, silently diverging the engines), but a
+        // top-level DECIMAL output has no driver-green hash precedent
+        // (r14's only red row): Spark's parquet fixed-len-byte-array
+        // decimal and DuckDB's int128 HUGEINT hash differently even
+        // when bit-identical in value. Both engines render an exact
+        // scale-0 integer as the same plain digit string.
+        expr("CAST(CAST(sxy AS DECIMAL(38,0)) AS STRING)").as("sxy"),
         when(col("n_ends") === 0 || col("varx") === 0 || col("vary") === 0, 0.0)
           .otherwise(expr(
             """round(CAST(CAST(n_ends AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)

@@ -543,49 +543,66 @@ object Similarity {
     * `sum` is an exact LONG sum — associative, partition-order-free —
     * and the centroid update rounds s/n back to an integer. Training is
     * reproducible on any cluster shape, and the DuckDB oracle replays it
-    * exactly (unrolled iterations, BIGINT sums). */
+    * exactly (unrolled iterations, BIGINT sums).
+    *
+    * `trainPred` bounds the TRAINING set (codes/ADC still cover every
+    * vector): a production PQ trainer never Lloyd-iterates the full
+    * corpus — a deterministic hash sample (the `dedup_lsh_eval`
+    * pattern, replayable by the oracle) trains a model-constant-sized
+    * codebook on a bounded slice. The training frame is additionally
+    * persisted for the life of the loop, so the source is scanned ONCE
+    * total — not once per Lloyd round (r14's `ann_topk_pq` regression:
+    * iters × full scan + repartition exchange to train a few-KB model). */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                  m: Int, kSub: Int, iters: Int): Array[Array[Array[Double]]] = {
+                  m: Int, kSub: Int, iters: Int,
+                  trainPred: Column = lit(true)): Array[Array[Array[Double]]] = {
     val dimRow = emb.select(size(col(vecCol))).limit(1).collect().headOption
     if (dimRow.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
     val dim = dimRow.get.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    // fanout: the per-round assignment scan is the compute-heavy pass of
-    // the whole PQ pipeline and must use every core on few-file corpora;
-    // safe for reproducibility because every per-round sum is an exact
-    // LONG sum (associative — partitioning cannot change the books)
-    val embQ = pqQuantized(Dedup.fanout(emb), idCol, vecCol)
-    // seeds: the kSub smallest-id vectors, sliced per subspace — exactly
-    // the seeds the per-subspace kmeansCentroids(slice) form would pick
-    val seedRows = embQ.orderBy(col(idCol)).limit(kSub)
-      .select(col("qvec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
-    for (_ <- 1 to iters) {
-      val subStructs = array((0 until m).map { j =>
-        val sub = slice(col("qvec"), j * dsub + 1, dsub)
-        struct(lit(j).as("j"),
-          VectorExpr.nearestCentroidF(sub, books(j)).as("c"),
-          sub.as("sub"))
-      }: _*)
-      val sums = embQ.select(explode(subStructs).as("s"))
-        .select(col("s.j").as("j"), col("s.c").as("c"),
-          posexplode(col("s.sub")))
-        .groupBy(col("j"), col("c"), col("pos"))
-        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      // empty clusters keep their previous centroid (the COALESCE the
-      // oracle's LEFT JOIN mirrors)
-      val next = books.map(_.map(_.clone()))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          roundHalfAway(r.getLong(3).toDouble / r.getLong(4))
+    // filter BEFORE fanout: prune, then repartition only the sample.
+    // fanout: the per-round assignment pass must use every core on
+    // few-file corpora; safe for reproducibility because every
+    // per-round sum is an exact LONG sum (associative — partitioning
+    // cannot change the books)
+    val train = pqQuantized(Dedup.fanout(emb.filter(trainPred)),
+        idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeds: the kSub smallest-id TRAINING vectors, sliced per
+      // subspace — exactly the seeds the per-subspace
+      // kmeansCentroids(slice) form would pick. This collect is the one
+      // materialization; every Lloyd round below reads the cache.
+      val seedRows = train.orderBy(col(idCol)).limit(kSub)
+        .select(col("qvec")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 1 to iters) {
+        val subStructs = array((0 until m).map { j =>
+          val sub = slice(col("qvec"), j * dsub + 1, dsub)
+          struct(lit(j).as("j"),
+            VectorExpr.nearestCentroidF(sub, books(j)).as("c"),
+            sub.as("sub"))
+        }: _*)
+        val sums = train.select(explode(subStructs).as("s"))
+          .select(col("s.j").as("j"), col("s.c").as("c"),
+            posexplode(col("s.sub")))
+          .groupBy(col("j"), col("c"), col("pos"))
+          .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        // empty clusters keep their previous centroid (the COALESCE the
+        // oracle's LEFT JOIN mirrors)
+        val next = books.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            roundHalfAway(r.getLong(3).toDouble / r.getLong(4))
+        }
+        books = next
       }
-      books = next
-    }
-    books
+      books
+    } finally { train.unpersist(blocking = false); () }
   }
 
   /** PQ codes: per vector, the nearest sub-centroid id in each subspace —
@@ -617,8 +634,9 @@ object Similarity {
     * recall floor vs the exact scan is pinned in `SimilaritySpec`, the
     * same contract as SQ8/IVF. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
-             m: Int, kSub: Int, iters: Int, topK: Int): DataFrame = {
-    val codebooks = pqCodebooks(emb, idCol, vecCol, m, kSub, iters)
+             m: Int, kSub: Int, iters: Int, topK: Int,
+             trainPred: Column = lit(true)): DataFrame = {
+    val codebooks = pqCodebooks(emb, idCol, vecCol, m, kSub, iters, trainPred)
     if (codebooks.exists(_.isEmpty))  // empty corpus → empty result, typed
       return emb.select(col(idCol).as("query_id"), lit(1).as("rank"),
         col(idCol).as("neighbor_id"), lit(0.0).as("adc_score")).limit(0)
@@ -660,8 +678,10 @@ object Similarity {
     * top-k), scoring is exact. */
   def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, m: Int, kSub: Int, iters: Int,
-                     topK: Int, shortlist: Int): DataFrame = {
-    val cand = pqTopK(emb, idCol, vecCol, queryPred, m, kSub, iters, shortlist)
+                     topK: Int, shortlist: Int,
+                     trainPred: Column = lit(true)): DataFrame = {
+    val cand = pqTopK(emb, idCol, vecCol, queryPred, m, kSub, iters, shortlist,
+      trainPred)
       .select(col("query_id"), col("neighbor_id"))
     // queryPred filters the FULL-column frame (every sibling API's
     // contract) — filtering a projection narrowed to (id, vec, nrm)

@@ -451,6 +451,11 @@ object CorpusQueries {
   val pqIters = 3
   val pqShortlist = 50
   val pqScaleSql = 1048576 // = Similarity.pqScale (2^20 fixed-point)
+  /** PQ TRAINING sample: hash60(vec_id) mod this == 0 (the dedup_lsh_eval
+    * sampling discipline). A production PQ trainer never Lloyd-iterates
+    * the corpus to fit a few-KB model; codes/ADC still cover every
+    * vector. Mirrored verbatim in the oracle's qt/seed CTEs. */
+  val pqTrainMod = 4L
   val srpPlanesPerTable = 4
   /** 16 hyperplanes (4 tables × 4 bits) over the 64-dim fixture space. */
   val srpPlanesConst: Array[Array[Double]] = Similarity.srpPlanes(16, 64)
@@ -1426,7 +1431,9 @@ object CorpusQueries {
       Similarity.pqTopKReranked(emb(spark, dir), "vec_id", "embedding",
         col("vec_id") % annQueryStride === 0,
         m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
-        shortlist = pqShortlist)
+        shortlist = pqShortlist,
+        trainPred =
+          pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L)
         .orderBy("query_id", "rank")
     }),
 
@@ -4010,13 +4017,15 @@ object CorpusQueries {
     * squared distance (BIGINT sums — associative, so DuckDB's execution
     * order is irrelevant), then update centroids as round(sum/count),
     * keeping the previous centroid for empty clusters (the LEFT JOIN /
-    * COALESCE mirrors Similarity.pqCodebooks' clone-then-overwrite). */
+    * COALESCE mirrors Similarity.pqCodebooks' clone-then-overwrite).
+    * Training reads `qt` — the pqTrainMod hash sample — exactly as the
+    * Scala side Lloyd-iterates only its sampled training frame. */
   private def pqIterCtes(iters: Int): String = (1 to iters).map { i =>
     val prev = s"cent${i - 1}"
     s"""dist$i AS (
-       |  SELECT qs.vec_id, qs.j, ct.c,
-       |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
-       |  FROM qs JOIN $prev ct ON ct.j = qs.j AND ct.pos = qs.pos
+       |  SELECT qt.vec_id, qt.j, ct.c,
+       |         sum((qt.xq - ct.cv) * (qt.xq - ct.cv)) AS d
+       |  FROM qt JOIN $prev ct ON ct.j = qt.j AND ct.pos = qt.pos
        |  GROUP BY 1, 2, 3
        |), asg$i AS (
        |  SELECT vec_id, j, c FROM (
@@ -4024,8 +4033,8 @@ object CorpusQueries {
        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
        |    FROM dist$i) WHERE rn = 1
        |), sums$i AS (
-       |  SELECT a.j, a.c, qs.pos, sum(qs.xq) AS s, count(*) AS n
-       |  FROM asg$i a JOIN qs ON qs.vec_id = a.vec_id AND qs.j = a.j
+       |  SELECT a.j, a.c, qt.pos, sum(qt.xq) AS s, count(*) AS n
+       |  FROM asg$i a JOIN qt ON qt.vec_id = a.vec_id AND qt.j = a.j
        |  GROUP BY 1, 2, 3
        |), cent$i AS (
        |  SELECT p.j, p.c, p.pos,
@@ -5973,12 +5982,19 @@ object CorpusQueries {
          |  SELECT vec_id, CAST(idx // (dim // $pqM) AS INTEGER) AS j,
          |         CAST(idx % (dim // $pqM) AS INTEGER) AS pos, xq
          |  FROM qlong
+         |), qt AS (
+         |  -- TRAINING sample (pqTrainMod): Lloyd rounds fit the books on
+         |  -- this slice only; codes/ADC below still cover every vector
+         |  SELECT * FROM qs
+         |  WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
          |), seeds AS (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $pqKSub)
+         |  FROM (SELECT vec_id FROM embeddings
+         |        WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
+         |        ORDER BY vec_id LIMIT $pqKSub)
          |), cent0 AS (
-         |  SELECT s.c, qs.j, qs.pos, qs.xq AS cv
-         |  FROM seeds s JOIN qs ON qs.vec_id = s.vec_id
+         |  SELECT s.c, qt.j, qt.pos, qt.xq AS cv
+         |  FROM seeds s JOIN qt ON qt.vec_id = s.vec_id
          |), ${pqIterCtes(pqIters)}, codesd AS (
          |  SELECT qs.vec_id, qs.j, ct.c,
          |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
@@ -7189,7 +7205,7 @@ object CorpusQueries {
          |  FROM xy
          |)
          |SELECT CAST(n_ends AS BIGINT) AS n_ends,
-         |       CAST(sxy AS DECIMAL(38,0)) AS sxy,
+         |       CAST(CAST(sxy AS DECIMAL(38,0)) AS VARCHAR) AS sxy,
          |       CASE WHEN n_ends = 0
          |              OR n_ends * sxx - sx * sx = 0
          |              OR n_ends * syy - sy * sy = 0 THEN 0.0

@@ -81,6 +81,28 @@ object RelationalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Driver-hash-class regression canary (VERDICT r14 item 5): one tiny
+    // constant row per output-type class with a driver-GREEN precedent
+    // (INT widths, BIGINT incl. a >2^53 value, DOUBLE, VARCHAR, DATE,
+    // TIMESTAMP, BOOLEAN) plus a NULL row for the classes with a NULL
+    // precedent (BIGINT/DOUBLE/VARCHAR/DATE — r15 sweep; TIMESTAMP/
+    // BOOLEAN/INT nulls have none and stay non-null here). A future
+    // driver-gate behavior change flips THIS row, not a mystery red on
+    // the 250-query surface. tools/check_oracle.py's ALLOWED_OUTPUT
+    // calibration comment references this canary.
+    "hash_canary" -> ((spark, _) => spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(1 AS BIGINT), CAST(42 AS INT),
+        |   CAST(9007199254740993 AS BIGINT), CAST(-1.5 AS DOUBLE),
+        |   'graft', DATE '2026-08-15',
+        |   TIMESTAMP '2026-08-15 12:34:56', true),
+        |  (CAST(2 AS BIGINT), CAST(-7 AS INT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS STRING), CAST(NULL AS DATE),
+        |   TIMESTAMP '1970-01-01 00:00:00', false)
+        |AS t(k, v_int, v_bigint, v_double, v_str, v_date, v_ts, v_bool)
+        |ORDER BY k""".stripMargin)),
+
     // TPC-H Q1 shape: scan-heavy single-pass aggregation; partial (map-side)
     // aggregation makes this shuffle only |groups| rows at scale.
     "q1_pricing_summary" -> ((spark, dir) => {
@@ -2852,6 +2874,21 @@ object RelationalQueries {
            |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
            |       min(l_orderkey) AS min_ord, max(l_orderkey) AS max_ord
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the driver-hash-class canary's DuckDB twin — VALUES syntax and
+      // VARCHAR spelling differ from the Spark text, values do not
+      "hash_canary" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(42 AS INTEGER),
+          |   CAST(9007199254740993 AS BIGINT), CAST(-1.5 AS DOUBLE),
+          |   'graft', DATE '2026-08-15',
+          |   TIMESTAMP '2026-08-15 12:34:56', true),
+          |  (CAST(2 AS BIGINT), CAST(-7 AS INTEGER),
+          |   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+          |   CAST(NULL AS VARCHAR), CAST(NULL AS DATE),
+          |   TIMESTAMP '1970-01-01 00:00:00', false)
+          |) t(k, v_int, v_bigint, v_double, v_str, v_date, v_ts, v_bool)
+          |ORDER BY k""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

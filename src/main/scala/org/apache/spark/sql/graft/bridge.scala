@@ -19,6 +19,12 @@ object bridge {
   def setInputFile(file: String): Unit =
     org.apache.spark.rdd.InputFileBlockHolder.set(file, 0, -1)
 
+  /** Drain the async listener bus — `QueryExecutionListener` events post
+    * asynchronously, so plan-counting specs must flush before asserting;
+    * `SparkContext.listenerBus` is `private[spark]`, hence this hop. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Wrap a custom LogicalPlan as a DataFrame — `Dataset.ofRows` is
     * `private[sql]` in Spark 4; custom-operator libraries need this one
     * hop to hand their logical nodes back to the session. */

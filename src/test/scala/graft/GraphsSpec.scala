@@ -104,7 +104,15 @@ class GraphsSpec extends SparkTestBase {
 
   test("assortativity: a star is perfectly disassortative, a regular graph guards to 0") {
     val star = mutual((0L, 1L), (0L, 2L), (0L, 3L))
-    val r1 = Graphs.assortativity(star).collect().head
+    val starDf = Graphs.assortativity(star)
+    // output-edge contract: sxy leaves as STRING (a top-level DECIMAL
+    // output was r14's only driver-hash red row); the exact integer
+    // renders as plain digits on both engines
+    assert(starDf.schema("sxy").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val r1 = starDf.collect().head
+    // star 0-{1,2,3} both-ways: Σdx·dy = 6·(3·1) = 18
+    assert(r1.getAs[String]("sxy") == "18")
     assert(r1.getAs[Double]("assortativity") == -1.0)
     // triangle: every degree equal -> zero variance -> guarded 0.0
     val tri = mutual((1L, 2L), (2L, 3L), (1L, 3L))

@@ -328,4 +328,53 @@ class SimilaritySpec extends SparkTestBase {
       m, kSub, iters, 5))
     assert(again == adc)
   }
+
+  test("pqCodebooks: source scanned once total; Lloyd rounds read the cache; trainPred bounds training") {
+    val real = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized {
+          captured += flattenPlan(qe.executedPlan)
+            .map(_.getClass.getSimpleName); ()
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (m, kSub, iters) = (16, 8, 3)
+    val books =
+      try {
+        val b = Similarity.pqCodebooks(real, "vec_id", "embedding", m, kSub, iters)
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+        b
+      } finally spark.listenerManager.unregister(listener)
+    assert(books.length == m)
+    // iters+2 actions run (dim probe, seeds/persist materialization,
+    // iters round aggregates). The parquet source may appear in the dim
+    // probe and the materialization ONLY — a file scan inside a Lloyd
+    // round is the r14 ann_topk_pq regression (iters × full re-read to
+    // train a few-KB model). Cached rounds read InMemoryTableScan.
+    val plans = captured.synchronized(captured.toSeq)
+    val withFileScan = plans.filter(_.exists(_.contains("FileSourceScan")))
+    assert(withFileScan.size <= 2,
+      s"Lloyd loop re-scanned the source: ${withFileScan.size} of " +
+        s"${plans.size} actions hit a file scan")
+    assert(plans.exists(_.exists(_.contains("InMemoryTableScan"))),
+      "training rounds should read the persisted training frame")
+
+    // trainPred trains on exactly the sampled slice: identical books to
+    // pre-filtering the input frame
+    val pred = pmod(col("vec_id"), lit(3)) === 0
+    val viaPred = Similarity.pqCodebooks(real, "vec_id", "embedding",
+      m, kSub, iters, trainPred = pred)
+    val viaFilter = Similarity.pqCodebooks(real.filter(pred), "vec_id",
+      "embedding", m, kSub, iters)
+    assert(viaPred.map(_.map(_.toSeq).toSeq).toSeq ==
+      viaFilter.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }

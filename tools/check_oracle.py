@@ -74,6 +74,22 @@ def coltypes(rel_sql):
     rows = con.execute(f"DESCRIBE {rel_sql}").fetchall()
     return sorted((r[0].lower(), r[1].upper()) for r in rows)
 
+# OUTPUT-type precedent allowlist (the r14 lesson, stronger than the ban
+# list above): a column may only cross the output edge in a type class
+# with a prior driver-GREEN hash precedent. The r15 DESCRIBE sweep of all
+# 250 green outputs shows exactly these classes ever shipped:
+# BIGINT/INTEGER, DOUBLE, VARCHAR, TIMESTAMP, BOOLEAN, DATE. Anything
+# else — DECIMAL (r14's only red row: bit-identical values, hash RED,
+# Spark parquet decimal vs DuckDB int128), ARRAY/STRUCT/MAP, BLOB, FLOAT
+# (never shipped top-level) — has NO precedent and must not ship until
+# the hash_canary query has proven it green on the driver first. Checked
+# on BOTH sides (the Spark parquet output and the oracle result).
+ALLOWED_OUTPUT = {"INT", "FLT", "VARCHAR", "TS", "BOOLEAN", "DATE"}
+
+def unprecedented(t):
+    h = hclass(t)
+    return None if h in ALLOWED_OUTPUT else h
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
@@ -99,6 +115,14 @@ for name, sql in sorted(oracle.items()):
     if banned:
         print(f"FAIL {name}: oracle column type has no Spark twin "
               f"(driver hash WILL diverge): {banned} — add an explicit CAST")
+        fails += 1
+        continue
+    noprec = [(side, c, t)
+              for side, ts in (("spark", got_types), ("oracle", exp_types))
+              for c, t in ts if unprecedented(t)]
+    if noprec:
+        print(f"FAIL {name}: output type with no driver-GREEN hash "
+              f"precedent (r14 calibration rule — do not ship): {noprec}")
         fails += 1
         continue
     classdiff = [(g, e) for g, e in zip(got_types, exp_types)
