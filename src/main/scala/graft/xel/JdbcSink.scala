@@ -47,8 +47,21 @@ object JdbcSink {
     * (D5). The Spark-side twin reads JDBC `DatabaseMetaData` once per
     * run — one driver-side round-trip, nothing on the data path — and
     * feeds [[demuxAppend]]'s layout choice. */
-  def probeCapabilities(url: String): JdbcCapabilities = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  /** Every driver-side connection goes through here so `-U`/`-P`
+    * credentials (`InputParameters.cs:199-229`) reach the server as
+    * connection PROPERTIES — never spliced into the URL, which lands in
+    * logs, plans and error messages. */
+  private[graft] def connect(url: String,
+      cfg: XelConfig = XelConfig.default): java.sql.Connection = {
+    val props = new java.util.Properties()
+    cfg.jdbcUser.foreach(props.setProperty("user", _))
+    cfg.jdbcPassword.foreach(props.setProperty("password", _))
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
+  def probeCapabilities(url: String,
+      cfg: XelConfig = XelConfig.default): JdbcCapabilities = {
+    val conn = connect(url, cfg)
     try {
       val md = conn.getMetaData
       JdbcCapabilities(md.getDatabaseProductName,
@@ -91,8 +104,8 @@ object JdbcSink {
     }
 
   def bulkAppend(df: DataFrame, url: String, table: String,
-                 cfg: XelConfig = XelConfig.default): Unit =
-    df.write
+                 cfg: XelConfig = XelConfig.default): Unit = {
+    val w = df.write
       .mode("append")
       .format("jdbc")
       .option("url", url)
@@ -100,7 +113,10 @@ object JdbcSink {
       .option("batchsize", cfg.batchSize)
       .option("isolationLevel", "NONE")
       .option("queryTimeout", 0)
+    val withUser = cfg.jdbcUser.fold(w)(u => w.option("user", u))
+    cfg.jdbcPassword.fold(withUser)(p => withUser.option("password", p))
       .save()
+  }
 
   /** P1 at the sink: one table per event type, `<schema>.<event_name>`
     * (`EventMetadata.cs:81-128` — the reference's central demux). Event
@@ -114,7 +130,7 @@ object JdbcSink {
                   cfg: XelConfig = XelConfig.default,
                   indexOn: Option[String] = None): Seq[String] = {
     // D1 probe once per run; D5 layout choice hangs off it below
-    val caps = probeCapabilities(url)
+    val caps = probeCapabilities(url, cfg)
     val types = df.select(col("event_name")).distinct()
       .collect().map(_.getString(0)).sorted
     // Derby/portable: schema folded into the name; the event-name part is
@@ -136,41 +152,42 @@ object JdbcSink {
       val table = tableFor(t)
       val slice = df.filter(col("event_name") === t).drop("event_name")
       // -c parity (`EventMetadata.cs:160-175`): DROP each event table
-      // before the load; absence is not an error (the reference executes
-      // the DROP and catches the exception). Without this, a -c rerun
-      // silently appends every event a second time.
+      // before the load. The stored name is resolved through metadata
+      // FIRST (the writer creates the table UNQUOTED, so the database
+      // case-folds it — a quoted DROP of the raw name would target a
+      // table that never existed and silently clear nothing). Absent
+      // table → nothing to clear; a DROP that then fails (permission
+      // denied, lock timeout) is FATAL — falling through to append
+      // would produce exactly the silent duplication -c exists to
+      // prevent.
       if (cfg.clearTables) {
-        val conn = java.sql.DriverManager.getConnection(url)
-        try {
+        val conn = connect(url, cfg)
+        try storedName(conn, table).foreach { stored =>
           val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
           val stmt = conn.createStatement()
-          try { stmt.execute(s"DROP TABLE ${quote(table)}"); () }
-          catch { case _: java.sql.SQLException => () }
+          try { stmt.execute(s"DROP TABLE ${quote(stored)}"); () }
+          catch {
+            case e: java.sql.SQLException =>
+              throw new IllegalStateException(
+                s"-c could not clear table $stored (it exists); " +
+                  s"appending would duplicate data: ${e.getMessage}", e)
+          }
           finally stmt.close()
         } finally conn.close()
       }
-      ensureTableSchemaMatches(slice, url, table)
+      ensureTableSchemaMatches(slice, url, table, cfg)
       bulkAppend(slice, url, table, cfg)
       // D5: the reference picks columnstore vs clustered-rowstore by the
       // D1 probe; the JDBC analogue is a post-load seek index on the
       // caller's scan key — only where the product speaks index DDL
       indexOn.filter(_ => caps.supportsIndexDdl).foreach { ixCol =>
-        val conn = java.sql.DriverManager.getConnection(url)
+        val conn = connect(url, cfg)
         try {
           val meta = conn.getMetaData
           // resolve the stored (case-folded) table name once: quoted
           // identifiers are case-exact, so the DDL below must use the
-          // case the database actually stored. getTables takes a LIKE
-          // pattern, and every generated name contains '_' (a single-char
-          // wildcard) — escape it, or a similarly-named table would
-          // resolve the wrong case
-          val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
-          def asPattern(n: String): String =
-            n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-          val stored = foldedCandidates(table).find { t =>
-            val rs = meta.getTables(null, null, asPattern(t), null)
-            try rs.next() finally rs.close()
-          }.getOrElse(table)
+          // case the database actually stored
+          val stored = storedName(conn, table).getOrElse(table)
           val ixName = s"${stored}_ix_$ixCol"
           var exists = false
           val rs = meta.getIndexInfo(null, null, stored, false, false)
@@ -207,8 +224,25 @@ object JdbcSink {
   private def foldedCandidates(table: String): Seq[String] =
     Seq(table.toUpperCase, table.toLowerCase, table).distinct
 
-  def ensureTableSchemaMatches(df: DataFrame, url: String, table: String): Seq[String] = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  /** Resolve the case the database actually stored `table` under (or
+    * None if absent). `getTables` takes a LIKE pattern, and every
+    * generated name contains '_' (a single-char wildcard) — escape it,
+    * or a similarly-named table would resolve the wrong case. */
+  private def storedName(conn: java.sql.Connection,
+      table: String): Option[String] = {
+    val meta = conn.getMetaData
+    val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+    def asPattern(n: String): String =
+      n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    foldedCandidates(table).find { t =>
+      val rs = meta.getTables(null, null, asPattern(t), null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  def ensureTableSchemaMatches(df: DataFrame, url: String, table: String,
+      cfg: XelConfig = XelConfig.default): Seq[String] = {
+    val conn = connect(url, cfg)
     try {
       // match case-insensitively like the reference's INFORMATION_SCHEMA diff
       val existing = scala.collection.mutable.Set[String]()

@@ -145,6 +145,28 @@ object LoaderMain {
           // readahead already overlap I/O with decode (SURVEY §2.1 S4).
           case 'R' => a = a.copy(readAhead = v)
           case 'V' => a = a.copy(verbose = true)
+          // SQL-auth credentials (`InputParameters.cs:199-229`): wired
+          // into every JDBC connection as PROPERTIES (JdbcSink.connect)
+          // — a ported reference command line must not silently drop
+          // them and connect unauthenticated
+          case 'U' => a = a.copy(cfg = a.cfg.copy(jdbcUser = Some(v)))
+          case 'P' => a = a.copy(cfg = a.cfg.copy(jdbcPassword = Some(v)))
+          // connection-shape flags with no portable JDBC equivalent:
+          // refuse LOUDLY rather than connect to the wrong database
+          // (-d), without TLS (-T) or with the wrong auth mode (-E)
+          case 'd' => return Left(
+            s"-d (database name) has no portable JDBC mapping: fold it " +
+              s"into -S (e.g. -S<jdbcUrl>/$v or ;databaseName=$v)")
+          case 'T' => return Left(
+            "-T (TLS) is driver-specific: fold it into -S " +
+              "(e.g. ;encrypt=true or ?ssl=true)")
+          case 'E' => return Left(
+            "-E (integrated auth) is driver-specific: fold it into -S " +
+              "(e.g. ;integratedSecurity=true)")
+          // -v (legacy XEL log version, `InputParameters.cs:99`):
+          // accepted no-op — the Spark sources detect the container
+          // format per file instead of taking a global version switch
+          case 'v' => ()
           case _ => () // reference: unknown flags fall through silently
         }
       }
@@ -165,6 +187,7 @@ object LoaderMain {
     """XELoader-on-Spark — bulk-load XE event files into demuxed tables
       |  input:   -f<file> | -D<dir> [-p<pattern>] [-m<xemSidecar>]
       |  target:  -o<dir> | -S<jdbcUrl> | -C (catalog tables)   [-s<schema>]
+      |           [-U<user> -P<password>] (SQL auth; -d/-T/-E fold into -S)
       |  ddl:     -a append (skip DDL) | -c clear tables | -w wipe namespace
       |  shaping: -z<zone> -L<strLimit> -X<xmlLimit> -B<binLimit> -l (limit widths)
       |           -x (XML as unbounded strings, exempt from width limits)
@@ -222,8 +245,8 @@ object LoaderMain {
     // (parquet/catalog) are the ColumnStore-with-LOB analogue — columnar
     // at rest, unbounded types — so only an explicit -l limits there.
     val layout = a.jdbcUrl.map(url =>
-      JdbcSink.resolveLayout(JdbcSink.probeCapabilities(url), a.indexType,
-        disableLob = a.cfg.limitWidths))
+      JdbcSink.resolveLayout(JdbcSink.probeCapabilities(url, a.cfg),
+        a.indexType, disableLob = a.cfg.limitWidths))
     val cfg =
       if (layout.exists(_.widthLimitsBite)) a.cfg.copy(limitWidths = true)
       else a.cfg

@@ -44,6 +44,11 @@ package graft.xel
  * @param maxThreads     file-level parallelism cap (`-t`, min(cpus,16)) —
  *                       on Spark this only sizes `spark.sql.files.*` hints;
  *                       task scheduling itself is Spark's
+ * @param jdbcUser       SQL-auth user for the JDBC target (`-U`,
+ *                       `InputParameters.cs:199-229`) — carried as a
+ *                       connection PROPERTY, never spliced into the URL
+ *                       (URLs land in logs and plans; properties do not)
+ * @param jdbcPassword   SQL-auth password for the JDBC target (`-P`)
  */
 final case class XelConfig(
     stringLimit: Int = 1024,
@@ -60,7 +65,9 @@ final case class XelConfig(
     batchSize: Int = 1048576,
     frameLength: Int = 8,
     frameCommand: String = "ln",
-    maxThreads: Int = 16
+    maxThreads: Int = 16,
+    jdbcUser: Option[String] = None,
+    jdbcPassword: Option[String] = None
 )
 
 object XelConfig {

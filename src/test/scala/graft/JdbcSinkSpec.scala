@@ -119,6 +119,38 @@ class JdbcSinkSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("-U/-P credentials land in the JDBC connection properties") {
+    // Derby makes the authenticated user observable without configuring
+    // an auth provider: the connection's current schema IS the user name
+    // (default APP). If the properties were dropped, this reads APP.
+    val cfg = XelConfig.default.copy(
+      jdbcUser = Some("graftuser"), jdbcPassword = Some("s3cret"))
+    val conn = JdbcSink.connect(url, cfg)
+    try assert(conn.getSchema.equalsIgnoreCase("graftuser"),
+      s"expected the -U user as current schema, got ${conn.getSchema}")
+    finally conn.close()
+    // and the no-credential default still connects as APP
+    val anon = JdbcSink.connect(url)
+    try assert(anon.getSchema.equalsIgnoreCase("APP"))
+    finally anon.close()
+    // the probe path accepts the same credentials end-to-end
+    assert(JdbcSink.probeCapabilities(url, cfg)
+      .product.toLowerCase.contains("derby"))
+  }
+
+  test("JDBC -c rerun replaces instead of duplicating") {
+    import spark.implicits._
+    val cfg = XelConfig.default.copy(schemaName = "ctest", clearTables = true)
+    val df = Seq((1L, 5L, "c_ev"), (2L, 7L, "c_ev"))
+      .toDF("c_event_sequence", "c_duration_us", "event_name")
+    val t1 = JdbcSink.demuxAppend(df, url, cfg)
+    val t2 = JdbcSink.demuxAppend(df, url, cfg) // rerun with -c: drop+reload
+    assert(t1 == t2)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", t1.head).load()
+    assert(back.count() == 2, "rerun with -c must not accumulate")
+  }
+
   test("D1 version-matrix layout fork mirrors InputParameters.cs:344-383") {
     import JdbcSink.{JdbcCapabilities, resolveLayout}
     def sqlServer(major: Int) = JdbcCapabilities("Microsoft SQL Server",

@@ -42,6 +42,21 @@ class LoaderMainSpec extends SparkTestBase {
     assert(d.readAhead == "y")
   }
 
+  test("parseArgs: -U/-P land in the config; -d/-T/-E refuse loudly") {
+    val Right(a) = LoaderMain.parseArgs(Array(
+      "-D/d", "-Sjdbc:derby:memory:x", "-Uadmin", "-Phunter2")): @unchecked
+    assert(a.cfg.jdbcUser.contains("admin"))
+    assert(a.cfg.jdbcPassword.contains("hunter2"))
+    // a ported reference command line must never silently drop its
+    // database/TLS/auth-mode flags and connect to the wrong place
+    for (flag <- Seq("-dXEvents", "-T", "-E")) {
+      val r = LoaderMain.parseArgs(Array("-D/d", "-Sjdbc:derby:memory:x", flag))
+      assert(r.isLeft && r.swap.exists(_.contains("-S")), s"$flag: $r")
+    }
+    // -v (legacy log version): accepted no-op, format is auto-detected
+    assert(LoaderMain.parseArgs(Array("-D/d", "-o/o", "-v1")).isRight)
+  }
+
   test("parseArgs: missing input or target is a loud error, -? is help") {
     assert(LoaderMain.parseArgs(Array("-o/tmp/out")).isLeft)         // no input
     assert(LoaderMain.parseArgs(Array("-D/tmp/in")).isLeft)          // no target
