@@ -361,9 +361,15 @@ object Sketches {
     // every working column is underscore-prefixed (the file-wide _v/_est
     // convention): a bare `b`/`n`/`cum`/`total`/`need`/`lo` would
     // collide with a user keyCol of the same name and resolve
-    // ambiguously. The OUTPUT names (q, n_total, est) stay reserved.
+    // ambiguously. The OUTPUT names (q, n_total, est) are reserved —
+    // and so is the whole underscore prefix: a keyCol named _v, _b,
+    // _cum (…) would collide with the working columns exactly the same
+    // way, so reject any leading-underscore key rather than enumerate.
     require(!Set("q", "n_total", "est").contains(keyCol),
       s"logHistQuantiles: keyCol '$keyCol' collides with an output column")
+    require(!keyCol.startsWith("_"),
+      s"logHistQuantiles: keyCol '$keyCol' collides with the reserved " +
+        "underscore-prefixed working columns — rename the key")
     val pos = df.filter(col(valCol) > 0)
       .select(col(keyCol), col(valCol).cast("long").as("_v"))
     val hist = pos

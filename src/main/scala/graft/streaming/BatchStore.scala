@@ -43,6 +43,37 @@ object BatchStore {
         "overwrite previously ingested partitions one by one")
   }
 
+  /** Take-once stamp: atomically claim `file` with `content` and return
+    * whatever the file holds AFTER the claim — `content` if this caller
+    * won, the earlier writer's text otherwise. `fs.create(overwrite =
+    * false)` is atomic on HDFS-like filesystems, so two racing
+    * first-users cannot both believe they own the stamp (an
+    * exists-then-create(true) sequence lets the last writer silently
+    * take it — the TOCTOU ArtifactPublish's lock already closes).
+    * Callers `require` the returned text matches what they expect. */
+  def takeOnceStamp(spark: SparkSession, file: org.apache.hadoop.fs.Path,
+                    content: String): String = {
+    val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readBack(): String = {
+      val in = fs.open(file)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    if (fs.exists(file)) readBack()
+    else {
+      fs.mkdirs(file.getParent)
+      try {
+        val out = fs.create(file, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        content
+      } catch {
+        // lost the create race (or the file appeared between exists and
+        // create): the stamp is whatever the winner wrote
+        case _: java.io.IOException => readBack()
+      }
+    }
+  }
+
   def read(spark: SparkSession, dir: String, schema: StructType,
            excludeBatch: Option[Long] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)

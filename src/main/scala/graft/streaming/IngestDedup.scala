@@ -33,9 +33,15 @@ object IngestDedup {
     * Append-mode safe: no aggregation, no watermark requirement. The
     * join key rides an underscore-prefixed internal column so a
     * caller's own `digest` column (a natural name on crawl pipelines)
-    * passes through untouched instead of being clobbered and dropped. */
+    * passes through untouched instead of being clobbered and dropped —
+    * and the internal name itself is suffixed until absent from the
+    * caller's columns, so even a frame that already carries
+    * `_graft_digest` (this same collision class, one name over) cannot
+    * be clobbered. */
   def admit(stream: DataFrame, digests: DataFrame, textCol: String): DataFrame = {
-    val tmp = "_graft_digest"
+    val tmp = Iterator.from(0)
+      .map(i => if (i == 0) "_graft_digest" else s"_graft_digest_$i")
+      .find(n => !stream.columns.contains(n)).get
     stream.withColumn(tmp, md5(col(textCol)))
       .join(digests.withColumnRenamed("digest", tmp), Seq(tmp), "left_anti")
       .drop(tmp)

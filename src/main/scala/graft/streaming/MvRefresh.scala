@@ -71,26 +71,18 @@ object MvRefresh {
     versionBefore(spark, stateDir, versions, Long.MaxValue)
   }
 
-  /** First-use stamp + same-stream check (see [[refresh]]'s streamId). */
+  /** First-use stamp + same-stream check (see [[refresh]]'s streamId).
+    * Take-once ([[BatchStore.takeOnceStamp]]): two different streams
+    * racing on an empty stateDir cannot both pass — exactly one owns the
+    * stamp and the other fails this require. */
   private def requireSameStream(spark: SparkSession, stateDir: String,
                                 streamId: Option[String]): Unit =
     streamId.foreach { id =>
-      val marker = new Path(stateDir, "_stream_id")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(marker)) {
-        val prev = {
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        }
-        require(prev == id,
-          s"stateDir $stateDir belongs to stream '$prev', not '$id' — a " +
-            "restarted checkpoint must use a fresh stateDir")
-      } else {
-        fs.mkdirs(marker.getParent)
-        val out = fs.create(marker, true)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-      }
+      val prev = BatchStore.takeOnceStamp(spark,
+        new Path(stateDir, "_stream_id"), id)
+      require(prev == id,
+        s"stateDir $stateDir belongs to stream '$prev', not '$id' — a " +
+          "restarted checkpoint must use a fresh stateDir")
     }
 
   private def versionBefore(spark: SparkSession, stateDir: String,

@@ -42,6 +42,33 @@ object NearDupIngest {
     * directory itself is read. */
   def postingsDir(corpusDir: String): String = s"$corpusDir/_postings"
 
+  /** The shingle-space version string stamped into the postings store:
+    * shingle size, hash scheme and layout version. Bump `v` on ANY
+    * change to [[batchPostings]]' persisted shape. */
+  private def postingsMetaContent(k: Int): String =
+    s"k=$k;shingle=xxhash64(kgram);v=1"
+
+  /** Take-once compatibility stamp on the postings store (`_postings/
+    * _meta`): a later admitLoop over the same corpus with a different
+    * shingle size k — or a future hash-scheme change — would join batch
+    * postings against store postings built in an INCOMPATIBLE shingle
+    * space: Jaccard silently wrong, near-duplicates admitted. The first
+    * loop to touch the store claims the stamp; every later call must
+    * match it. (The underscore-prefixed file is invisible to the
+    * parquet reads.) */
+  private def requireCompatiblePostings(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      k: Int): Unit = {
+    val want = postingsMetaContent(k)
+    val got = BatchStore.takeOnceStamp(spark,
+      new org.apache.hadoop.fs.Path(postingsDir(corpusDir), "_meta"), want)
+    require(got == want,
+      s"postings store at ${postingsDir(corpusDir)} was built as '$got' " +
+        s"but this loop runs as '$want' — joining across shingle spaces " +
+        "silently mis-scores Jaccard and admits near-duplicates; use the " +
+        "original parameters or rebuild the postings store")
+  }
+
   /** The admitted corpus as a growing `batch=<id>/` parquet directory;
     * absent/empty → an empty frame of `schema` (first batch admits
     * everything). `excludeBatch` hides one batch partition — the
@@ -141,6 +168,7 @@ object NearDupIngest {
     // a restarted checkpoint re-numbering batches from 0 would overwrite
     // old partitions progressively — refuse (same guard as IngestDedup)
     BatchStore.requireNotAhead(spark, corpusDir, batchId, "near-dup corpus")
+    requireCompatiblePostings(spark, corpusDir, k)
     requirePostingsCoverCorpus(spark, corpusDir, batchId)
     // one tokenization pass over the batch, reused by the admission join
     // and the admitted-postings write (hashed shape — see batchPostings)

@@ -159,6 +159,15 @@ class BloomCmsSpec extends SparkTestBase {
     // total row count flows through
     assert(Sketches.logHistQuantiles(df, "key", "v", Seq(("p50", 1, 2)))
       .head().getLong(2) == 20000L)
+    // reserved-name keys refuse loudly: output names AND the whole
+    // underscore prefix (the working columns _v/_b/_n/… live there)
+    for (bad <- Seq("q", "n_total", "est", "_v", "_cum", "_anything")) {
+      val e = intercept[IllegalArgumentException] {
+        Sketches.logHistQuantiles(df.withColumnRenamed("key", bad), bad, "v",
+          Seq(("p50", 1, 2)))
+      }
+      assert(e.getMessage.contains("collides"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("logHistQuantiles: histograms merge by addition (partials = one shot)") {

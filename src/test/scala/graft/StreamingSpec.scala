@@ -567,6 +567,41 @@ class StreamingSpec extends SparkTestBase {
       s"guard must name the missing sidecar, got: ${e.getMessage}")
   }
 
+  test("near-dup postings store refuses an incompatible shingle size") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val corpusDir = Files.createTempDirectory("graft-nd-meta").toString + "/c"
+    def rows(id: Long) = Seq((id, s"some text number $id here now", "s"))
+      .toDF("doc_id", "text", "source")
+    NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)(rows(1L), 0L)
+    // same k continues fine
+    NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)(rows(2L), 1L)
+    // a different k would join across incompatible shingle spaces —
+    // Jaccard silently wrong — so the stamp refuses it loudly
+    val e = intercept[IllegalArgumentException] {
+      NearDupIngest.admitLoop("doc_id", "text", 5, 0.8, corpusDir)(rows(3L), 2L)
+    }
+    assert(e.getMessage.contains("shingle space"),
+      s"guard must explain the incompatibility, got: ${e.getMessage}")
+  }
+
+  test("ingest admit never clobbers caller digest columns, including the internal name") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val store = Seq(("dup text", "x")).toDF("text", "src")
+    val digests = IngestDedup.storeDigests(store, "text")
+    val arriving = Seq(
+      ("dup text", "mine-1", "theirs-1"),
+      ("fresh text", "mine-2", "theirs-2"))
+      .toDF("text", "digest", "_graft_digest")
+    val out = IngestDedup.admit(arriving, digests, "text")
+    // the dup is refused, and BOTH caller columns survive untouched
+    assert(out.columns.toSeq == Seq("text", "digest", "_graft_digest"))
+    val row = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(row == Seq(("fresh text", "mine-2", "theirs-2")))
+  }
+
   test("a restarted checkpoint (batch ids reset to 0) is refused by both ingest loops") {
     import spark.implicits._
     import graft.streaming.{IngestDedup, NearDupIngest}
