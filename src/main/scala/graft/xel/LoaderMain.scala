@@ -49,13 +49,20 @@ import org.apache.spark.sql.functions._
  *   -I<kind>    RowStore|ColumnStore — accepted and recorded; parquet is
  *               columnar at rest and rows are sequence-clustered within
  *               files either way (D5 analogue)
+ *   -U<user> -P<pass>  SQL-auth credentials for -S (`InputParameters
+ *               .cs:199-229`) — carried as JDBC connection PROPERTIES
+ *               on every connection, never spliced into the URL
+ *   -n          dry run: print the resolved configuration, discovered
+ *               files and target plan, then exit without reading data —
+ *               the reference's `PrintProgramDetails` made standalone
  *   -V          verbose (stack traces on failure)
  *   -?          help
  *
- * Deliberately absent (SQL-Server-physical, no Spark meaning): -U/-P/-T/-E
- * (credentials/TLS live in the JDBC url), -v version tag (unused in the
- * reference too). (-R read-ahead IS parsed — see the flag table above —
- * as a documented no-op.)
+ * Refused loudly (driver-specific connection shape — folding them into
+ * -S is the only portable spelling): -d database name, -T TLS, -E
+ * integrated auth. Accepted no-ops: -v legacy log version (the sources
+ * auto-detect the container format), -R read-ahead (the columnar reader
+ * already overlaps I/O with decode).
  */
 object LoaderMain {
 
@@ -73,6 +80,7 @@ object LoaderMain {
       threads: Option[Int] = None,
       readAhead: String = "y",
       verbose: Boolean = false,
+      dryRun: Boolean = false,
       help: Boolean = false)
 
   /** The reference's final `PrintStatistics` block plus the tracking-table
@@ -144,6 +152,7 @@ object LoaderMain {
           // deliberate no-op: the vectorized Parquet reader and OS
           // readahead already overlap I/O with decode (SURVEY §2.1 S4).
           case 'R' => a = a.copy(readAhead = v)
+          case 'n' => a = a.copy(dryRun = true)
           case 'V' => a = a.copy(verbose = true)
           // SQL-auth credentials (`InputParameters.cs:199-229`): wired
           // into every JDBC connection as PROPERTIES (JdbcSink.connect)
@@ -193,7 +202,8 @@ object LoaderMain {
       |           -x (XML as unbounded strings, exempt from width limits)
       |  load:    -b<batchSize> -e<errorBudget> -t<threads> -I<RowStore|ColumnStore>
       |  misc:    -h<frameLen> -j<debuggerCmd> -R<y|n> (read-ahead; accepted,
-      |           delegated to the columnar reader) -V verbose -? help""".stripMargin
+      |           delegated to the columnar reader) -n dry run -V verbose
+      |           -? help""".stripMargin
 
   /** File discovery — `ProcessFiles` (`FileProcessor.cs:81-147`): explicit
     * file, or directory + wildcard; with the default pattern the session's
@@ -341,6 +351,49 @@ object LoaderMain {
       elapsedMs = (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** `-n` dry run — the reference's `PrintProgramDetails` made
+    * standalone: the resolved configuration, the files a real run would
+    * read and the target plan, WITHOUT reading any event data. The one
+    * external touch is the D1 capability probe on a JDBC target
+    * (read-only metadata) — deliberately kept, it validates
+    * connectivity and credentials before anyone schedules a real load.
+    * Event types (and so the exact demux table list) are data-derived
+    * and only resolvable by a real read; the plan says so instead of
+    * guessing. */
+  def formatDryRun(a: LoaderArgs): String = {
+    val (files, patternInUse) = discoverFiles(a)
+    val target =
+      if (a.jdbcUrl.isDefined) {
+        val caps = JdbcSink.probeCapabilities(a.jdbcUrl.get, a.cfg)
+        val layout = JdbcSink.resolveLayout(caps, a.indexType,
+          disableLob = a.cfg.limitWidths)
+        s"JDBC ${caps.product} ${caps.majorVersion}.${caps.minorVersion}" +
+          s" as ${a.cfg.jdbcUser.getOrElse("<default>")}" +
+          s" — layout ${layout.indexType}" +
+          s"${if (layout.widthLimitsBite) " (width limits bite)" else ""}"
+      }
+      else if (a.catalogTables) s"catalog namespace ${a.cfg.schemaName}"
+      else s"parquet ${a.outDir.get}"
+    val ddl =
+      if (a.cfg.appendMode) "append (-a): no DDL"
+      else (if (a.cfg.wipeDatabase) s"wipe namespace ${a.cfg.schemaName}; "
+            else "") +
+        s"ensure namespace ${a.cfg.schemaName}; one table per event type " +
+        "(types are data-derived — resolved at load time)" +
+        (if (a.cfg.clearTables) "; clear (-c) each event table first" else "")
+    s"""*** Dry run (-n): no data read, nothing written ***
+       | Files matched (pattern $patternInUse) : ${files.size}
+       |${files.take(10).map(f => s"   ${f.getPath}").mkString("\n")}
+       |${if (files.size > 10) s"   … ${files.size - 10} more\n" else ""} Target                : $target
+       | DDL plan              : $ddl
+       | Width limits          : ${if (a.cfg.limitWidths)
+      s"strings ${a.cfg.stringLimit}, xml ${
+        if (a.cfg.xmlUnbounded) "unbounded (-x)" else a.cfg.xmlLimit
+      }, binary ${a.cfg.binaryLimit}" else "off (unbounded columnar)"}
+       | Batch size / budget   : ${a.cfg.batchSize} rows / ${a.cfg.errorBudget} errors per file
+       | Timezone              : ${a.cfg.timezone}""".stripMargin
+  }
+
   /** `TrackStatus.PrintStatistics` analogue (`TrackStatus.cs:45-63`). */
   def formatReport(r: LoaderReport): String =
     s"""*** Statistics for Import ***
@@ -363,6 +416,8 @@ object LoaderMain {
         sys.exit(1)
       case Right(a) if a.help =>
         println(helpText)
+      case Right(a) if a.dryRun =>
+        println(formatDryRun(a))
       case Right(a) =>
         val spark = SparkSession.builder()
           .appName("xeloader-spark")

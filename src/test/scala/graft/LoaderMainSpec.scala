@@ -66,6 +66,27 @@ class LoaderMainSpec extends SparkTestBase {
     assert(h.help)
   }
 
+  test("-n dry run prints the plan and writes nothing") {
+    val outDir = Files.createTempDirectory("graft-dry-out").toString + "/never"
+    val Right(a) = LoaderMain.parseArgs(
+      Array(s"-D$inputDir", s"-o$outDir", "-n", "-l", "-L64")): @unchecked
+    assert(a.dryRun)
+    val plan = LoaderMain.formatDryRun(a)
+    assert(plan.contains("Dry run"))
+    assert(plan.contains("Files matched (pattern GraftSession_*) : 4"))
+    assert(plan.contains(s"parquet $outDir"))
+    assert(plan.contains("strings 64"))
+    assert(plan.contains("ensure namespace xel"))
+    // nothing was read or written — the target does not exist
+    assert(!new java.io.File(outDir).exists())
+    // JDBC target: the probe resolves product + layout read-only
+    val Right(j) = LoaderMain.parseArgs(Array(s"-D$inputDir",
+      "-Sjdbc:derby:memory:dryrun;create=true", "-n", "-Ugraft")): @unchecked
+    val jplan = LoaderMain.formatDryRun(j)
+    assert(jplan.contains("Apache Derby") && jplan.contains("as graft")
+      && jplan.contains("layout RowStore"), jplan)
+  }
+
   test("end-to-end: directory of rollover files -> demuxed parquet + lineage + stats") {
     val outDir = Files.createTempDirectory("graft-loader-out").toString + "/demux"
     val Right(a) = LoaderMain.parseArgs(Array(s"-D$inputDir", s"-o$outDir")): @unchecked
