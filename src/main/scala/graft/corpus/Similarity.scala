@@ -438,8 +438,9 @@ object Similarity {
     * distributed projection per round. Returns (idCol, cluster).
     * Feed the result to [[ivfTopK]] as the bucket column. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+                   k: Int, iters: Int,
+                   trainPred: Column = lit(true)): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters, trainPred)
     emb.select(col(idCol),
       VectorExpr.nearestCentroidF(col(vecCol), centroids).as("cluster"))
   }
@@ -457,32 +458,45 @@ object Similarity {
     * needing bit-identical training on any cluster shape should use the
     * fixed-point integer discipline of [[pqCodebooks]] (associative LONG
     * sums), which is also why THAT trainer takes [[Dedup.fanout]] and
-    * this one deliberately does not (fanout changes the sum order). */
+    * this one deliberately does not (fanout changes the sum order; a
+    * persist does not — the cache keeps the scan's partitioning and
+    * in-partition row order, so the partial sums are the ones the
+    * uncached plan produces).
+    *
+    * Same train-once discipline as [[pqCodebooks]]: `trainPred` bounds
+    * the training set (assignment callers still cover every vector) and
+    * the (id, vec) projection is persisted for the life of the loop —
+    * one source scan total, not one per Lloyd round. */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = emb
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+                      k: Int, iters: Int,
+                      trainPred: Column = lit(true)): Array[Array[Double]] = {
+    val train = emb.filter(trainPred).select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = train
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    // assignment = native codegen expression with the (k × dim) centroid
-    // table as a plan reference object — a full-corpus projection that
-    // stays inside whole-stage codegen (ties keep the lower cluster id)
-    for (_ <- 1 to iters) {
-      val sums = emb.select(
-          VectorExpr.nearestCentroidF(col(vecCol), centroids).as("cluster"),
-          col(vecCol))
-        .select(col("cluster"), posexplode(col(vecCol)))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      // assignment = native codegen expression with the (k × dim) centroid
+      // table as a plan reference object — a full-corpus projection that
+      // stays inside whole-stage codegen (ties keep the lower cluster id)
+      for (_ <- 1 to iters) {
+        val sums = train.select(
+            VectorExpr.nearestCentroidF(col(vecCol), centroids).as("cluster"),
+            col(vecCol))
+          .select(col("cluster"), posexplode(col(vecCol)))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    centroids
+      centroids
+    } finally { train.unpersist(blocking = false); () }
   }
 
   /** Fixed-point scale for the PQ pipeline: normalized components lie in

@@ -99,11 +99,13 @@ object EventStream {
     * checkpointing: the streaming engine replays at-least-once, the
     * delete-by-batch-id turns that into exactly-once at the sink.
     * The data append itself is the distributed bulk path
-    * ([[graft.xel.JdbcSink.bulkAppend]] semantics: batched, isolation
-    * NONE); only the per-batch DELETE runs on the driver. `table` is a
-    * caller-supplied identifier, not data-derived — callers own its
+    * (delegated to [[graft.xel.JdbcSink.bulkAppend]]: rowgroup-aligned
+    * `batchsize`, isolation NONE, `-U/-P` credentials as connection
+    * properties); only the per-batch DELETE runs on the driver. `table`
+    * is a caller-supplied identifier, not data-derived — callers own its
     * validity (cf. JdbcSink's folding for data-derived names). */
-  def jdbcIdempotentAppend(url: String, table: String)
+  def jdbcIdempotentAppend(url: String, table: String,
+                           cfg: graft.xel.XelConfig = graft.xel.XelConfig.default)
                           (df: DataFrame, batchId: Long): Unit = {
     val withId = df.withColumn("batch_id",
       org.apache.spark.sql.functions.lit(batchId))
@@ -117,7 +119,7 @@ object EventStream {
     // transient failure misread as "missing table" would skip the
     // idempotence DELETE and turn a replay into silent duplication.
     val missingTableStates = Set("42X05", "42S02", "42P01")
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = graft.xel.JdbcSink.connect(url, cfg)
     try {
       val exists =
         try {
@@ -137,14 +139,7 @@ object EventStream {
         } finally del.close()
       }
     } finally conn.close()
-    withId.write
-      .mode("append")
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("isolationLevel", "NONE")
-      .option("queryTimeout", 0)
-      .save()
+    graft.xel.JdbcSink.bulkAppend(withId, url, table, cfg)
   }
 
   /** Watermark for out-of-order events: state for a minute window is kept
