@@ -1371,7 +1371,15 @@ object CorpusQueries {
       val ivf = pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred, annK))
       val probes = pair(Similarity.ivfTopKProbes(e, "vec_id", "embedding",
         trainedCentroids(e), 3, qPred, annK))
-      report("ivf", ivf).unionByName(report("ivf_multiprobe", probes))
+      val pq = pair(Similarity.pqTopKReranked(e, "vec_id", "embedding", qPred,
+        m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
+        shortlist = pqShortlist,
+        trainPred =
+          pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L))
+      val sq8 = pair(Similarity.sq8TopK(e, "vec_id", "embedding", qPred, annK))
+      Seq(report("ivf", ivf), report("ivf_multiprobe", probes),
+          report("pq_rerank", pq), report("sq8", sq8))
+        .reduce(_ unionByName _)
         .orderBy("method")
     }),
 
@@ -4044,6 +4052,115 @@ object CorpusQueries {
        |)""".stripMargin
   }.mkString(", ")
 
+  /** The full PQ-pipeline CTE chain (normalize → fixed-point quantize →
+    * sampled Lloyd training → codes → integer ADC shortlist →
+    * exact-cosine re-rank), ending in `pqranked(query_id, neighbor_id,
+    * cos_sim, rank)`. ONE definition shared by the `ann_topk_pq` oracle
+    * and the recall report, so the replayed pipeline can never drift
+    * between the two. */
+  private lazy val pqChainCtes: String =
+    s"""nrm AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), qlong AS (
+       |  SELECT vec_id, len(embedding) AS dim,
+       |         unnest(range(0, len(embedding))) AS idx,
+       |         unnest(list_transform(embedding, x ->
+       |           CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+       |                ELSE CAST(round(CAST(x AS DOUBLE) / nrm * $pqScaleSql.0) AS BIGINT)
+       |           END)) AS xq
+       |  FROM nrm
+       |), qs AS (
+       |  SELECT vec_id, CAST(idx // (dim // $pqM) AS INTEGER) AS j,
+       |         CAST(idx % (dim // $pqM) AS INTEGER) AS pos, xq
+       |  FROM qlong
+       |), qt AS (
+       |  -- TRAINING sample (pqTrainMod): Lloyd rounds fit the books on
+       |  -- this slice only; codes/ADC below still cover every vector
+       |  SELECT * FROM qs
+       |  WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
+       |), seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+       |  FROM (SELECT vec_id FROM embeddings
+       |        WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
+       |        ORDER BY vec_id LIMIT $pqKSub)
+       |), cent0 AS (
+       |  SELECT s.c, qt.j, qt.pos, qt.xq AS cv
+       |  FROM seeds s JOIN qt ON qt.vec_id = s.vec_id
+       |), ${pqIterCtes(pqIters)}, codesd AS (
+       |  SELECT qs.vec_id, qs.j, ct.c,
+       |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
+       |  FROM qs JOIN cent$pqIters ct ON ct.j = qs.j AND ct.pos = qs.pos
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM codesd) WHERE rn = 1
+       |), lut AS (
+       |  SELECT qq.vec_id AS query_id, ct.j, ct.c, sum(qq.xq * ct.cv) AS lv
+       |  FROM qs qq JOIN cent$pqIters ct ON ct.j = qq.j AND ct.pos = qq.pos
+       |  WHERE qq.vec_id % $annQueryStride = 0
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.lv) AS adc_score
+       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
+       |  WHERE cd.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_score DESC, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $pqShortlist
+       |), rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM short s JOIN nrm a ON a.vec_id = s.query_id
+       |               JOIN nrm b ON b.vec_id = s.neighbor_id
+       |), pqranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rer
+       |)""".stripMargin
+
+  /** The SQ8 pipeline CTE chain (per-vector max-abs scale → int8 codes →
+    * exact integer quantized-cosine top-k), ending in
+    * `sq8ranked(query_id, neighbor_id, cos_sim_q, rank)` — shared by the
+    * `ann_topk_sq8` oracle and the recall report. */
+  private lazy val sq8ChainCtes: String =
+    s"""scales AS (
+       |  SELECT vec_id,
+       |         CASE WHEN mx = 0 THEN 1 ELSE mx END AS scale,
+       |         embedding
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |        FROM embeddings)
+       |), coded AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)) AS codes
+       |  FROM scales
+       |), nsq AS (
+       |  SELECT vec_id, codes,
+       |         list_reduce([CAST(0 AS BIGINT)] ||
+       |           list_transform(codes, x -> x * x), (a, b) -> a + b) AS nsq
+       |  FROM coded
+       |), sq8scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         round(CAST(list_reduce([CAST(0 AS BIGINT)] ||
+       |             list_transform(range(1, len(a.codes) + 1),
+       |               i -> a.codes[i] * b.codes[i]), (x, y) -> x + y) AS DOUBLE)
+       |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos_sim_q
+       |  FROM (SELECT * FROM nsq WHERE vec_id % $annQueryStride = 0 AND nsq > 0) a
+       |  JOIN nsq b ON a.vec_id <> b.vec_id AND b.nsq > 0
+       |), sq8ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim_q,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim_q DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM sq8scored
+       |)""".stripMargin
+
   /** BM25 scoring CTE chain (ends in `bm25_scored`) — identical
     * expression TREE to Search.bm25TopK: same folded literals
     * ((k1+1)=2.2, (1-b)=0.25), same operand order, one final round.
@@ -5680,39 +5797,10 @@ object CorpusQueries {
          |WHERE cos_sim >= $cosineThreshold
          |ORDER BY v1, v2""".stripMargin,
 
+    // Chain in [[sq8ChainCtes]], shared with ann_recall_report.
     "ann_topk_sq8" ->
-      s"""WITH scales AS (
-         |  SELECT vec_id,
-         |         CASE WHEN mx = 0 THEN 1 ELSE mx END AS scale,
-         |         embedding
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-         |        FROM embeddings)
-         |), coded AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)) AS codes
-         |  FROM scales
-         |), nsq AS (
-         |  SELECT vec_id, codes,
-         |         list_reduce([CAST(0 AS BIGINT)] ||
-         |           list_transform(codes, x -> x * x), (a, b) -> a + b) AS nsq
-         |  FROM coded
-         |), scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(CAST(list_reduce([CAST(0 AS BIGINT)] ||
-         |             list_transform(range(1, len(a.codes) + 1),
-         |               i -> a.codes[i] * b.codes[i]), (x, y) -> x + y) AS DOUBLE)
-         |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos_sim_q
-         |  FROM (SELECT * FROM nsq WHERE vec_id % $annQueryStride = 0 AND nsq > 0) a
-         |  JOIN nsq b ON a.vec_id <> b.vec_id AND b.nsq > 0
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos_sim_q,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos_sim_q DESC, neighbor_id) AS INTEGER) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, rank, neighbor_id, cos_sim_q FROM ranked
+      s"""WITH $sq8ChainCtes
+         |SELECT query_id, rank, neighbor_id, cos_sim_q FROM sq8ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
 
     "ann_topk_brute" ->
@@ -5784,8 +5872,10 @@ object CorpusQueries {
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
 
-    // One WITH-chain replay of brute truth + both IVF variants, recall
-    // computed from the same top-k sets the individual oracles produce.
+    // One WITH-chain replay of brute truth + both IVF variants + the PQ
+    // and SQ8 pipelines (their chains are the SAME fragments the
+    // individual oracles run — [[pqChainCtes]]/[[sq8ChainCtes]]), recall
+    // computed from the same top-k sets those oracles produce.
     "ann_recall_report" ->
       s"""WITH comp AS (
          |  SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS x
@@ -5860,6 +5950,10 @@ object CorpusQueries {
          |), truth AS (
          |  SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_truth
          |  FROM btop
+         |), $pqChainCtes, $sq8ChainCtes, pqtop AS (
+         |  SELECT query_id, neighbor_id FROM pqranked WHERE rank <= $annK
+         |), sq8top AS (
+         |  SELECT query_id, neighbor_id FROM sq8ranked WHERE rank <= $annK
          |)
          |SELECT 'ivf' AS method, n_queries, n_truth,
          |       (SELECT CAST(count(*) AS BIGINT)
@@ -5872,6 +5966,20 @@ object CorpusQueries {
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM ptop JOIN btop USING (query_id, neighbor_id)),
          |       round(CAST((SELECT count(*) FROM ptop JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
+         |             / CAST(n_truth AS DOUBLE), 6)
+         |FROM truth
+         |UNION ALL
+         |SELECT 'pq_rerank', n_queries, n_truth,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM pqtop JOIN btop USING (query_id, neighbor_id)),
+         |       round(CAST((SELECT count(*) FROM pqtop JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
+         |             / CAST(n_truth AS DOUBLE), 6)
+         |FROM truth
+         |UNION ALL
+         |SELECT 'sq8', n_queries, n_truth,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM sq8top JOIN btop USING (query_id, neighbor_id)),
+         |       round(CAST((SELECT count(*) FROM sq8top JOIN btop USING (query_id, neighbor_id)) AS DOUBLE)
          |             / CAST(n_truth AS DOUBLE), 6)
          |FROM truth
          |ORDER BY method""".stripMargin,
@@ -5967,72 +6075,10 @@ object CorpusQueries {
     // Full replay of the deterministic PQ pipeline (Similarity.pqTopKReranked):
     // fixed-point quantization (2^20), pqIters unrolled Lloyd rounds with
     // exact BIGINT sums, integer ADC shortlist, exact-cosine re-rank.
+    // The chain lives in [[pqChainCtes]], shared with ann_recall_report.
     "ann_topk_pq" ->
-      s"""WITH nrm AS (
-         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
-         |), qlong AS (
-         |  SELECT vec_id, len(embedding) AS dim,
-         |         unnest(range(0, len(embedding))) AS idx,
-         |         unnest(list_transform(embedding, x ->
-         |           CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
-         |                ELSE CAST(round(CAST(x AS DOUBLE) / nrm * $pqScaleSql.0) AS BIGINT)
-         |           END)) AS xq
-         |  FROM nrm
-         |), qs AS (
-         |  SELECT vec_id, CAST(idx // (dim // $pqM) AS INTEGER) AS j,
-         |         CAST(idx % (dim // $pqM) AS INTEGER) AS pos, xq
-         |  FROM qlong
-         |), qt AS (
-         |  -- TRAINING sample (pqTrainMod): Lloyd rounds fit the books on
-         |  -- this slice only; codes/ADC below still cover every vector
-         |  SELECT * FROM qs
-         |  WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
-         |), seeds AS (
-         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
-         |  FROM (SELECT vec_id FROM embeddings
-         |        WHERE ${h60("CAST(vec_id AS VARCHAR)")} % $pqTrainMod = 0
-         |        ORDER BY vec_id LIMIT $pqKSub)
-         |), cent0 AS (
-         |  SELECT s.c, qt.j, qt.pos, qt.xq AS cv
-         |  FROM seeds s JOIN qt ON qt.vec_id = s.vec_id
-         |), ${pqIterCtes(pqIters)}, codesd AS (
-         |  SELECT qs.vec_id, qs.j, ct.c,
-         |         sum((qs.xq - ct.cv) * (qs.xq - ct.cv)) AS d
-         |  FROM qs JOIN cent$pqIters ct ON ct.j = qs.j AND ct.pos = qs.pos
-         |  GROUP BY 1, 2, 3
-         |), codes AS (
-         |  SELECT vec_id, j, c FROM (
-         |    SELECT vec_id, j, c,
-         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-         |    FROM codesd) WHERE rn = 1
-         |), lut AS (
-         |  SELECT qq.vec_id AS query_id, ct.j, ct.c, sum(qq.xq * ct.cv) AS lv
-         |  FROM qs qq JOIN cent$pqIters ct ON ct.j = qq.j AND ct.pos = qq.pos
-         |  WHERE qq.vec_id % $annQueryStride = 0
-         |  GROUP BY 1, 2, 3
-         |), adc AS (
-         |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.lv) AS adc_score
-         |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
-         |  WHERE cd.vec_id <> l.query_id
-         |  GROUP BY 1, 2
-         |), short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY adc_score DESC, neighbor_id) AS rn
-         |    FROM adc) WHERE rn <= $pqShortlist
-         |), rer AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round($cosDot / (a.nrm * b.nrm), 6) AS cos_sim
-         |  FROM short s JOIN nrm a ON a.vec_id = s.query_id
-         |               JOIN nrm b ON b.vec_id = s.neighbor_id
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-         |  FROM rer
-         |)
-         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+      s"""WITH $pqChainCtes
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM pqranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
 
     "corpus_contamination" ->
