@@ -208,17 +208,36 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         normUdf(col(vecCol)).as("qnrm"))
-    val ranked = Dedup.fanout(emb.filter(corpusPred))
+    val scored = Dedup.fanout(emb.filter(corpusPred))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         normUdf(col(vecCol)).as("nnrm"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
+    rankTopK(scored, "cos_sim", k)
+  }
+
+  /** The shared ranking tail of every ANN path: heap-prune to the k
+    * best rows per query with the native [[graft.plans.TopK]] operator
+    * (partial per-partition heaps — the exchange carries at most
+    * |queries|·k rows per partition instead of the whole
+    * queries×candidates grain, which a rank window would shuffle AND
+    * sort), then rank the bounded survivor set with a window that
+    * reuses the heap's key clustering (no second exchange). Identical
+    * rows and ranks to the direct rank-window-≤-k form — same
+    * (score desc, neighbor_id) total order, same null placement — which
+    * is what keeps every oracle row hash-stable. Memory contract: the
+    * heap holds |queries-in-partition|·k id+score rows (vectors are
+    * projected away first); every caller broadcasts its query set, so
+    * that product is bounded by construction. */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("neighbor_id"), col(scoreCol)),
+      Seq("query_id"), Seq(scoreCol -> true, "neighbor_id" -> false), k)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", scoreCol)
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
@@ -399,8 +418,17 @@ object Similarity {
             floor(x.cast("double") * 127.0 / p.getField("s") + 0.5).cast("long"))),
         1).as("codes"))
 
-  /** Integer dot product / squared norm over code arrays — exact. */
-  private def dotQ(a: Column, b: Column): Column =
+  /** Integer dot product / squared norm over code arrays — exact, via
+    * the native codegen kernel ([[VectorExpr.dotL]]; integer sums are
+    * associative so the value equals the HOF fold [[dotQHof]], which is
+    * kept as the spec's equivalence witness). The kernel is the
+    * difference between compressed-domain scoring beating the float
+    * path and losing to it: at a 200k-corpus probe the interpreted HOF
+    * made SQ8 2.6× slower than brute force. */
+  private def dotQ(a: Column, b: Column): Column = VectorExpr.dotL(a, b)
+
+  /** The builtin-HOF twin of [[dotQ]] — equivalence-tested witness. */
+  private[graft] def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
   /** Brute-force top-k over SQ8 codes — same plan shape as
@@ -417,17 +445,13 @@ object Similarity {
       .withColumn("qnsq", dotQ(col("codes"), col("codes")))
       .filter(col("qnsq") > 0)
       .select(col(idCol).as("query_id"), col("codes").as("qcodes"), col("qnsq"))
-    val ranked = coded
+    val scored = coded
       .select(col(idCol).as("neighbor_id"), col("codes").as("ncodes"), col("nsq"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim_q",
         round(dotQ(col("qcodes"), col("ncodes")).cast("double") /
           (sqrt(col("qnsq").cast("double")) * sqrt(col("nsq").cast("double"))), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_q").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim_q")
+    rankTopK(scored, "cos_sim_q", k)
   }
 
   /** Deterministic-init k-means coarse quantizer for a real IVF index:
@@ -669,18 +693,16 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("qvec"))
       .withColumn("lut", lut)
       .select("query_id", "lut")
-    val approx = aggregate(
-      zip_with(col("lut"), col("codes"), (jarr, c) => element_at(jarr, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // Σ_j lut[j][codes[j]] via the native kernel — same index-order
+    // double fold as the aggregate/zip_with HOF (bit-identical), but it
+    // stays inside whole-stage codegen across the 10⁷-row candidate
+    // frame instead of re-entering the lambda interpreter per pair
+    val approx = VectorExpr.adcScoreF(col("lut"), col("codes"))
     val scored = pqCodes(Dedup.fanout(emb), idCol, vecCol, codebooks)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_score", approx)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "adc_score")
+    rankTopK(scored, "adc_score", topK)
   }
 
   /** PQ with exact re-ranking — the production pattern: the ADC pass over
@@ -710,11 +732,7 @@ object Similarity {
         Seq("neighbor_id"))
       .withColumn("cos_sim",
         cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    rankTopK(scored, "cos_sim", topK)
   }
 
   /** IVF-style top-k: probe only vectors in the query's coarse bucket
@@ -737,18 +755,14 @@ object Similarity {
   private def ivfRankJoin(emb: DataFrame, idCol: String, vecCol: String,
                           dataBucket: Column, queries: DataFrame,
                           k: Int): DataFrame = {
-    val ranked = Dedup.fanout(emb)
+    val scored = Dedup.fanout(emb)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         dataBucket.as("nbucket"), normUdf(col(vecCol)).as("nnrm"))
       .join(broadcast(queries),
         col("qbucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         cosineFast(col("qvec"), col("qnrm"), col("nvec"), col("nnrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    ranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    rankTopK(scored, "cos_sim", k)
   }
 
   /** Multi-probe IVF over a k-means quantizer (FAISS `nprobe`): the data

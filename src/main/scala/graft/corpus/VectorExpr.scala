@@ -21,6 +21,37 @@ object VectorOps {
     acc
   }
 
+  /** Exact integer dot over two `array<bigint>` code columns — the
+    * quantized (SQ8) twin of [[dot]]. Integer sums are associative, so
+    * the value is identical to the `aggregate(zip_with(...))` HOF fold
+    * it replaces regardless of order; the win is staying inside
+    * whole-stage codegen instead of re-entering the lambda interpreter
+    * per (query, candidate) pair. */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** ADC score: Σ_j lut[j][codes[j]] — the PQ asymmetric-distance sum
+    * over a per-query lookup table (array<array<double>>) and a
+    * candidate's m sub-quantizer codes (array<int>). SAME index-order
+    * left fold of doubles as the `aggregate(zip_with(...))` HOF form it
+    * replaces, so the result is bit-identical; entries are exact
+    * integer-valued doubles by the fixed-point PQ construction. */
+  def adcScore(lut: ArrayData, codes: ArrayData): Double = {
+    val m = math.min(lut.numElements(), codes.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
   def norm(a: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -81,6 +112,64 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
       s"${ev.value} = graft.corpus.VectorOps.dot($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+/** Native exact integer dot over two `array<bigint>` code columns —
+  * the SQ8 scoring hot path (see [[VectorOps.dotL]]): at 200k corpus ×
+  * 100 queries the interpreted HOF fold made compressed-domain scoring
+  * ~2.6× SLOWER than the float kernel despite touching 4× less data. */
+case class DotProductL(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_product_l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> on both sides, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.corpus.VectorOps.dotL($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductL =
+    copy(left = l, right = r)
+}
+
+/** Native PQ ADC score (see [[VectorOps.adcScore]]): the per-candidate
+  * m-lookup sum over the query's LUT, kept inside whole-stage codegen.
+  * CONTRACT: every codes[j] must index lut[j] (0 ≤ c < kSub) — the PQ
+  * pipeline guarantees it by construction (codes come from the same
+  * books the LUT is built over). */
+case class AdcScoreF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<int>), " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.adcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.corpus.VectorOps.adcScore($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScoreF =
     copy(left = l, right = r)
 }
 
@@ -438,6 +527,12 @@ object VectorExpr {
 
   def dotF(a: Column, b: Column): Column =
     bridge.column(DotProductF(bridge.expression(a), bridge.expression(b)))
+
+  def dotL(a: Column, b: Column): Column =
+    bridge.column(DotProductL(bridge.expression(a), bridge.expression(b)))
+
+  def adcScoreF(lut: Column, codes: Column): Column =
+    bridge.column(AdcScoreF(bridge.expression(lut), bridge.expression(codes)))
 
   def srpBucketF(v: Column, planes: Array[Array[Double]]): Column =
     bridge.column(SrpBucketF(bridge.expression(v), planes))

@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("dotL and adcScore kernels are value-identical to their HOF folds") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val codes = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextInt(255).toLong - 127),
+        Array.fill(16)(rnd.nextInt(8))))
+      .toDF("id", "lcodes", "icodes")
+    // integer dot: native kernel vs aggregate/zip_with fold
+    val pairs = codes.select($"id".as("i1"), $"lcodes".as("a"))
+      .crossJoin(codes.select($"id".as("i2"), $"lcodes".as("b")))
+    val dotDiff = pairs.select(
+      VectorExpr.dotL($"a", $"b").as("fast"),
+      Similarity.dotQHof($"a", $"b").as("hof"))
+      .filter($"fast" =!= $"hof")
+    assert(dotDiff.count() == 0)
+    // ADC: native kernel vs the element_at fold it replaced (same
+    // index-order double sum — must be bit-identical, not just close)
+    val lut = typedLit(Seq.tabulate(16, 8)((j, c) => (j * 31 + c * 7).toDouble))
+    val adcDiff = codes.select(
+      VectorExpr.adcScoreF(lut, $"icodes").as("fast"),
+      aggregate(zip_with(lut, $"icodes", (jarr, c) => element_at(jarr, c + 1)),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter($"fast" =!= $"hof")
+    assert(adcDiff.count() == 0)
+  }
+
   test("nearestCentroidL ≡ brute-force integer argmin incl. tie and second-best semantics") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
