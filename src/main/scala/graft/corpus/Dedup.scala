@@ -882,24 +882,29 @@ object Dedup {
     * (Ohlsson): priority = u / w with u = hash60(salt|id)/2^60, keep the n
     * smallest priorities per stratum. Longer/heavier docs are
     * proportionally more likely to survive, yet the draw is a pure
-    * DETERMINISTIC projection + one per-stratum window — the same rows on
-    * every run, every engine, any partitioning (no RNG). The window
-    * parallelizes per stratum; at 100 TB swap the full sort for a
-    * per-partition top-n pre-filter (TopKPerKey) feeding the same rank. */
+    * DETERMINISTIC projection — the same rows on every run, every
+    * engine, any partitioning (no RNG). Selection is a heap prune
+    * ([[graft.plans.TopK]]: partial per-partition heaps, so the
+    * exchange carries at most strata·n rows per partition — the sample
+    * size — instead of sorting the whole corpus per stratum) followed
+    * by a rank window over the bounded survivors; same (priority, id)
+    * total order as a direct window, so the drawn rows are identical. */
   def ppsSample(docs: DataFrame, idCol: String, stratumCol: String,
                 weight: Column, n: Int, salt: String): DataFrame = {
     val u = hash60(concat(lit(s"$salt|"), col(idCol).cast("string")))
       .cast("double") / lit(Sketches.TwoPow60)
     val priority = u / weight.cast("double")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(priority, col(idCol))
     // weight <= 0 or NULL = zero inclusion probability, i.e. NOT sampled.
     // Without this filter Spark's non-ANSI division turns u/0 into NULL,
     // which sorts FIRST in the ascending priority order — zero-weight
     // docs would fill the sample, the exact inverse of PPS.
-    docs.filter(weight > 0)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= n).drop("_rn")
+    val kept = graft.plans.TopK.perKey(
+      docs.filter(weight > 0).withColumn("_pps_prio", priority),
+      Seq(stratumCol), Seq("_pps_prio" -> false, idCol -> false), n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("_pps_prio"), col(idCol))
+    kept.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn", "_pps_prio")
   }
 
   /** The end of the dedup story: the kept corpus. Every doc except
