@@ -3088,9 +3088,12 @@ object CorpusQueries {
       val segLen = qvec.length / maxsimSegs
       val qsegs: Array[Array[Long]] = qvec.grouped(segLen).toArray
       val xf = fp(col("embedding"))
+      // native integer dot (exact, associative — value-identical to the
+      // HOF fold the oracle replays); the interpreted zip_with form
+      // re-entered the lambda interpreter per (doc, query-segment, doc-
+      // segment) triple across the whole corpus scan
       def dot(seg: Column, q: Array[Long]): Column =
-        aggregate(zip_with(seg, lit(q), (a, b) => a * b),
-          lit(0L), (acc, t) => acc + t)
+        graft.corpus.VectorExpr.dotL(seg, typedLit(q.toSeq))
       val score = qsegs.map { q =>
         greatest((0 until maxsimSegs).toIndexedSeq
           .map(s => dot(slice(xf, s * segLen + 1, segLen), q)): _*)
