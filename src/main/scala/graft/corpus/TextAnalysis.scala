@@ -203,13 +203,6 @@ object TextAnalysis {
     when(length(text) === 0, lit(0.0)).otherwise(
       matchCount(text, "[^a-zA-Z0-9\\s]").cast("double") / length(text).cast("double"))
 
-  def meanTokenLen(text: Column): Column = {
-    val n = nTokens(text)
-    when(n === 0, lit(0.0)).otherwise(
-      aggregate(transform(tokens(text), t => length(t).cast("long")), lit(0L), _ + _)
-        .cast("double") / n.cast("double"))
-  }
-
   /** Score = mean of three [0,1] signals: length window, stopword presence,
     * alnum cleanliness. Thresholds mirror common corpus-filtering rules. */
   def qualityScore(text: Column): Column = {
