@@ -474,6 +474,19 @@ class PlanSpec extends SparkTestBase {
       "register/rho projection must run inside WholeStageCodegen")
   }
 
+  test("ANN top-k tails prune through partial/final heaps, never a candidate-grain sort") {
+    // the r15 rankTopK architecture: the queries×candidates grain is
+    // heap-pruned (≤ queries·k rows per partition reach the exchange)
+    // and only the bounded survivor set is rank-windowed — a SortExec
+    // over the candidate grain is the regression this pins against
+    for (name <- Seq("ann_topk_brute", "ann_topk_sq8", "ann_topk_pq")) {
+      val nodes = executedNodes(q(name))
+      val topk = nodes.collect { case t: graft.plans.TopKPerKeyExec => t }
+      assert(topk.exists(_.partial) && topk.exists(!_.partial),
+        s"$name: expected partial+final TopKPerKeyExec, got ${topk.size}")
+    }
+  }
+
   test("corpus_domain_cap: the cap runs through the native partial/final top-k heaps") {
     val nodes = executedNodes(q("corpus_domain_cap"))
     // partial heap before the exchange + final heap after: at most N
