@@ -7,8 +7,10 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir> [q1,q2,...]
 The optional third arg restricts the check to those queries (matching
 Verify's own query-list arg for targeted runs).
 """
+import glob
 import json
 import math
+import os
 import re
 import sys
 
@@ -22,6 +24,20 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# Key symmetry: every dumped query result must have an oracle and vice
+# versa — an orphaned side silently weakens the gate to a rows-only (or
+# no) check for that name. Skipped under a targeted query list, where
+# the dump is intentionally partial.
+if only is None:
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{outdir}/*/")}
+    missing_oracle = sorted(dumped - set(oracle))
+    missing_query = sorted(set(oracle) - dumped)
+    if missing_oracle or missing_query:
+        print(f"FAIL <symmetry>: queries without oracle {missing_oracle}; "
+              f"oracles without dumped query {missing_query}")
+        sys.exit(1)
 
 def norm(v):
     if isinstance(v, float):
