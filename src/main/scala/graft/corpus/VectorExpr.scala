@@ -445,6 +445,45 @@ object SemContamOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nHits, if (nHits == 0L) 0.0 else round6(maxRaw)))
   }
+
+  /** The INDICES of eval vectors with rounded cosine ≥ threshold against
+    * `v` — [[hits]] with identity instead of count, for consumers that
+    * need to know WHICH eval vectors matched (streaming semantic
+    * admission: the store streams once, the arriving batch rides along
+    * as the eval matrix, and the union of returned indices is the
+    * refused set). Same boundary-band rounding and zero-norm (NaN ⇒ no
+    * hit) semantics as [[hits]]; usually empty, so the per-row
+    * allocation is one empty array. */
+  def hitIds(v: ArrayData, evs: Array[Array[Float]], evNorms: Array[Double],
+             threshold: Double): ArrayData = {
+    val n = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    nv = math.sqrt(nv)
+    val tLo = threshold - 1e-6
+    val tHi = threshold + 1e-6
+    var out: java.util.ArrayList[Any] = null
+    var j = 0
+    while (j < evs.length) {
+      val e = evs(j)
+      if (e.length != n) throw new IllegalArgumentException(
+        s"eval vector dim ${e.length} != corpus vector dim $n")
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += v.getFloat(k).toDouble * e(k).toDouble; k += 1 }
+      val c = acc / (nv * evNorms(j))
+      if (c >= tHi || (c >= tLo && round6(c) >= threshold)) {
+        if (out == null) out = new java.util.ArrayList[Any](4)
+        out.add(j)
+      }
+      j += 1
+    }
+    if (out == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Per-row semantic-contamination rollup as a native expression: the
@@ -489,6 +528,43 @@ case class SemContamHitsF(child: Expression, evalVecs: Array[Array[Float]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): SemContamHitsF =
+    copy(child = newChild)
+}
+
+/** Per-row semantic-hit IDENTITY as a native expression — the
+  * [[SemContamHitsF]] sibling returning the matching eval indices
+  * (array<int>, usually empty) instead of a count. Same reference-object
+  * pattern, same optimizer fence (the caller filters on the result;
+  * left deterministic, Catalyst would push a duplicated copy of the
+  * whole eval-matrix loop into the scan stage). */
+case class SemHitIdsF(child: Expression, evalVecs: Array[Array[Float]],
+                      threshold: Double)
+    extends UnaryExpression {
+  private lazy val evalNorms: Array[Double] = SemContamOps.norms(evalVecs)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "sem_hit_ids_f"
+
+  override lazy val deterministic: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SemContamOps.hitIds(a.asInstanceOf[ArrayData], evalVecs, evalNorms, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("evalVecs", evalVecs, "float[][]")
+    val nRef = ctx.addReferenceObj("evalNorms", evalNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.corpus.SemContamOps.hitIds($a, $vRef, $nRef, $threshold);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SemHitIdsF =
     copy(child = newChild)
 }
 
@@ -553,4 +629,8 @@ object VectorExpr {
   def semContamHitsF(v: Column, evalVecs: Array[Array[Float]],
                      threshold: Double): Column =
     bridge.column(SemContamHitsF(bridge.expression(v), evalVecs, threshold))
+
+  def semHitIdsF(v: Column, evalVecs: Array[Array[Float]],
+                 threshold: Double): Column =
+    bridge.column(SemHitIdsF(bridge.expression(v), evalVecs, threshold))
 }

@@ -451,6 +451,11 @@ object CorpusQueries {
   val pqIters = 3
   val pqShortlist = 50
   val pqScaleSql = 1048576 // = Similarity.pqScale (2^20 fixed-point)
+  /** Streaming semantic-admission cosine threshold — 0.35 refuses a
+    * meaningful-but-not-collapsing fraction on the near-random fixture
+    * (measured: 271 global pairs at sf0.01, 4,137 at sf0.1). */
+  val semIngestThreshold = 0.35
+
   /** PQ TRAINING sample: hash60(vec_id) mod this == 0 (the dedup_lsh_eval
     * sampling discipline). A production PQ trainer never Lloyd-iterates
     * the corpus to fit a few-KB model; codes/ADC still cover every
@@ -2334,6 +2339,54 @@ object CorpusQueries {
           countDistinct(col("source")).as("n_sources"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
+        .orderBy("wave")
+    }),
+
+    // Streaming SEMANTIC-dup admission under the ORACLE gate — the
+    // embedding-cosine member of the ingest-dedup matrix (exact digest /
+    // shingle-Jaccard / cosine): four waves arrive through a real file
+    // source, each admitting only vectors with NO rounded-cosine ≥ t
+    // neighbor among the PREVIOUSLY ADMITTED vectors (store as of batch
+    // start; within-wave dups all admit; a dup only of a REJECT admits).
+    // Admission scans the store once per batch with the arriving batch
+    // riding along as a codegen reference object (SemHitIdsF) — no join
+    // rows, no shuffle. The pair relation is store-independent, so the
+    // DuckDB twin computes ONE global cosine pair set and replays
+    // sequential admission as four chained NOT-EXISTS CTEs.
+    "stream_semdedup_ingest" -> ((spark, dir) => {
+      def scratch(tag: String): String =
+        Scratch.dir(spark, s"graft_semstream_$tag", dir)
+      val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
+      val ckpt = scratch("ckpt")
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      val dropFs = new org.apache.hadoop.fs.Path(dropDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime0 = System.currentTimeMillis() - 60000L
+      (0 until 4).foreach { w =>
+        e.filter(pmod(col("vec_id"), lit(4L)) === w).coalesce(1)
+          .write.parquet(s"$dropDir/wave$w")
+        dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
+      }
+      graft.streaming.StreamTuning.withStreamingConf(spark) {
+        val q = spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dropDir/wave*")
+          .writeStream
+          .foreachBatch(graft.streaming.SemDedupIngest.admitLoop(
+            "vec_id", "embedding", semIngestThreshold, corpusDir) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+      }
+      spark.read.schema(e.schema).parquet(s"$corpusDir/batch=*")
+        .withColumn("wave", pmod(col("vec_id"), lit(4L)))
+        .groupBy("wave").agg(
+          count(lit(1)).as("n_admitted"),
+          sum(col("vec_id")).as("sum_vec"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
         .orderBy("wave")
     }),
 
@@ -6872,6 +6925,42 @@ object CorpusQueries {
          |       min(doc_id) AS min_doc,
          |       max(doc_id) AS max_doc
          |FROM w JOIN adm USING (doc_id)
+         |GROUP BY wave ORDER BY wave""".stripMargin,
+
+    // Global rounded-cosine pair set (store-independent, exactly the
+    // kernel's sequential-fold arithmetic) + the same four chained
+    // NOT-EXISTS admission CTEs as the near-dup twin.
+    "stream_semdedup_ingest" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), ed AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |  WHERE round($cosDot / (a.nrm * b.nrm), 6) >= $semIngestThreshold
+         |),
+         |w AS (SELECT vec_id, vec_id % 4 AS wave FROM embeddings),
+         |a0 AS (SELECT vec_id FROM w WHERE wave = 0),
+         |a1 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |a01 AS (SELECT vec_id FROM a0 UNION ALL SELECT vec_id FROM a1),
+         |a2 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |a012 AS (SELECT vec_id FROM a01 UNION ALL SELECT vec_id FROM a2),
+         |a3 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |adm AS (SELECT vec_id FROM a012 UNION ALL SELECT vec_id FROM a3)
+         |SELECT wave,
+         |       count(*) AS n_admitted,
+         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec,
+         |       min(vec_id) AS min_vec,
+         |       max(vec_id) AS max_vec
+         |FROM w JOIN adm USING (vec_id)
          |GROUP BY wave ORDER BY wave""".stripMargin,
 
     // The twin recomputes the clean-row stats straight from `documents`

@@ -567,6 +567,45 @@ class StreamingSpec extends SparkTestBase {
       s"guard must name the missing sidecar, got: ${e.getMessage}")
   }
 
+  test("semantic ingest loop: cosine-dups refused, dup-of-reject admitted, replay converges") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    val corpusDir = Files.createTempDirectory("graft-sem-ingest").toString + "/c"
+    def vec(xs: Float*) = xs.toArray
+    // base vector, a near-parallel copy (cos ≈ 0.9999), an orthogonal
+    // one, and a copy-of-the-copy (semantic dup of a future REJECT)
+    val b0 = Seq((1L, vec(1f, 0f, 0f), "s"), (2L, vec(0f, 1f, 0f), "s"))
+      .toDF("vec_id", "embedding", "source")
+    val b1 = Seq(
+      (10L, vec(0.999f, 0.01f, 0f), "s"),  // semantic dup of 1 -> refused
+      (11L, vec(0f, 0f, 1f), "s"))         // orthogonal -> admitted
+      .toDF("vec_id", "embedding", "source")
+    val b2 = Seq(
+      // dup of REJECTED 10 (and of stored 1) -> still refused via 1
+      (20L, vec(0.998f, 0.02f, 0f), "s"),
+      // within-batch pair: both admit (store as of batch start)
+      (21L, vec(0.5f, 0.5f, 0.5f), "s"),
+      (22L, vec(0.51f, 0.5f, 0.5f), "s"))
+      .toDF("vec_id", "embedding", "source")
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir) _
+    loop(b0, 0L); loop(b1, 1L); loop(b2, 2L)
+    def admitted(): Set[Long] =
+      SemDedupIngest.storeVectors(spark, corpusDir, b0.schema)
+        .select($"vec_id").as[Long].collect().toSet
+    assert(admitted() == Set(1L, 2L, 11L, 21L, 22L))
+    // replay of the LAST batch converges (engine contract: only the
+    // last uncommitted batch redelivers)
+    loop(b2, 2L)
+    assert(admitted() == Set(1L, 2L, 11L, 21L, 22L))
+    // restarted checkpoint refused
+    val e = intercept[IllegalArgumentException] { loop(b0, 0L) }
+    assert(e.getMessage.contains("restarted checkpoint"))
+    // zero-norm vectors admit (cosine undefined => no hit, both sides)
+    loop(Seq((30L, vec(0f, 0f, 0f), "s"), (31L, vec(1f, 0f, 0f), "s"))
+      .toDF("vec_id", "embedding", "source"), 3L)
+    assert(admitted().contains(30L) && !admitted().contains(31L))
+  }
+
   test("near-dup postings store refuses an incompatible shingle size") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
