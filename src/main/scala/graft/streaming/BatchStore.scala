@@ -45,12 +45,16 @@ object BatchStore {
 
   /** Take-once stamp: atomically claim `file` with `content` and return
     * whatever the file holds AFTER the claim — `content` if this caller
-    * won, the earlier writer's text otherwise. `fs.create(overwrite =
-    * false)` is atomic on HDFS-like filesystems, so two racing
-    * first-users cannot both believe they own the stamp (an
-    * exists-then-create(true) sequence lets the last writer silently
-    * take it — the TOCTOU ArtifactPublish's lock already closes).
-    * Callers `require` the returned text matches what they expect. */
+    * won, the earlier writer's text otherwise. The content is written to
+    * a hidden temp sibling first and the CLAIM is
+    * `rename(temp, file)` — atomic and non-overwriting on HDFS-like
+    * filesystems — so the stamp is only ever observable COMPLETE. (The
+    * r15 form claimed with `create(overwrite = false)`: the claim was
+    * atomic but the content write+close was not, so a racer that lost
+    * and read back immediately could see an empty/partial stamp and fail
+    * its `require` with a misleading value — fail-safe, but masking the
+    * real conflict.) Callers `require` the returned text matches what
+    * they expect. */
   def takeOnceStamp(spark: SparkSession, file: org.apache.hadoop.fs.Path,
                     content: String): String = {
     val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,14 +66,28 @@ object BatchStore {
     if (fs.exists(file)) readBack()
     else {
       fs.mkdirs(file.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(file.getParent,
+        s"._tmp_${file.getName}_${java.util.UUID.randomUUID}")
       try {
-        val out = fs.create(file, false)
+        val out = fs.create(tmp, false)
         try out.write(content.getBytes("UTF-8")) finally out.close()
-        content
+        // On HDFS the old-API rename refuses an existing destination
+        // (returns false) — an atomic claim. RawLocalFileSystem maps to
+        // POSIX rename, which OVERWRITES — so the local-FS uniqueness
+        // window is the same TOCTOU the create form had; but rename is
+        // atomic even when overwriting, so a reader NEVER observes
+        // partial content on either filesystem (the property this form
+        // buys). The exists() here narrows the local window.
+        if (fs.exists(file)) readBack()
+        else if (fs.rename(tmp, file)) content
+        else readBack()
       } catch {
-        // lost the create race (or the file appeared between exists and
-        // create): the stamp is whatever the winner wrote
+        // the file appeared between exists and rename on a filesystem
+        // that errors instead of returning false
         case _: java.io.IOException => readBack()
+      } finally {
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        ()
       }
     }
   }

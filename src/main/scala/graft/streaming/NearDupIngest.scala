@@ -60,8 +60,27 @@ object NearDupIngest {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       k: Int): Unit = {
     val want = postingsMetaContent(k)
-    val got = BatchStore.takeOnceStamp(spark,
-      new org.apache.hadoop.fs.Path(postingsDir(corpusDir), "_meta"), want)
+    val meta = new org.apache.hadoop.fs.Path(postingsDir(corpusDir), "_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the stamp may only be AUTO-claimed on a genuinely fresh store: a
+    // pre-stamp-layout store (batches exist, _meta absent) must NOT let
+    // the first post-upgrade loop claim it with ITS OWN parameters — a
+    // wrong k would legitimize exactly the cross-shingle-space join the
+    // stamp exists to refuse. Require an explicit migration instead.
+    if (!fs.exists(meta)) {
+      def hasBatches(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+      }
+      require(!hasBatches(postingsDir(corpusDir)) && !hasBatches(corpusDir),
+        s"near-dup store at $corpusDir predates the postings _meta stamp " +
+          "(admitted batches exist but no compatibility stamp) — its " +
+          "shingle parameters are unverifiable; if the store was built " +
+          s"with these exact parameters, stamp it explicitly " +
+          s"(write '$want' to $meta), otherwise rebuild the postings")
+    }
+    val got = BatchStore.takeOnceStamp(spark, meta, want)
     require(got == want,
       s"postings store at ${postingsDir(corpusDir)} was built as '$got' " +
         s"but this loop runs as '$want' — joining across shingle spaces " +

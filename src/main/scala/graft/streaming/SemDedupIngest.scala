@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.corpus.VectorExpr
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /**
  * Streaming SEMANTIC-duplicate admission — the embedding-cosine member
@@ -12,83 +13,459 @@ import org.apache.spark.sql.functions._
  * a paraphrase shares no shingles but lands next to its source in
  * embedding space).
  *
- * THE STORE STREAMS ONCE PER BATCH AND THE BATCH RIDES ALONG AS A
- * CODEGEN REFERENCE OBJECT: admission scans the admitted-vector store
- * with the arriving batch as the kernel's eval matrix
- * ([[VectorExpr.semHitIdsF]] — the [[graft.corpus.Similarity
- * .semanticContamination]] shape), emitting the indices of batch
- * vectors that hit. No join rows materialize (the broadcast
- * nested-loop form measured ~50× slower at the 500k probe for the
- * contamination twin), no shuffle — one fused projection over the
- * store, then a driver-side index union (bounded by the BATCH size).
- * Per-batch cost is O(store·batchDim) compute on a single pass; at
- * 100 TB the production refinement is an IVF/SQ8-pruned candidate scan
- * re-verified with exact cosine — the admission CONTRACT (exact
- * rounded-cosine threshold vs the store as of batch start) stays the
- * one thing the oracle replays.
+ * THE STORE IS CELL-BUCKETED AND A BATCH PROBES ONLY THE CELLS THAT
+ * COULD HOLD A HIT. Admitted vectors are written twice: the caller's
+ * rows to `batch=<id>/` (the corpus, caller schema untouched) and an
+ * (id, vec) sidecar to `_cells/batch=<id>/cell=<c>/`, partitioned by
+ * the vector's nearest TRAIN-ONCE unit centroid (the underscore prefix
+ * hides the index from corpus readers — the [[NearDupIngest]] postings
+ * pattern). Each batch also appends a per-cell summary (`_cells/
+ * _summary/batch=<id>/`: cell, max squared unit-sphere distance of its
+ * members to the cell centroid, count). Admission then reads ONLY the
+ * cell partitions whose triangle-inequality bound can reach the
+ * threshold: for a batch unit vector q̂ and a cell with unit centroid ĉ
+ * and member radius r, every member x̂ satisfies
+ * `cos(q,x) = 1 − ‖q̂−x̂‖²/2 ≤ 1 − max(0, ‖q̂−ĉ‖−r)²/2`, so a cell whose
+ * bound falls below `threshold − slack` for EVERY batch vector cannot
+ * contain a hit and its files are never opened (parquet partition
+ * pruning). The surviving candidates flow through the SAME exact
+ * rounded-cosine kernel as before ([[VectorExpr.semHitIdsF]], the batch
+ * riding along as a codegen reference object — no join rows, no
+ * shuffle), so this is EXACT pruning, not an approximate index: the
+ * admission decisions are identical to a full store scan at any scale,
+ * by construction (the r15 verdict sketched a fixed-nprobe probe; that
+ * shape can silently admit a true semantic dup sitting in cell
+ * nprobe+1, which a hash-gated oracle replay would catch — the bound
+ * form keeps the sublinear scan AND the contract). Per-batch cost is
+ * O(members of probed cells); prune strength rises with the admission
+ * threshold and cluster coherence (at the SemDeDup-typical t ≥ 0.9
+ * almost every cell prunes; at a loose t most survive — but never more
+ * than the old full scan).
+ *
+ * Centroids are trained ONCE per store — driver-side spherical k-means
+ * on the first non-empty batch's unit vectors (deterministic: seeds =
+ * the k smallest-id vectors, fixed iterations, ties to the lower index)
+ * — and claimed atomically via [[BatchStore.takeOnceStamp]]; every
+ * later batch loads the claimed text. Immutability is what makes the
+ * pruning sound: the summaries' radii are measured against the SAME
+ * centroids the probe bounds use. Data drift can only degrade prune
+ * RATE, never correctness.
  *
  * Replay discipline mirrors [[IngestDedup.admitLoop]]: admission is
  * judged against the store AS OF batch start (within-batch semantic
  * dups all admit), per-batch directories overwrite on replay, a
- * replayed batch excludes its own previous partition, and a restarted
- * checkpoint re-numbering batches from 0 is refused.
+ * replayed batch excludes its own previous partition (corpus, cells and
+ * summaries), and a restarted checkpoint re-numbering batches from 0 is
+ * refused.
  */
 object SemDedupIngest {
 
+  /** Hidden cell-bucketed (id, vec) index beside the corpus. */
+  def cellsDir(corpusDir: String): String = s"$corpusDir/_cells"
+
+  /** Per-batch per-cell radius summaries (tiny — ≤ cells rows/batch). */
+  def summaryDir(corpusDir: String): String = s"${cellsDir(corpusDir)}/_summary"
+
+  private def centroidsPath(corpusDir: String) =
+    new org.apache.hadoop.fs.Path(cellsDir(corpusDir), "_centroids")
+
+  /** Layout version stamp — bump on ANY change to the sidecar shape. */
+  private val cellsMetaContent = "metric=cosine;layout=cell-parquet;v=1"
+
+  /** Probe-bound slack: the kernel admits at `cos ≥ threshold − 1e-6`
+    * (its exact-rounding boundary band), and the driver-side bound
+    * arithmetic on doubles carries its own ulps — 1e-4 dominates both
+    * by two orders of magnitude. Cost: a boundary cell is occasionally
+    * scanned and re-verified to no effect; never a missed hit. */
+  private val probeSlack = 1e-4
+
+  private val cellRowSchema = StructType(Seq(
+    StructField("_id", LongType),
+    StructField("_vec", ArrayType(FloatType))))
+  private val summarySchema = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("max_r2", DoubleType),
+    StructField("n", LongType)))
+
   /** Admitted-vector store (BatchStore `batch=<id>/` layout). */
-  def storeVectors(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
-                   schema: org.apache.spark.sql.types.StructType,
+  def storeVectors(spark: SparkSession, corpusDir: String,
+                   schema: StructType,
                    excludeBatch: Option[Long] = None): DataFrame =
     BatchStore.read(spark, corpusDir, schema, excludeBatch)
 
-  /** Batch rows with NO stored vector at rounded cosine ≥ `threshold`.
-    * The batch is collected (hard-capped — micro-batches are bounded by
-    * construction; the cap is the loud fence against a misconfigured
-    * trigger) and scanned against the store as the kernel's eval
-    * matrix. Zero-norm batch vectors admit (cosine undefined ⇒ no hit —
-    * the shared NaN⇒no-hit contract); zero-norm STORE vectors refuse
-    * nothing for the same reason. */
-  def admitAgainstStore(store: DataFrame, batch: DataFrame, idCol: String,
-                        vecCol: String, threshold: Double,
-                        maxBatch: Int = 1 << 20): DataFrame = {
-    val rows = batch.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull).collect()
-    require(rows.length <= maxBatch,
-      s"micro-batch has ${rows.length} vectors — beyond the $maxBatch " +
-        "driver-resident cap; shrink the trigger or raise the cap")
-    if (rows.isEmpty) return batch
-    val ids: Array[Long] = rows.map(_.getLong(0))
-    val evs: Array[Array[Float]] = rows.map(_.getSeq[Float](1).toArray)
-    // one fused pass over the store: per store row, the indices of batch
-    // vectors at ≥ threshold (usually empty) — exploded and distinct'd,
-    // the result is bounded by the batch size
-    val hitIdx = store
-      .select(explode(VectorExpr.semHitIdsF(col(vecCol), evs, threshold))
-        .as("_idx"))
-      .distinct().collect().map(_.getInt(0))
-    val refused = hitIdx.map(ids(_)).toSet
-    if (refused.isEmpty) batch
+  // ---------------------------------------------------------------- //
+  // driver-side geometry (the batch is driver-resident by contract)   //
+  // ---------------------------------------------------------------- //
+
+  /** Unit vector in doubles, or null for a zero-norm input (cosine
+    * undefined ⇒ the row can neither hit nor be hit — the kernel's
+    * NaN⇒no-hit contract). */
+  private def unitOrNull(v: Array[Float]): Array[Double] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+    if (acc == 0.0) null
     else {
-      val refusedDf = batch.sparkSession
-        .createDataFrame(
-          batch.sparkSession.sparkContext
-            .parallelize(refused.toSeq.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(idCol,
-              org.apache.spark.sql.types.LongType))))
-      batch.join(broadcast(refusedDf), Seq(idCol), "left_anti")
+      val n = math.sqrt(acc)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i).toDouble / n; i += 1 }
+      out
     }
   }
 
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"vector dim ${a.length} != centroid dim ${b.length} — the store " +
+        "was bucketed for a different embedding model")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Nearest centroid by unit-sphere distance, ties to the lower index
+    * (any consistent assignment is CORRECT — the radius is measured
+    * against whatever cell the member landed in; the rule only shapes
+    * prune quality). */
+  private def nearestCell(u: Array[Double],
+                          cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = sqDist(u, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic driver-side spherical k-means over the first batch's
+    * unit vectors: seeds = the k smallest-id vectors, `iters` Lloyd
+    * rounds (mean, re-normalized; an empty or cancelled-out cell keeps
+    * its previous centroid). Driver math on a driver-resident batch —
+    * no Spark jobs, bit-reproducible across runs. */
+  private[graft] def trainCentroids(
+      idsAndUnits: Array[(Long, Array[Double])], k: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val sorted = idsAndUnits.sortBy(_._1)
+    var cents = sorted.take(k).map(_._2.clone())
+    for (_ <- 1 to iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sorted.foreach { case (_, u) =>
+        val c = nearestCell(u, cents)
+        var i = 0
+        while (i < dim) { sums(c)(i) += u(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (counts(c) == 0L) prev
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) prev else m.map(_ / n)
+        }
+      }
+    }
+    cents
+  }
+
+  /** `Double.toString`/`toDouble` round-trips exactly, so the claimed
+    * text IS the model — every reader reconstructs bit-identical
+    * centroids, which the pruning soundness requires. */
+  private def serializeCentroids(cents: Array[Array[Double]]): String =
+    s"v=1;k=${cents.length};dim=${cents(0).length}\n" +
+      cents.map(_.mkString(",")).mkString("\n")
+
+  private def parseCentroids(text: String): Array[Array[Double]] = {
+    val lines = text.split("\n")
+    require(lines.head.startsWith("v=1;"),
+      s"unrecognized centroid stamp header '${lines.head.take(40)}'")
+    lines.tail.map(_.split(",").map(_.toDouble))
+  }
+
+  /** The cells a batch must probe: keep cell c iff SOME batch unit
+    * vector's triangle bound `1 − max(0, ‖q̂−ĉ‖−r_c)²/2` reaches
+    * `threshold − slack`. Iterates batch-major with an early exit once
+    * every populated cell is in — at loose thresholds (probe-everything
+    * regime) this is O(first vector · k), at tight ones O(batch · k). */
+  private[graft] def probeCells(
+      cents: Array[Array[Double]], radius: Map[Int, Double],
+      batchUnits: Array[Array[Double]], threshold: Double): Set[Int] = {
+    val need = threshold - probeSlack
+    val out = scala.collection.mutable.Set[Int]()
+    val all = radius.keySet
+    var i = 0
+    while (i < batchUnits.length && out.size < all.size) {
+      val q = batchUnits(i)
+      if (q != null) all.foreach { c =>
+        if (!out.contains(c)) {
+          val d = math.max(0.0, math.sqrt(sqDist(q, cents(c))) - radius(c))
+          if (1.0 - d * d / 2.0 >= need) { out += c; () }
+        }
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  // ---------------------------------------------------------------- //
+  // batch collection + the exact admission kernel                     //
+  // ---------------------------------------------------------------- //
+
+  private[streaming] final case class BatchVecs(
+      ids: Array[Long], vecs: Array[Array[Float]])
+
+  /** Collect the micro-batch driver-side (hard-capped — micro-batches
+    * are bounded by construction; the cap is the loud fence against a
+    * misconfigured trigger). NULL ids or NULL vectors are REFUSED
+    * LOUDLY: a NULL-vector row can never be refused by admission nor
+    * refuse a future arrival — waving it into the store silently
+    * degrades the dedup invariant (zero-NORM vectors are different:
+    * well-defined rows whose cosine is undefined, admitted by the
+    * shared NaN⇒no-hit contract). */
+  private def collectBatch(batch: DataFrame, idCol: String, vecCol: String,
+                           maxBatch: Int): BatchVecs = {
+    val rows = batch.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.length <= maxBatch,
+      s"micro-batch has ${rows.length} vectors — beyond the $maxBatch " +
+        "driver-resident cap; shrink the trigger or raise the cap")
+    val nNullId = rows.count(_.isNullAt(0))
+    val nNullVec = rows.count(_.isNullAt(1))
+    require(nNullId == 0 && nNullVec == 0,
+      s"micro-batch carries $nNullId NULL-$idCol and $nNullVec " +
+        s"NULL-$vecCol rows — a NULL-vector row cannot participate in " +
+        "semantic admission (it would enter the store unexamined and " +
+        "never refuse a future duplicate); filter or embed them upstream")
+    BatchVecs(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Ids of batch vectors with a stored vector at rounded cosine ≥
+    * threshold: one fused kernel pass over `store` with the batch as
+    * the eval matrix — per store row, the indices of batch vectors at
+    * ≥ threshold (usually empty), exploded and distinct'd; the result
+    * is bounded by the batch size. */
+  private def refusedIds(store: DataFrame, vecCol: String, bv: BatchVecs,
+                         threshold: Double): Set[Long] = {
+    val hitIdx = store
+      .select(explode(VectorExpr.semHitIdsF(col(vecCol), bv.vecs, threshold))
+        .as("_idx"))
+      .distinct().collect().map(_.getInt(0))
+    hitIdx.map(bv.ids(_)).toSet
+  }
+
+  private def antiJoinRefused(batch: DataFrame, idCol: String,
+                              refused: Set[Long]): DataFrame =
+    if (refused.isEmpty) batch
+    else {
+      val refusedDf = batch.sparkSession.createDataFrame(
+        batch.sparkSession.sparkContext
+          .parallelize(refused.toSeq.map(Row(_)), 1),
+        StructType(Seq(StructField(idCol, LongType))))
+      batch.join(broadcast(refusedDf), Seq(idCol), "left_anti")
+    }
+
+  /** Batch rows with NO stored vector at rounded cosine ≥ `threshold` —
+    * the EXACT full-scan reference form (the cell-pruned [[admitLoop]]
+    * path must be decision-identical to this at any store size; the
+    * spec pins that equivalence). Zero-norm batch vectors admit (cosine
+    * undefined ⇒ no hit — the shared NaN⇒no-hit contract); zero-norm
+    * STORE vectors refuse nothing for the same reason. NULL id/vector
+    * rows are refused loudly (see [[collectBatch]]). */
+  def admitAgainstStore(store: DataFrame, batch: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double,
+                        maxBatch: Int = 1 << 20): DataFrame = {
+    val bv = collectBatch(batch, idCol, vecCol, maxBatch)
+    if (bv.ids.isEmpty) return batch
+    antiJoinRefused(batch, idCol, refusedIds(store, vecCol, bv, threshold))
+  }
+
+  // ---------------------------------------------------------------- //
+  // the cell-bucketed store                                           //
+  // ---------------------------------------------------------------- //
+
+  /** The cell index as a frame (schema `_id, _vec` + partitions
+    * `batch, cell`); absent/fileless → empty. */
+  private def readCells(spark: SparkSession, corpusDir: String): DataFrame = {
+    val dir = cellsDir(corpusDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasBatches)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        cellRowSchema.add("batch", LongType).add("cell", IntegerType))
+    else
+      spark.read
+        .schema(cellRowSchema.add("batch", LongType).add("cell", IntegerType))
+        .parquet(dir)
+  }
+
+  /** Per-cell global radius (max over batch summaries) + member counts.
+    * Tiny: ≤ cells rows per admitted batch. */
+  private def cellRadii(spark: SparkSession, corpusDir: String,
+                        excludeBatch: Long): Map[Int, Double] =
+    BatchStore.read(spark, summaryDir(corpusDir), summarySchema,
+        Some(excludeBatch))
+      .groupBy(col("cell")).agg(max(col("max_r2")).as("r2"))
+      .collect()
+      .map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
+
+  /** Load the store's centroids, training + claiming them from THIS
+    * batch if the store has none yet (first non-empty batch with a
+    * non-zero vector). Returns None while no trainable vector has ever
+    * arrived — every row so far is zero-norm, cell −1. */
+  private def loadOrTrainCentroids(
+      spark: SparkSession, corpusDir: String, units: Array[Array[Double]],
+      cells: Int): Option[Array[Array[Double]]] = {
+    val path = centroidsPath(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      Some(parseCentroids(BatchStore.takeOnceStamp(spark, path, "")))
+    else {
+      val trainable = units.zipWithIndex.collect {
+        case (u, i) if u != null => (i.toLong, u)
+      }
+      if (trainable.isEmpty) None
+      else {
+        val k = math.min(cells, trainable.length)
+        val mine = serializeCentroids(trainCentroids(trainable, k))
+        // parse the CLAIMED text (a racing loop may have won) — both
+        // racers end up pruning against the same immutable model
+        Some(parseCentroids(BatchStore.takeOnceStamp(spark, path, mine)))
+      }
+    }
+  }
+
+  /** Pre-stamp/migration guard: the stamp may only be auto-claimed on a
+    * genuinely fresh store — a corpus with admitted batches but no
+    * `_cells` layout (r15 full-scan layout, or a deleted index) has
+    * unverifiable geometry; admitting against a partial index would
+    * silently accept semantic duplicates. */
+  private def requireCellsLayout(spark: SparkSession, corpusDir: String,
+                                 selfBatch: Long): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(cellsDir(corpusDir), "_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) {
+      val p = new org.apache.hadoop.fs.Path(corpusDir)
+      val pre = if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("batch=") && n != s"batch=$selfBatch")
+      require(pre.isEmpty,
+        s"semantic-dup store at $corpusDir has admitted batches " +
+          s"(${pre.sorted.mkString(", ")}) but no _cells index/stamp — a " +
+          "pre-cell-layout store (or a lost index) cannot be probed " +
+          "safely; rebuild the index (re-ingest, or bucket each batch " +
+          "with the store's centroids) or start a fresh store")
+    }
+    val got = BatchStore.takeOnceStamp(spark, meta, cellsMetaContent)
+    require(got == cellsMetaContent,
+      s"cell index at ${cellsDir(corpusDir)} was built as '$got' but this " +
+        s"loop runs as '$cellsMetaContent' — rebuild the index")
+  }
+
+  /** Every admitted corpus batch (minus self on replay) must have its
+    * cells + summary twins — an index that silently lags the corpus
+    * would admit semantic duplicates. */
+  private def requireCellsCoverCorpus(spark: SparkSession, corpusDir: String,
+                                      selfBatch: Long): Unit = {
+    def batchIds(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).toSet
+    }
+    val self = s"batch=$selfBatch"
+    val missing = (batchIds(corpusDir) - self) --
+      ((batchIds(cellsDir(corpusDir)) - self) intersect
+        (batchIds(summaryDir(corpusDir)) - self))
+    require(missing.isEmpty,
+      s"semantic-dup store at $corpusDir has admitted batches with no " +
+        s"cell-index twin (${missing.toSeq.sorted.mkString(", ")}); " +
+        "probing an incomplete index would silently admit semantic " +
+        "duplicates — rebuild the index or start a fresh store")
+  }
+
   /** The closed loop as a foreachBatch sink — same exactly-once-at-the-
-    * sink discipline as the exact and near-dup loops. */
+    * sink discipline as the exact and near-dup loops. `cells` bounds the
+    * index fan-out (only the FIRST trainable batch reads it; later
+    * batches load the claimed centroids). */
   def admitLoop(idCol: String, vecCol: String, threshold: Double,
-                corpusDir: String)(batch: DataFrame, batchId: Long): Unit = {
+                corpusDir: String, cells: Int = 16,
+                maxBatch: Int = 1 << 20)(
+                batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     BatchStore.requireNotAhead(spark, corpusDir, batchId, "semantic corpus")
-    val store = storeVectors(spark, corpusDir, batch.schema,
-      excludeBatch = Some(batchId))
-    admitAgainstStore(store, batch, idCol, vecCol, threshold)
-      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    requireCellsLayout(spark, corpusDir, batchId)
+    requireCellsCoverCorpus(spark, corpusDir, batchId)
+
+    val bv = collectBatch(batch, idCol, vecCol, maxBatch)
+    val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
+    val cents = loadOrTrainCentroids(spark, corpusDir, units, cells)
+
+    val refused: Set[Long] =
+      if (bv.ids.isEmpty) Set.empty
+      else cents match {
+        case None => Set.empty // store holds only zero-norm rows: no hits
+        case Some(cs) =>
+          val radii = cellRadii(spark, corpusDir, excludeBatch = batchId)
+          val probe = probeCells(cs, radii, units, threshold)
+          if (probe.isEmpty) Set.empty
+          else {
+            // partition pruning: only `cell=<c>` dirs in the probe set
+            // (and not this batch's own replay partition) are opened
+            val candidates = readCells(spark, corpusDir)
+              .filter(col("batch") =!= batchId &&
+                col("cell").isin(probe.toSeq: _*))
+              .select(col("_vec").as(vecCol))
+            refusedIds(candidates, vecCol, bv, threshold)
+          }
+      }
+
+    val admitted = antiJoinRefused(batch, idCol, refused)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+
+      // the admitted rows' index twin: cell assignment + radii computed
+      // driver-side from the rows already in hand (no extra kernel
+      // pass), joined back so the vectors ship from the admitted frame,
+      // not the driver
+      val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
+      val cellOf: Int => Int = i =>
+        if (units(i) == null) -1
+        else cents.fold(-1)(cs => nearestCell(units(i), cs))
+      val cellMap = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          admittedIdx.map(i => Row(bv.ids(i), cellOf(i))), 1),
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("cell", IntegerType))))
+      admitted.select(col(idCol), col(vecCol))
+        .join(broadcast(cellMap), Seq(idCol))
+        .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
+
+      val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
+      admittedIdx.foreach { i =>
+        val c = cellOf(i)
+        if (c >= 0) {
+          val r2 = sqDist(units(i), cents.get(c))
+          val (mx, n) = sums.getOrElse(c, (0.0, 0L))
+          sums(c) = (math.max(mx, r2), n + 1)
+        }
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => Row(c, r2, n) }, 1),
+          summarySchema)
+        .write.mode("overwrite").parquet(s"${summaryDir(corpusDir)}/batch=$batchId")
+    } finally { admitted.unpersist(blocking = false); () }
   }
 }

@@ -555,16 +555,29 @@ class StreamingSpec extends SparkTestBase {
     assert(admitted.select("doc_id").as[Long].collect().toSet == Set(11L),
       "near-dup refused and novel doc admitted off postings alone")
 
-    // a corpus whose postings sidecar went missing must FAIL LOUDLY:
-    // admitting against an empty postings table would silently accept
-    // every near-duplicate (pre-postings-layout corpus, lost _postings)
+    // a corpus with ONE postings batch missing (stamp intact) must FAIL
+    // LOUDLY: admitting against an incomplete postings table would
+    // silently accept near-duplicates of the uncovered batch
     fs.delete(new org.apache.hadoop.fs.Path(
-      NearDupIngest.postingsDir(corpusDir)), true)
+      s"${NearDupIngest.postingsDir(corpusDir)}/batch=0"), true)
     val e = intercept[IllegalArgumentException] {
       loop(Seq((30L, "whatever text arrives next", "s")), 2L)
     }
     assert(e.getMessage.contains("postings sidecar"),
       s"guard must name the missing sidecar, got: ${e.getMessage}")
+
+    // the WHOLE sidecar gone (including the _meta stamp — a
+    // pre-stamp-layout store, or a lost index) is the migration case:
+    // the first post-upgrade loop must NOT auto-claim the stamp with
+    // its own parameters (a wrong k would legitimize the exact
+    // cross-shingle-space join the stamp refuses)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      NearDupIngest.postingsDir(corpusDir)), true)
+    val e2 = intercept[IllegalArgumentException] {
+      loop(Seq((31L, "more text arriving after the loss", "s")), 2L)
+    }
+    assert(e2.getMessage.contains("_meta stamp"),
+      s"pre-stamp store must demand an explicit migration, got: ${e2.getMessage}")
   }
 
   test("semantic ingest loop: cosine-dups refused, dup-of-reject admitted, replay converges") {
@@ -604,6 +617,146 @@ class StreamingSpec extends SparkTestBase {
     loop(Seq((30L, vec(0f, 0f, 0f), "s"), (31L, vec(1f, 0f, 0f), "s"))
       .toDF("vec_id", "embedding", "source"), 3L)
     assert(admitted().contains(30L) && !admitted().contains(31L))
+  }
+
+  test("semantic ingest: cell-pruned admission is decision-identical to the full-scan reference") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    // deterministic pseudo-random corpus: 10 base directions in 8 dims,
+    // each batch vector = a base + small noise, so every threshold
+    // regime has real hits. Two thresholds cover both prune regimes:
+    // tight (0.9 — most cells prune) and loose (0.35, the oracle row's
+    // probe-everything regime).
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(10)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    def mkVec(i: Int): Array[Float] = {
+      val b = bases(i % 10)
+      b.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.15f)
+    }
+    val batches: Seq[Seq[(Long, Array[Float], String)]] =
+      (0 until 4).map(w => (0 until 30).map(j =>
+        ((w * 100 + j).toLong, mkVec(w * 30 + j), "s")))
+    for (t <- Seq(0.9, 0.35)) {
+      val corpusDir =
+        Files.createTempDirectory(s"graft-sem-eq-$t").toString + "/c"
+      val loop =
+        SemDedupIngest.admitLoop("vec_id", "embedding", t, corpusDir, cells = 4) _
+      // reference: sequential EXACT full-scan admission over the same waves
+      var refAdmitted = Seq.empty[(Long, Array[Float], String)]
+      batches.zipWithIndex.foreach { case (rows, w) =>
+        val df = rows.toDF("vec_id", "embedding", "source")
+        loop(df, w.toLong)
+        val refStore = refAdmitted.toDF("vec_id", "embedding", "source")
+        val got = SemDedupIngest.admitAgainstStore(
+            refStore, df, "vec_id", "embedding", t)
+          .select("vec_id").as[Long].collect().toSet
+        refAdmitted = refAdmitted ++ rows.filter(r => got.contains(r._1))
+      }
+      val stored = SemDedupIngest.storeVectors(spark, corpusDir,
+          batches.head.toDF("vec_id", "embedding", "source").schema)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(stored == refAdmitted.map(_._1).toSet,
+        s"pruned admission must equal the exact reference at t=$t")
+    }
+  }
+
+  test("semantic ingest: the store is cell-bucketed and far cells are never probed") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    val corpusDir = Files.createTempDirectory("graft-sem-cells").toString + "/c"
+    def vec(xs: Float*) = xs.toArray
+    // two well-separated clusters land in distinct cells
+    val b0 = Seq(
+      (1L, vec(1f, 0.01f, 0f), "s"), (2L, vec(1f, 0.02f, 0f), "s"),
+      (3L, vec(0f, 0.01f, 1f), "s"), (4L, vec(0f, 0.02f, 1f), "s"))
+      .toDF("vec_id", "embedding", "source")
+    SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir,
+      cells = 2)(b0, 0L)
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the index twin exists, bucketed into 2 cell partitions
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${SemDedupIngest.cellsDir(corpusDir)}/batch=0"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(cellDirs == Set("cell=0", "cell=1"),
+      s"expected 2 cell partitions, got $cellDirs")
+    // and the index stays hidden from a plain corpus read
+    assert(SemDedupIngest.storeVectors(spark, corpusDir, b0.schema)
+      .count() == 4)
+
+    // probe-set soundness + tightness at t=0.95: a batch vector near
+    // cluster A must probe A's cell and NOT the far cluster's
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0))
+    val radii = Map(0 -> 0.05, 1 -> 0.05)
+    val qA = Array(Array(0.9999, 0.0141, 0.0))
+    val probed = SemDedupIngest.probeCells(cents, radii, qA, 0.95)
+    assert(probed == Set(0), s"far cell must be pruned, got $probed")
+    // a cell inside the bound's reach is kept even when the query is
+    // not IN it (the triangle bound, not a nearest-cell rule)
+    val qMid = Array(Array(math.sqrt(0.5), 0.0, math.sqrt(0.5)))
+    assert(SemDedupIngest.probeCells(cents, radii, qMid, 0.5) == Set(0, 1))
+
+    // partition pruning is real: a cell-filtered read of the index
+    // opens only the probed cell's files
+    val idxSchema = new org.apache.spark.sql.types.StructType()
+      .add("_id", org.apache.spark.sql.types.LongType)
+      .add("_vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+      .add("batch", org.apache.spark.sql.types.LongType)
+      .add("cell", org.apache.spark.sql.types.IntegerType)
+    val pruned = spark.read.schema(idxSchema)
+      .parquet(SemDedupIngest.cellsDir(corpusDir))
+      .filter(col("cell").isin(0))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      "cell filter must reach the scan as a partition filter")
+    // the index holds 4 part files (2 per cell); pruning must open only
+    // cell=0's — inputFiles reflects the PRE-pruning relation, the
+    // scan's numFiles metric the files actually listed for read
+    val nAll = spark.read.schema(idxSchema)
+      .parquet(SemDedupIngest.cellsDir(corpusDir)).inputFiles.length
+    val nRead = scans.head.metrics("numFiles").value
+    assert(nRead < nAll && nRead > 0,
+      s"partition pruning must skip far cells: read $nRead of $nAll files")
+  }
+
+  test("semantic ingest: NULL id/vector rows are refused loudly; lost index demands migration") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    val corpusDir = Files.createTempDirectory("graft-sem-null").toString + "/c"
+    def vec(xs: Float*) = xs.toArray
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir) _
+    loop(Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source"), 0L)
+    // a NULL vector can never be refused nor refuse a future arrival —
+    // waving it through would silently degrade the dedup invariant
+    // (zero-norm is the DEFINED no-hit case; NULL is a data defect)
+    val eNull = intercept[IllegalArgumentException] {
+      loop(Seq((2L, null.asInstanceOf[Array[Float]], "s"), (3L, vec(0f, 1f), "s"))
+        .toDF("vec_id", "embedding", "source"), 1L)
+    }
+    assert(eNull.getMessage.contains("NULL-embedding"),
+      s"NULL-vector rows must be named, got: ${eNull.getMessage}")
+    val eNullId = intercept[IllegalArgumentException] {
+      SemDedupIngest.admitAgainstStore(
+        Seq((1L, vec(1f, 0f))).toDF("vec_id", "embedding"),
+        Seq((Option.empty[Long], Option(Seq(0f, 1f)))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.95)
+    }
+    assert(eNullId.getMessage.contains("NULL-vec_id"))
+    // a store whose _cells index went missing must demand an explicit
+    // migration, never auto-claim a fresh stamp over existing batches
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SemDedupIngest.cellsDir(corpusDir)), true)
+    val eMig = intercept[IllegalArgumentException] {
+      loop(Seq((5L, vec(0f, 1f), "s")).toDF("vec_id", "embedding", "source"), 1L)
+    }
+    assert(eMig.getMessage.contains("_cells"),
+      s"lost index must demand migration, got: ${eMig.getMessage}")
   }
 
   test("near-dup postings store refuses an incompatible shingle size") {

@@ -16,20 +16,25 @@ import sys
 
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+# `--selftest` pins the type-gate verdicts with no parquet/oracle needed
+# (the r15 calibration probe, made permanent) — handled after the gate
+# functions are defined below.
+SELFTEST = len(sys.argv) > 1 and sys.argv[1] == "--selftest"
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if not SELFTEST:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 # Key symmetry: every dumped query result must have an oracle and vice
 # versa — an orphaned side silently weakens the gate to a rows-only (or
 # no) check for that name. Skipped under a targeted query list, where
 # the dump is intentionally partial.
-if only is None:
+if not SELFTEST and only is None:
     dumped = {os.path.basename(d.rstrip("/"))
               for d in glob.glob(f"{outdir}/*/")}
     missing_oracle = sorted(dumped - set(oracle))
@@ -93,18 +98,50 @@ def coltypes(rel_sql):
 # OUTPUT-type precedent allowlist (the r14 lesson, stronger than the ban
 # list above): a column may only cross the output edge in a type class
 # with a prior driver-GREEN hash precedent. The r15 DESCRIBE sweep of all
-# 250 green outputs shows exactly these classes ever shipped:
-# BIGINT/INTEGER, DOUBLE, VARCHAR, TIMESTAMP, BOOLEAN, DATE. Anything
-# else — DECIMAL (r14's only red row: bit-identical values, hash RED,
-# Spark parquet decimal vs DuckDB int128), ARRAY/STRUCT/MAP, BLOB, FLOAT
-# (never shipped top-level) — has NO precedent and must not ship until
-# the hash_canary query has proven it green on the driver first. Checked
-# on BOTH sides (the Spark parquet output and the oracle result).
-ALLOWED_OUTPUT = {"INT", "FLT", "VARCHAR", "TS", "BOOLEAN", "DATE"}
+# 250 green outputs shows exactly these RAW types ever shipped:
+# BIGINT/INTEGER, DOUBLE, VARCHAR, TIMESTAMP (zone/precision variants are
+# one driver-green class — r13's TIMESTAMP-vs-TIMESTAMPTZ pair), BOOLEAN,
+# DATE. Anything else — DECIMAL (r14's only red row: bit-identical
+# values, hash RED, Spark parquet decimal vs DuckDB int128),
+# ARRAY/STRUCT/MAP, BLOB, and the UNSWEPT members of the green hash
+# classes (FLOAT, TINYINT, SMALLINT never shipped top-level) — has NO
+# precedent and must not ship until the hash_canary query has proven it
+# green on the driver first. Checked on BOTH sides (the Spark parquet
+# output and the oracle result), and on the RAW DESCRIBE token — checking
+# after the hclass() collapse would wave FLOAT through as FLT and
+# TINYINT/SMALLINT through as INT, exactly the r14
+# bit-identical-value/hash-divergent class this gate exists to stop.
+ALLOWED_OUTPUT_RAW = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+                      "DATE", "TS"}
 
 def unprecedented(t):
-    h = hclass(t)
-    return None if h in ALLOWED_OUTPUT else h
+    raw = re.sub(r"TIMESTAMP(_NS|_MS|_S)?( WITH TIME ZONE)?", "TS", t)
+    return None if raw in ALLOWED_OUTPUT_RAW else raw
+
+if SELFTEST:
+    ok = [  # raw DESCRIBE tokens with a driver-GREEN hash precedent
+        "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+        "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"]
+    flag = [  # no precedent — including green-CLASS members that never
+              # shipped raw (the r15 ADVICE finding: FLOAT and
+              # TINYINT/SMALLINT collapse into green hclasses, so the
+              # check must run on the raw token)
+        "FLOAT", "TINYINT", "SMALLINT", "DECIMAL(38,0)", "DECIMAL(10,2)",
+        "BIGINT[]", "DOUBLE[]", "STRUCT(a BIGINT)", "MAP(VARCHAR, BIGINT)",
+        "BLOB", "HUGEINT", "UBIGINT", "TIME", "INTERVAL"]
+    bad = [t for t in ok if unprecedented(t) is not None] + \
+          [t for t in flag if unprecedented(t) is None]
+    banned_bad = [t for t in ["HUGEINT", "UBIGINT", "TIME", "INTERVAL",
+                              "STRUCT(a HUGEINT)"] if not is_banned(t)] + \
+                 [t for t in ["TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+                              "BIGINT"] if is_banned(t)]
+    if bad or banned_bad:
+        print(f"SELFTEST FAIL: precedent verdicts wrong for {bad}; "
+              f"ban verdicts wrong for {banned_bad}")
+        sys.exit(1)
+    print(f"SELFTEST OK: {len(ok)} precedented, {len(flag)} flagged, "
+          "ban list consistent")
+    sys.exit(0)
 
 fails = 0
 for name, sql in sorted(oracle.items()):
