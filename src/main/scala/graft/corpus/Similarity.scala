@@ -594,11 +594,6 @@ object Similarity {
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, kSub: Int, iters: Int,
                   trainPred: Column = lit(true)): Array[Array[Array[Double]]] = {
-    val dimRow = emb.select(size(col(vecCol))).limit(1).collect().headOption
-    if (dimRow.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
-    val dim = dimRow.get.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     // filter BEFORE fanout: prune, then repartition only the sample.
     // fanout: the per-round assignment pass must use every core on
     // few-file corpora; safe for reproducibility because every
@@ -611,10 +606,18 @@ object Similarity {
       // seeds: the kSub smallest-id TRAINING vectors, sliced per
       // subspace — exactly the seeds the per-subspace
       // kmeansCentroids(slice) form would pick. This collect is the one
-      // materialization; every Lloyd round below reads the cache.
+      // materialization; every Lloyd round below reads the cache. The
+      // vector DIMENSION comes from the seed rows too — a separate
+      // `size(vec) limit 1` probe was a whole extra driver action AND
+      // the trainer's second source scan, for one integer the seeds
+      // already carry.
       val seedRows = train.orderBy(col(idCol)).limit(kSub)
         .select(col("qvec")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      if (seedRows.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
+      val dim = seedRows(0).length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
       for (_ <- 1 to iters) {

@@ -1361,8 +1361,40 @@ object CorpusQueries {
       val e = emb(spark, dir)
       val qPred = col("vec_id") % annQueryStride === 0
       val pair = (d: DataFrame) => d.select(col("query_id"), col("neighbor_id"))
-      val brute = pair(Similarity.bruteForceTopK(e, "vec_id", "embedding", qPred, annK))
-        .localCheckpoint(false)
+      // The truth and the four index legs are INDEPENDENT pipelines
+      // (each trains its own model exactly once — PQ's codebooks, SQ8's
+      // codes, the integer-mean quantizer); what made the report ~4 s
+      // was not redundant compute but serialized job-scheduling latency:
+      // ~20 short driver-side actions (Lloyd rounds, seed collects, leg
+      // materializations) queued one after another. Materializing all
+      // five concurrently overlaps those latencies — the standard FAIR-
+      // scheduler shape for independent report sections on a cluster —
+      // while each leg's frame (and so the output hash) is untouched;
+      // the report aggregates join the checkpointed results afterwards.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      val bruteFut = Future(
+        pair(Similarity.bruteForceTopK(e, "vec_id", "embedding", qPred, annK))
+          .localCheckpoint())
+      val legs: Seq[(String, () => DataFrame)] = Seq(
+        ("ivf", () =>
+          pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred, annK))),
+        ("ivf_multiprobe", () =>
+          pair(Similarity.ivfTopKProbes(e, "vec_id", "embedding",
+            trainedCentroids(e), 3, qPred, annK))),
+        ("pq_rerank", () =>
+          pair(Similarity.pqTopKReranked(e, "vec_id", "embedding", qPred,
+            m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
+            shortlist = pqShortlist,
+            trainPred =
+              pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L))),
+        ("sq8", () =>
+          pair(Similarity.sq8TopK(e, "vec_id", "embedding", qPred, annK))))
+      val materialized = legs.map { case (m, f) =>
+        (m, Future(f().localCheckpoint()))
+      }
+      val brute = Await.result(bruteFut, 10.minutes)
       val truth = brute.agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"))
       def report(method: String, approx: DataFrame): DataFrame =
@@ -1373,17 +1405,8 @@ object CorpusQueries {
             col("n_hits"),
             round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall_at_k"))
-      val ivf = pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred, annK))
-      val probes = pair(Similarity.ivfTopKProbes(e, "vec_id", "embedding",
-        trainedCentroids(e), 3, qPred, annK))
-      val pq = pair(Similarity.pqTopKReranked(e, "vec_id", "embedding", qPred,
-        m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
-        shortlist = pqShortlist,
-        trainPred =
-          pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L))
-      val sq8 = pair(Similarity.sq8TopK(e, "vec_id", "embedding", qPred, annK))
-      Seq(report("ivf", ivf), report("ivf_multiprobe", probes),
-          report("pq_rerank", pq), report("sq8", sq8))
+      materialized
+        .map { case (m, fut) => report(m, Await.result(fut, 10.minutes)) }
         .reduce(_ unionByName _)
         .orderBy("method")
     }),

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.corpus.VectorExpr
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /**
  * Streaming SEMANTIC-duplicate admission — the embedding-cosine member
@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
  * the vector's nearest TRAIN-ONCE unit centroid (the underscore prefix
  * hides the index from corpus readers — the [[NearDupIngest]] postings
  * pattern). Each batch also appends a per-cell summary (`_cells/
- * _summary/batch=<id>/`: cell, max squared unit-sphere distance of its
- * members to the cell centroid, count). Admission then reads ONLY the
+ * _summary/batch=<id>.json`: cell, max squared unit-sphere distance of
+ * its members to the cell centroid, count — a text file written and
+ * read through the filesystem, never a Spark job). Admission then reads
+ * ONLY the
  * cell partitions whose triangle-inequality bound can reach the
  * threshold: for a batch unit vector q̂ and a cell with unit centroid ĉ
  * and member radius r, every member x̂ satisfies
@@ -82,11 +84,6 @@ object SemDedupIngest {
   private val cellRowSchema = StructType(Seq(
     StructField("_id", LongType),
     StructField("_vec", ArrayType(FloatType))))
-  private val summarySchema = StructType(Seq(
-    StructField("cell", IntegerType),
-    StructField("max_r2", DoubleType),
-    StructField("n", LongType)))
-
   /** Admitted-vector store (BatchStore `batch=<id>/` layout). */
   def storeVectors(spark: SparkSession, corpusDir: String,
                    schema: StructType,
@@ -288,32 +285,81 @@ object SemDedupIngest {
   // the cell-bucketed store                                           //
   // ---------------------------------------------------------------- //
 
-  /** The cell index as a frame (schema `_id, _vec` + partitions
-    * `batch, cell`); absent/fileless → empty. */
-  private def readCells(spark: SparkSession, corpusDir: String): DataFrame = {
+  /** The PROBED slice of the cell index as a frame (schema `_id, _vec`
+    * + partitions `batch, cell`). The `batch=<b>/cell=<c>` leaf dirs are
+    * enumerated driver-side and passed explicitly (with `basePath`, so
+    * the partition columns still resolve): handing Spark the index ROOT
+    * would re-run partition discovery over every leaf per micro-batch —
+    * a scheduled listing job once the store passes the 32-path
+    * parallel-discovery threshold, i.e. always, paid for dirs the probe
+    * set already excludes. Excluding `excludeBatch` here (the caller's
+    * own replay partition) doubles as the replay fence. */
+  private def readProbedCells(spark: SparkSession, corpusDir: String,
+                              excludeBatch: Long,
+                              probe: Set[Int]): Option[DataFrame] = {
     val dir = cellsDir(corpusDir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!hasBatches)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        cellRowSchema.add("batch", LongType).add("cell", IntegerType))
-    else
-      spark.read
-        .schema(cellRowSchema.add("batch", LongType).add("cell", IntegerType))
-        .parquet(dir)
+    if (!fs.exists(p)) return None
+    val paths = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName != s"batch=$excludeBatch")
+      .flatMap(b => fs.listStatus(b.getPath).toSeq)
+      .filter(c => c.isDirectory &&
+        c.getPath.getName.stripPrefix("cell=").toIntOption.exists(probe))
+      .map(_.getPath.toString)
+    if (paths.isEmpty) None
+    else Some(spark.read
+      .schema(cellRowSchema.add("batch", LongType).add("cell", IntegerType))
+      .option("basePath", dir)
+      .parquet(paths: _*))
   }
 
-  /** Per-cell global radius (max over batch summaries) + member counts.
-    * Tiny: ≤ cells rows per admitted batch. */
+  /** Summaries are TEXT files (`_summary/batch=<id>.json`, one
+    * `cell,max_r2,n` line per cell), written and read through the
+    * filesystem directly — ≤ cells rows per batch does not justify a
+    * Spark job on the admission path (two scheduled jobs per micro-batch
+    * for a few dozen bytes measured as a visible fraction of the bench
+    * row). `Double.toString`/`toDouble` round-trips exactly, so radii
+    * reconstruct bit-identical. Replay overwrites the file (create
+    * overwrite=true is per-batch idempotent, same as the parquet dirs). */
+  private def writeSummary(spark: SparkSession, corpusDir: String,
+                           batchId: Long,
+                           sums: Seq[(Int, Double, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(summaryDir(corpusDir),
+      s"batch=$batchId.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(sums.map { case (c, r2, n) => s"$c,$r2,$n" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Per-cell global radius (max over batch summaries, excluding this
+    * batch's own replay file). */
   private def cellRadii(spark: SparkSession, corpusDir: String,
-                        excludeBatch: Long): Map[Int, Double] =
-    BatchStore.read(spark, summaryDir(corpusDir), summarySchema,
-        Some(excludeBatch))
-      .groupBy(col("cell")).agg(max(col("max_r2")).as("r2"))
-      .collect()
-      .map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
+                        excludeBatch: Long): Map[Int, Double] = {
+    val dir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Map.empty
+    val acc = scala.collection.mutable.Map[Int, Double]()
+    fs.listStatus(dir).foreach { s =>
+      val name = s.getPath.getName
+      if (name.startsWith("batch=") && name.endsWith(".json") &&
+          name != s"batch=$excludeBatch.json") {
+        val in = fs.open(s.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split("\n").filter(_.nonEmpty).foreach { line =>
+          val parts = line.split(",")
+          val (c, r2) = (parts(0).toInt, parts(1).toDouble)
+          acc(c) = math.max(acc.getOrElse(c, 0.0), r2)
+        }
+      }
+    }
+    acc.map { case (c, r2) => c -> math.sqrt(r2) }.toMap
+  }
 
   /** Load the store's centroids, training + claiming them from THIS
     * batch if the store has none yet (first non-empty batch with a
@@ -373,18 +419,19 @@ object SemDedupIngest {
     * would admit semantic duplicates. */
   private def requireCellsCoverCorpus(spark: SparkSession, corpusDir: String,
                                       selfBatch: Long): Unit = {
-    def batchIds(dir: String): Set[String] = {
+    def batchIds(dir: String, suffix: String = ""): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Set.empty
       else fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName).toSet
+        .filter(s => s.getPath.getName.startsWith("batch=") &&
+          s.getPath.getName.endsWith(suffix))
+        .map(_.getPath.getName.stripSuffix(suffix)).toSet
     }
     val self = s"batch=$selfBatch"
     val missing = (batchIds(corpusDir) - self) --
       ((batchIds(cellsDir(corpusDir)) - self) intersect
-        (batchIds(summaryDir(corpusDir)) - self))
+        (batchIds(summaryDir(corpusDir), ".json") - self))
     require(missing.isEmpty,
       s"semantic-dup store at $corpusDir has admitted batches with no " +
         s"cell-index twin (${missing.toSeq.sorted.mkString(", ")}); " +
@@ -417,55 +464,100 @@ object SemDedupIngest {
           val radii = cellRadii(spark, corpusDir, excludeBatch = batchId)
           val probe = probeCells(cs, radii, units, threshold)
           if (probe.isEmpty) Set.empty
-          else {
-            // partition pruning: only `cell=<c>` dirs in the probe set
-            // (and not this batch's own replay partition) are opened
-            val candidates = readCells(spark, corpusDir)
-              .filter(col("batch") =!= batchId &&
-                col("cell").isin(probe.toSeq: _*))
-              .select(col("_vec").as(vecCol))
-            refusedIds(candidates, vecCol, bv, threshold)
+          else readProbedCells(spark, corpusDir, batchId, probe) match {
+            case None => Set.empty
+            case Some(cells) =>
+              refusedIds(cells.select(col("_vec").as(vecCol)), vecCol, bv,
+                threshold)
           }
       }
 
-    val admitted = antiJoinRefused(batch, idCol, refused)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    antiJoinRefused(batch, idCol, refused)
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
 
-      // the admitted rows' index twin: cell assignment + radii computed
-      // driver-side from the rows already in hand (no extra kernel
-      // pass), joined back so the vectors ship from the admitted frame,
-      // not the driver
-      val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
-      val cellOf: Int => Int = i =>
-        if (units(i) == null) -1
-        else cents.fold(-1)(cs => nearestCell(units(i), cs))
-      val cellMap = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          admittedIdx.map(i => Row(bv.ids(i), cellOf(i))), 1),
-        StructType(Seq(StructField(idCol, LongType),
-          StructField("cell", IntegerType))))
-      admitted.select(col(idCol), col(vecCol))
-        .join(broadcast(cellMap), Seq(idCol))
-        .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
+    // the admitted rows' index twin, built and WRITTEN entirely from the
+    // driver-resident batch (cells + radii are k·dim driver math over
+    // rows already collected for admission; the per-cell parquet files
+    // go out through parquet-hadoop directly — a scheduled Spark job for
+    // ≤ maxBatch driver-resident rows was measured as the loop's single
+    // slowest job, ~0.4 s of task-launch + dynamic-partition-commit
+    // overhead per micro-batch, the same reasoning as [[writeSummary]])
+    val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
+    val cellOf: Int => Int = i =>
+      if (units(i) == null) -1
+      else cents.fold(-1)(cs => nearestCell(units(i), cs))
+    writeIndexFiles(spark, corpusDir, batchId,
+      admittedIdx.groupBy(cellOf), bv)
 
-      val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
-      admittedIdx.foreach { i =>
-        val c = cellOf(i)
-        if (c >= 0) {
-          val r2 = sqDist(units(i), cents.get(c))
-          val (mx, n) = sums.getOrElse(c, (0.0, 0L))
-          sums(c) = (math.max(mx, r2), n + 1)
-        }
+    val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
+    admittedIdx.foreach { i =>
+      val c = cellOf(i)
+      if (c >= 0) {
+        val r2 = sqDist(units(i), cents.get(c))
+        val (mx, n) = sums.getOrElse(c, (0.0, 0L))
+        sums(c) = (math.max(mx, r2), n + 1)
       }
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => Row(c, r2, n) }, 1),
-          summarySchema)
-        .write.mode("overwrite").parquet(s"${summaryDir(corpusDir)}/batch=$batchId")
-    } finally { admitted.unpersist(blocking = false); () }
+    }
+    // the summary is stamped LAST: a crash between the writes and here
+    // replays the batch, which overwrites all three outputs
+    writeSummary(spark, corpusDir, batchId,
+      sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => (c, r2, n) })
+  }
+
+  /** Standard parquet 3-level list schema for the index rows — what
+    * Spark itself writes for `(_id bigint, _vec array<float>)`, so
+    * [[readProbedCells]] reads these files exactly like Spark-written
+    * ones. */
+  private lazy val indexParquetSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.Types.buildMessage()
+      .optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+      .named("_id")
+      .addField(org.apache.parquet.schema.Types.optionalList()
+        .optionalElement(
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
+        .named("_vec"))
+      .named("spark_schema")
+
+  /** Write `batch=<id>/cell=<c>/part-0.parquet` for each cell straight
+    * from the driver (the rows are driver-resident by the admission
+    * contract, bounded by `maxBatch`). One writer at a time; memory is
+    * bounded by one cell's rows — no worse than the collect that already
+    * happened. Replay deletes the batch dir first (same overwrite
+    * semantics as the Spark writer); an all-refused batch still creates
+    * the empty dir so [[requireCellsCoverCorpus]] sees the twin. */
+  private def writeIndexFiles(spark: SparkSession, corpusDir: String,
+                              batchId: Long,
+                              byCell: Map[Int, IndexedSeq[Int]],
+                              bv: BatchVecs): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batchDir = new org.apache.hadoop.fs.Path(
+      s"${cellsDir(corpusDir)}/batch=$batchId")
+    val fs = batchDir.getFileSystem(conf)
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
+    fs.mkdirs(batchDir)
+    val gf = new SimpleGroupFactory(indexParquetSchema)
+    // one writer per cell, driven from a parallel collection: writer
+    // INIT (codec + column-store allocation) is the dominant cost at
+    // small batches and is embarrassingly parallel across cells
+    import scala.collection.parallel.CollectionConverters._
+    byCell.toSeq.sortBy(_._1).par.foreach { case (cell, idxs) =>
+      val f = new org.apache.hadoop.fs.Path(batchDir,
+        s"cell=$cell/part-0.parquet")
+      val w = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(f, conf))
+        .withConf(conf).withType(indexParquetSchema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      try idxs.foreach { i =>
+        val g = gf.newGroup()
+        g.add("_id", bv.ids(i))
+        val lst = g.addGroup("_vec")
+        bv.vecs(i).foreach(x => lst.addGroup("list").add("element", x))
+        w.write(g)
+      } finally w.close()
+    }
   }
 }

@@ -9,10 +9,36 @@ round-over-round criterion), wins beyond minDelta, and queries present
 on only one side. Exit 1 iff regressions exist, so it can gate.
 """
 import json
+import re
 import sys
 
-before = json.load(open(sys.argv[1]))["queries"]
-after = json.load(open(sys.argv[2]))["queries"]
+
+def load_queries(path):
+    """Accept bench_detail.json ({"queries": ...}), a driver BENCH_r{N}.json
+    ({"parsed": {"queries": ...}, "tail": ...}), or a raw Bench stdout log.
+    Driver files whose "parsed" is null carry only a FRONT-TRUNCATED tail —
+    recover what query timings survive and say so (a partial before-side
+    only mutes comparisons for the lost queries, it cannot mint fake
+    regressions)."""
+    d = json.load(open(path))
+    if "queries" in d:
+        return d["queries"]
+    if d.get("parsed") and d["parsed"].get("queries"):
+        return d["parsed"]["queries"]
+    tail = d.get("tail") or ""
+    qs = {q: float(v) for q, v in
+          re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', tail)
+          if q not in ("value", "sf", "n", "rc", "cpus")}
+    if qs:
+        print(f"note: {path} has no parsed bench line; recovered "
+              f"{len(qs)} query timings from its truncated tail")
+        return qs
+    raise SystemExit(f"{path}: no queries found (not a bench_detail/"
+                     "driver-bench file?)")
+
+
+before = load_queries(sys.argv[1])
+after = load_queries(sys.argv[2])
 min_delta = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
 
 regs, wins = [], []
