@@ -143,10 +143,27 @@ object SemDedupIngest {
     * rounds (mean, re-normalized; an empty or cancelled-out cell keeps
     * its previous centroid). Driver math on a driver-resident batch —
     * no Spark jobs, bit-reproducible across runs. */
+  /** Training-set cap: the quantizer is a PRUNING model (correctness
+    * never depends on it), so a bounded deterministic stride sample of
+    * the first batch trains it — unbounded driver k-means over a
+    * million-row first batch would cost minutes for no admission-quality
+    * gain (the pqCodebooks train-on-a-sample discipline). */
+  private val trainCap = 16384
+
+  /** Index-write path gate: below this many admitted rows the driver
+    * writes the per-cell parquet files itself (job overhead dominates);
+    * above it a distributed write wins (encode parallelism dominates). */
+  private val driverWriteCap = 65536
+
   private[graft] def trainCentroids(
       idsAndUnits: Array[(Long, Array[Double])], k: Int,
       iters: Int = 5): Array[Array[Double]] = {
-    val sorted = idsAndUnits.sortBy(_._1)
+    val all = idsAndUnits.sortBy(_._1)
+    val sorted = if (all.length <= trainCap) all
+      else {
+        val step = (all.length + trainCap - 1) / trainCap
+        all.indices.by(step).map(all).toArray
+      }
     var cents = sorted.take(k).map(_._2.clone())
     for (_ <- 1 to iters) {
       val dim = cents(0).length
@@ -475,19 +492,33 @@ object SemDedupIngest {
     antiJoinRefused(batch, idCol, refused)
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
 
-    // the admitted rows' index twin, built and WRITTEN entirely from the
-    // driver-resident batch (cells + radii are k·dim driver math over
-    // rows already collected for admission; the per-cell parquet files
-    // go out through parquet-hadoop directly — a scheduled Spark job for
-    // ≤ maxBatch driver-resident rows was measured as the loop's single
-    // slowest job, ~0.4 s of task-launch + dynamic-partition-commit
-    // overhead per micro-batch, the same reasoning as [[writeSummary]])
+    // The admitted rows' index twin (cells + radii are k·dim driver
+    // math over rows already collected for admission — no join, no
+    // second pass over the batch source). The WRITE is size-gated:
+    // small batches go out through parquet-hadoop straight from the
+    // driver (a scheduled Spark job for a few thousand driver-resident
+    // rows was measured as the loop's single slowest item, ~0.4 s of
+    // task-launch + dynamic-partition-commit overhead per micro-batch,
+    // the same reasoning as [[writeSummary]]); large batches go through
+    // a real distributed write (per-element Group assembly on the
+    // driver inverts at scale — parallel executor encode is the right
+    // shape there, and the job overhead amortizes).
     val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
     val cellOf: Int => Int = i =>
       if (units(i) == null) -1
       else cents.fold(-1)(cs => nearestCell(units(i), cs))
-    writeIndexFiles(spark, corpusDir, batchId,
-      admittedIdx.groupBy(cellOf), bv)
+    if (admittedIdx.length <= driverWriteCap)
+      writeIndexFiles(spark, corpusDir, batchId,
+        admittedIdx.groupBy(cellOf), bv)
+    else
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            admittedIdx.map(i => Row(bv.ids(i), bv.vecs(i).toSeq, cellOf(i))),
+            math.max(1, admittedIdx.length / (1 << 16))),
+          cellRowSchema.add("cell", IntegerType))
+        .repartition(col("cell")) // one encode task per cell
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
 
     val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
     admittedIdx.foreach { i =>

@@ -380,14 +380,15 @@ class SimilaritySpec extends SparkTestBase {
         b
       } finally spark.listenerManager.unregister(listener)
     assert(books.length == m)
-    // iters+2 actions run (dim probe, seeds/persist materialization,
-    // iters round aggregates). The parquet source may appear in the dim
-    // probe and the materialization ONLY — a file scan inside a Lloyd
+    // iters+1 actions run (seeds/persist materialization + iters round
+    // aggregates — the r16 trainer derives dim from the seed rows, so
+    // the old separate dim probe is gone). The parquet source may
+    // appear in the materialization ONLY — a file scan inside a Lloyd
     // round is the r14 ann_topk_pq regression (iters × full re-read to
     // train a few-KB model). Cached rounds read InMemoryTableScan.
     val plans = captured.synchronized(captured.toSeq)
     val withFileScan = plans.filter(_.exists(_.contains("FileSourceScan")))
-    assert(withFileScan.size <= 2,
+    assert(withFileScan.size <= 1,
       s"Lloyd loop re-scanned the source: ${withFileScan.size} of " +
         s"${plans.size} actions hit a file scan")
     assert(plans.exists(_.exists(_.contains("InMemoryTableScan"))),
