@@ -159,12 +159,44 @@ object SemDedupIngest {
       idsAndUnits: Array[(Long, Array[Double])], k: Int,
       iters: Int = 5): Array[Array[Double]] = {
     val all = idsAndUnits.sortBy(_._1)
+    // cap via HASH-order thinning, not a fixed stride: a stride aliases
+    // with any periodic id structure (measured in ProbeSemScale — ids
+    // round-robin over 256 clusters + stride 16 left 240 clusters
+    // unsampled, every radius blew up, and the probe bound pruned
+    // nothing). Multiplying by the 64-bit golden ratio is a bijective
+    // mix with no periodic fixed points; taking the smallest-mixed
+    // trainCap ids is deterministic and exact-count.
     val sorted = if (all.length <= trainCap) all
-      else {
-        val step = (all.length + trainCap - 1) / trainCap
-        all.indices.by(step).map(all).toArray
+      else all.sortBy { case (id, _) => id * 0x9E3779B97F4A7C15L }
+        .take(trainCap).sortBy(_._1)
+    // seeds: deterministic farthest-point init (start at the smallest
+    // id, repeatedly add the sample vector farthest from every chosen
+    // seed, ties to the lower index). Smallest-id seeding collapses
+    // when the leading ids share a few clusters — duplicate seeds model
+    // the same region twice and unseeded regions inflate their cell
+    // radius, which the probe bound pays forever. O(sample · k · dim),
+    // driver-side, bit-reproducible.
+    val seeds = {
+      val minD = Array.fill(sorted.length)(Double.MaxValue)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var next = 0
+      while (out.length < k) {
+        val c = sorted(next)._2
+        out += c.clone()
+        var i = 0
+        var bestI = 0
+        var bestD = -1.0
+        while (i < sorted.length) {
+          val d = sqDist(sorted(i)._2, c)
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+          i += 1
+        }
+        next = bestI
       }
-    var cents = sorted.take(k).map(_._2.clone())
+      out.toArray
+    }
+    var cents = seeds
     for (_ <- 1 to iters) {
       val dim = cents(0).length
       val sums = Array.fill(cents.length)(new Array[Double](dim))
@@ -303,28 +335,23 @@ object SemDedupIngest {
   // ---------------------------------------------------------------- //
 
   /** The PROBED slice of the cell index as a frame (schema `_id, _vec`
-    * + partitions `batch, cell`). The `batch=<b>/cell=<c>` leaf dirs are
-    * enumerated driver-side and passed explicitly (with `basePath`, so
-    * the partition columns still resolve): handing Spark the index ROOT
-    * would re-run partition discovery over every leaf per micro-batch —
-    * a scheduled listing job once the store passes the 32-path
-    * parallel-discovery threshold, i.e. always, paid for dirs the probe
-    * set already excludes. Excluding `excludeBatch` here (the caller's
-    * own replay partition) doubles as the replay fence. */
+    * + partitions `batch, cell`). The `batch=<b>/cell=<c>` leaf dirs
+    * come straight from the summaries' population map — no listing at
+    * all — and are passed explicitly (with `basePath`, so the partition
+    * columns still resolve): handing Spark the index ROOT would re-run
+    * partition discovery over every leaf per micro-batch — a scheduled
+    * listing job once the store passes the 32-path parallel-discovery
+    * threshold, i.e. always, paid for dirs the probe set already
+    * excludes. The replay fence is upstream: [[cellStats]] skips the
+    * caller's own summary file, so its (batch, cell) pairs never reach
+    * here. */
   private def readProbedCells(spark: SparkSession, corpusDir: String,
-                              excludeBatch: Long,
+                              population: Seq[(Long, Int)],
                               probe: Set[Int]): Option[DataFrame] = {
     val dir = cellsDir(corpusDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val paths = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-        s.getPath.getName != s"batch=$excludeBatch")
-      .flatMap(b => fs.listStatus(b.getPath).toSeq)
-      .filter(c => c.isDirectory &&
-        c.getPath.getName.stripPrefix("cell=").toIntOption.exists(probe))
-      .map(_.getPath.toString)
+    val paths = population.collect { case (b, c) if probe(c) =>
+      s"$dir/batch=$b/cell=$c"
+    }
     if (paths.isEmpty) None
     else Some(spark.read
       .schema(cellRowSchema.add("batch", LongType).add("cell", IntegerType))
@@ -353,29 +380,73 @@ object SemDedupIngest {
     finally out.close()
   }
 
-  /** Per-cell global radius (max over batch summaries, excluding this
-    * batch's own replay file). */
-  private def cellRadii(spark: SparkSession, corpusDir: String,
-                        excludeBatch: Long): Map[Int, Double] = {
+  /** Everything the probe needs about the cell index, from ONE pass
+    * over the batch summaries (excluding this batch's own replay
+    * file — the replay fence): per-cell radius (max over batches),
+    * per-cell member count (sum — sizes the kernel fanout), and the
+    * exact (batch, cell) population map. The population map is what
+    * lets [[readProbedCells]] construct the candidate paths DIRECTLY —
+    * the r16 bring-up form re-listed every `batch=*` dir × every
+    * `cell=*` subdir per micro-batch, O(batches × cells) filesystem
+    * round-trips that grow with store age forever (measured as the
+    * dominant probe-path cost by 500k vectors locally; on an object
+    * store each is a network call). A summary line exists ⇒ that
+    * batch/cell dir was fully written (the summary is stamped LAST),
+    * so no existence checks are needed — a missing file is loud read
+    * failure, which index corruption should be. */
+  private final case class CellIndexStats(
+      radius: Map[Int, Double], count: Map[Int, Long],
+      population: Seq[(Long, Int)])
+
+  private def cellStats(spark: SparkSession, corpusDir: String,
+                        excludeBatch: Long): CellIndexStats = {
     val dir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Map.empty
-    val acc = scala.collection.mutable.Map[Int, Double]()
+    if (!fs.exists(dir)) return CellIndexStats(Map.empty, Map.empty, Nil)
+    val rad = scala.collection.mutable.Map[Int, Double]()
+    val cnt = scala.collection.mutable.Map[Int, Long]()
+    val pop = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
     fs.listStatus(dir).foreach { s =>
       val name = s.getPath.getName
       if (name.startsWith("batch=") && name.endsWith(".json") &&
           name != s"batch=$excludeBatch.json") {
+        val b = name.stripPrefix("batch=").stripSuffix(".json").toLong
         val in = fs.open(s.getPath)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         text.split("\n").filter(_.nonEmpty).foreach { line =>
           val parts = line.split(",")
-          val (c, r2) = (parts(0).toInt, parts(1).toDouble)
-          acc(c) = math.max(acc.getOrElse(c, 0.0), r2)
+          val (c, r2, n) = (parts(0).toInt, parts(1).toDouble, parts(2).toLong)
+          rad(c) = math.max(rad.getOrElse(c, 0.0), r2)
+          cnt(c) = cnt.getOrElse(c, 0L) + n
+          pop += ((b, c))
         }
       }
     }
-    acc.map { case (c, r2) => c -> math.sqrt(r2) }.toMap
+    CellIndexStats(rad.map { case (c, r2) => c -> math.sqrt(r2) }.toMap,
+      cnt.toMap, pop.toSeq)
+  }
+
+  /** Admission-kernel fanout: the probed slice is built of per-batch
+    * per-cell files a few KB each, so Spark's byte-based partition
+    * packing coalesces it into one or two input splits — and the
+    * kernel's O(probed members × batch × dim) work serializes onto one
+    * or two cores (measured on a 15k-row growth batch against 15k
+    * probed members at 64 dims: ~80 s on 2 tasks for ~1.5e10 kernel
+    * ops). Size the exchange by the WORK, which is known driver-side
+    * before the read (member counts from the summaries, batch size and
+    * dim from the collected batch): one task per ~2³⁰ kernel ops,
+    * capped at the cluster's parallelism. Below one task's worth of
+    * work the slice is read as-is — fixture-scale plans are untouched
+    * and no shuffle is paid. Decision-safe by construction: the kernel
+    * is per-row and the refused set is a union, so partitioning cannot
+    * change it. */
+  private[graft] def kernelFanout(probedMembers: Long, batchN: Int,
+                                  dim: Int, maxParts: Int): Int = {
+    val opsPerRow = math.max(1L, batchN.toLong * dim)
+    val rowsPerTask = math.max(1L, (1L << 30) / opsPerRow)
+    math.min(maxParts.toLong,
+      (probedMembers + rowsPerTask - 1) / rowsPerTask).toInt.max(1)
   }
 
   /** Load the store's centroids, training + claiming them from THIS
@@ -478,13 +549,31 @@ object SemDedupIngest {
       else cents match {
         case None => Set.empty // store holds only zero-norm rows: no hits
         case Some(cs) =>
-          val radii = cellRadii(spark, corpusDir, excludeBatch = batchId)
-          val probe = probeCells(cs, radii, units, threshold)
+          val stats = cellStats(spark, corpusDir, excludeBatch = batchId)
+          val probe = probeCells(cs, stats.radius, units, threshold)
           if (probe.isEmpty) Set.empty
-          else readProbedCells(spark, corpusDir, batchId, probe) match {
+          else readProbedCells(spark, corpusDir, stats.population, probe) match {
             case None => Set.empty
             case Some(cells) =>
-              refusedIds(cells.select(col("_vec").as(vecCol)), vecCol, bv,
+              val probedMembers = probe.iterator
+                .map(c => stats.count.getOrElse(c, 0L)).sum
+              val parts = kernelFanout(probedMembers, bv.ids.length,
+                bv.vecs(0).length, spark.sparkContext.defaultParallelism)
+              // repartition ONLY when the scan itself won't split wide
+              // enough: Spark packs the probed files into splits of
+              // maxPartitionBytes counting openCost per file, so a
+              // many-file probe set already fans out and a shuffle of
+              // its rows would only add cost (measured: a probe-
+              // everything batch paid ~6× the plain full scan through
+              // the exchange). The few-huge-cells shape is where the
+              // exchange earns its bytes.
+              val nPaths = stats.population.count(pc => probe(pc._2))
+              val estSplits = 1 + ((probedMembers *
+                (4L * bv.vecs(0).length + 16) + nPaths.toLong * (4L << 20))
+                / (128L << 20)).toInt
+              val slice =
+                if (parts > estSplits) cells.repartition(parts) else cells
+              refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
                 threshold)
           }
       }

@@ -660,6 +660,24 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("semantic ingest: admission-kernel fanout is sized by the work, not the file count") {
+    import graft.streaming.SemDedupIngest
+    // the probed slice is tiny per-cell files — Spark coalesces them
+    // into 1-2 splits, so the O(members × batch × dim) kernel must be
+    // re-fanned by its WORK (the ProbeSemScale finding: 15k×15k×64
+    // serialized onto 2 tasks at ~80 s). One task per ~2^30 ops:
+    // fixture-scale work stays single-partition (no shuffle paid)...
+    assert(SemDedupIngest.kernelFanout(2000, 100, 64, 32) == 1)
+    // ...a 15k-members × 15k-batch × 64-dim growth batch wants ~15 tasks
+    val grown = SemDedupIngest.kernelFanout(15625, 15625, 64, 32)
+    assert(grown > 8 && grown <= 32, s"expected double-digit fanout, got $grown")
+    // capped at the cluster's parallelism, floored at 1, and robust to
+    // degenerate dims/batches
+    assert(SemDedupIngest.kernelFanout(Long.MaxValue / 4, 1 << 20, 64, 32) == 32)
+    assert(SemDedupIngest.kernelFanout(0, 1000, 64, 32) == 1)
+    assert(SemDedupIngest.kernelFanout(1000000, 1000, 0, 32) == 1)
+  }
+
   test("semantic ingest: the store is cell-bucketed and far cells are never probed") {
     import spark.implicits._
     import graft.streaming.SemDedupIngest
