@@ -678,6 +678,44 @@ class StreamingSpec extends SparkTestBase {
     assert(SemDedupIngest.kernelFanout(1000000, 1000, 0, 32) == 1)
   }
 
+  test("semantic ingest: fanout-path admission (parts > 1) stays decision-identical") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    // 8192 store vectors x 8192 batch vectors at 64 dims crosses the
+    // 2^30-ops-per-task line (ops/row = 8192*64 = 512k, rowsPerTask =
+    // 2048, parts = 4 > estSplits = 1), so THIS admission runs through
+    // the repartitioned kernel — the decision-identity contract must
+    // survive the exchange (per-row kernel, union of indices), which no
+    // fixture-scale test exercises.
+    val rnd = new scala.util.Random(11)
+    val dirs = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def mkVec(c: Int): Array[Float] =
+      dirs(c).map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.12f)
+    val n = 8192
+    val w0 = (0 until n).map(i => (i.toLong, mkVec(i % 16), "s"))
+    val w1 = (0 until n).map(i => ((n + i).toLong, mkVec(i % 16), "s"))
+    val corpusDir =
+      Files.createTempDirectory("graft-sem-fanout").toString + "/c"
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.9,
+      corpusDir, cells = 16) _
+    loop(w0.toDF("vec_id", "embedding", "source"), 0L)
+    val batch = w1.toDF("vec_id", "embedding", "source")
+    loop(batch, 1L)
+    val admitted = SemDedupIngest
+      .storeVectors(spark, corpusDir,
+        batch.schema, excludeBatch = Some(0L))
+      .select($"vec_id").as[Long].collect().toSet
+    val ref = SemDedupIngest.admitAgainstStore(
+        w0.toDF("vec_id", "embedding", "source"), batch,
+        "vec_id", "embedding", 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == ref,
+      s"fanout-path admission diverged from the full-scan reference: " +
+        s"${(admitted diff ref).size} extra, ${(ref diff admitted).size} missing")
+    // the scenario actually refuses something (else the pin is vacuous)
+    assert(ref.size < n, s"expected some refusals, got ${ref.size} of $n admitted")
+  }
+
   test("semantic ingest: the store is cell-bucketed and far cells are never probed") {
     import spark.implicits._
     import graft.streaming.SemDedupIngest
