@@ -3,7 +3,7 @@ package graft.streaming
 import graft.corpus.VectorExpr
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 /**
  * Streaming SEMANTIC-duplicate admission — the embedding-cosine member
@@ -29,24 +29,53 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
  * and member radius r, every member x̂ satisfies
  * `cos(q,x) = 1 − ‖q̂−x̂‖²/2 ≤ 1 − max(0, ‖q̂−ĉ‖−r)²/2`, so a cell whose
  * bound falls below `threshold − slack` for EVERY batch vector cannot
- * contain a hit and its files are never opened (parquet partition
- * pruning). The surviving candidates flow through the SAME exact
- * rounded-cosine kernel as before ([[VectorExpr.semHitIdsF]], the batch
- * riding along as a codegen reference object — no join rows, no
- * shuffle), so this is EXACT pruning, not an approximate index: the
- * admission decisions are identical to a full store scan at any scale,
- * by construction (the r15 verdict sketched a fixed-nprobe probe; that
- * shape can silently admit a true semantic dup sitting in cell
- * nprobe+1, which a hash-gated oracle replay would catch — the bound
- * form keeps the sublinear scan AND the contract). Per-batch cost is
- * O(members of probed cells); prune strength rises with the admission
- * threshold and cluster coherence (at the SemDeDup-typical t ≥ 0.9
- * almost every cell prunes; at a loose t most survive — but never more
- * than the old full scan).
+ * contain a hit and its files are never opened (the candidate paths are
+ * constructed from the summaries directly). The surviving candidates
+ * flow through the SAME exact rounded-cosine kernel as before
+ * ([[VectorExpr.semHitIdsF]], the batch riding along as a codegen
+ * reference object — no join rows, no shuffle), so this is EXACT
+ * pruning, not an approximate index: the admission decisions are
+ * identical to a full store scan at any scale, by construction (the r15
+ * verdict sketched a fixed-nprobe probe; that shape can silently admit
+ * a true semantic dup sitting in cell nprobe+1, which a hash-gated
+ * oracle replay would catch — the bound form keeps the sublinear scan
+ * AND the contract). Per-batch cost is O(members of probed cells);
+ * prune strength rises with the admission threshold and cluster
+ * coherence (at the SemDeDup-typical t ≥ 0.9 almost every cell prunes;
+ * at a loose t most survive — but never more than the old full scan).
+ *
+ * THE INDEX IS COMPACTED IN BATCH COUNT. A per-batch sidecar alone is
+ * flat in store SIZE but linear in store AGE: after 10⁶ micro-batches,
+ * every admission would read 10⁶ summary files and probe paths of the
+ * form `batch=<b>/cell=<c>` for every historical batch — O(store-age)
+ * metadata reads per batch, each a network round-trip on an object
+ * store (the r16 verdict's one named scale defect). So once
+ * `compactEvery` uncompacted batch summaries accumulate, [[admitLoop]]
+ * merges them into a RUN — `_cells/run=<lo>-<hi>/cell=<c>/` data plus
+ * one `_summary/run=<lo>-<hi>.json` — and adjacent runs merge
+ * size-tiered (a run absorbs its older neighbor while the neighbor's
+ * span is no larger — the binary-counter/LSM discipline), so a store of
+ * N batches holds O(log N) runs + a ≤`compactEvery` tail: per-batch
+ * metadata reads and probe paths are O(log N), and each admitted row is
+ * rewritten O(log N) times total. The run algebra is exact, not
+ * approximate: run radius = max of source radii, count = sum, members =
+ * union, all measured against the same immutable centroids — admission
+ * decisions through a compacted store are identical to the uncompacted
+ * one (spec-pinned). Crash discipline: a run's data is written first
+ * and its summary STAMPED LAST (a summary's existence ⇒ its data is
+ * complete); only then are source summaries deleted (before source
+ * data, so a crash can strand an unreferenced orphan dir but never a
+ * summary pointing at missing data). A crash between the run stamp and
+ * the source deletes leaves both visible — decision-safe (the refused
+ * set is a union; double-read members cannot change it), and the next
+ * batch's repair pass drops and deletes any source whose id range is
+ * strictly contained in a larger one.
  *
  * Centroids are trained ONCE per store — driver-side spherical k-means
- * on the first non-empty batch's unit vectors (deterministic: seeds =
- * the k smallest-id vectors, fixed iterations, ties to the lower index)
+ * on the first non-empty batch's unit vectors (deterministic: the batch
+ * is thinned to a hash-ordered sample — smallest `trainCap` ids under a
+ * golden-ratio bit mix — then seeded by farthest-point traversal from
+ * the smallest id, fixed Lloyd iterations, ties to the lower index)
  * — and claimed atomically via [[BatchStore.takeOnceStamp]]; every
  * later batch loads the claimed text. Immutability is what makes the
  * pruning sound: the summaries' radii are measured against the SAME
@@ -57,21 +86,27 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
  * judged against the store AS OF batch start (within-batch semantic
  * dups all admit), per-batch directories overwrite on replay, a
  * replayed batch excludes its own previous partition (corpus, cells and
- * summaries), and a restarted checkpoint re-numbering batches from 0 is
- * refused.
+ * summaries — and compaction never touches the in-flight batch id, so
+ * a replayed batch's stale output can never hide inside a run), and a
+ * restarted checkpoint re-numbering batches from 0 is refused.
  */
 object SemDedupIngest {
 
   /** Hidden cell-bucketed (id, vec) index beside the corpus. */
   def cellsDir(corpusDir: String): String = s"$corpusDir/_cells"
 
-  /** Per-batch per-cell radius summaries (tiny — ≤ cells rows/batch). */
+  /** Per-batch/per-run radius summaries (tiny — ≤ cells rows each). */
   def summaryDir(corpusDir: String): String = s"${cellsDir(corpusDir)}/_summary"
 
   private def centroidsPath(corpusDir: String) =
     new org.apache.hadoop.fs.Path(cellsDir(corpusDir), "_centroids")
 
-  /** Layout version stamp — bump on ANY change to the sidecar shape. */
+  /** Layout version stamp — bump on ANY change to the sidecar shape.
+    * Run compaction stays at v=1: a pre-compaction (tail-only) store is
+    * a valid compacted store with zero runs, so this code resumes it
+    * unchanged; and pre-compaction CODE resuming a store that has runs
+    * fails LOUD (its coverage check sees corpus batches whose per-batch
+    * summaries were folded into runs it cannot read), never silent. */
   private val cellsMetaContent = "metric=cosine;layout=cell-parquet;v=1"
 
   /** Probe-bound slack: the kernel admits at `cos ≥ threshold − 1e-6`
@@ -139,15 +174,17 @@ object SemDedupIngest {
   }
 
   /** Deterministic driver-side spherical k-means over the first batch's
-    * unit vectors: seeds = the k smallest-id vectors, `iters` Lloyd
-    * rounds (mean, re-normalized; an empty or cancelled-out cell keeps
-    * its previous centroid). Driver math on a driver-resident batch —
-    * no Spark jobs, bit-reproducible across runs. */
+    * unit vectors: a hash-ordered thinned sample, farthest-point seeds,
+    * `iters` Lloyd rounds (mean, re-normalized; an empty or
+    * cancelled-out cell keeps its previous centroid). Driver math on a
+    * driver-resident batch — no Spark jobs, bit-reproducible across
+    * runs. */
   /** Training-set cap: the quantizer is a PRUNING model (correctness
-    * never depends on it), so a bounded deterministic stride sample of
-    * the first batch trains it — unbounded driver k-means over a
-    * million-row first batch would cost minutes for no admission-quality
-    * gain (the pqCodebooks train-on-a-sample discipline). */
+    * never depends on it), so a bounded deterministic hash-thinned
+    * sample of the first batch trains it — unbounded driver k-means
+    * over a million-row first batch would cost minutes for no
+    * admission-quality gain (the pqCodebooks train-on-a-sample
+    * discipline). */
   private val trainCap = 16384
 
   /** Index-write path gate: below this many admitted rows the driver
@@ -226,7 +263,7 @@ object SemDedupIngest {
     s"v=1;k=${cents.length};dim=${cents(0).length}\n" +
       cents.map(_.mkString(",")).mkString("\n")
 
-  private def parseCentroids(text: String): Array[Array[Double]] = {
+  private[graft] def parseCentroids(text: String): Array[Array[Double]] = {
     val lines = text.split("\n")
     require(lines.head.startsWith("v=1;"),
       s"unrecognized centroid stamp header '${lines.head.take(40)}'")
@@ -331,47 +368,71 @@ object SemDedupIngest {
   }
 
   // ---------------------------------------------------------------- //
-  // the cell-bucketed store                                           //
+  // the cell-bucketed store: sources, summaries, compaction           //
   // ---------------------------------------------------------------- //
 
-  /** The PROBED slice of the cell index as a frame (schema `_id, _vec`
-    * + partitions `batch, cell`). The `batch=<b>/cell=<c>` leaf dirs
-    * come straight from the summaries' population map — no listing at
-    * all — and are passed explicitly (with `basePath`, so the partition
-    * columns still resolve): handing Spark the index ROOT would re-run
-    * partition discovery over every leaf per micro-batch — a scheduled
-    * listing job once the store passes the 32-path parallel-discovery
-    * threshold, i.e. always, paid for dirs the probe set already
-    * excludes. The replay fence is upstream: [[cellStats]] skips the
-    * caller's own summary file, so its (batch, cell) pairs never reach
-    * here. */
-  private def readProbedCells(spark: SparkSession, corpusDir: String,
-                              population: Seq[(Long, Int)],
-                              probe: Set[Int]): Option[DataFrame] = {
-    val dir = cellsDir(corpusDir)
-    val paths = population.collect { case (b, c) if probe(c) =>
-      s"$dir/batch=$b/cell=$c"
-    }
-    if (paths.isEmpty) None
-    else Some(spark.read
-      .schema(cellRowSchema.add("batch", LongType).add("cell", IntegerType))
-      .option("basePath", dir)
-      .parquet(paths: _*))
+  /** One unit of the cell index: an uncompacted batch sidecar
+    * (`batch=<id>`, lo == hi == id) or a compacted run
+    * (`run=<lo>-<hi>`, covering that inclusive batch-id range). `name`
+    * IS the data directory under `_cells/` and the summary file is
+    * `_summary/<name>.json` — the summary's existence implies the data
+    * dir is completely written (stamped-last discipline). */
+  private[graft] final case class IndexSource(name: String, lo: Long, hi: Long) {
+    def span: Long = hi - lo + 1
+    def isRun: Boolean = name.startsWith("run=")
   }
 
-  /** Summaries are TEXT files (`_summary/batch=<id>.json`, one
+  private[graft] def parseSourceName(base: String): Option[IndexSource] =
+    if (base.startsWith("batch="))
+      base.stripPrefix("batch=").toLongOption.map(b => IndexSource(base, b, b))
+    else if (base.startsWith("run=")) base.stripPrefix("run=").split("-", 2) match {
+      case Array(lo, hi) =>
+        for (l <- lo.toLongOption; h <- hi.toLongOption; if l <= h)
+          yield IndexSource(base, l, h)
+      case _ => None
+    }
+    else None
+
+  /** All stamped index sources, from ONE `_summary/` listing (O(log N
+    * runs + tail) entries by the compaction invariant — never one per
+    * historical batch). Names that parse as neither shape (temp files,
+    * stray editors) are ignored, same as the r16 per-batch listing. */
+  private[graft] def listSources(spark: SparkSession,
+                          corpusDir: String): Seq[IndexSource] = {
+    val dir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .flatMap(n => parseSourceName(n.stripSuffix(".json")))
+  }
+
+  /** Split sources into (effective, superseded): a source strictly
+    * contained in a larger source's id range is a compaction leftover —
+    * the run was stamped but the crash hit before the source deletes.
+    * Reading both would only double-count (decision-safe: the refused
+    * set is a union), but the leftovers are dropped here and garbage-
+    * collected by [[maintainIndex]]'s repair pass. */
+  private[graft] def effectiveSources(
+      all: Seq[IndexSource]): (Seq[IndexSource], Seq[IndexSource]) = {
+    val (sup, eff) = all.partition(s => all.exists(o =>
+      o.span > s.span && o.lo <= s.lo && s.hi <= o.hi))
+    (eff, sup)
+  }
+
+  /** Summaries are TEXT files (`_summary/<source>.json`, one
     * `cell,max_r2,n` line per cell), written and read through the
-    * filesystem directly — ≤ cells rows per batch does not justify a
+    * filesystem directly — ≤ cells rows per source does not justify a
     * Spark job on the admission path (two scheduled jobs per micro-batch
     * for a few dozen bytes measured as a visible fraction of the bench
     * row). `Double.toString`/`toDouble` round-trips exactly, so radii
     * reconstruct bit-identical. Replay overwrites the file (create
     * overwrite=true is per-batch idempotent, same as the parquet dirs). */
   private def writeSummary(spark: SparkSession, corpusDir: String,
-                           batchId: Long,
+                           sourceName: String,
                            sums: Seq[(Int, Double, Long)]): Unit = {
     val p = new org.apache.hadoop.fs.Path(summaryDir(corpusDir),
-      s"batch=$batchId.json")
+      s"$sourceName.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
@@ -380,73 +441,231 @@ object SemDedupIngest {
     finally out.close()
   }
 
-  /** Everything the probe needs about the cell index, from ONE pass
-    * over the batch summaries (excluding this batch's own replay
-    * file — the replay fence): per-cell radius (max over batches),
-    * per-cell member count (sum — sizes the kernel fanout), and the
-    * exact (batch, cell) population map. The population map is what
-    * lets [[readProbedCells]] construct the candidate paths DIRECTLY —
-    * the r16 bring-up form re-listed every `batch=*` dir × every
-    * `cell=*` subdir per micro-batch, O(batches × cells) filesystem
-    * round-trips that grow with store age forever (measured as the
-    * dominant probe-path cost by 500k vectors locally; on an object
-    * store each is a network call). A summary line exists ⇒ that
-    * batch/cell dir was fully written (the summary is stamped LAST),
-    * so no existence checks are needed — a missing file is loud read
-    * failure, which index corruption should be. */
-  private final case class CellIndexStats(
-      radius: Map[Int, Double], count: Map[Int, Long],
-      population: Seq[(Long, Int)])
+  /** Parse one summary file; malformed lines fail LOUDLY with the file
+    * and line named — index corruption must never be a bare
+    * ArrayIndexOutOfBounds three frames deep. */
+  private def readSummaryLines(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(Int, Double, Long)] = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split(",")
+      require(parts.length == 3,
+        s"malformed cell-summary line '$line' in $p — expected 'cell,max_r2,n'")
+      try (parts(0).toInt, parts(1).toDouble, parts(2).toLong)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed cell-summary line '$line' in $p — expected " +
+            "'cell,max_r2,n' with numeric fields", e)
+      }
+    }
+  }
 
-  private def cellStats(spark: SparkSession, corpusDir: String,
-                        excludeBatch: Long): CellIndexStats = {
+  /** Everything the probe needs about the cell index, from one pass
+    * over the EFFECTIVE source summaries (O(log N runs + tail) file
+    * reads): per-cell radius (max over sources), per-cell member count
+    * (sum — sizes the kernel fanout), and the exact (source, cell)
+    * population map. The population map is what lets
+    * [[readProbedCells]] construct the candidate paths DIRECTLY — the
+    * r16 bring-up form re-listed every `batch=*` dir × every `cell=*`
+    * subdir per micro-batch, O(batches × cells) filesystem round-trips
+    * that grow with store age forever (measured as the dominant
+    * probe-path cost by 500k vectors locally; on an object store each
+    * is a network call). A summary ⇒ its data dir was fully written
+    * (stamped LAST), so no existence checks are needed — a missing
+    * file is loud read failure, which index corruption should be. */
+  private[graft] final case class CellIndexStats(
+      radius: Map[Int, Double], count: Map[Int, Long],
+      population: Seq[(String, Int)])
+
+  private[graft] def cellStats(spark: SparkSession, corpusDir: String,
+                        sources: Seq[IndexSource]): CellIndexStats = {
     val dir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return CellIndexStats(Map.empty, Map.empty, Nil)
     val rad = scala.collection.mutable.Map[Int, Double]()
     val cnt = scala.collection.mutable.Map[Int, Long]()
-    val pop = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
-    fs.listStatus(dir).foreach { s =>
-      val name = s.getPath.getName
-      if (name.startsWith("batch=") && name.endsWith(".json") &&
-          name != s"batch=$excludeBatch.json") {
-        val b = name.stripPrefix("batch=").stripSuffix(".json").toLong
-        val in = fs.open(s.getPath)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split("\n").filter(_.nonEmpty).foreach { line =>
-          val parts = line.split(",")
-          val (c, r2, n) = (parts(0).toInt, parts(1).toDouble, parts(2).toLong)
+    val pop = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    sources.foreach { src =>
+      readSummaryLines(fs,
+          new org.apache.hadoop.fs.Path(dir, s"${src.name}.json"))
+        .foreach { case (c, r2, n) =>
           rad(c) = math.max(rad.getOrElse(c, 0.0), r2)
           cnt(c) = cnt.getOrElse(c, 0L) + n
-          pop += ((b, c))
+          pop += ((src.name, c))
         }
-      }
     }
     CellIndexStats(rad.map { case (c, r2) => c -> math.sqrt(r2) }.toMap,
       cnt.toMap, pop.toSeq)
   }
 
-  /** Admission-kernel fanout: the probed slice is built of per-batch
-    * per-cell files a few KB each, so Spark's byte-based partition
-    * packing coalesces it into one or two input splits — and the
-    * kernel's O(probed members × batch × dim) work serializes onto one
-    * or two cores (measured on a 15k-row growth batch against 15k
-    * probed members at 64 dims: ~80 s on 2 tasks for ~1.5e10 kernel
-    * ops). Size the exchange by the WORK, which is known driver-side
-    * before the read (member counts from the summaries, batch size and
-    * dim from the collected batch): one task per ~2³⁰ kernel ops,
-    * capped at the cluster's parallelism. Below one task's worth of
-    * work the slice is read as-is — fixture-scale plans are untouched
-    * and no shuffle is paid. Decision-safe by construction: the kernel
-    * is per-row and the refused set is a union, so partitioning cannot
-    * change it. */
+  /** The PROBED slice of the cell index as a frame (schema `_id,
+    * _vec`). The leaf dirs come straight from the population map — no
+    * listing, no partition discovery at all (handing Spark the index
+    * ROOT would re-run discovery over every leaf per micro-batch — a
+    * scheduled listing job once the store passes the 32-path
+    * parallel-discovery threshold, i.e. always, paid for dirs the probe
+    * set already excludes). The replay fence is upstream:
+    * [[maintainIndex]] drops the caller's own summary, so its paths
+    * never reach here. */
+  private def readProbedCells(spark: SparkSession, corpusDir: String,
+                              population: Seq[(String, Int)],
+                              probe: Set[Int]): Option[DataFrame] = {
+    val dir = cellsDir(corpusDir)
+    val paths = population.collect { case (src, c) if probe(c) =>
+      s"$dir/$src/cell=$c"
+    }
+    if (paths.isEmpty) None
+    else Some(spark.read.schema(cellRowSchema).parquet(paths: _*))
+  }
+
+  /** How many uncompacted per-batch summaries may accumulate before
+    * [[maintainIndex]] folds them into a run. */
+  private[graft] val defaultCompactEvery = 64
+
+  /** Repair + compact the cell index, returning the effective sources
+    * this batch admits against (the caller's own id excluded — the
+    * replay fence). Runs BEFORE admission so stats/probe see the
+    * compacted state. Repair: delete superseded leftovers (summary
+    * first, then data — a crash strands an orphan dir, never a summary
+    * over missing data). Compact: when ≥ `compactEvery` tail batches
+    * (ids < batchId only — the in-flight id never enters a run, else a
+    * replayed batch could not exclude its own stale rows) have
+    * accumulated, fold them into a run, then absorb older ADJACENT runs
+    * while their span is ≤ the accumulated span (size-tiered: runs form
+    * a strictly-decreasing-span sequence, O(log N) of them, each row
+    * rewritten O(log N) times over the store's life). The whole merge
+    * cascade lands as ONE run write per trigger, not one per level. */
+  private def maintainIndex(spark: SparkSession, corpusDir: String,
+                            batchId: Long, compactEvery: Int): Seq[IndexSource] = {
+    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
+    val dir = new org.apache.hadoop.fs.Path(cellsDir(corpusDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (eff0, superseded) = effectiveSources(listSources(spark, corpusDir))
+    superseded.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        summaryDir(corpusDir), s"${s.name}.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s.name), true)
+    }
+    val eff = eff0.filterNot(_.name == s"batch=$batchId")
+    val tail = eff.filter(!_.isRun).sortBy(_.lo)
+    val runs = eff.filter(_.isRun).sortBy(_.lo)
+    if (tail.size < compactEvery) eff
+    else {
+      require(tail.last.hi - tail.head.lo + 1 == tail.size,
+        s"cell-index batch summaries have id gaps (${tail.head.lo}.." +
+          s"${tail.last.hi} spans ${tail.size} files) — the engine " +
+          "numbers batches contiguously, so a gap means a lost summary; " +
+          "rebuild the index or start a fresh store")
+      var mergeSet = tail
+      var keep = runs
+      while (keep.nonEmpty && keep.last.hi + 1 == mergeSet.head.lo &&
+             keep.last.span <= mergeSet.last.hi - mergeSet.head.lo + 1) {
+        mergeSet = keep.last +: mergeSet
+        keep = keep.init
+      }
+      keep :+ compactInto(spark, corpusDir, mergeSet)
+    }
+  }
+
+  /** Read the member rows of a homogeneous source group (all batches or
+    * all runs — their partition-directory keys differ, so the two
+    * shapes cannot share one partition-discovered read). */
+  private def readSourceData(spark: SparkSession, cellsRoot: String,
+                             srcs: Seq[IndexSource], partCol: String,
+                             partType: DataType): Option[DataFrame] =
+    if (srcs.isEmpty) None
+    else Some(spark.read
+      .schema(StructType(cellRowSchema.fields ++ Seq(
+        StructField(partCol, partType), StructField("cell", IntegerType))))
+      .option("basePath", cellsRoot)
+      .parquet(srcs.map(s => s"$cellsRoot/${s.name}"): _*)
+      .select(col("_id"), col("_vec"), col("cell")))
+
+  /** Merge `sources` (sorted, contiguous) into one run. Write order is
+    * the crash discipline: run data → run summary (the stamp — from
+    * here readers may use the run; sources still visible only
+    * double-count, which the union-of-hits admission ignores) → source
+    * summaries → source data. The data job shuffles each cell's rows to
+    * one task (`repartition(cell)`), so a run holds ~one file per
+    * populated cell — the whole point: probe paths per cell become
+    * O(runs + tail), not O(batches). */
+  private def compactInto(spark: SparkSession, corpusDir: String,
+                          sources: Seq[IndexSource]): IndexSource = {
+    val root = cellsDir(corpusDir)
+    val name = s"run=${sources.head.lo}-${sources.last.hi}"
+    val runPath = new org.apache.hadoop.fs.Path(root, name)
+    val fs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(runPath)) fs.delete(runPath, true) // crashed attempt
+    val frames = Seq(
+      readSourceData(spark, root, sources.filter(!_.isRun), "batch", LongType),
+      readSourceData(spark, root, sources.filter(_.isRun), "run", StringType)
+    ).flatten
+    frames.reduce(_.union(_))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(runPath.toString)
+    val merged = scala.collection.mutable.Map[Int, (Double, Long)]()
+    val sumDir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
+    sources.foreach { src =>
+      readSummaryLines(fs,
+          new org.apache.hadoop.fs.Path(sumDir, s"${src.name}.json"))
+        .foreach { case (c, r2, n) =>
+          val (mx, tot) = merged.getOrElse(c, (0.0, 0L))
+          merged(c) = (math.max(mx, r2), tot + n)
+        }
+    }
+    writeSummary(spark, corpusDir, name,
+      merged.toSeq.sortBy(_._1).map { case (c, (r2, n)) => (c, r2, n) })
+    sources.foreach(s => fs.delete(
+      new org.apache.hadoop.fs.Path(sumDir, s"${s.name}.json"), false))
+    sources.foreach(s => fs.delete(
+      new org.apache.hadoop.fs.Path(root, s.name), true))
+    IndexSource(name, sources.head.lo, sources.last.hi)
+  }
+
+  /** Admission-kernel fanout: the probed slice is built of per-cell
+    * files a few KB each, so Spark's byte-based partition packing
+    * coalesces it into one or two input splits — and the kernel's
+    * O(probed members × batch × dim) work serializes onto one or two
+    * cores (measured on a 15k-row growth batch against 15k probed
+    * members at 64 dims: ~80 s on 2 tasks for ~1.5e10 kernel ops). Size
+    * the exchange by the WORK, which is known driver-side before the
+    * read (member counts from the summaries, batch size and dim from
+    * the collected batch): one task per ~2³⁰ kernel ops, capped at the
+    * cluster's parallelism. Below one task's worth of work the slice is
+    * read as-is — fixture-scale plans are untouched and no shuffle is
+    * paid. Decision-safe by construction: the kernel is per-row and the
+    * refused set is a union, so partitioning cannot change it. */
   private[graft] def kernelFanout(probedMembers: Long, batchN: Int,
                                   dim: Int, maxParts: Int): Int = {
     val opsPerRow = math.max(1L, batchN.toLong * dim)
     val rowsPerTask = math.max(1L, (1L << 30) / opsPerRow)
     math.min(maxParts.toLong,
       (probedMembers + rowsPerTask - 1) / rowsPerTask).toInt.max(1)
+  }
+
+  /** Estimate how many input splits Spark's own file packing will give
+    * the probed slice, mirroring its formula: maxSplitBytes =
+    * min(maxPartitionBytes, max(openCostInBytes, totalBytes /
+    * defaultParallelism)), with totalBytes counting openCost once per
+    * file. The byte total is an ESTIMATE (uncompressed row width ×
+    * members; real parquet files are smaller) — it only gates whether
+    * [[kernelFanout]]'s repartition is worth paying, so an over-read
+    * knob (a user raising maxPartitionBytes) at worst re-adds the
+    * exchange, never changes a decision. */
+  private def estimateScanSplits(spark: SparkSession, probedMembers: Long,
+                                 dim: Int, nPaths: Int): Int = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes =
+      probedMembers * (4L * dim + 16) + nPaths.toLong * openCost
+    val bytesPerCore =
+      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore)))
+    (1L.max((totalBytes + maxSplit - 1) / maxSplit)).toInt
   }
 
   /** Load the store's centroids, training + claiming them from THIS
@@ -502,27 +721,26 @@ object SemDedupIngest {
         s"loop runs as '$cellsMetaContent' — rebuild the index")
   }
 
-  /** Every admitted corpus batch (minus self on replay) must have its
-    * cells + summary twins — an index that silently lags the corpus
-    * would admit semantic duplicates. */
+  /** Every admitted corpus batch (minus self on replay) must be covered
+    * by an index source — an index that silently lags the corpus would
+    * admit semantic duplicates. Coverage is judged from the effective
+    * summaries alone (a summary is stamped after its data), so the
+    * check costs ONE corpus listing however old the store is. */
   private def requireCellsCoverCorpus(spark: SparkSession, corpusDir: String,
-                                      selfBatch: Long): Unit = {
-    def batchIds(dir: String, suffix: String = ""): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p)
-        .filter(s => s.getPath.getName.startsWith("batch=") &&
-          s.getPath.getName.endsWith(suffix))
-        .map(_.getPath.getName.stripSuffix(suffix)).toSet
-    }
-    val self = s"batch=$selfBatch"
-    val missing = (batchIds(corpusDir) - self) --
-      ((batchIds(cellsDir(corpusDir)) - self) intersect
-        (batchIds(summaryDir(corpusDir), ".json") - self))
+                                      selfBatch: Long,
+                                      sources: Seq[IndexSource]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusIds =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(_.stripPrefix("batch=").toLongOption)
+    val missing = corpusIds.filter(id => id != selfBatch &&
+      !sources.exists(s => s.lo <= id && id <= s.hi))
     require(missing.isEmpty,
       s"semantic-dup store at $corpusDir has admitted batches with no " +
-        s"cell-index twin (${missing.toSeq.sorted.mkString(", ")}); " +
+        s"cell-index twin (${missing.sorted.map("batch=" + _).mkString(", ")}); " +
         "probing an incomplete index would silently admit semantic " +
         "duplicates — rebuild the index or start a fresh store")
   }
@@ -530,15 +748,18 @@ object SemDedupIngest {
   /** The closed loop as a foreachBatch sink — same exactly-once-at-the-
     * sink discipline as the exact and near-dup loops. `cells` bounds the
     * index fan-out (only the FIRST trainable batch reads it; later
-    * batches load the claimed centroids). */
+    * batches load the claimed centroids). `compactEvery` bounds the
+    * uncompacted tail (see [[maintainIndex]]). */
   def admitLoop(idCol: String, vecCol: String, threshold: Double,
                 corpusDir: String, cells: Int = 16,
-                maxBatch: Int = 1 << 20)(
+                maxBatch: Int = 1 << 20,
+                compactEvery: Int = defaultCompactEvery)(
                 batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     BatchStore.requireNotAhead(spark, corpusDir, batchId, "semantic corpus")
     requireCellsLayout(spark, corpusDir, batchId)
-    requireCellsCoverCorpus(spark, corpusDir, batchId)
+    val sources = maintainIndex(spark, corpusDir, batchId, compactEvery)
+    requireCellsCoverCorpus(spark, corpusDir, batchId, sources)
 
     val bv = collectBatch(batch, idCol, vecCol, maxBatch)
     val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
@@ -549,7 +770,7 @@ object SemDedupIngest {
       else cents match {
         case None => Set.empty // store holds only zero-norm rows: no hits
         case Some(cs) =>
-          val stats = cellStats(spark, corpusDir, excludeBatch = batchId)
+          val stats = cellStats(spark, corpusDir, sources)
           val probe = probeCells(cs, stats.radius, units, threshold)
           if (probe.isEmpty) Set.empty
           else readProbedCells(spark, corpusDir, stats.population, probe) match {
@@ -560,17 +781,15 @@ object SemDedupIngest {
               val parts = kernelFanout(probedMembers, bv.ids.length,
                 bv.vecs(0).length, spark.sparkContext.defaultParallelism)
               // repartition ONLY when the scan itself won't split wide
-              // enough: Spark packs the probed files into splits of
-              // maxPartitionBytes counting openCost per file, so a
+              // enough: Spark packs the probed files into splits, so a
               // many-file probe set already fans out and a shuffle of
               // its rows would only add cost (measured: a probe-
               // everything batch paid ~6× the plain full scan through
               // the exchange). The few-huge-cells shape is where the
               // exchange earns its bytes.
               val nPaths = stats.population.count(pc => probe(pc._2))
-              val estSplits = 1 + ((probedMembers *
-                (4L * bv.vecs(0).length + 16) + nPaths.toLong * (4L << 20))
-                / (128L << 20)).toInt
+              val estSplits = estimateScanSplits(spark, probedMembers,
+                bv.vecs(0).length, nPaths)
               val slice =
                 if (parts > estSplits) cells.repartition(parts) else cells
               refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
@@ -620,7 +839,7 @@ object SemDedupIngest {
     }
     // the summary is stamped LAST: a crash between the writes and here
     // replays the batch, which overwrites all three outputs
-    writeSummary(spark, corpusDir, batchId,
+    writeSummary(spark, corpusDir, s"batch=$batchId",
       sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => (c, r2, n) })
   }
 
@@ -644,7 +863,8 @@ object SemDedupIngest {
     * bounded by one cell's rows — no worse than the collect that already
     * happened. Replay deletes the batch dir first (same overwrite
     * semantics as the Spark writer); an all-refused batch still creates
-    * the empty dir so [[requireCellsCoverCorpus]] sees the twin. */
+    * the empty dir so a lost-data probe read fails loudly rather than
+    * resolving a nonexistent path. */
   private def writeIndexFiles(spark: SparkSession, corpusDir: String,
                               batchId: Long,
                               byCell: Map[Int, IndexedSeq[Int]],

@@ -54,9 +54,12 @@ object ProbeSemScale {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       v.map(_ / n)
     }
-    // cluster = id % 256: the loop's k-means seeds are the 256
-    // smallest-id vectors of the first batch — round-robin ids put one
-    // seed in each cluster
+    // cluster = id % 256: deliberately periodic ids — the shape that
+    // exposed the old fixed-stride training sample (stride 16 aliased
+    // with the 256-cluster cycle and left 240 clusters unsampled). The
+    // loop now thins by golden-ratio hash order and seeds by
+    // farthest-point traversal, so every cluster is modeled regardless
+    // of id structure; the periodic ids stay as the regression canary
     def mkVec(id: Long, r: scala.util.Random): Array[Float] = {
       val d = dirs((id % nClusters).toInt)
       d.map(x => x + r.nextGaussian().toFloat * sigma)

@@ -716,6 +716,130 @@ class StreamingSpec extends SparkTestBase {
     assert(ref.size < n, s"expected some refusals, got ${ref.size} of $n admitted")
   }
 
+  test("semantic ingest: compaction keeps admission decision-identical and tiers the index") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    // 10 batches through compactEvery=2 exercises the binary-counter
+    // cascade (tail→run, run-absorbs-run twice over) at BOTH prune
+    // regimes; admission through the compacted index must equal the
+    // sequential full-scan reference, batch by batch.
+    val rnd = new scala.util.Random(43)
+    val bases = Array.fill(10)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    def mkVec(i: Int): Array[Float] = {
+      val b = bases(i % 10)
+      b.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.15f)
+    }
+    val batches: Seq[Seq[(Long, Array[Float], String)]] =
+      (0 until 10).map(w => (0 until 10).map(j =>
+        ((w * 100 + j).toLong, mkVec(w * 10 + j), "s")))
+    for (t <- Seq(0.9, 0.35)) {
+      val corpusDir =
+        Files.createTempDirectory(s"graft-sem-compact-$t").toString + "/c"
+      val loop = SemDedupIngest.admitLoop("vec_id", "embedding", t,
+        corpusDir, cells = 4, compactEvery = 2) _
+      var refAdmitted = Seq.empty[(Long, Array[Float], String)]
+      batches.zipWithIndex.foreach { case (rows, w) =>
+        val df = rows.toDF("vec_id", "embedding", "source")
+        loop(df, w.toLong)
+        val refStore = refAdmitted.toDF("vec_id", "embedding", "source")
+        val got = SemDedupIngest.admitAgainstStore(
+            refStore, df, "vec_id", "embedding", t)
+          .select("vec_id").as[Long].collect().toSet
+        refAdmitted = refAdmitted ++ rows.filter(r => got.contains(r._1))
+      }
+      def admitted(): Set[Long] = SemDedupIngest.storeVectors(spark,
+          corpusDir, batches.head.toDF("vec_id", "embedding", "source").schema)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(admitted() == refAdmitted.map(_._1).toSet,
+        s"compacted admission must equal the exact reference at t=$t")
+      // the index is TIERED: batches 0..7 folded into one run (the
+      // binary-counter cascade fired at batch 8's maintain), 8 and 9
+      // still tail — and the compacted batches' per-batch summaries and
+      // data dirs are GONE, which is the whole point (O(log N) sources,
+      // not one per historical batch)
+      val fs = new org.apache.hadoop.fs.Path(corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sums = fs.listStatus(new org.apache.hadoop.fs.Path(
+          SemDedupIngest.summaryDir(corpusDir)))
+        .map(_.getPath.getName).filter(_.endsWith(".json")).toSet
+      assert(sums == Set("run=0-7.json", "batch=8.json", "batch=9.json"),
+        s"expected a tiered index at t=$t, got $sums")
+      val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+          SemDedupIngest.cellsDir(corpusDir)))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") || n.startsWith("run=")).toSet
+      assert(dataDirs == Set("run=0-7", "batch=8", "batch=9"),
+        s"compacted source dirs must be deleted at t=$t, got $dataDirs")
+      // replay of the LAST batch converges across the compacted store
+      loop(batches.last.toDF("vec_id", "embedding", "source"), 9L)
+      assert(admitted() == refAdmitted.map(_._1).toSet,
+        s"replay over a compacted store must converge at t=$t")
+    }
+  }
+
+  test("semantic ingest: compaction repair sweeps crash leftovers; corrupt summaries fail loudly") {
+    import spark.implicits._
+    import graft.streaming.SemDedupIngest
+    // unit shape first: source-name parsing and the containment rule
+    assert(SemDedupIngest.parseSourceName("batch=7")
+      .contains(SemDedupIngest.IndexSource("batch=7", 7, 7)))
+    assert(SemDedupIngest.parseSourceName("run=0-63")
+      .contains(SemDedupIngest.IndexSource("run=0-63", 0, 63)))
+    assert(SemDedupIngest.parseSourceName("run=9-3").isEmpty &&
+      SemDedupIngest.parseSourceName("whatever").isEmpty)
+    val (eff, sup) = SemDedupIngest.effectiveSources(Seq(
+      SemDedupIngest.IndexSource("run=0-7", 0, 7),
+      SemDedupIngest.IndexSource("batch=3", 3, 3),   // inside the run
+      SemDedupIngest.IndexSource("run=4-5", 4, 5),   // inside the run
+      SemDedupIngest.IndexSource("batch=8", 8, 8)))  // tail
+    assert(eff.map(_.name).toSet == Set("run=0-7", "batch=8"))
+    assert(sup.map(_.name).toSet == Set("batch=3", "run=4-5"))
+
+    // integration: a stamped run with its sources still present (crash
+    // between the run stamp and the source deletes) must be repaired by
+    // the next batch — leftover summary AND data dir deleted
+    val corpusDir = Files.createTempDirectory("graft-sem-repair").toString + "/c"
+    def vec(xs: Float*) = xs.toArray
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95,
+      corpusDir, cells = 2, compactEvery = 2) _
+    loop(Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source"), 0L)
+    loop(Seq((2L, vec(0f, 1f), "s")).toDF("vec_id", "embedding", "source"), 1L)
+    loop(Seq((3L, vec(1f, 1f), "s")).toDF("vec_id", "embedding", "source"), 2L)
+    // batch 2's maintain folded 0,1 into run=0-1; forge the crash state
+    // by re-creating batch=0's summary and data dir beside the run
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftSum = new org.apache.hadoop.fs.Path(
+      SemDedupIngest.summaryDir(corpusDir), "batch=0.json")
+    val out = fs.create(leftSum, true)
+    out.write("0,0.25,1".getBytes("UTF-8")); out.close()
+    val leftDir = new org.apache.hadoop.fs.Path(
+      SemDedupIngest.cellsDir(corpusDir), "batch=0/cell=0")
+    fs.mkdirs(leftDir)
+    loop(Seq((4L, vec(1f, 0.01f), "s")) // semantic dup of stored 1 -> refused
+      .toDF("vec_id", "embedding", "source"), 3L)
+    assert(!fs.exists(leftSum) && !fs.exists(leftDir.getParent),
+      "repair must delete the superseded leftover summary and data dir")
+    val admitted = SemDedupIngest.storeVectors(spark, corpusDir,
+        Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source").schema)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L), s"got $admitted")
+
+    // a truncated summary line must name the file and the line, not die
+    // in bare array-index arithmetic
+    val bad = new org.apache.hadoop.fs.Path(
+      SemDedupIngest.summaryDir(corpusDir), "batch=3.json")
+    val out2 = fs.create(bad, true)
+    out2.write("0,0.25".getBytes("UTF-8")); out2.close()
+    val e = intercept[IllegalArgumentException] {
+      loop(Seq((9L, vec(0f, 1.01f), "s"))
+        .toDF("vec_id", "embedding", "source"), 4L)
+    }
+    assert(e.getMessage.contains("batch=3.json") &&
+      e.getMessage.contains("0,0.25"),
+      s"corrupt summary must be named, got: ${e.getMessage}")
+  }
+
   test("semantic ingest: the store is cell-bucketed and far cells are never probed") {
     import spark.implicits._
     import graft.streaming.SemDedupIngest
