@@ -124,12 +124,25 @@ object NearDupIngest {
     * what lets an external oracle replay sequential admission from one
     * global pair set. `batchPostings` must be the batch's own
     * [[Dedup.sizedShinglePostings]] (passed in, not recomputed, so the
-    * caller's checkpoint serves both admission and the postings write). */
+    * caller's checkpoint serves both admission and the postings write).
+    *
+    * The batch postings ride a BROADCAST hint: a micro-batch is
+    * trigger-bounded (the contract [[graft.streaming.SemDedupIngest]]
+    * makes explicit with maxBatch), and with AQE out of the streaming
+    * scope the join strategy otherwise rides on STATIC size estimates —
+    * an explode-inflated postings estimate flips the plan to
+    * sort-merge, which reshuffles the ENTIRE store postings table every
+    * micro-batch, the exact O(store)-per-batch shape this loop exists
+    * to avoid. The hint pins BroadcastHashJoin (store side scan-only,
+    * map-side) independent of estimates; at 100 TB with the
+    * shingle-bucketed postings layout it is the co-located probe.
+    * Corpus-scale batches belong on the batch API
+    * ([[Dedup.incrementalPairs]]), not here. */
   def admitAgainstPostings(storePost: DataFrame, batch: DataFrame,
                            batchPostings: DataFrame, idCol: String,
                            threshold: Double): DataFrame = {
     val rejected = Dedup.incrementalPairsFromPostings(storePost,
-        batchPostings, threshold, maxDf = Int.MaxValue)
+        broadcast(batchPostings), threshold, maxDf = Int.MaxValue)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(rejected, Seq(idCol), "left_anti")
   }
@@ -200,9 +213,21 @@ object NearDupIngest {
       try {
         admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         // the admitted docs' postings, filtered from the batch postings
-        // already in hand — never re-derived from text
+        // already in hand — never re-derived from text. Coalesced to the
+        // session's shuffle width before writing: bp carries the
+        // tokenizer's full-parallelism fanout (32 on this box), and a
+        // micro-batch's postings written at that width are 32 near-empty
+        // files — a measured ~0.2 s write job per batch AND a growing
+        // scan-task tax on every later batch's admission join, which
+        // reads each historical batch dir file-by-file. The shuffle
+        // width is the knob already sized to micro-batch volume
+        // (StreamTuning); coalesce reads straight from bp's cache, no
+        // extra shuffle.
+        val outParts = math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
         bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
             "left_semi")
+          .coalesce(outParts)
           .write.mode("overwrite")
           .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
       } finally { admitted.unpersist(false); () }

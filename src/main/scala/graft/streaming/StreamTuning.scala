@@ -36,13 +36,25 @@ object StreamTuning {
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
       conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.shuffle.partitions",
       streamingShufflePartitions.toString)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // AQE off inside the streaming scope: foreachBatch bodies are batch
+    // queries, so AQE materializes EVERY exchange as its own scheduled
+    // job to re-plan from runtime stats — measured ~11 jobs per
+    // micro-batch on the near-dup admission loop, each carrying
+    // scheduler+commit fixed cost, to re-optimize KB-scale 8-partition
+    // plans whose shape is already fixed by this conf. Stateful
+    // streaming queries run with AQE off by engine design anyway; this
+    // aligns the foreachBatch loops. Batch queries outside the scope
+    // keep AQE (skew joins, coalescing — the 100 TB levers).
+    conf.set("spark.sql.adaptive.enabled", "false")
     try body
     finally {
       conf.set("spark.sql.shuffle.partitions", prevParts)
       conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 }

@@ -38,9 +38,12 @@ object ProbeNearDup {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        jobs.put(e.jobId, (e.time,
-          Option(e.properties).map(_.getProperty("spark.job.description"))
-            .flatMap(Option(_)).getOrElse("?").take(90)))
+        val props = Option(e.properties)
+        val desc = props.map(_.getProperty("callSite.short")).flatMap(Option(_))
+          .orElse(props.map(_.getProperty("spark.job.description"))
+            .flatMap(Option(_)))
+          .getOrElse("?").replace('\n', ' ').take(90)
+        jobs.put(e.jobId, (e.time, desc))
         stagesOf.put(e.jobId, e.stageIds)
         ()
       }
@@ -76,6 +79,10 @@ object ProbeNearDup {
       rows.foreach { r =>
         println(f"job ${r.id}%3d ${r.ms}%6d ms  stages=${r.stages}%2d " +
           f"tasks=${r.tasks}%4d shufW=${r.shufWriteMB}%8.2f MB  ${r.desc}")
+      }
+      println("-- top 12 by time --")
+      rows.sortBy(-_.ms).take(12).foreach { r =>
+        println(f"job ${r.id}%3d ${r.ms}%6d ms  tasks=${r.tasks}%4d  ${r.desc}")
       }
     }
     spark.stop()

@@ -157,7 +157,10 @@ object ProbeSemAge {
     var probeId = 1000000L
     for (snap <- snapshots.reverse) {
       def measure(tag: String): (Double, Int, Int) = {
-        val dir = s"$root/$tag/snap$snap/c"
+        val dir = s"$root/$tag/snap$snap" // FileUtil.copy: fresh dst IS the copy
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=0")),
+          s"snapshot store $dir is empty — measuring nothing (the r17 " +
+            "first-cut measured exactly this: a wrong nesting level)")
         val ids = (0 until batchRows).map(j =>
           (900L << 40) + (j / 16).toLong * 256 + (j % 16))
         def once(): Double = {
