@@ -549,9 +549,28 @@ object SemDedupIngest {
       fs.delete(new org.apache.hadoop.fs.Path(dir, s.name), true)
     }
     val eff = eff0.filterNot(_.name == s"batch=$batchId")
-    val tail = eff.filter(!_.isRun).sortBy(_.lo)
-    val runs = eff.filter(_.isRun).sortBy(_.lo)
-    if (tail.size < compactEvery) eff
+    planCompaction(eff.filter(!_.isRun), eff.filter(_.isRun),
+        compactEvery) match {
+      case None => eff
+      case Some(mergeSet) =>
+        val merged = mergeSet.toSet
+        eff.filterNot(merged) :+ compactInto(spark, corpusDir, mergeSet)
+    }
+  }
+
+  /** Pure compaction planning (extracted so the tiering invariants are
+    * property-testable without a filesystem): given the effective
+    * uncompacted batch summaries and runs, return the sorted contiguous
+    * source set to fold into one run, or None when the tail hasn't
+    * reached `compactEvery`. The merge absorbs older ADJACENT runs
+    * while their span is ≤ the accumulated span — the binary-counter
+    * rule that keeps run spans strictly decreasing oldest→newest and
+    * the run count O(log N). */
+  private[graft] def planCompaction(
+      tailIn: Seq[IndexSource], runsIn: Seq[IndexSource],
+      compactEvery: Int): Option[Seq[IndexSource]] = {
+    val tail = tailIn.sortBy(_.lo)
+    if (tail.size < compactEvery) None
     else {
       require(tail.last.hi - tail.head.lo + 1 == tail.size,
         s"cell-index batch summaries have id gaps (${tail.head.lo}.." +
@@ -559,13 +578,13 @@ object SemDedupIngest {
           "numbers batches contiguously, so a gap means a lost summary; " +
           "rebuild the index or start a fresh store")
       var mergeSet = tail
-      var keep = runs
+      var keep = runsIn.sortBy(_.lo)
       while (keep.nonEmpty && keep.last.hi + 1 == mergeSet.head.lo &&
              keep.last.span <= mergeSet.last.hi - mergeSet.head.lo + 1) {
         mergeSet = keep.last +: mergeSet
         keep = keep.init
       }
-      keep :+ compactInto(spark, corpusDir, mergeSet)
+      Some(mergeSet)
     }
   }
 

@@ -777,6 +777,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("semantic ingest: compaction planning holds its tiering invariants over long histories") {
+    import graft.streaming.SemDedupIngest.{planCompaction, IndexSource}
+    // pure-driver simulation of maintainIndex's evolution: for each
+    // compactEvery, feed 400 sequential batches through the planner and
+    // check after every step what the 100 TB story rests on —
+    // (a) coverage: sources partition [0, b] exactly (disjoint, no gaps:
+    //     a lost id admits dups, an overlap double-reads forever),
+    // (b) tiering: run spans strictly decrease oldest → newest,
+    // (c) boundedness: #runs ≤ log2(N/ce)+2 and tail ≤ ce — the
+    //     "metadata ops per admission are O(log N)" claim itself.
+    for (ce <- Seq(1, 2, 3, 5, 8, 64)) {
+      var runs = Vector.empty[IndexSource]
+      var tail = Vector.empty[IndexSource]
+      for (b <- 0 until 400) {
+        // batch b's maintain sees summaries of batches < b only
+        planCompaction(tail, runs, ce) match {
+          case None => ()
+          case Some(ms) =>
+            val merged = ms.toSet
+            assert(ms.sortBy(_.lo) == ms, s"merge set must arrive sorted")
+            val run = IndexSource(s"run=${ms.head.lo}-${ms.last.hi}",
+              ms.head.lo, ms.last.hi)
+            runs = runs.filterNot(merged) :+ run
+            tail = tail.filterNot(merged)
+            assert(tail.isEmpty, s"ce=$ce b=$b: plan must consume the tail")
+        }
+        tail = tail :+ IndexSource(s"batch=$b", b.toLong, b.toLong)
+        val srcs = (runs ++ tail).sortBy(_.lo)
+        val covered = srcs.flatMap(s => s.lo to s.hi)
+        assert(covered == (0L to b.toLong),
+          s"ce=$ce b=$b: sources must partition [0,$b] exactly, got " +
+            s"${srcs.map(_.name).mkString(",")}")
+        val spans = runs.sortBy(_.lo).map(_.span)
+        assert(spans == spans.sorted.reverse && spans.distinct == spans,
+          s"ce=$ce b=$b: run spans must strictly decrease, got $spans")
+        val bound = (math.log((b + 1).toDouble / ce) / math.log(2)) + 2
+        assert(runs.size <= math.max(1, bound),
+          s"ce=$ce b=$b: ${runs.size} runs exceeds the O(log N) bound $bound")
+        assert(tail.size <= ce, s"ce=$ce b=$b: tail ${tail.size} > $ce")
+      }
+    }
+    // gap in the tail = a lost summary: loud, names the range
+    val e = intercept[IllegalArgumentException] {
+      planCompaction(Seq(IndexSource("batch=0", 0, 0),
+        IndexSource("batch=2", 2, 2)), Nil, 2)
+    }
+    assert(e.getMessage.contains("id gaps"))
+  }
+
   test("semantic ingest: compaction repair sweeps crash leftovers; corrupt summaries fail loudly") {
     import spark.implicits._
     import graft.streaming.SemDedupIngest
