@@ -56,14 +56,14 @@ object IngestDedup {
     * recorded — without the exclusion, replay would self-refuse every
     * row and overwrite its corpus partition with nothing (data loss
     * exactly when the engine is trying to recover it). */
+  private val digestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("digest",
+      org.apache.spark.sql.types.StringType)))
+
   def storeDirDigests(spark: org.apache.spark.sql.SparkSession,
                       digestDir: String,
                       excludeBatch: Option[Long] = None): DataFrame =
-    BatchStore.read(spark, digestDir,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("digest",
-          org.apache.spark.sql.types.StringType))),
-      excludeBatch)
+    BatchStore.read(spark, digestDir, digestSchema, excludeBatch)
 
   /** The CLOSED ingest loop as a foreachBatch sink: each micro-batch is
     * admitted against the digest store AS OF batch start, the admitted
@@ -76,13 +76,20 @@ object IngestDedup {
     * engine's at-least-once replay). Digests are re-projected from the
     * just-committed corpus partition, not the in-flight frame, so the
     * store can never record a digest whose doc failed to land. */
-  def admitLoop(textCol: String, digestDir: String, corpusDir: String)
+  def admitLoop(textCol: String, digestDir: String, corpusDir: String,
+                compactEvery: Int = BatchStore.defaultCompactEvery)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // a restarted checkpoint over an existing store would re-number
     // batches from 0 and overwrite old partitions one by one — refuse
     BatchStore.requireNotAhead(spark, corpusDir, batchId, "ingest corpus")
     BatchStore.requireNotAhead(spark, digestDir, batchId, "ingest digest")
+    // the DIGEST sidecar (not the user-facing corpus) is compacted in
+    // batch count: without it every admission re-discovers one
+    // batch=<id> dir per historical micro-batch — O(store-age) listing
+    // round-trips forever, the defect class the semantic loop's index
+    // fixed in r17 (see BatchStore's class doc for the run layout)
+    BatchStore.maintain(spark, digestDir, batchId, digestSchema, compactEvery)
     val admitted = admit(batch,
       storeDirDigests(spark, digestDir, excludeBatch = Some(batchId)), textCol)
     admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")

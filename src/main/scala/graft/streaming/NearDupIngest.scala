@@ -68,10 +68,13 @@ object NearDupIngest {
     // wrong k would legitimize exactly the cross-shingle-space join the
     // stamp exists to refuse. Require an explicit migration instead.
     if (!fs.exists(meta)) {
+      // batch= OR run= — a fully-compacted store whose stamp went
+      // missing must demand migration exactly like an uncompacted one
       def hasBatches(dir: String): Boolean = {
         val p = new org.apache.hadoop.fs.Path(dir)
         fs.exists(p) && fs.listStatus(p).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch="))
+          s.isDirectory && (s.getPath.getName.startsWith("batch=") ||
+            s.getPath.getName.startsWith("run=")))
       }
       require(!hasBatches(postingsDir(corpusDir)) && !hasBatches(corpusDir),
         s"near-dup store at $corpusDir predates the postings _meta stamp " +
@@ -168,20 +171,29 @@ object NearDupIngest {
   private def requirePostingsCoverCorpus(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       selfBatch: Long): Unit = {
-    def batchIds(dir: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names(dir: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName).toSet
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     }
-    val self = s"batch=$selfBatch"
-    val missing = (batchIds(corpusDir) - self) --
-      (batchIds(postingsDir(corpusDir)) - self)
+    val corpusIds = names(corpusDir)
+      .flatMap(n => if (n.startsWith("batch="))
+        n.stripPrefix("batch=").toLongOption else None)
+    // coverage from the postings store's EFFECTIVE sources: a compacted
+    // run covers its whole id range iff its _SUCCESS stamp landed (the
+    // write-then-stamp discipline — see BatchStore)
+    val pRoot = new org.apache.hadoop.fs.Path(postingsDir(corpusDir))
+    val sources = names(postingsDir(corpusDir))
+      .flatMap(BatchStore.parseSourceName)
+      .filter(s => !s.isRun || fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(pRoot, s.name), "_SUCCESS")))
+    val missing = corpusIds.filter(id => id != selfBatch &&
+      !sources.exists(s => s.lo <= id && id <= s.hi))
     require(missing.isEmpty,
       s"near-dup ingest store at $corpusDir has admitted batches with no " +
-        s"postings sidecar (${missing.toSeq.sorted.mkString(", ")}); " +
+        s"postings sidecar (${missing.sorted.map("batch=" + _).mkString(", ")}); " +
         "admitting against an incomplete postings table would silently " +
         "accept near-duplicates — rebuild the postings " +
         "(Dedup.sizedShinglePostings over each batch) or start a fresh store")
@@ -195,7 +207,9 @@ object NearDupIngest {
     * two block sets per micro-batch until the ContextCleaner's periodic
     * sweep (default 30 min) notices the dead refs. */
   def admitLoop(idCol: String, textCol: String, k: Int, threshold: Double,
-                corpusDir: String)(batch: DataFrame, batchId: Long): Unit = {
+                corpusDir: String,
+                compactEvery: Int = BatchStore.defaultCompactEvery)(
+                batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // a restarted checkpoint re-numbering batches from 0 would overwrite
     // old partitions progressively — refuse (same guard as IngestDedup)
@@ -205,6 +219,11 @@ object NearDupIngest {
     // one tokenization pass over the batch, reused by the admission join
     // and the admitted-postings write (hashed shape — see batchPostings)
     val bp = batchPostings(batch, idCol, textCol, k).persist()
+    // the POSTINGS sidecar (not the user-facing corpus) is compacted in
+    // batch count — one batch=<id> dir per micro-batch forever is
+    // O(store-age) discovery per admission (see BatchStore's class doc)
+    BatchStore.maintain(spark, postingsDir(corpusDir), batchId, bp.schema,
+      compactEvery)
     try {
       val sp = storePostings(spark, corpusDir, bp.schema,
         excludeBatch = Some(batchId))

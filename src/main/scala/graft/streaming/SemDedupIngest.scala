@@ -371,27 +371,15 @@ object SemDedupIngest {
   // the cell-bucketed store: sources, summaries, compaction           //
   // ---------------------------------------------------------------- //
 
-  /** One unit of the cell index: an uncompacted batch sidecar
-    * (`batch=<id>`, lo == hi == id) or a compacted run
-    * (`run=<lo>-<hi>`, covering that inclusive batch-id range). `name`
-    * IS the data directory under `_cells/` and the summary file is
-    * `_summary/<name>.json` — the summary's existence implies the data
-    * dir is completely written (stamped-last discipline). */
-  private[graft] final case class IndexSource(name: String, lo: Long, hi: Long) {
-    def span: Long = hi - lo + 1
-    def isRun: Boolean = name.startsWith("run=")
-  }
-
-  private[graft] def parseSourceName(base: String): Option[IndexSource] =
-    if (base.startsWith("batch="))
-      base.stripPrefix("batch=").toLongOption.map(b => IndexSource(base, b, b))
-    else if (base.startsWith("run=")) base.stripPrefix("run=").split("-", 2) match {
-      case Array(lo, hi) =>
-        for (l <- lo.toLongOption; h <- hi.toLongOption; if l <= h)
-          yield IndexSource(base, l, h)
-      case _ => None
-    }
-    else None
+  /** The index shares [[BatchStore.IndexSource]] naming: a source is an
+    * uncompacted batch sidecar (`batch=<id>`) or a compacted run
+    * (`run=<lo>-<hi>`); `name` IS the data directory under `_cells/`
+    * and the summary file is `_summary/<name>.json` — the summary's
+    * existence implies the data dir is completely written
+    * (stamped-last discipline; the marker here is the summary FILE,
+    * not `_SUCCESS`, because summaries exist anyway and a filesystem
+    * write of one tiny file beats a committer pass). */
+  private[graft] type IndexSource = BatchStore.IndexSource
 
   /** All stamped index sources, from ONE `_summary/` listing (O(log N
     * runs + tail) entries by the compaction invariant — never one per
@@ -404,20 +392,7 @@ object SemDedupIngest {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".json"))
-      .flatMap(n => parseSourceName(n.stripSuffix(".json")))
-  }
-
-  /** Split sources into (effective, superseded): a source strictly
-    * contained in a larger source's id range is a compaction leftover —
-    * the run was stamped but the crash hit before the source deletes.
-    * Reading both would only double-count (decision-safe: the refused
-    * set is a union), but the leftovers are dropped here and garbage-
-    * collected by [[maintainIndex]]'s repair pass. */
-  private[graft] def effectiveSources(
-      all: Seq[IndexSource]): (Seq[IndexSource], Seq[IndexSource]) = {
-    val (sup, eff) = all.partition(s => all.exists(o =>
-      o.span > s.span && o.lo <= s.lo && s.hi <= o.hi))
-    (eff, sup)
+      .flatMap(n => BatchStore.parseSourceName(n.stripSuffix(".json")))
   }
 
   /** Summaries are TEXT files (`_summary/<source>.json`, one
@@ -522,7 +497,7 @@ object SemDedupIngest {
 
   /** How many uncompacted per-batch summaries may accumulate before
     * [[maintainIndex]] folds them into a run. */
-  private[graft] val defaultCompactEvery = 64
+  private[graft] def defaultCompactEvery: Int = BatchStore.defaultCompactEvery
 
   /** Repair + compact the cell index, returning the effective sources
     * this batch admits against (the caller's own id excluded — the
@@ -542,49 +517,20 @@ object SemDedupIngest {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val dir = new org.apache.hadoop.fs.Path(cellsDir(corpusDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (eff0, superseded) = effectiveSources(listSources(spark, corpusDir))
+    val (eff0, superseded) =
+      BatchStore.effectiveSources(listSources(spark, corpusDir))
     superseded.foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(
         summaryDir(corpusDir), s"${s.name}.json"), false)
       fs.delete(new org.apache.hadoop.fs.Path(dir, s.name), true)
     }
     val eff = eff0.filterNot(_.name == s"batch=$batchId")
-    planCompaction(eff.filter(!_.isRun), eff.filter(_.isRun),
+    BatchStore.planCompaction(eff.filter(!_.isRun), eff.filter(_.isRun),
         compactEvery) match {
       case None => eff
       case Some(mergeSet) =>
         val merged = mergeSet.toSet
         eff.filterNot(merged) :+ compactInto(spark, corpusDir, mergeSet)
-    }
-  }
-
-  /** Pure compaction planning (extracted so the tiering invariants are
-    * property-testable without a filesystem): given the effective
-    * uncompacted batch summaries and runs, return the sorted contiguous
-    * source set to fold into one run, or None when the tail hasn't
-    * reached `compactEvery`. The merge absorbs older ADJACENT runs
-    * while their span is ≤ the accumulated span — the binary-counter
-    * rule that keeps run spans strictly decreasing oldest→newest and
-    * the run count O(log N). */
-  private[graft] def planCompaction(
-      tailIn: Seq[IndexSource], runsIn: Seq[IndexSource],
-      compactEvery: Int): Option[Seq[IndexSource]] = {
-    val tail = tailIn.sortBy(_.lo)
-    if (tail.size < compactEvery) None
-    else {
-      require(tail.last.hi - tail.head.lo + 1 == tail.size,
-        s"cell-index batch summaries have id gaps (${tail.head.lo}.." +
-          s"${tail.last.hi} spans ${tail.size} files) — the engine " +
-          "numbers batches contiguously, so a gap means a lost summary; " +
-          "rebuild the index or start a fresh store")
-      var mergeSet = tail
-      var keep = runsIn.sortBy(_.lo)
-      while (keep.nonEmpty && keep.last.hi + 1 == mergeSet.head.lo &&
-             keep.last.span <= mergeSet.last.hi - mergeSet.head.lo + 1) {
-        mergeSet = keep.last +: mergeSet
-        keep = keep.init
-      }
-      Some(mergeSet)
     }
   }
 
@@ -641,7 +587,7 @@ object SemDedupIngest {
       new org.apache.hadoop.fs.Path(sumDir, s"${s.name}.json"), false))
     sources.foreach(s => fs.delete(
       new org.apache.hadoop.fs.Path(root, s.name), true))
-    IndexSource(name, sources.head.lo, sources.last.hi)
+    BatchStore.IndexSource(name, sources.head.lo, sources.last.hi)
   }
 
   /** Admission-kernel fanout: the probed slice is built of per-cell

@@ -140,7 +140,7 @@ object ProbeSemAge {
     }
     // metadata-op counts, computed the way admission computes them
     def opCounts(dir: String, units: Array[Array[Double]]): (Int, Int) = {
-      val (eff, _) = SemDedupIngest.effectiveSources(
+      val (eff, _) = graft.streaming.BatchStore.effectiveSources(
         SemDedupIngest.listSources(spark, dir))
       val stats = SemDedupIngest.cellStats(spark, dir, eff)
       val cents = SemDedupIngest.parseCentroids(

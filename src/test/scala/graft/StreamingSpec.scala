@@ -467,6 +467,103 @@ class StreamingSpec extends SparkTestBase {
       .exceptAll(maxTs.select("click_id", "purch_ts")).count() == 0)
   }
 
+  test("sidecar-store compaction: digest and postings loops stay decision-identical and tier") {
+    import spark.implicits._
+    import graft.streaming.{IngestDedup, NearDupIngest}
+    val fsHome = Files.createTempDirectory("graft-store-compact").toString
+    val fs = new org.apache.hadoop.fs.Path(fsHome)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirNames(d: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+
+    // ---- exact-digest loop through compactEvery=2 over 7 batches ----
+    // texts recur across batches: the reference is plain sequential
+    // first-wins dedup over the exact text
+    val texts = (0 until 7).map(b => (0 until 3).map(j =>
+      ((b * 10 + j).toLong, s"text number ${(b * 3 + j) % 5}", "s")))
+    val digDir = s"$fsHome/dig"; val dCorpus = s"$fsHome/dcorpus"
+    var seen = Set.empty[String]
+    var refAdmitted = Set.empty[Long]
+    texts.zipWithIndex.foreach { case (rows, b) =>
+      IngestDedup.admitLoop("text", digDir, dCorpus, compactEvery = 2)(
+        rows.toDF("doc_id", "text", "source"), b.toLong)
+      rows.foreach { case (id, t, _) =>
+        if (!seen.contains(t)) refAdmitted += id }
+      seen = seen ++ rows.map(_._2)
+    }
+    val schema = Seq((0L, "x", "s")).toDF("doc_id", "text", "source").schema
+    def dIds = spark.read.schema(schema).parquet(s"$dCorpus/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dIds == refAdmitted,
+      s"compacted digest admission must equal sequential first-wins: $dIds")
+    // the digest store is TIERED (runs + short tail), corpus untouched
+    val dig = dirNames(digDir)
+    assert(dig.exists(_.startsWith("run=")) &&
+      dig.count(_.startsWith("batch=")) <= 2,
+      s"digest store must hold runs + a short tail, got $dig")
+    assert(dirNames(dCorpus).count(_.startsWith("batch=")) == 7,
+      "the user-facing corpus layout must never be compacted")
+    // replay of the last batch converges across the compacted store
+    IngestDedup.admitLoop("text", digDir, dCorpus, compactEvery = 2)(
+      texts.last.toDF("doc_id", "text", "source"), 6L)
+    assert(dIds == refAdmitted, "replay over a compacted digest store")
+    // restarted checkpoint refused by the run-aware guard
+    val eAhead = intercept[IllegalArgumentException] {
+      IngestDedup.admitLoop("text", digDir, dCorpus, compactEvery = 2)(
+        texts.head.toDF("doc_id", "text", "source"), 0L)
+    }
+    assert(eAhead.getMessage.contains("beyond batch 0"),
+      s"run-covered ids must trip requireNotAhead, got: ${eAhead.getMessage}")
+
+    // ---- near-dup loop: postings compaction + crash-leftover read ----
+    val nCorpus = s"$fsHome/ncorpus"
+    def nLoop(rows: Seq[(Long, String, String)], id: Long): Unit =
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, nCorpus,
+        compactEvery = 2)(rows.toDF("doc_id", "text", "source"), id)
+    nLoop(Seq((1L, "the quick brown fox jumps over the lazy dog in the garden today", "s")), 0L)
+    nLoop(Seq((2L, "completely different text about spark clusters here now", "s")), 1L)
+    nLoop(Seq((3L, "a third distinct document with its own novel words", "s")), 2L)
+    // batches 0,1 postings are now run=0-1; coverage check must accept it
+    val post = dirNames(NearDupIngest.postingsDir(nCorpus))
+    assert(post.contains("run=0-1"), s"postings must tier, got $post")
+    // crash leftover: forge batch=0's postings dir back beside the run —
+    // the READER itself must use only the EFFECTIVE source (double-served
+    // postings rows would double common-shingle counts and flip Jaccard),
+    // before any maintain pass gets to sweep it
+    val bpSchema = NearDupIngest.batchPostings(
+      Seq((0L, "a b c d", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", 3).schema
+    val preCount = NearDupIngest.storePostings(spark, nCorpus, bpSchema).count()
+    // the leftover carries REAL rows (the run's own files copied back),
+    // so a reader that naively unioned batch dirs with runs would
+    // double-serve them — the count must not move
+    val pRoot = NearDupIngest.postingsDir(nCorpus)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$pRoot/batch=0"))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$pRoot/run=0-1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(s"$pRoot/batch=0/${f.getPath.getName}"),
+          false, spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+    assert(NearDupIngest.storePostings(spark, nCorpus, bpSchema).count()
+      == preCount,
+      "a superseded leftover must not change the rows the reader serves")
+    nLoop(Seq((10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+              (11L, "an entirely unrelated document with novel words", "s")), 3L)
+    val nIds = spark.read.schema(schema).parquet(s"$nCorpus/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(nIds == Set(1L, 2L, 3L, 11L),
+      s"near-dup refused through the compacted+leftover store, got $nIds")
+    // the next maintain sweeps the superseded leftover
+    assert(!dirNames(NearDupIngest.postingsDir(nCorpus)).contains("batch=0"),
+      "maintain must sweep the superseded postings leftover")
+  }
+
   test("near-dup ingest loop: reworded copies refused, dup-of-reject admitted, replay converges") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
@@ -778,7 +875,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("semantic ingest: compaction planning holds its tiering invariants over long histories") {
-    import graft.streaming.SemDedupIngest.{planCompaction, IndexSource}
+    import graft.streaming.BatchStore.{planCompaction, IndexSource}
     // pure-driver simulation of maintainIndex's evolution: for each
     // compactEvery, feed 400 sequential batches through the planner and
     // check after every step what the 100 TB story rests on —
@@ -828,19 +925,19 @@ class StreamingSpec extends SparkTestBase {
 
   test("semantic ingest: compaction repair sweeps crash leftovers; corrupt summaries fail loudly") {
     import spark.implicits._
-    import graft.streaming.SemDedupIngest
+    import graft.streaming.{BatchStore, SemDedupIngest}
     // unit shape first: source-name parsing and the containment rule
-    assert(SemDedupIngest.parseSourceName("batch=7")
-      .contains(SemDedupIngest.IndexSource("batch=7", 7, 7)))
-    assert(SemDedupIngest.parseSourceName("run=0-63")
-      .contains(SemDedupIngest.IndexSource("run=0-63", 0, 63)))
-    assert(SemDedupIngest.parseSourceName("run=9-3").isEmpty &&
-      SemDedupIngest.parseSourceName("whatever").isEmpty)
-    val (eff, sup) = SemDedupIngest.effectiveSources(Seq(
-      SemDedupIngest.IndexSource("run=0-7", 0, 7),
-      SemDedupIngest.IndexSource("batch=3", 3, 3),   // inside the run
-      SemDedupIngest.IndexSource("run=4-5", 4, 5),   // inside the run
-      SemDedupIngest.IndexSource("batch=8", 8, 8)))  // tail
+    assert(BatchStore.parseSourceName("batch=7")
+      .contains(BatchStore.IndexSource("batch=7", 7, 7)))
+    assert(BatchStore.parseSourceName("run=0-63")
+      .contains(BatchStore.IndexSource("run=0-63", 0, 63)))
+    assert(BatchStore.parseSourceName("run=9-3").isEmpty &&
+      BatchStore.parseSourceName("whatever").isEmpty)
+    val (eff, sup) = BatchStore.effectiveSources(Seq(
+      BatchStore.IndexSource("run=0-7", 0, 7),
+      BatchStore.IndexSource("batch=3", 3, 3),   // inside the run
+      BatchStore.IndexSource("run=4-5", 4, 5),   // inside the run
+      BatchStore.IndexSource("batch=8", 8, 8)))  // tail
     assert(eff.map(_.name).toSet == Set("run=0-7", "batch=8"))
     assert(sup.map(_.name).toSet == Set("batch=3", "run=4-5"))
 
