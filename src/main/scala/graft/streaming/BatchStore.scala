@@ -261,10 +261,22 @@ object BatchStore {
       val name = s"run=${ms.head.lo}-${ms.last.hi}"
       // mode=overwrite clears a crashed same-name attempt; _SUCCESS
       // (written last by the committer) is the completion stamp
-      spark.read.schema(schema)
+      val src = spark.read.schema(schema)
         .parquet(ms.map(s => s"$dir/${s.name}"): _*)
-        .coalesce(math.max(1,
-          spark.sessionState.conf.numShufflePartitions))
+      // Output width: shrink the file count ~4× per merge without
+      // strangling a BIG merge — coalescing a thousand-split scan down
+      // to the 8-partition streaming shuffle width would serialize the
+      // whole rewrite onto 8 tasks (coalesce caps the SCAN stage too).
+      // Floor at the shuffle width so tiny stores converge to a few
+      // files; cap at the natural split count so coalesce stays a
+      // no-shuffle narrowing. Repeated merges re-pack rows toward
+      // maxPartitionBytes-sized files, so the natural count stops
+      // shrinking once files are full — the steady state is full files
+      // at scan parallelism, not ever-fewer giant ones.
+      val natural = src.rdd.getNumPartitions
+      val width = math.min(math.max(1, natural), math.max(natural / 4,
+        spark.sessionState.conf.numShufflePartitions))
+      src.coalesce(width)
         .write.mode("overwrite").parquet(s"$dir/$name")
       ms.foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true))
