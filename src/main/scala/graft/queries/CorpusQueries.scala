@@ -465,6 +465,94 @@ object CorpusQueries {
   /** 16 hyperplanes (4 tables × 4 bits) over the 64-dim fixture space. */
   val srpPlanesConst: Array[Array[Double]] = Similarity.srpPlanes(16, 64)
 
+  /** Shared harness of the near-dup ingest oracle rows: the documents
+    * table arrives as four doc_id-mod-4 waves through a real file
+    * source (forced strictly-increasing mtimes + maxFilesPerTrigger=1
+    * replay the arrival order as four sequential micro-batches in one
+    * AvailableNow run), each admitted against the store as of batch
+    * start. `compactEvery` is the only knob the compaction twin turns. */
+  private def nearDupIngestRun(spark: SparkSession, dir: String,
+                               prefix: String, compactEvery: Int): DataFrame = {
+    def scratch(tag: String): String =
+      Scratch.dir(spark, s"${prefix}_$tag", dir)
+    val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
+    val ckpt = scratch("ckpt")
+    val d = docs(spark, dir).select(col("doc_id"), col("text"),
+      col("source"), col("n_chars"))
+    val dropFs = new org.apache.hadoop.fs.Path(dropDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { w =>
+      d.filter(pmod(col("doc_id"), lit(4L)) === w).coalesce(1)
+        .write.parquet(s"$dropDir/wave$w")
+      dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
+        .filter(s => !s.getPath.getName.startsWith("_"))
+        .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
+    }
+    graft.streaming.StreamTuning.withStreamingConf(spark) {
+      val q = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dropDir/wave*")
+        .writeStream
+        .foreachBatch(graft.streaming.NearDupIngest.admitLoop(
+          "doc_id", "text", shingleK, jaccardThreshold, corpusDir,
+          compactEvery) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
+      .withColumn("wave", pmod(col("doc_id"), lit(4L)))
+      .groupBy("wave").agg(
+        count(lit(1)).as("n_admitted"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("wave")
+  }
+
+  /** Shared harness of the semantic ingest oracle rows (the cosine twin
+    * of [[nearDupIngestRun]] — embeddings instead of documents). */
+  private def semDedupIngestRun(spark: SparkSession, dir: String,
+                                prefix: String, compactEvery: Int): DataFrame = {
+    def scratch(tag: String): String =
+      Scratch.dir(spark, s"${prefix}_$tag", dir)
+    val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
+    val ckpt = scratch("ckpt")
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val dropFs = new org.apache.hadoop.fs.Path(dropDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { w =>
+      e.filter(pmod(col("vec_id"), lit(4L)) === w).coalesce(1)
+        .write.parquet(s"$dropDir/wave$w")
+      dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
+        .filter(s => !s.getPath.getName.startsWith("_"))
+        .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
+    }
+    graft.streaming.StreamTuning.withStreamingConf(spark) {
+      val q = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dropDir/wave*")
+        .writeStream
+        .foreachBatch(graft.streaming.SemDedupIngest.admitLoop(
+          "vec_id", "embedding", semIngestThreshold, corpusDir,
+          compactEvery = compactEvery) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    spark.read.schema(e.schema).parquet(s"$corpusDir/batch=*")
+      .withColumn("wave", pmod(col("vec_id"), lit(4L)))
+      .groupBy("wave").agg(
+        count(lit(1)).as("n_admitted"),
+        sum(col("vec_id")).as("sum_vec"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy("wave")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -2326,44 +2414,19 @@ object CorpusQueries {
     // relation store-independent, so the DuckDB twin computes ONE
     // global pair set and replays sequential admission as four chained
     // NOT-EXISTS CTEs.
-    "stream_neardup_ingest" -> ((spark, dir) => {
-      def scratch(tag: String): String =
-        Scratch.dir(spark, s"graft_ndstream_$tag", dir)
-      val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
-      val ckpt = scratch("ckpt")
-      val d = docs(spark, dir).select(col("doc_id"), col("text"),
-        col("source"), col("n_chars"))
-      val dropFs = new org.apache.hadoop.fs.Path(dropDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val mtime0 = System.currentTimeMillis() - 60000L
-      (0 until 4).foreach { w =>
-        d.filter(pmod(col("doc_id"), lit(4L)) === w).coalesce(1)
-          .write.parquet(s"$dropDir/wave$w")
-        dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
-          .filter(s => !s.getPath.getName.startsWith("_"))
-          .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
-      }
-      graft.streaming.StreamTuning.withStreamingConf(spark) {
-        val q = spark.readStream.schema(d.schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dropDir/wave*")
-          .writeStream
-          .foreachBatch(graft.streaming.NearDupIngest.admitLoop(
-            "doc_id", "text", shingleK, jaccardThreshold, corpusDir) _)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(180000)
-      }
-      spark.read.schema(d.schema).parquet(s"$corpusDir/batch=*")
-        .withColumn("wave", pmod(col("doc_id"), lit(4L)))
-        .groupBy("wave").agg(
-          count(lit(1)).as("n_admitted"),
-          sum(col("n_chars")).as("total_chars"),
-          countDistinct(col("source")).as("n_sources"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-        .orderBy("wave")
-    }),
+    "stream_neardup_ingest" -> ((spark, dir) =>
+      nearDupIngestRun(spark, dir, "graft_ndstream",
+        graft.streaming.BatchStore.defaultCompactEvery)),
+
+    // Compaction twin under the ORACLE gate: identical waves and
+    // semantics, but compactEvery=1 forces the postings sidecar's
+    // run-merge cascade to fire on EVERY batch (tail->run, then the
+    // binary-counter run absorption), so the driver's DuckDB replay
+    // hash-pins that admission through a compacted store equals
+    // admission through the per-batch one — the spec pins it in-repo,
+    // this row pins it against an external engine every round.
+    "stream_neardup_compact" -> ((spark, dir) =>
+      nearDupIngestRun(spark, dir, "graft_ndcompact", 1)),
 
     // Streaming SEMANTIC-dup admission under the ORACLE gate — the
     // embedding-cosine member of the ingest-dedup matrix (exact digest /
@@ -2376,42 +2439,16 @@ object CorpusQueries {
     // rows, no shuffle. The pair relation is store-independent, so the
     // DuckDB twin computes ONE global cosine pair set and replays
     // sequential admission as four chained NOT-EXISTS CTEs.
-    "stream_semdedup_ingest" -> ((spark, dir) => {
-      def scratch(tag: String): String =
-        Scratch.dir(spark, s"graft_semstream_$tag", dir)
-      val dropDir = scratch("drop"); val corpusDir = scratch("corpus")
-      val ckpt = scratch("ckpt")
-      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-      val dropFs = new org.apache.hadoop.fs.Path(dropDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val mtime0 = System.currentTimeMillis() - 60000L
-      (0 until 4).foreach { w =>
-        e.filter(pmod(col("vec_id"), lit(4L)) === w).coalesce(1)
-          .write.parquet(s"$dropDir/wave$w")
-        dropFs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/wave$w"))
-          .filter(s => !s.getPath.getName.startsWith("_"))
-          .foreach(s => dropFs.setTimes(s.getPath, mtime0 + w * 1000L, -1))
-      }
-      graft.streaming.StreamTuning.withStreamingConf(spark) {
-        val q = spark.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dropDir/wave*")
-          .writeStream
-          .foreachBatch(graft.streaming.SemDedupIngest.admitLoop(
-            "vec_id", "embedding", semIngestThreshold, corpusDir) _)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(180000)
-      }
-      spark.read.schema(e.schema).parquet(s"$corpusDir/batch=*")
-        .withColumn("wave", pmod(col("vec_id"), lit(4L)))
-        .groupBy("wave").agg(
-          count(lit(1)).as("n_admitted"),
-          sum(col("vec_id")).as("sum_vec"),
-          min(col("vec_id")).as("min_vec"),
-          max(col("vec_id")).as("max_vec"))
-        .orderBy("wave")
-    }),
+    "stream_semdedup_ingest" -> ((spark, dir) =>
+      semDedupIngestRun(spark, dir, "graft_semstream",
+        graft.streaming.SemDedupIngest.defaultCompactEvery)),
+
+    // Compaction twin (see stream_neardup_compact): compactEvery=1
+    // cascades the CELL-INDEX runs on every batch — summary merge,
+    // probe paths through run=<lo>-<hi>/cell=<c>, coverage from run
+    // ranges — all under the external DuckDB hash gate.
+    "stream_semdedup_compact" -> ((spark, dir) =>
+      semDedupIngestRun(spark, dir, "graft_semcompact", 1)),
 
     // Raw-corpus ingest under the ORACLE gate (corpus.Ingest): round-trip
     // the documents table through BOTH line-splittable raw formats —
@@ -4321,6 +4358,80 @@ object CorpusQueries {
     }.mkString("\n  UNION ALL\n  ")
 
   private val bandSelects = bandSelectsFor(rowsPerBand)
+
+  private lazy val nearDupIngestOracle: String =
+    s"""$shingleCte,
+         |$jaccardTail,
+         |jp AS (
+         |  SELECT d1, d2,
+         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |),
+         |ed AS (
+         |  SELECT d1 AS a, d2 AS b FROM jp WHERE jaccard >= $jaccardThreshold
+         |  UNION ALL
+         |  SELECT d2, d1 FROM jp WHERE jaccard >= $jaccardThreshold
+         |),
+         |w AS (SELECT doc_id, doc_id % 4 AS wave, n_chars, source FROM documents),
+         |a0 AS (SELECT doc_id FROM w WHERE wave = 0),
+         |a1 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |a01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+         |a2 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |a012 AS (SELECT doc_id FROM a01 UNION ALL SELECT doc_id FROM a2),
+         |a3 AS (
+         |  SELECT w.doc_id FROM w WHERE wave = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.doc_id WHERE ed.a = w.doc_id)
+         |),
+         |adm AS (SELECT doc_id FROM a012 UNION ALL SELECT doc_id FROM a3)
+         |SELECT wave,
+         |       count(*) AS n_admitted,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       count(DISTINCT source) AS n_sources,
+         |       min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc
+         |FROM w JOIN adm USING (doc_id)
+         |GROUP BY wave ORDER BY wave""".stripMargin
+
+  private lazy val semDedupIngestOracle: String =
+    s"""WITH n AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), ed AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |  WHERE round($cosDot / (a.nrm * b.nrm), 6) >= $semIngestThreshold
+         |),
+         |w AS (SELECT vec_id, vec_id % 4 AS wave FROM embeddings),
+         |a0 AS (SELECT vec_id FROM w WHERE wave = 0),
+         |a1 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |a01 AS (SELECT vec_id FROM a0 UNION ALL SELECT vec_id FROM a1),
+         |a2 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |a012 AS (SELECT vec_id FROM a01 UNION ALL SELECT vec_id FROM a2),
+         |a3 AS (
+         |  SELECT w.vec_id FROM w WHERE wave = 3 AND NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.vec_id WHERE ed.a = w.vec_id)
+         |),
+         |adm AS (SELECT vec_id FROM a012 UNION ALL SELECT vec_id FROM a3)
+         |SELECT wave,
+         |       count(*) AS n_admitted,
+         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec,
+         |       min(vec_id) AS min_vec,
+         |       max(vec_id) AS max_vec
+         |FROM w JOIN adm USING (vec_id)
+         |GROUP BY wave ORDER BY wave""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -6909,82 +7020,17 @@ object CorpusQueries {
     // the sequential near-dup admission the streaming loop performs.
     // Docs with fewer than k tokens have no shingles, appear in no
     // pair, and always admit — identical on both engines.
-    "stream_neardup_ingest" ->
-      s"""$shingleCte,
-         |$jaccardTail,
-         |jp AS (
-         |  SELECT d1, d2,
-         |         round(CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jaccard
-         |  FROM common
-         |  JOIN sizes s1 ON d1 = s1.doc_id
-         |  JOIN sizes s2 ON d2 = s2.doc_id
-         |),
-         |ed AS (
-         |  SELECT d1 AS a, d2 AS b FROM jp WHERE jaccard >= $jaccardThreshold
-         |  UNION ALL
-         |  SELECT d2, d1 FROM jp WHERE jaccard >= $jaccardThreshold
-         |),
-         |w AS (SELECT doc_id, doc_id % 4 AS wave, n_chars, source FROM documents),
-         |a0 AS (SELECT doc_id FROM w WHERE wave = 0),
-         |a1 AS (
-         |  SELECT w.doc_id FROM w WHERE wave = 1 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.doc_id WHERE ed.a = w.doc_id)
-         |),
-         |a01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
-         |a2 AS (
-         |  SELECT w.doc_id FROM w WHERE wave = 2 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.doc_id WHERE ed.a = w.doc_id)
-         |),
-         |a012 AS (SELECT doc_id FROM a01 UNION ALL SELECT doc_id FROM a2),
-         |a3 AS (
-         |  SELECT w.doc_id FROM w WHERE wave = 3 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.doc_id WHERE ed.a = w.doc_id)
-         |),
-         |adm AS (SELECT doc_id FROM a012 UNION ALL SELECT doc_id FROM a3)
-         |SELECT wave,
-         |       count(*) AS n_admitted,
-         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         |       count(DISTINCT source) AS n_sources,
-         |       min(doc_id) AS min_doc,
-         |       max(doc_id) AS max_doc
-         |FROM w JOIN adm USING (doc_id)
-         |GROUP BY wave ORDER BY wave""".stripMargin,
+    "stream_neardup_ingest" -> nearDupIngestOracle,
+    // the compaction twin replays the SAME sequential admission —
+    // compaction is layout, never semantics, and this row makes the
+    // external oracle enforce that every round
+    "stream_neardup_compact" -> nearDupIngestOracle,
 
     // Global rounded-cosine pair set (store-independent, exactly the
     // kernel's sequential-fold arithmetic) + the same four chained
     // NOT-EXISTS admission CTEs as the near-dup twin.
-    "stream_semdedup_ingest" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
-         |), ed AS (
-         |  SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-         |  WHERE round($cosDot / (a.nrm * b.nrm), 6) >= $semIngestThreshold
-         |),
-         |w AS (SELECT vec_id, vec_id % 4 AS wave FROM embeddings),
-         |a0 AS (SELECT vec_id FROM w WHERE wave = 0),
-         |a1 AS (
-         |  SELECT w.vec_id FROM w WHERE wave = 1 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a0 ON ed.b = a0.vec_id WHERE ed.a = w.vec_id)
-         |),
-         |a01 AS (SELECT vec_id FROM a0 UNION ALL SELECT vec_id FROM a1),
-         |a2 AS (
-         |  SELECT w.vec_id FROM w WHERE wave = 2 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a01 ON ed.b = a01.vec_id WHERE ed.a = w.vec_id)
-         |),
-         |a012 AS (SELECT vec_id FROM a01 UNION ALL SELECT vec_id FROM a2),
-         |a3 AS (
-         |  SELECT w.vec_id FROM w WHERE wave = 3 AND NOT EXISTS (
-         |    SELECT 1 FROM ed JOIN a012 ON ed.b = a012.vec_id WHERE ed.a = w.vec_id)
-         |),
-         |adm AS (SELECT vec_id FROM a012 UNION ALL SELECT vec_id FROM a3)
-         |SELECT wave,
-         |       count(*) AS n_admitted,
-         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec,
-         |       min(vec_id) AS min_vec,
-         |       max(vec_id) AS max_vec
-         |FROM w JOIN adm USING (vec_id)
-         |GROUP BY wave ORDER BY wave""".stripMargin,
+    "stream_semdedup_ingest" -> semDedupIngestOracle,
+    "stream_semdedup_compact" -> semDedupIngestOracle,
 
     // The twin recomputes the clean-row stats straight from `documents`
     // (the round trip must be lossless); corrupt counts are the planted
