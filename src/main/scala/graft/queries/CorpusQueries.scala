@@ -496,7 +496,7 @@ object CorpusQueries {
         .writeStream
         .foreachBatch(graft.streaming.NearDupIngest.admitLoop(
           "doc_id", "text", shingleK, jaccardThreshold, corpusDir,
-          compactEvery) _)
+          compactEvery))
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(180000)
@@ -538,7 +538,7 @@ object CorpusQueries {
         .writeStream
         .foreachBatch(graft.streaming.SemDedupIngest.admitLoop(
           "vec_id", "embedding", semIngestThreshold, corpusDir,
-          compactEvery = compactEvery) _)
+          compactEvery = compactEvery))
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(180000)
@@ -2388,7 +2388,7 @@ object CorpusQueries {
           .parquet(s"$dropDir/wave*")
           .writeStream
           .foreachBatch(
-            graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+            graft.streaming.IngestDedup.admitLoop("text", digestDir, corpusDir))
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination(180000)

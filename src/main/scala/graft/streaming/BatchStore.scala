@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
   * alone is linear in store AGE: after 10⁶ micro-batches every
   * admission re-discovers 10⁶ `batch=<id>` dirs (a scheduled parallel-
   * listing job past 32 paths — i.e. always), each a round-trip on an
-  * object store. [[maintain]] folds batches into RUNS
+  * object store. [[Maintainer.maintain]] folds batches into RUNS
   * (`run=<lo>-<hi>/`, complete iff `_SUCCESS` exists — Spark's
   * committer writes it last, so the marker IS the stamp), merged
   * size-tiered by [[planCompaction]] (binary-counter rule: a run
@@ -30,19 +30,26 @@ import org.apache.spark.sql.types.StructType
   * Crash discipline: the run is written first (`_SUCCESS` last), then
   * the source dirs are deleted. Between the two, run AND sources are
   * both visible — [[read]] resolves that deterministically by reading
-  * only EFFECTIVE sources (a source strictly contained in a larger
-  * one's id range is skipped), so no row is ever served twice — this
-  * matters because postings/digest consumers COUNT rows (a
-  * double-served postings batch would double common-shingle counts and
-  * flip Jaccard admissions). The next [[maintain]] deletes the
-  * superseded leftovers and any `_SUCCESS`-less run dir (an
-  * unreadable crashed attempt).
+  * only EFFECTIVE sources (a source whose id range is covered by a
+  * run's — or by a strictly larger source's — is skipped), so no row
+  * is ever served twice. This matters because postings/digest
+  * consumers COUNT rows (a double-served postings batch would double
+  * common-shingle counts and flip Jaccard admissions). The next
+  * maintenance pass deletes the superseded leftovers and any
+  * `_SUCCESS`-less run dir (an unreadable crashed attempt).
   *
-  * Replay fence: [[maintain]] only ever compacts batch ids < the
-  * in-flight id, so `excludeBatch` (a replayed batch hiding its own
-  * partial previous attempt) can always be honored by path exclusion;
-  * [[read]] refuses loudly if the excluded id sits inside a run, since
-  * that can only mean a restarted checkpoint or foreign compactor. */
+  * Replay fence, LOCAL to maintenance: only ids < the in-flight batch
+  * id are ever readable or compactable. The in-flight id's own
+  * `batch=<id>` unit (a replayed previous attempt) is excluded — never
+  * deleted; replay overwrites it — and any OTHER unit at or beyond the
+  * in-flight id is refused loudly as the restarted-checkpoint
+  * signature (batch ids re-numbered from 0 over an existing store;
+  * proceeding would overwrite old partitions one by one).
+  *
+  * The loops are SINGLE-WRITER by contract (one streaming query owns a
+  * store), which is what lets [[Maintainer]] carry the census across
+  * batches: a batch that cannot trigger compaction pays zero listings
+  * and zero `_SUCCESS` probes. */
 object BatchStore {
 
   /** How many uncompacted `batch=<id>` units may accumulate before a
@@ -70,15 +77,24 @@ object BatchStore {
     }
     else None
 
-  /** Split sources into (effective, superseded): a source strictly
-    * contained in a larger source's id range is a compaction leftover —
-    * the run was stamped but the crash hit before the source deletes.
+  /** Split sources into (effective, superseded): a source contained in
+    * a LARGER source's id range is a compaction leftover — the run was
+    * stamped but the crash hit before the source deletes. An EQUAL-span
+    * tie (`run=x-x` beside `batch=x`, the only same-range pair two
+    * distinct names can form) goes to the RUN: it is the
+    * stamped-complete copy of exactly the same rows. Without the
+    * tie-break both stayed effective, and for a store whose consumers
+    * COUNT rows (postings/digest) a crash between stamp and source
+    * delete at compactEvery=1 followed by a compactEvery change across
+    * the restart (the tail then never reaches the new threshold, so no
+    * merge ever sweeps the pair) would double-serve batch x forever.
     * Readers use only the effective set (exactly-once rows);
     * maintenance deletes the superseded. */
   private[graft] def effectiveSources(
       all: Seq[IndexSource]): (Seq[IndexSource], Seq[IndexSource]) = {
     val (sup, eff) = all.partition(s => all.exists(o =>
-      o.span > s.span && o.lo <= s.lo && s.hi <= o.hi))
+      o.lo <= s.lo && s.hi <= o.hi &&
+        (o.span > s.span || (o.span == s.span && o.isRun && !s.isRun))))
     (eff, sup)
   }
 
@@ -137,7 +153,10 @@ object BatchStore {
     * (batch ids reset to 0): proceeding would overwrite the old
     * partitions one by one, silent progressive data loss. Under the
     * engine's sequential offsets + replay, a unit covering id > batchId
-    * cannot legitimately exist (a replay sees at most its own id). */
+    * cannot legitimately exist (a replay sees at most its own id).
+    * This is the guard for the UNmaintained user-facing corpus dirs;
+    * maintained sidecar stores get the equivalent (and stronger, run-
+    * covering-in-flight-id) refusal inside [[maintainStore]] itself. */
   def requireNotAhead(spark: SparkSession, dir: String, batchId: Long,
                       what: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -207,8 +226,8 @@ object BatchStore {
     * empty frame. `excludeBatch` hides one batch unit — the caller's
     * own batch id on replay, so a replayed batch never sees its
     * previous partial attempt's output and self-refuses. The exclusion
-    * is by PATH (never a filter), which is why maintain must never
-    * compact the in-flight id — and an excluded id found inside a run
+    * is by PATH (never a filter), which is why maintenance never
+    * compacts the in-flight id — and an excluded id found inside a run
     * is refused loudly. */
   def read(spark: SparkSession, dir: String, schema: StructType,
            excludeBatch: Option[Long] = None): DataFrame = {
@@ -223,63 +242,186 @@ object BatchStore {
           "this store was compacted under a restarted checkpoint or by a " +
           "foreign loop; use a fresh store or resume the original checkpoint")
     }
-    val paths = eff
-      .filterNot(s => !s.isRun && excludeBatch.contains(s.lo))
-      .map(s => s"$dir/${s.name}")
-    if (paths.isEmpty)
+    readFrom(spark, dir, schema,
+      eff.filterNot(s => !s.isRun && excludeBatch.contains(s.lo)))
+  }
+
+  /** The rows of an explicit source set — the zero-discovery read the
+    * ingest loops use with [[Maintainer]]-carried sources (paths are
+    * constructed, never listed; Spark still lists each source dir once
+    * to enumerate part files, which is O(effective sources), not
+    * O(store age)). */
+  private[graft] def readFrom(spark: SparkSession, dir: String,
+                              schema: StructType,
+                              sources: Seq[IndexSource]): DataFrame =
+    if (sources.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(paths: _*)
+      spark.read.schema(schema).parquet(sources.map(s => s"$dir/${s.name}"): _*)
         .select(schema.fieldNames.toSeq.map(col): _*)
+
+  /** What [[maintainStore]] needs to know about one store flavor: how
+    * to take a census, delete a unit, and merge a source set into a
+    * stamped run. ONE maintenance skeleton (census → sweep crashed →
+    * delete superseded → replay fence → plan → merge) serves both the
+    * plain row-union dirs ([[dirOps]]: `_SUCCESS` is the stamp) and
+    * [[SemDedupIngest]]'s cell index (the summary FILE is the stamp),
+    * so a crash-discipline fix lands everywhere at once. */
+  private[graft] trait RunStoreOps {
+    def what: String
+    def dir: String
+    /** (batch sources, stamped-complete runs, crashed/orphan unit names
+      * to sweep). */
+    def census(): (Seq[IndexSource], Seq[IndexSource], Seq[String])
+    /** Delete an unstamped crashed/orphan attempt by name. */
+    def sweep(name: String): Unit
+    /** Delete a stamped source (flavor-specific order: stamp first,
+      * then data, so a crash strands an orphan, never a stamp over
+      * missing data). */
+    def deleteSource(s: IndexSource): Unit
+    /** Fold `sources` (sorted, contiguous) into one run: write data,
+      * stamp it COMPLETE (verified loudly), then delete the sources. */
+    def merge(sources: Seq[IndexSource]): IndexSource
   }
 
-  /** Repair + compact a batch store: delete crashed run writes and
-    * superseded leftovers, then fold the uncompacted tail (ids <
-    * `batchId` ONLY — the replay fence) into a run per
-    * [[planCompaction]]. One Spark job per triggered merge (a pure
-    * row-union read→write, coalesced to the session's shuffle width —
-    * micro-batch stores are small per unit; a 10⁶-batch store pays
-    * O(log N) rewrites per row over its life). No-op until the tail
-    * reaches `compactEvery`, so fixture-scale stores never change
-    * layout. */
-  private[graft] def maintain(spark: SparkSession, dir: String,
-                              batchId: Long, schema: StructType,
-                              compactEvery: Int): Unit = {
+  /** Repair + compact one store, returning the effective sources the
+    * in-flight batch may read (all ids < `batchId` — the replay fence,
+    * enforced HERE so every caller gets it): sweep crashed attempts,
+    * delete superseded leftovers, refuse a store holding foreign ids
+    * at/beyond the in-flight one, then fold the tail per
+    * [[planCompaction]]. No-op below `compactEvery`, so fixture-scale
+    * stores never change layout. */
+  private[graft] def maintainStore(ops: RunStoreOps, batchId: Long,
+                                   compactEvery: Int): Seq[IndexSource] = {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (batches, runs, crashed) = listStore(fs, p)
-    crashed.foreach(n =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, n), true))
+    val (batches, runs, crashed) = ops.census()
+    crashed.foreach(ops.sweep)
     val (eff0, superseded) = effectiveSources(batches ++ runs)
-    superseded.foreach(s =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true))
-    val eff = eff0.filterNot(s => !s.isRun && s.lo == batchId)
-    planCompaction(eff.filter(!_.isRun), eff.filter(_.isRun),
-        compactEvery).foreach { ms =>
-      val name = s"run=${ms.head.lo}-${ms.last.hi}"
-      // mode=overwrite clears a crashed same-name attempt; _SUCCESS
-      // (written last by the committer) is the completion stamp
-      val src = spark.read.schema(schema)
-        .parquet(ms.map(s => s"$dir/${s.name}"): _*)
-      // Output width: shrink the file count ~4× per merge without
-      // strangling a BIG merge — coalescing a thousand-split scan down
-      // to the 8-partition streaming shuffle width would serialize the
-      // whole rewrite onto 8 tasks (coalesce caps the SCAN stage too).
-      // Floor at the shuffle width so tiny stores converge to a few
-      // files; cap at the natural split count so coalesce stays a
-      // no-shuffle narrowing. Repeated merges re-pack rows toward
-      // maxPartitionBytes-sized files, so the natural count stops
-      // shrinking once files are full — the steady state is full files
-      // at scan parallelism, not ever-fewer giant ones.
-      val natural = src.rdd.getNumPartitions
-      val width = math.min(math.max(1, natural), math.max(natural / 4,
-        spark.sessionState.conf.numShufflePartitions))
-      src.coalesce(width)
-        .write.mode("overwrite").parquet(s"$dir/$name")
-      ms.foreach(s =>
-        fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true))
-    }
+    superseded.foreach(ops.deleteSource)
+    // the in-flight id's own batch unit is a replayed previous attempt:
+    // excluded from the view (replay must not self-refuse), never
+    // deleted (replay overwrites it). Anything ELSE at or beyond the
+    // in-flight id is a restarted checkpoint or a foreign compactor.
+    val rest = eff0.filterNot(s => !s.isRun && s.lo == batchId)
+    val ahead = rest.filter(_.hi >= batchId)
+    require(ahead.isEmpty,
+      s"${ops.what} store at ${ops.dir} holds " +
+        s"${ahead.map(_.name).sorted.mkString(",")} at or beyond batch " +
+        s"$batchId — a restarted checkpoint must use a fresh store " +
+        "directory (or resume the old checkpoint); continuing would " +
+        "overwrite previously ingested partitions one by one")
+    planCompaction(rest.filter(!_.isRun), rest.filter(_.isRun), compactEvery)
+      .fold(rest)(ms => rest.filterNot(ms.toSet) :+ ops.merge(ms))
   }
+
+  /** Per-loop census cache over [[maintainStore]] — the ingest loops
+    * are SINGLE-WRITER, so between compaction triggers the store can
+    * only change by the loop's own `batch=<id>` writes, which are
+    * predictable: a batch whose predicted tail cannot reach
+    * `compactEvery` pays ZERO filesystem metadata operations here (no
+    * listing, no `_SUCCESS` probes, no repair scan — leftovers only
+    * arise from crashes, and a crash restarts the process, which
+    * arrives cold and takes the full census). The chain self-breaks on
+    * anything unexpected: a batch id that is not exactly one past the
+    * last [[completed]] one (a replay, a restart, a skipped id, a
+    * failed batch) falls back to the full census. Prediction errors
+    * can only ever cause an EARLY full census (the census is ground
+    * truth at every trigger), never a missed repair past the next
+    * restart. */
+  private[graft] final class Maintainer(ops: RunStoreOps, compactEvery: Int) {
+    private var maintainedAt = Long.MinValue
+    private var sources: Seq[IndexSource] = Nil
+    private var completedThrough = Long.MinValue
+
+    /** Would `maintain(batchId)` take the zero-filesystem warm path?
+      * Callers gate their own cold-only guards (corpus ahead checks,
+      * coverage, meta stamps — each a listing or file read that cannot
+      * change under the single-writer contract while the process
+      * lives) on the same predicate. */
+    def wouldSkip(batchId: Long): Boolean =
+      maintainedAt != Long.MinValue && batchId > maintainedAt &&
+        completedThrough == batchId - 1 &&
+        sources.count(!_.isRun).toLong + (batchId - maintainedAt) < compactEvery
+
+    /** The effective sources for this batch — carried forward when
+      * [[wouldSkip]] holds (the batches written since the last census
+      * are appended arithmetically), the full [[maintainStore]] pass
+      * otherwise. */
+    def maintain(batchId: Long): Seq[IndexSource] = {
+      val out =
+        if (wouldSkip(batchId))
+          sources ++ (maintainedAt until batchId).map(id =>
+            IndexSource(s"batch=$id", id, id))
+        else maintainStore(ops, batchId, compactEvery)
+      maintainedAt = batchId
+      sources = out
+      out
+    }
+
+    /** Mark the in-flight batch's store writes complete — called at the
+      * END of a loop body, so a batch that threw mid-way never extends
+      * the warm chain and the next call re-censuses. */
+    def completed(batchId: Long): Unit = completedThrough = batchId
+  }
+
+  /** The plain row-union store flavor (digest, postings): units are
+    * parquet dirs under `dir`, a run's completion stamp is the
+    * committer's `_SUCCESS`. */
+  private[graft] def dirOps(spark: SparkSession, storeDir: String,
+                            schema: StructType, label: String): RunStoreOps =
+    new RunStoreOps {
+      private val p = new org.apache.hadoop.fs.Path(storeDir)
+      private val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def what: String = label
+      def dir: String = storeDir
+      def census(): (Seq[IndexSource], Seq[IndexSource], Seq[String]) =
+        listStore(fs, p)
+      def sweep(name: String): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(p, name), true)
+        ()
+      }
+      def deleteSource(s: IndexSource): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true)
+        ()
+      }
+      def merge(ms: Seq[IndexSource]): IndexSource = {
+        val name = s"run=${ms.head.lo}-${ms.last.hi}"
+        // mode=overwrite clears a crashed same-name attempt
+        val src = spark.read.schema(schema)
+          .parquet(ms.map(s => s"$storeDir/${s.name}"): _*)
+        // Output width: shrink the file count ~4× per merge without
+        // strangling a BIG merge — coalescing a thousand-split scan down
+        // to the 8-partition streaming shuffle width would serialize the
+        // whole rewrite onto 8 tasks (coalesce caps the SCAN stage too).
+        // Floor at the shuffle width so tiny stores converge to a few
+        // files; cap at the natural split count so coalesce stays a
+        // no-shuffle narrowing. Repeated merges re-pack rows toward
+        // maxPartitionBytes-sized files, so the natural count stops
+        // shrinking once files are full — the steady state is full files
+        // at scan parallelism, not ever-fewer giant ones.
+        val natural = src.rdd.getNumPartitions
+        val width = math.min(math.max(1, natural), math.max(natural / 4,
+          spark.sessionState.conf.numShufflePartitions))
+        src.coalesce(width)
+          .write.mode("overwrite").parquet(s"$storeDir/$name")
+        // The marker IS the run's completion stamp: if the committer was
+        // configured not to write it (mapreduce.fileoutputcommitter.
+        // marksuccessfuljobs=false, a common object-store tuning),
+        // deleting the sources would leave a run the NEXT census
+        // classifies as crashed and deletes — silent row loss. Refuse
+        // before any delete; the sources stay intact and the stampless
+        // run dir is swept as a crashed attempt next pass.
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(p, name), "_SUCCESS")),
+          s"compacted run $name at $storeDir was written but carries no " +
+            "_SUCCESS marker — the committer has success markers disabled " +
+            "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false), and " +
+            "this store's crash discipline uses the marker as its " +
+            "completion stamp; enable success markers for this store")
+        ms.foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true))
+        IndexSource(name, ms.head.lo, ms.last.hi)
+      }
+    }
 }

@@ -75,29 +75,48 @@ object IngestDedup {
     * delete-by-batch-id discipline (exactly-once at the sink under the
     * engine's at-least-once replay). Digests are re-projected from the
     * just-committed corpus partition, not the in-flight frame, so the
-    * store can never record a digest whose doc failed to land. */
+    * store can never record a digest whose doc failed to land.
+    *
+    * Returns ONE closure per call — the loop instance. The DIGEST
+    * sidecar (not the user-facing corpus) is compacted in batch count
+    * (see [[BatchStore]]'s run layout: without it every admission
+    * re-discovers one batch=<id> dir per historical micro-batch,
+    * O(store-age) listing round-trips forever), and the closure carries
+    * a [[BatchStore.Maintainer]] census across batches: under the
+    * single-writer contract a batch that cannot trigger compaction pays
+    * ZERO store-discovery filesystem calls — the census, the ahead
+    * guards and the digest read's source set are all carried, and the
+    * chain self-breaks (full census) on any replay, restart, failed
+    * batch or id jump. */
   def admitLoop(textCol: String, digestDir: String, corpusDir: String,
                 compactEvery: Int = BatchStore.defaultCompactEvery)
-               (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    // a restarted checkpoint over an existing store would re-number
-    // batches from 0 and overwrite old partitions one by one — refuse
-    BatchStore.requireNotAhead(spark, corpusDir, batchId, "ingest corpus")
-    BatchStore.requireNotAhead(spark, digestDir, batchId, "ingest digest")
-    // the DIGEST sidecar (not the user-facing corpus) is compacted in
-    // batch count: without it every admission re-discovers one
-    // batch=<id> dir per historical micro-batch — O(store-age) listing
-    // round-trips forever, the defect class the semantic loop's index
-    // fixed in r17 (see BatchStore's class doc for the run layout)
-    BatchStore.maintain(spark, digestDir, batchId, digestSchema, compactEvery)
-    val admitted = admit(batch,
-      storeDirDigests(spark, digestDir, excludeBatch = Some(batchId)), textCol)
-    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-    // explicit schema: an all-refused batch leaves a partless directory,
-    // which schema inference would reject but a schema'd read treats as
-    // the empty frame it is
-    spark.read.schema(admitted.schema).parquet(s"$corpusDir/batch=$batchId")
-      .select(md5(col(textCol)).as("digest")).distinct()
-      .write.mode("overwrite").parquet(s"$digestDir/batch=$batchId")
+      : (DataFrame, Long) => Unit = {
+    var m: BatchStore.Maintainer = null
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (m == null)
+        m = new BatchStore.Maintainer(
+          BatchStore.dirOps(spark, digestDir, digestSchema, "ingest digest"),
+          compactEvery)
+      // a restarted checkpoint over an existing store would re-number
+      // batches from 0 and overwrite old partitions one by one — refuse.
+      // Cold path only: in-process the loop is the only writer and ids
+      // are monotonic, so the signature can only appear across a
+      // restart, which arrives cold. (The digest store's own ahead
+      // refusal lives inside maintainStore.)
+      if (!m.wouldSkip(batchId))
+        BatchStore.requireNotAhead(spark, corpusDir, batchId, "ingest corpus")
+      val sources = m.maintain(batchId)
+      val admitted = admit(batch,
+        BatchStore.readFrom(spark, digestDir, digestSchema, sources), textCol)
+      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      // explicit schema: an all-refused batch leaves a partless directory,
+      // which schema inference would reject but a schema'd read treats as
+      // the empty frame it is
+      spark.read.schema(admitted.schema).parquet(s"$corpusDir/batch=$batchId")
+        .select(md5(col(textCol)).as("digest")).distinct()
+        .write.mode("overwrite").parquet(s"$digestDir/batch=$batchId")
+      m.completed(batchId)
+    }
   }
 }

@@ -166,29 +166,21 @@ object NearDupIngest {
     * a lost/deleted `_postings` directory: admission against an empty
     * postings table would SILENTLY admit every near-duplicate, and a
     * degrading dedup invariant must be an error, not a quiet corpus of
-    * copies. `selfBatch` is excluded on both sides (a replayed batch's
-    * own partial attempt may legitimately lack its postings twin). */
+    * copies. `selfBatch` is excluded (a replayed batch's own partial
+    * attempt may legitimately lack its postings twin). Coverage is
+    * judged against the maintain pass's EFFECTIVE sources — one corpus
+    * listing, no re-listing of the postings store. */
   private def requirePostingsCoverCorpus(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
-      selfBatch: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(corpusDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def names(dir: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-    }
-    val corpusIds = names(corpusDir)
-      .flatMap(n => if (n.startsWith("batch="))
-        n.stripPrefix("batch=").toLongOption else None)
-    // coverage from the postings store's EFFECTIVE sources: a compacted
-    // run covers its whole id range iff its _SUCCESS stamp landed (the
-    // write-then-stamp discipline — see BatchStore)
-    val pRoot = new org.apache.hadoop.fs.Path(postingsDir(corpusDir))
-    val sources = names(postingsDir(corpusDir))
-      .flatMap(BatchStore.parseSourceName)
-      .filter(s => !s.isRun || fs.exists(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(pRoot, s.name), "_SUCCESS")))
+      selfBatch: Long, sources: Seq[BatchStore.IndexSource]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusIds =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .flatMap(n => if (n.startsWith("batch="))
+          n.stripPrefix("batch=").toLongOption else None)
     val missing = corpusIds.filter(id => id != selfBatch &&
       !sources.exists(s => s.lo <= id && id <= s.hi))
     require(missing.isEmpty,
@@ -205,51 +197,87 @@ object NearDupIngest {
     * intermediate frames are persisted for their double use and
     * unpersisted before returning: a continuous stream otherwise pins
     * two block sets per micro-batch until the ContextCleaner's periodic
-    * sweep (default 30 min) notices the dead refs. */
+    * sweep (default 30 min) notices the dead refs.
+    *
+    * Returns ONE closure per call — the loop instance, carrying a
+    * [[BatchStore.Maintainer]] census of the postings sidecar across
+    * batches (single-writer contract): a batch that cannot trigger
+    * compaction pays zero store-discovery calls — census, ahead/meta/
+    * coverage guards and the admission read's source set are all
+    * carried, and the chain self-breaks (full census + guards) on any
+    * replay, restart or failed batch.
+    *
+    * `maxBatchPostings` is the loud fence in front of the admission
+    * join's PINNED broadcast (see [[admitAgainstPostings]]): unlike the
+    * semantic loop, this one never collects the batch driver-side, so a
+    * misconfigured trigger would otherwise sail into the 8 GB broadcast
+    * wall (or driver OOM) with an opaque executor error. The count runs
+    * against the postings cache the join needs materialized anyway —
+    * one job launch, no recomputation. Corpus-scale backfills belong on
+    * [[Dedup.incrementalPairs]], not this loop. */
   def admitLoop(idCol: String, textCol: String, k: Int, threshold: Double,
                 corpusDir: String,
-                compactEvery: Int = BatchStore.defaultCompactEvery)(
-                batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    // a restarted checkpoint re-numbering batches from 0 would overwrite
-    // old partitions progressively — refuse (same guard as IngestDedup)
-    BatchStore.requireNotAhead(spark, corpusDir, batchId, "near-dup corpus")
-    requireCompatiblePostings(spark, corpusDir, k)
-    requirePostingsCoverCorpus(spark, corpusDir, batchId)
-    // one tokenization pass over the batch, reused by the admission join
-    // and the admitted-postings write (hashed shape — see batchPostings)
-    val bp = batchPostings(batch, idCol, textCol, k).persist()
-    // the POSTINGS sidecar (not the user-facing corpus) is compacted in
-    // batch count — one batch=<id> dir per micro-batch forever is
-    // O(store-age) discovery per admission (see BatchStore's class doc)
-    BatchStore.maintain(spark, postingsDir(corpusDir), batchId, bp.schema,
-      compactEvery)
-    try {
-      val sp = storePostings(spark, corpusDir, bp.schema,
-        excludeBatch = Some(batchId))
-      val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
-        .persist()
+                compactEvery: Int = BatchStore.defaultCompactEvery,
+                maxBatchPostings: Long = 1L << 26)
+      : (DataFrame, Long) => Unit = {
+    var m: BatchStore.Maintainer = null
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val warm = m != null && m.wouldSkip(batchId)
+      if (!warm) {
+        // a restarted checkpoint re-numbering batches from 0 would
+        // overwrite old partitions progressively — refuse (cold path
+        // only: see IngestDedup.admitLoop; the postings store's own
+        // ahead refusal lives inside maintainStore)
+        BatchStore.requireNotAhead(spark, corpusDir, batchId,
+          "near-dup corpus")
+        requireCompatiblePostings(spark, corpusDir, k)
+      }
+      // one tokenization pass over the batch, reused by the admission
+      // join and the admitted-postings write (hashed — see batchPostings)
+      val bp = batchPostings(batch, idCol, textCol, k).persist()
       try {
-        admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-        // the admitted docs' postings, filtered from the batch postings
-        // already in hand — never re-derived from text. Coalesced to the
-        // session's shuffle width before writing: bp carries the
-        // tokenizer's full-parallelism fanout (32 on this box), and a
-        // micro-batch's postings written at that width are 32 near-empty
-        // files — a measured ~0.2 s write job per batch AND a growing
-        // scan-task tax on every later batch's admission join, which
-        // reads each historical batch dir file-by-file. The shuffle
-        // width is the knob already sized to micro-batch volume
-        // (StreamTuning); coalesce reads straight from bp's cache, no
-        // extra shuffle.
-        val outParts = math.max(1,
-          spark.conf.get("spark.sql.shuffle.partitions").toInt)
-        bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
-            "left_semi")
-          .coalesce(outParts)
-          .write.mode("overwrite")
-          .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
-      } finally { admitted.unpersist(false); () }
-    } finally { bp.unpersist(false); () }
+        val nPostings = bp.count()
+        require(nPostings <= maxBatchPostings,
+          s"micro-batch carries $nPostings postings rows — beyond the " +
+            s"$maxBatchPostings fence in front of the pinned broadcast " +
+            "admission join; shrink the trigger (or raise " +
+            "maxBatchPostings consciously — the batch side is collected " +
+            "to the driver and broadcast)")
+        if (m == null)
+          m = new BatchStore.Maintainer(
+            BatchStore.dirOps(spark, postingsDir(corpusDir), bp.schema,
+              "near-dup postings"), compactEvery)
+        val sources = m.maintain(batchId)
+        if (!warm)
+          requirePostingsCoverCorpus(spark, corpusDir, batchId, sources)
+        val sp = BatchStore.readFrom(spark, postingsDir(corpusDir),
+          bp.schema, sources)
+        val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
+          .persist()
+        try {
+          admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          // the admitted docs' postings, filtered from the batch postings
+          // already in hand — never re-derived from text. Coalesced to the
+          // session's shuffle width before writing: bp carries the
+          // tokenizer's full-parallelism fanout (32 on this box), and a
+          // micro-batch's postings written at that width are 32 near-empty
+          // files — a measured ~0.2 s write job per batch AND a growing
+          // scan-task tax on every later batch's admission join, which
+          // reads each historical batch dir file-by-file. The shuffle
+          // width is the knob already sized to micro-batch volume
+          // (StreamTuning); coalesce reads straight from bp's cache, no
+          // extra shuffle.
+          val outParts = math.max(1,
+            spark.conf.get("spark.sql.shuffle.partitions").toInt)
+          bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+              "left_semi")
+            .coalesce(outParts)
+            .write.mode("overwrite")
+            .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
+          m.completed(batchId)
+        } finally { admitted.unpersist(false); () }
+      } finally { bp.unpersist(false); () }
+    }
   }
 }

@@ -482,8 +482,8 @@ object SemDedupIngest {
     * scheduled listing job once the store passes the 32-path
     * parallel-discovery threshold, i.e. always, paid for dirs the probe
     * set already excludes). The replay fence is upstream:
-    * [[maintainIndex]] drops the caller's own summary, so its paths
-    * never reach here. */
+    * [[BatchStore.maintainStore]] drops the caller's own summary, so
+    * its paths never reach here. */
   private def readProbedCells(spark: SparkSession, corpusDir: String,
                               population: Seq[(String, Int)],
                               probe: Set[Int]): Option[DataFrame] = {
@@ -496,43 +496,55 @@ object SemDedupIngest {
   }
 
   /** How many uncompacted per-batch summaries may accumulate before
-    * [[maintainIndex]] folds them into a run. */
+    * the maintain pass folds them into a run. */
   private[graft] def defaultCompactEvery: Int = BatchStore.defaultCompactEvery
 
-  /** Repair + compact the cell index, returning the effective sources
-    * this batch admits against (the caller's own id excluded — the
-    * replay fence). Runs BEFORE admission so stats/probe see the
-    * compacted state. Repair: delete superseded leftovers (summary
-    * first, then data — a crash strands an orphan dir, never a summary
-    * over missing data). Compact: when ≥ `compactEvery` tail batches
-    * (ids < batchId only — the in-flight id never enters a run, else a
-    * replayed batch could not exclude its own stale rows) have
-    * accumulated, fold them into a run, then absorb older ADJACENT runs
-    * while their span is ≤ the accumulated span (size-tiered: runs form
-    * a strictly-decreasing-span sequence, O(log N) of them, each row
-    * rewritten O(log N) times over the store's life). The whole merge
-    * cascade lands as ONE run write per trigger, not one per level. */
-  private def maintainIndex(spark: SparkSession, corpusDir: String,
-                            batchId: Long, compactEvery: Int): Seq[IndexSource] = {
-    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
-    val dir = new org.apache.hadoop.fs.Path(cellsDir(corpusDir))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (eff0, superseded) =
-      BatchStore.effectiveSources(listSources(spark, corpusDir))
-    superseded.foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        summaryDir(corpusDir), s"${s.name}.json"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s.name), true)
+  /** The cell index as a [[BatchStore.RunStoreOps]] store flavor — the
+    * shared `maintainStore` skeleton (census → sweep crashed → delete
+    * superseded → replay fence → plan → merge) runs the repair and
+    * compaction; only the flavor-specific pieces live here. The
+    * completion stamp is the summary FILE (stamped last), so the census
+    * comes from one `_summary/` listing; a `run=*` DATA dir with no
+    * summary twin is a crashed/orphaned attempt — a crash between a
+    * run's data write and its summary stamp strands it, a same-name
+    * retry overwrites it, but a compactEvery change across the restart
+    * plans a DIFFERENT run name and the orphan would leak forever, so
+    * the census lists the data dirs once and marks those for the sweep.
+    * `batch=<id>` data dirs are never swept: an unstamped one is the
+    * in-flight batch's previous attempt, overwritten on replay. */
+  private def cellOps(spark: SparkSession,
+                      corpusDir: String): BatchStore.RunStoreOps =
+    new BatchStore.RunStoreOps {
+      private val root = new org.apache.hadoop.fs.Path(cellsDir(corpusDir))
+      private val fs =
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def what: String = "semantic cell index"
+      def dir: String = cellsDir(corpusDir)
+      def census(): (Seq[IndexSource], Seq[IndexSource], Seq[String]) = {
+        val stamped = listSources(spark, corpusDir)
+        val names = stamped.map(_.name).toSet
+        val orphans =
+          if (!fs.exists(root)) Seq.empty[String]
+          else fs.listStatus(root).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("run=") && !names.contains(n))
+        (stamped.filter(!_.isRun), stamped.filter(_.isRun), orphans)
+      }
+      def sweep(name: String): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(root, name), true)
+        ()
+      }
+      def deleteSource(s: IndexSource): Unit = {
+        // summary FIRST, then data: a crash strands an orphan data dir
+        // (swept by the census above), never a summary over missing data
+        fs.delete(new org.apache.hadoop.fs.Path(
+          summaryDir(corpusDir), s"${s.name}.json"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s.name), true)
+        ()
+      }
+      def merge(ms: Seq[IndexSource]): IndexSource =
+        compactInto(spark, corpusDir, ms)
     }
-    val eff = eff0.filterNot(_.name == s"batch=$batchId")
-    BatchStore.planCompaction(eff.filter(!_.isRun), eff.filter(_.isRun),
-        compactEvery) match {
-      case None => eff
-      case Some(mergeSet) =>
-        val merged = mergeSet.toSet
-        eff.filterNot(merged) :+ compactInto(spark, corpusDir, mergeSet)
-    }
-  }
 
   /** Read the member rows of a homogeneous source group (all batches or
     * all runs — their partition-directory keys differ, so the two
@@ -710,102 +722,154 @@ object SemDedupIngest {
         "duplicates — rebuild the index or start a fresh store")
   }
 
+  /** [[CellIndexStats]] plus one more source's summary rows — the same
+    * algebra [[cellStats]] applies when reading the files (radius max,
+    * count sum, population append), used to extend the warm-chain
+    * stats cache with the batch summary the loop just computed
+    * driver-side (the file it wrote holds exactly these rows). */
+  private def statsPlus(stats: CellIndexStats, sourceName: String,
+                        sums: Seq[(Int, Double, Long)]): CellIndexStats =
+    CellIndexStats(
+      sums.foldLeft(stats.radius) { case (m, (c, r2, _)) =>
+        m.updated(c, math.max(m.getOrElse(c, 0.0), math.sqrt(r2))) },
+      sums.foldLeft(stats.count) { case (m, (c, _, n)) =>
+        m.updated(c, m.getOrElse(c, 0L) + n) },
+      stats.population ++ sums.map { case (c, _, _) => (sourceName, c) })
+
   /** The closed loop as a foreachBatch sink — same exactly-once-at-the-
     * sink discipline as the exact and near-dup loops. `cells` bounds the
     * index fan-out (only the FIRST trainable batch reads it; later
     * batches load the claimed centroids). `compactEvery` bounds the
-    * uncompacted tail (see [[maintainIndex]]). */
+    * uncompacted tail (see [[cellOps]] / [[BatchStore.maintainStore]]).
+    *
+    * Returns ONE closure per call — the loop instance, carrying across
+    * batches (single-writer contract; the chain self-breaks on any
+    * replay, restart or failed batch — see [[BatchStore.Maintainer]]):
+    * the index census, the cold-only guards, the claimed centroids
+    * (immutable by construction), and the cell stats — each batch's own
+    * summary rows are merged in memory as they are written, so a warm
+    * admission reads ZERO summary files and performs ZERO store
+    * listings; its only filesystem traffic is the probed cell data and
+    * its own three writes. A cold batch (first after a restart, a
+    * replay, or a compaction trigger) rebuilds everything from the
+    * files — O(log N runs + tail) summary reads, amortized
+    * 1/compactEvery per batch. */
   def admitLoop(idCol: String, vecCol: String, threshold: Double,
                 corpusDir: String, cells: Int = 16,
                 maxBatch: Int = 1 << 20,
-                compactEvery: Int = defaultCompactEvery)(
-                batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    BatchStore.requireNotAhead(spark, corpusDir, batchId, "semantic corpus")
-    requireCellsLayout(spark, corpusDir, batchId)
-    val sources = maintainIndex(spark, corpusDir, batchId, compactEvery)
-    requireCellsCoverCorpus(spark, corpusDir, batchId, sources)
-
-    val bv = collectBatch(batch, idCol, vecCol, maxBatch)
-    val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
-    val cents = loadOrTrainCentroids(spark, corpusDir, units, cells)
-
-    val refused: Set[Long] =
-      if (bv.ids.isEmpty) Set.empty
-      else cents match {
-        case None => Set.empty // store holds only zero-norm rows: no hits
-        case Some(cs) =>
-          val stats = cellStats(spark, corpusDir, sources)
-          val probe = probeCells(cs, stats.radius, units, threshold)
-          if (probe.isEmpty) Set.empty
-          else readProbedCells(spark, corpusDir, stats.population, probe) match {
-            case None => Set.empty
-            case Some(cells) =>
-              val probedMembers = probe.iterator
-                .map(c => stats.count.getOrElse(c, 0L)).sum
-              val parts = kernelFanout(probedMembers, bv.ids.length,
-                bv.vecs(0).length, spark.sparkContext.defaultParallelism)
-              // repartition ONLY when the scan itself won't split wide
-              // enough: Spark packs the probed files into splits, so a
-              // many-file probe set already fans out and a shuffle of
-              // its rows would only add cost (measured: a probe-
-              // everything batch paid ~6× the plain full scan through
-              // the exchange). The few-huge-cells shape is where the
-              // exchange earns its bytes.
-              val nPaths = stats.population.count(pc => probe(pc._2))
-              val estSplits = estimateScanSplits(spark, probedMembers,
-                bv.vecs(0).length, nPaths)
-              val slice =
-                if (parts > estSplits) cells.repartition(parts) else cells
-              refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
-                threshold)
-          }
+                compactEvery: Int = defaultCompactEvery)
+      : (DataFrame, Long) => Unit = {
+    var m: BatchStore.Maintainer = null
+    var statsCache: CellIndexStats = null
+    var centsCache: Option[Array[Array[Double]]] = None
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (m == null)
+        m = new BatchStore.Maintainer(cellOps(spark, corpusDir), compactEvery)
+      val warm = m.wouldSkip(batchId)
+      if (!warm) {
+        // a cold batch may be a replay or a foreign-store resume: every
+        // guard re-runs, and the stats cache is DROPPED (a replayed
+        // batch's own old summary must not linger in it; it is rebuilt
+        // from the effective summary files below)
+        statsCache = null
+        BatchStore.requireNotAhead(spark, corpusDir, batchId,
+          "semantic corpus")
+        requireCellsLayout(spark, corpusDir, batchId)
       }
+      val sources = m.maintain(batchId)
+      if (!warm) requireCellsCoverCorpus(spark, corpusDir, batchId, sources)
 
-    antiJoinRefused(batch, idCol, refused)
-      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      val bv = collectBatch(batch, idCol, vecCol, maxBatch)
+      val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
+      if (centsCache.isEmpty)
+        centsCache = loadOrTrainCentroids(spark, corpusDir, units, cells)
+      val cents = centsCache
 
-    // The admitted rows' index twin (cells + radii are k·dim driver
-    // math over rows already collected for admission — no join, no
-    // second pass over the batch source). The WRITE is size-gated:
-    // small batches go out through parquet-hadoop straight from the
-    // driver (a scheduled Spark job for a few thousand driver-resident
-    // rows was measured as the loop's single slowest item, ~0.4 s of
-    // task-launch + dynamic-partition-commit overhead per micro-batch,
-    // the same reasoning as [[writeSummary]]); large batches go through
-    // a real distributed write (per-element Group assembly on the
-    // driver inverts at scale — parallel executor encode is the right
-    // shape there, and the job overhead amortizes).
-    val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
-    val cellOf: Int => Int = i =>
-      if (units(i) == null) -1
-      else cents.fold(-1)(cs => nearestCell(units(i), cs))
-    if (admittedIdx.length <= driverWriteCap)
-      writeIndexFiles(spark, corpusDir, batchId,
-        admittedIdx.groupBy(cellOf), bv)
-    else
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            admittedIdx.map(i => Row(bv.ids(i), bv.vecs(i).toSeq, cellOf(i))),
-            math.max(1, admittedIdx.length / (1 << 16))),
-          cellRowSchema.add("cell", IntegerType))
-        .repartition(col("cell")) // one encode task per cell
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
+      val refused: Set[Long] =
+        if (bv.ids.isEmpty) Set.empty
+        else cents match {
+          case None => Set.empty // store holds only zero-norm rows: no hits
+          case Some(cs) =>
+            val stats =
+              if (statsCache != null) statsCache
+              else cellStats(spark, corpusDir, sources)
+            statsCache = stats
+            val probe = probeCells(cs, stats.radius, units, threshold)
+            if (probe.isEmpty) Set.empty
+            else readProbedCells(spark, corpusDir, stats.population, probe) match {
+              case None => Set.empty
+              case Some(cells) =>
+                val probedMembers = probe.iterator
+                  .map(c => stats.count.getOrElse(c, 0L)).sum
+                val parts = kernelFanout(probedMembers, bv.ids.length,
+                  bv.vecs(0).length, spark.sparkContext.defaultParallelism)
+                // repartition ONLY when the scan itself won't split wide
+                // enough: Spark packs the probed files into splits, so a
+                // many-file probe set already fans out and a shuffle of
+                // its rows would only add cost (measured: a probe-
+                // everything batch paid ~6× the plain full scan through
+                // the exchange). The few-huge-cells shape is where the
+                // exchange earns its bytes.
+                val nPaths = stats.population.count(pc => probe(pc._2))
+                val estSplits = estimateScanSplits(spark, probedMembers,
+                  bv.vecs(0).length, nPaths)
+                val slice =
+                  if (parts > estSplits) cells.repartition(parts) else cells
+                refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
+                  threshold)
+            }
+        }
 
-    val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
-    admittedIdx.foreach { i =>
-      val c = cellOf(i)
-      if (c >= 0) {
-        val r2 = sqDist(units(i), cents.get(c))
-        val (mx, n) = sums.getOrElse(c, (0.0, 0L))
-        sums(c) = (math.max(mx, r2), n + 1)
+      antiJoinRefused(batch, idCol, refused)
+        .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+
+      // The admitted rows' index twin (cells + radii are k·dim driver
+      // math over rows already collected for admission — no join, no
+      // second pass over the batch source). The WRITE is size-gated:
+      // small batches go out through parquet-hadoop straight from the
+      // driver (a scheduled Spark job for a few thousand driver-resident
+      // rows was measured as the loop's single slowest item, ~0.4 s of
+      // task-launch + dynamic-partition-commit overhead per micro-batch,
+      // the same reasoning as [[writeSummary]]); large batches go through
+      // a real distributed write (per-element Group assembly on the
+      // driver inverts at scale — parallel executor encode is the right
+      // shape there, and the job overhead amortizes).
+      val admittedIdx = bv.ids.indices.filter(i => !refused.contains(bv.ids(i)))
+      val cellOf: Int => Int = i =>
+        if (units(i) == null) -1
+        else cents.fold(-1)(cs => nearestCell(units(i), cs))
+      if (admittedIdx.length <= driverWriteCap)
+        writeIndexFiles(spark, corpusDir, batchId,
+          admittedIdx.groupBy(cellOf), bv)
+      else
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              admittedIdx.map(i => Row(bv.ids(i), bv.vecs(i).toSeq, cellOf(i))),
+              math.max(1, admittedIdx.length / (1 << 16))),
+            cellRowSchema.add("cell", IntegerType))
+          .repartition(col("cell")) // one encode task per cell
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
+
+      val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
+      admittedIdx.foreach { i =>
+        val c = cellOf(i)
+        if (c >= 0) {
+          val r2 = sqDist(units(i), cents.get(c))
+          val (mx, n) = sums.getOrElse(c, (0.0, 0L))
+          sums(c) = (math.max(mx, r2), n + 1)
+        }
       }
+      val sumsSeq =
+        sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => (c, r2, n) }
+      // the summary is stamped LAST: a crash between the writes and here
+      // replays the batch, which overwrites all three outputs
+      writeSummary(spark, corpusDir, s"batch=$batchId", sumsSeq)
+      if (statsCache != null)
+        statsCache = statsPlus(statsCache, s"batch=$batchId", sumsSeq)
+      m.completed(batchId)
     }
-    // the summary is stamped LAST: a crash between the writes and here
-    // replays the batch, which overwrites all three outputs
-    writeSummary(spark, corpusDir, s"batch=$batchId",
-      sums.toSeq.sortBy(_._1).map { case (c, (r2, n)) => (c, r2, n) })
   }
 
   /** Standard parquet 3-level list schema for the index rows — what

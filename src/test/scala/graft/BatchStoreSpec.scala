@@ -1,0 +1,249 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.streaming.{BatchStore, IngestDedup, NearDupIngest, SemDedupIngest}
+
+/** A RawLocalFileSystem that counts every metadata/data call, mounted
+  * under the `cfs:` scheme — what lets the Maintainer specs assert
+  * "this code path performed ZERO filesystem operations" instead of
+  * inferring it from wall clock. Hadoop instantiates it reflectively
+  * and caches it per scheme, so the counter is a global. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import CountingLocalFs.ops
+  override def getScheme: String = "cfs"
+  override def getUri: java.net.URI = java.net.URI.create("cfs:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    { ops.incrementAndGet(); super.listStatus(p) }
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    { ops.incrementAndGet(); super.getFileStatus(p) }
+  // RawLocalFileSystem.exists short-circuits through java.io.File
+  // without touching getFileStatus — count it as the metadata op it is
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+    { ops.incrementAndGet(); super.exists(p) }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    { ops.incrementAndGet(); super.open(p, bufferSize) }
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean)
+      : Boolean =
+    { ops.incrementAndGet(); super.delete(p, recursive) }
+  override def mkdirs(p: org.apache.hadoop.fs.Path): Boolean =
+    { ops.incrementAndGet(); super.mkdirs(p) }
+}
+object CountingLocalFs {
+  val ops = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** BatchStore hardening specs (r18): the equal-span tie-break, the
+  * Maintainer's zero-op warm path, the `_SUCCESS`-stamp refusal, the
+  * SemDedup orphan-run sweep, and the near-dup broadcast fence. */
+class BatchStoreSpec extends SparkTestBase {
+  import BatchStore.IndexSource
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private def docDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("effectiveSources: an equal-span tie goes to the run, never the batch") {
+    // run=x-x beside batch=x is the crash residue of a compactEvery=1
+    // merge (stamp landed, source delete didn't); both hold exactly the
+    // same rows, the run is the stamped-complete copy — the batch must
+    // be superseded, in either listing order, and a lone unit of either
+    // shape must never supersede itself
+    val r = IndexSource("run=5-5", 5, 5)
+    val b = IndexSource("batch=5", 5, 5)
+    assert(BatchStore.effectiveSources(Seq(r, b)) == ((Seq(r), Seq(b))))
+    assert(BatchStore.effectiveSources(Seq(b, r)) == ((Seq(r), Seq(b))))
+    assert(BatchStore.effectiveSources(Seq(r)) == ((Seq(r), Seq.empty)))
+    assert(BatchStore.effectiveSources(Seq(b)) == ((Seq(b), Seq.empty)))
+    // equal-span RUN pairs cannot exist (same range ⇒ same name), and
+    // distinct-range same-span sources never supersede each other
+    val r2 = IndexSource("run=6-6", 6, 6)
+    assert(BatchStore.effectiveSources(Seq(r, r2))._2.isEmpty)
+  }
+
+  test("an equal-span crash leftover is single-served by the reader and swept by maintain") {
+    val base = Files.createTempDirectory("graft-eqspan").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compactEvery=1: batch 1's maintain folds batch=0 into run=0-0 —
+    // the only layout that can produce the equal-span pair
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 1)(
+      docDf(Seq((1L, "alpha text body", "s"))), 0L)
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 1)(
+      docDf(Seq((2L, "beta text body", "s"))), 1L)
+    val dig = new org.apache.hadoop.fs.Path(digDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dig, "run=0-0")),
+      "compactEvery=1 must have folded batch 0 into run=0-0")
+    // forge the crash: batch=0 back beside run=0-0 with the run's OWN
+    // files (real rows — a naive union reader would double-serve them)
+    val preCount = IngestDedup.storeDirDigests(spark, digDir).count()
+    val leftover = new org.apache.hadoop.fs.Path(dig, "batch=0")
+    fs.mkdirs(leftover)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dig, "run=0-0"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(leftover, f.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+    assert(IngestDedup.storeDirDigests(spark, digDir).count() == preCount,
+      "the reader must serve the equal-span pair exactly once (run wins)")
+    // the next maintain sweeps the superseded batch and a dup of batch
+    // 0's text stays refused through it (decision-identical)
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 1)(
+      docDf(Seq((3L, "alpha text body", "s"), (4L, "gamma text body", "s"))),
+      2L)
+    assert(!fs.exists(leftover),
+      "maintain must sweep the equal-span leftover")
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema).parquet(s"$corpDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L),
+      s"dup of the double-visible batch must still be refused, got $ids")
+  }
+
+  test("Maintainer: a batch that cannot trigger compaction performs zero filesystem operations") {
+    // mount the counting fs and drive the digest-store flavor directly,
+    // simulating the single-writer loop: maintain → write batch dir →
+    // completed. The warm-path contract is exact (op DELTA == 0), the
+    // cold paths re-census, and the carried sources equal what a fresh
+    // census computes at every step.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val local = Files.createTempDirectory("graft-maintainer").toString
+    val dir = s"cfs:$local/store"
+    val ce = 4
+    val ops = BatchStore.dirOps(spark, dir, docSchema, "test store")
+    val m = new BatchStore.Maintainer(ops, ce)
+    var coldBatches = List.empty[Long]
+    for (b <- 0L until 10L) {
+      val before = CountingLocalFs.ops.get()
+      val sources = m.maintain(b)
+      val delta = CountingLocalFs.ops.get() - before
+      if (delta > 0) coldBatches ::= b
+      // carried or censused, the sources must partition [0, b) exactly
+      val covered = sources.sortBy(_.lo).flatMap(s => s.lo to s.hi)
+      assert(covered == (0L until b),
+        s"batch $b: sources must cover [0,$b) exactly, got " +
+          sources.map(_.name).mkString(","))
+      // and the rows they serve are exactly one per prior batch
+      import spark.implicits._
+      val got = BatchStore.readFrom(spark, dir, docSchema, sources)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(got == (0L until b), s"batch $b served $got")
+      docDf(Seq((b, s"text $b", "s"))).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/batch=$b")
+      m.completed(b)
+    }
+    // cold exactly at: the first batch and each compaction trigger
+    // (predicted tail reaching ce) — batches 0, 4, 8 with ce=4
+    assert(coldBatches.reverse == List(0L, 4L, 8L),
+      s"expected cold censuses at 0,4,8 only, got ${coldBatches.reverse}")
+    // a batch that never reported completed() breaks the warm chain
+    m.maintain(10L) // completed(9) ran, so this one rides warm
+    docDf(Seq((10L, "text 10", "s"))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch=10")
+    // no completed(10): the next call must re-census (cold)
+    val mid = CountingLocalFs.ops.get()
+    m.maintain(11L)
+    assert(CountingLocalFs.ops.get() > mid,
+      "a missing completed() must force a full census")
+  }
+
+  test("a compaction whose run lands without a _SUCCESS marker refuses before deleting sources") {
+    val base = Files.createTempDirectory("graft-nosucc").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+      docDf(Seq((1L, "first text", "s"))), 0L)
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+      docDf(Seq((2L, "second text", "s"))), 1L)
+    // batch 2 triggers the merge; with success markers disabled (the
+    // common object-store committer tuning) the run has no stamp — the
+    // merge must refuse LOUDLY before any source delete, else the next
+    // census would classify the completed run as crashed and delete it:
+    // silent row loss the digest loop would never notice (it has no
+    // coverage check — duplicates admitted forever)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    val e = try intercept[IllegalArgumentException] {
+      IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+        docDf(Seq((3L, "third text", "s"))), 2L)
+    } finally hconf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    assert(e.getMessage.contains("success markers"),
+      s"refusal must name the committer conf, got: ${e.getMessage}")
+    // sources intact, the stampless run is crashed-classified residue
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$digDir/batch=0")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$digDir/batch=1")),
+      "no source may be deleted when the run stamp is missing")
+    // with markers back on, the replayed batch sweeps the crashed run,
+    // recompacts, and admission is unaffected — a dup of batch 0 refused
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+      docDf(Seq((3L, "first text", "s"), (4L, "fourth text", "s"))), 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$digDir/run=0-1/_SUCCESS")))
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema).parquet(s"$corpDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+  }
+
+  test("semantic index: an orphaned run data dir (no summary twin) is swept by the next census") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("graft-orphan").toString + "/c"
+    def vec(xs: Float*) = xs.toArray
+    def loop(rows: Seq[(Long, Array[Float], String)], id: Long): Unit =
+      SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir,
+        cells = 2, compactEvery = 64)(
+        rows.toDF("vec_id", "embedding", "source"), id)
+    loop(Seq((1L, vec(1f, 0f), "s")), 0L)
+    loop(Seq((2L, vec(0f, 1f), "s")), 1L)
+    // forge the crash-between-data-and-stamp residue under a DIFFERENT
+    // compactEvery's run name: no same-name retry will ever overwrite
+    // it, so only the census sweep can reclaim it
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(
+      SemDedupIngest.cellsDir(corpusDir), "run=0-1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "cell=0"))
+    loop(Seq((3L, vec(1f, 0.01f), "s"), (4L, vec(1f, 1f), "s")), 2L)
+    assert(!fs.exists(orphan),
+      "the unstamped orphan run dir must be swept")
+    val admitted = SemDedupIngest.storeVectors(spark, corpusDir,
+        Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source")
+          .schema)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 4L),
+      s"admission must be unaffected by the sweep, got $admitted")
+  }
+
+  test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
+    val corpusDir = Files.createTempDirectory("graft-fence").toString + "/c"
+    val e = intercept[IllegalArgumentException] {
+      NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir,
+        maxBatchPostings = 3L)(
+        docDf(Seq((1L, "one two three four five six seven eight nine", "s"))),
+        0L)
+    }
+    assert(e.getMessage.contains("postings rows") &&
+      e.getMessage.contains("shrink the trigger"),
+      s"fence must be loud and actionable, got: ${e.getMessage}")
+    // under the fence the same loop admits normally
+    NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)(
+      docDf(Seq((1L, "one two three four five six seven eight nine", "s"))),
+      0L)
+    assert(spark.read.schema(docSchema).parquet(s"$corpusDir/batch=*")
+      .count() == 1)
+  }
+}

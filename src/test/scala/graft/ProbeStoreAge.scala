@@ -101,6 +101,41 @@ object ProbeStoreAge {
       val (ut, uu) = measure("unc")
       println(f"$snap%7d  $ct%11.3f $cu%9d  $ut%11.3f $uu%9d")
     }
+
+    // ---- r18: warm (shared-closure) vs cold (fresh-closure) loops ----
+    // The Maintainer carries the store census across batches under the
+    // single-writer contract; a fresh closure per batch (the r17 shape,
+    // and the post-restart behavior) re-censuses every time. Both runs
+    // go through a counting filesystem so the table shows per-admission
+    // FILESYSTEM METADATA+DATA OPS, not just wall clock — each op is a
+    // round-trip on an object store.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    def buildCounted(tag: String, shared: Boolean): Seq[(Double, Long)] = {
+      val base = s"cfs:$root/$tag"
+      val sharedLoop = IngestDedup.admitLoop("text", s"$base/dig",
+        s"$base/corp", compactEvery = compactEvery)
+      (0 until nBatches).map { b =>
+        val loop = if (shared) sharedLoop
+          else IngestDedup.admitLoop("text", s"$base/dig", s"$base/corp",
+            compactEvery = compactEvery)
+        val o0 = CountingLocalFs.ops.get()
+        val t = time { loop(frame(b.toLong, tag), b.toLong) }
+        (t, CountingLocalFs.ops.get() - o0)
+      }
+    }
+    val warm = buildCounted("warm", shared = true)
+    val cold = buildCounted("cold", shared = false)
+    def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    println("window           warm_p50_s warm_ops_p50 warm_ops_max  " +
+      "cold_p50_s cold_ops_p50 cold_ops_max")
+    for ((lo, hi) <- Seq((0, 64), (64, 128), (128, 256))) {
+      val w = warm.slice(lo, hi); val c = cold.slice(lo, hi)
+      println(f"[$lo%3d,$hi%3d)      ${p50(w.map(_._1))}%10.3f " +
+        f"${p50(w.map(_._2.toDouble))}%12.0f ${w.map(_._2).max}%12d  " +
+        f"${p50(c.map(_._1))}%10.3f ${p50(c.map(_._2.toDouble))}%12.0f " +
+        f"${c.map(_._2).max}%12d")
+    }
     fs.delete(fsP, true)
     spark.stop()
   }

@@ -165,7 +165,7 @@ class StreamingSpec extends SparkTestBase {
     def runAvailable(): Unit = {
       val q = spark.readStream.schema(schema).parquet(s"$dropDir/drop*")
         .writeStream
-        .foreachBatch(IngestDedup.admitLoop("text", digestDir, corpusDir) _)
+        .foreachBatch(IngestDedup.admitLoop("text", digestDir, corpusDir))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
@@ -697,7 +697,7 @@ class StreamingSpec extends SparkTestBase {
       (21L, vec(0.5f, 0.5f, 0.5f), "s"),
       (22L, vec(0.51f, 0.5f, 0.5f), "s"))
       .toDF("vec_id", "embedding", "source")
-    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir) _
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir)
     loop(b0, 0L); loop(b1, 1L); loop(b2, 2L)
     def admitted(): Set[Long] =
       SemDedupIngest.storeVectors(spark, corpusDir, b0.schema)
@@ -737,7 +737,7 @@ class StreamingSpec extends SparkTestBase {
       val corpusDir =
         Files.createTempDirectory(s"graft-sem-eq-$t").toString + "/c"
       val loop =
-        SemDedupIngest.admitLoop("vec_id", "embedding", t, corpusDir, cells = 4) _
+        SemDedupIngest.admitLoop("vec_id", "embedding", t, corpusDir, cells = 4)
       // reference: sequential EXACT full-scan admission over the same waves
       var refAdmitted = Seq.empty[(Long, Array[Float], String)]
       batches.zipWithIndex.foreach { case (rows, w) =>
@@ -794,7 +794,7 @@ class StreamingSpec extends SparkTestBase {
     val corpusDir =
       Files.createTempDirectory("graft-sem-fanout").toString + "/c"
     val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.9,
-      corpusDir, cells = 16) _
+      corpusDir, cells = 16)
     loop(w0.toDF("vec_id", "embedding", "source"), 0L)
     val batch = w1.toDF("vec_id", "embedding", "source")
     loop(batch, 1L)
@@ -833,7 +833,7 @@ class StreamingSpec extends SparkTestBase {
       val corpusDir =
         Files.createTempDirectory(s"graft-sem-compact-$t").toString + "/c"
       val loop = SemDedupIngest.admitLoop("vec_id", "embedding", t,
-        corpusDir, cells = 4, compactEvery = 2) _
+        corpusDir, cells = 4, compactEvery = 2)
       var refAdmitted = Seq.empty[(Long, Array[Float], String)]
       batches.zipWithIndex.foreach { case (rows, w) =>
         val df = rows.toDF("vec_id", "embedding", "source")
@@ -875,15 +875,19 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("semantic ingest: compaction planning holds its tiering invariants over long histories") {
-    import graft.streaming.BatchStore.{planCompaction, IndexSource}
-    // pure-driver simulation of maintainIndex's evolution: for each
+    import graft.streaming.BatchStore.{effectiveSources, planCompaction, IndexSource}
+    // pure-driver simulation of the maintain pass's evolution: for each
     // compactEvery, feed 400 sequential batches through the planner and
     // check after every step what the 100 TB story rests on —
     // (a) coverage: sources partition [0, b] exactly (disjoint, no gaps:
     //     a lost id admits dups, an overlap double-reads forever),
     // (b) tiering: run spans strictly decrease oldest → newest,
     // (c) boundedness: #runs ≤ log2(N/ce)+2 and tail ≤ ce — the
-    //     "metadata ops per admission are O(log N)" claim itself.
+    //     "metadata ops per admission are O(log N)" claim itself,
+    // (d) round-trip with the reader's supersede rule: the live state is
+    //     all-effective, and a forged crash leftover (a batch unit equal
+    //     to OR inside any run, including the span-1 ties ce=1 mints) is
+    //     superseded — exactly it, never the run.
     for (ce <- Seq(1, 2, 3, 5, 8, 64)) {
       var runs = Vector.empty[IndexSource]
       var tail = Vector.empty[IndexSource]
@@ -913,6 +917,16 @@ class StreamingSpec extends SparkTestBase {
         assert(runs.size <= math.max(1, bound),
           s"ce=$ce b=$b: ${runs.size} runs exceeds the O(log N) bound $bound")
         assert(tail.size <= ce, s"ce=$ce b=$b: tail ${tail.size} > $ce")
+        val (effAll, supAll) = effectiveSources(srcs)
+        assert(supAll.isEmpty && effAll.toSet == srcs.toSet,
+          s"ce=$ce b=$b: a live (disjoint) state must be all-effective")
+        runs.foreach { r =>
+          val forged = IndexSource(s"batch=${r.lo}", r.lo, r.lo)
+          val (e2, s2) = effectiveSources(srcs :+ forged)
+          assert(s2 == Seq(forged) && e2.toSet == srcs.toSet,
+            s"ce=$ce b=$b: leftover beside ${r.name} must be the one " +
+              s"superseded unit, got sup=${s2.map(_.name)}")
+        }
       }
     }
     // gap in the tail = a lost summary: loud, names the range
@@ -946,8 +960,14 @@ class StreamingSpec extends SparkTestBase {
     // the next batch — leftover summary AND data dir deleted
     val corpusDir = Files.createTempDirectory("graft-sem-repair").toString + "/c"
     def vec(xs: Float*) = xs.toArray
-    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95,
-      corpusDir, cells = 2, compactEvery = 2) _
+    // a FRESH loop instance per call: crash repair is a cold-path
+    // concern by construction (leftovers only arise from a crash, and a
+    // crash restarts the process — a warm single-writer chain can never
+    // observe foreign forgeries, so a shared closure would skip the
+    // census the forged state below is meant to exercise)
+    def loop(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      SemDedupIngest.admitLoop("vec_id", "embedding", 0.95,
+        corpusDir, cells = 2, compactEvery = 2)(df, id)
     loop(Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source"), 0L)
     loop(Seq((2L, vec(0f, 1f), "s")).toDF("vec_id", "embedding", "source"), 1L)
     loop(Seq((3L, vec(1f, 1f), "s")).toDF("vec_id", "embedding", "source"), 2L)
@@ -1054,7 +1074,7 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.SemDedupIngest
     val corpusDir = Files.createTempDirectory("graft-sem-null").toString + "/c"
     def vec(xs: Float*) = xs.toArray
-    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir) _
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, corpusDir)
     loop(Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source"), 0L)
     // a NULL vector can never be refused nor refuse a future arrival —
     // waving it through would silently degrade the dedup invariant
