@@ -124,8 +124,20 @@ object ProbeStoreAge {
         (t, CountingLocalFs.ops.get() - o0)
       }
     }
-    val warm = buildCounted("warm", shared = true)
-    val cold = buildCounted("cold", shared = false)
+    // cold first, warm second (set SPARK_GRAFT_PROBE_FLIP=1 to reverse):
+    // the two phases cannot interleave (each owns a store), so running
+    // the probe once per order separates real effects from host drift —
+    // the OPS columns are deterministic either way, wall is advisory
+    val flip = sys.env.get("SPARK_GRAFT_PROBE_FLIP").contains("1")
+    val (warm, cold) = if (flip) {
+      val w = buildCounted("warm", shared = true)
+      val c = buildCounted("cold", shared = false)
+      (w, c)
+    } else {
+      val c = buildCounted("cold", shared = false)
+      val w = buildCounted("warm", shared = true)
+      (w, c)
+    }
     def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     println("window           warm_p50_s warm_ops_p50 warm_ops_max  " +
       "cold_p50_s cold_ops_p50 cold_ops_max")
