@@ -10,30 +10,46 @@ import graft.streaming.{BatchStore, IngestDedup, NearDupIngest, SemDedupIngest}
   * inferring it from wall clock. Hadoop instantiates it reflectively
   * and caches it per scheme, so the counter is a global. */
 class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
-  import CountingLocalFs.ops
+  import CountingLocalFs.tally
   override def getScheme: String = "cfs"
   override def getUri: java.net.URI = java.net.URI.create("cfs:///")
   override def listStatus(p: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.FileStatus] =
-    { ops.incrementAndGet(); super.listStatus(p) }
+    { tally("listStatus", p); super.listStatus(p) }
   override def getFileStatus(p: org.apache.hadoop.fs.Path)
       : org.apache.hadoop.fs.FileStatus =
-    { ops.incrementAndGet(); super.getFileStatus(p) }
+    { tally("getFileStatus", p); super.getFileStatus(p) }
   // RawLocalFileSystem.exists short-circuits through java.io.File
   // without touching getFileStatus — count it as the metadata op it is
   override def exists(p: org.apache.hadoop.fs.Path): Boolean =
-    { ops.incrementAndGet(); super.exists(p) }
+    { tally("exists", p); super.exists(p) }
   override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream =
-    { ops.incrementAndGet(); super.open(p, bufferSize) }
+    { tally("open", p); super.open(p, bufferSize) }
   override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean)
       : Boolean =
-    { ops.incrementAndGet(); super.delete(p, recursive) }
+    { tally("delete", p); super.delete(p, recursive) }
   override def mkdirs(p: org.apache.hadoop.fs.Path): Boolean =
-    { ops.incrementAndGet(); super.mkdirs(p) }
+    { tally("mkdirs", p); super.mkdirs(p) }
 }
 object CountingLocalFs {
   val ops = new java.util.concurrent.atomic.AtomicLong
+  /** (op, path) trace of every call since the last [[drain]] — what
+    * lets a spec assert "zero ops touching THIS store" rather than
+    * just a global delta. */
+  private val trace =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+  private def tally(op: String, p: org.apache.hadoop.fs.Path): Unit = {
+    ops.incrementAndGet()
+    trace.add((op, p.toUri.getPath))
+    ()
+  }
+  def drain(): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var e = trace.poll()
+    while (e != null) { out += e; e = trace.poll() }
+    out.result()
+  }
 }
 
 /** BatchStore hardening specs (r18): the equal-span tie-break, the
@@ -226,6 +242,47 @@ class BatchStoreSpec extends SparkTestBase {
       .select($"vec_id").as[Long].collect().toSet
     assert(admitted == Set(1L, 2L, 4L),
       s"admission must be unaffected by the sweep, got $admitted")
+  }
+
+  test("semantic loop: a warm batch reads zero summaries/centroids and lists no index root") {
+    // the NOTES claim behind the warm chain, pinned by path trace: a
+    // warm semantic admission's only index traffic is the probed CELL
+    // DATA (and its own three writes) — the summaries are served from
+    // the in-memory stats cache, the centroids from the claimed-once
+    // cache, and neither the corpus root, the _cells root nor _summary
+    // is ever listed. The dup refusal proves the cached stats are the
+    // real decision input, not a bypassed optimization.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft-semwarm").toString
+    val corpusDir = s"cfs:$local/c"
+    def vec(xs: Float*) = xs.toArray
+    def df(rows: Seq[(Long, Array[Float], String)]) =
+      rows.toDF("vec_id", "embedding", "source")
+    val loop = SemDedupIngest.admitLoop("vec_id", "embedding", 0.95,
+      corpusDir, cells = 2)
+    loop(df(Seq((1L, vec(1f, 0f), "s"), (2L, vec(0f, 1f), "s"))), 0L)
+    loop(df(Seq((3L, vec(0.6f, 0.8f), "s"))), 1L)
+    CountingLocalFs.drain()
+    // batch 2 is WARM (unbroken completed chain, tail 2 < 64): a
+    // semantic dup of stored 1 arrives and must be refused THROUGH the
+    // caches, plus one novel vector admitted
+    loop(df(Seq((10L, vec(1f, 0.01f), "s"), (11L, vec(-0.7f, 0.7f), "s"))),
+      2L)
+    val offenders = CountingLocalFs.drain().filter { case (op, path) =>
+      (op == "open" && path.contains("/_summary/")) ||
+        path.endsWith("/_centroids") ||
+        (op == "listStatus" && (path.endsWith("/_cells") ||
+          path.endsWith("/_cells/_summary") || path.endsWith("/c")))
+    }
+    assert(offenders.isEmpty,
+      s"warm semantic batch touched the index metadata: $offenders")
+    val admitted = SemDedupIngest.storeVectors(spark, corpusDir,
+        df(Seq((1L, vec(1f, 0f), "s"))).schema)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L, 11L),
+      s"dup must be refused through the cached stats, got $admitted")
   }
 
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
