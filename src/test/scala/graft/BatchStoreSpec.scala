@@ -285,6 +285,42 @@ class BatchStoreSpec extends SparkTestBase {
       s"dup must be refused through the cached stats, got $admitted")
   }
 
+  test("near-dup loop: a warm batch performs zero guard/census traffic on its stores") {
+    // symmetric pin to the semantic warm spec: a warm near-dup batch
+    // must not read the _meta stamp, list the postings root (census),
+    // or list the corpus root (ahead/coverage guards) — its only store
+    // traffic is the admission read of the carried postings sources
+    // and its own two writes. The refusal of a near-dup proves the
+    // carried sources are the real decision input.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft-ndwarm").toString
+    val corpusDir = s"cfs:$local/c"
+    val loop = NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, corpusDir)
+    loop(docDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the garden today", "s"))), 0L)
+    loop(docDf(Seq(
+      (2L, "completely different text about spark clusters here now", "s"))), 1L)
+    CountingLocalFs.drain()
+    // batch 2 is WARM: a reworded copy of doc 1 must be refused through
+    // the carried postings sources, a novel doc admitted
+    loop(docDf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+      (11L, "an entirely unrelated document with novel words", "s"))), 2L)
+    val offenders = CountingLocalFs.drain().filter { case (op, path) =>
+      path.endsWith("/_meta") ||
+        (op == "listStatus" && (path.endsWith("/_postings") ||
+          path.endsWith("/c")))
+    }
+    assert(offenders.isEmpty,
+      s"warm near-dup batch touched guard/census paths: $offenders")
+    val ids = spark.read.schema(docSchema).parquet(s"$corpusDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L),
+      s"near-dup must be refused through carried sources, got $ids")
+  }
+
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
     val corpusDir = Files.createTempDirectory("graft-fence").toString + "/c"
     val e = intercept[IllegalArgumentException] {
