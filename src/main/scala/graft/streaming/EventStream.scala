@@ -103,43 +103,74 @@ object EventStream {
     * `batchsize`, isolation NONE, `-U/-P` credentials as connection
     * properties); only the per-batch DELETE runs on the driver. `table`
     * is a caller-supplied identifier, not data-derived — callers own its
-    * validity (cf. JdbcSink's folding for data-derived names). */
+    * validity (cf. JdbcSink's folding for data-derived names).
+    *
+    * Returns ONE closure per call — the loop instance. Its first batch
+    * refuses a table whose max recorded `batch_id` is AHEAD of the
+    * in-flight id: a RESTARTED checkpoint re-numbers batches from 0, and
+    * the delete-by-batch-id discipline would then OVERWRITE the old
+    * stream's batches one by one — silent progressive data loss, the
+    * same signature the file-store loops refuse ([[BatchStore
+    * .requireNotAhead]]), which delete-based idempotence makes WORSE
+    * than plain duplication because nothing ever looks wrong. Checked
+    * once per closure (one MAX query per stream start/restart): within
+    * one run the engine's batch ids are monotonic, and a restart builds
+    * a fresh closure. */
   def jdbcIdempotentAppend(url: String, table: String,
                            cfg: graft.xel.XelConfig = graft.xel.XelConfig.default)
-                          (df: DataFrame, batchId: Long): Unit = {
-    val withId = df.withColumn("batch_id",
-      org.apache.spark.sql.functions.lit(batchId))
-    // the writer quotes COLUMN identifiers per dialect (so the column is
-    // case-exact), while the table name passes through as written — the
-    // DELETE must quote the same way or Derby folds batch_id to BATCH_ID
-    val qCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-      .quoteIdentifier("batch_id")
-    // SQLStates meaning "relation does not exist" (Derby, SQL Server/
-    // MySQL, Postgres). Anything ELSE on the probe must propagate: a
-    // transient failure misread as "missing table" would skip the
-    // idempotence DELETE and turn a replay into silent duplication.
-    val missingTableStates = Set("42X05", "42S02", "42P01")
-    val conn = graft.xel.JdbcSink.connect(url, cfg)
-    try {
-      val exists =
-        try {
+      : (DataFrame, Long) => Unit = {
+    var aheadChecked = false
+    (df: DataFrame, batchId: Long) => {
+      val withId = df.withColumn("batch_id",
+        org.apache.spark.sql.functions.lit(batchId))
+      // the writer quotes COLUMN identifiers per dialect (so the column is
+      // case-exact), while the table name passes through as written — the
+      // DELETE must quote the same way or Derby folds batch_id to BATCH_ID
+      val qCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        .quoteIdentifier("batch_id")
+      // SQLStates meaning "relation does not exist" (Derby, SQL Server/
+      // MySQL, Postgres). Anything ELSE on the probe must propagate: a
+      // transient failure misread as "missing table" would skip the
+      // idempotence DELETE and turn a replay into silent duplication.
+      val missingTableStates = Set("42X05", "42S02", "42P01")
+      val conn = graft.xel.JdbcSink.connect(url, cfg)
+      try {
+        val exists =
+          try {
+            val st = conn.createStatement()
+            try st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+            finally st.close()
+            true
+          } catch {
+            case e: java.sql.SQLException
+                if missingTableStates.contains(e.getSQLState) => false
+          }
+        if (exists && !aheadChecked) {
           val st = conn.createStatement()
-          try st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
-          finally st.close()
-          true
-        } catch {
-          case e: java.sql.SQLException
-              if missingTableStates.contains(e.getSQLState) => false
+          try {
+            val rs = st.executeQuery(s"SELECT MAX($qCol) FROM $table")
+            try {
+              rs.next()
+              val maxId = rs.getLong(1)
+              require(rs.wasNull() || maxId <= batchId,
+                s"JDBC sink table $table holds batch_id $maxId beyond " +
+                  s"batch $batchId — a restarted checkpoint must use a " +
+                  "fresh table (or resume the old checkpoint); continuing " +
+                  "would overwrite previously appended batches one by one")
+            } finally rs.close()
+          } finally st.close()
         }
-      if (exists) {
-        val del = conn.prepareStatement(s"DELETE FROM $table WHERE $qCol = ?")
-        try {
-          del.setLong(1, batchId)
-          del.executeUpdate()
-        } finally del.close()
-      }
-    } finally conn.close()
-    graft.xel.JdbcSink.bulkAppend(withId, url, table, cfg)
+        if (exists) {
+          val del = conn.prepareStatement(s"DELETE FROM $table WHERE $qCol = ?")
+          try {
+            del.setLong(1, batchId)
+            del.executeUpdate()
+          } finally del.close()
+        }
+      } finally conn.close()
+      aheadChecked = true
+      graft.xel.JdbcSink.bulkAppend(withId, url, table, cfg)
+    }
   }
 
   /** Watermark for out-of-order events: state for a minute window is kept

@@ -362,7 +362,7 @@ class StreamingSpec extends SparkTestBase {
       spark, s"$dir/drop*", events.schema, maxFilesPerTrigger = 1)
     val rollup = EventStream.rateByMinute(EventStream.withLateDataGuard(stream))
     val q = rollup.writeStream
-      .foreachBatch(EventStream.jdbcIdempotentAppend(url, "stream_rollup") _)
+      .foreachBatch(EventStream.jdbcIdempotentAppend(url, "stream_rollup"))
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -390,6 +390,20 @@ class StreamingSpec extends SparkTestBase {
     val after = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "stream_rollup").load().count()
     assert(after == total, s"replay duplicated rows: $total -> $after")
+
+    // a RESTARTED checkpoint (batch ids reset to 0) over the same table
+    // must be refused — under delete-by-batch-id it would overwrite the
+    // old stream's batches one by one, silently (the file-store loops'
+    // requireNotAhead signature, on the JDBC sink)
+    val eAhead = intercept[IllegalArgumentException] {
+      EventStream.jdbcIdempotentAppend(url, "stream_rollup")(replayRows, 0L)
+    }
+    assert(eAhead.getMessage.contains("restarted checkpoint") &&
+      eAhead.getMessage.contains("beyond batch 0"),
+      s"restart over a JDBC sink table must refuse, got: ${eAhead.getMessage}")
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "stream_rollup").load().count()
+      == total, "the refused restart must not have deleted anything")
   }
 
   test("CMS sketch aggregates across micro-batches to the batch matrix") {
