@@ -296,13 +296,15 @@ object BatchStore {
                                    compactEvery: Int): Seq[IndexSource] = {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val (batches, runs, crashed) = ops.census()
-    crashed.foreach(ops.sweep)
     val (eff0, superseded) = effectiveSources(batches ++ runs)
-    superseded.foreach(ops.deleteSource)
     // the in-flight id's own batch unit is a replayed previous attempt:
     // excluded from the view (replay must not self-refuse), never
     // deleted (replay overwrites it). Anything ELSE at or beyond the
-    // in-flight id is a restarted checkpoint or a foreign compactor.
+    // in-flight id is a restarted checkpoint or a foreign compactor —
+    // refused BEFORE the sweeps below, so a store this function is about
+    // to declare foreign is left byte-identical (the crash residue it
+    // would otherwise clean up is forensic state for whoever diagnoses
+    // the refused restart).
     val rest = eff0.filterNot(s => !s.isRun && s.lo == batchId)
     val ahead = rest.filter(_.hi >= batchId)
     require(ahead.isEmpty,
@@ -311,6 +313,8 @@ object BatchStore {
         s"$batchId — a restarted checkpoint must use a fresh store " +
         "directory (or resume the old checkpoint); continuing would " +
         "overwrite previously ingested partitions one by one")
+    crashed.foreach(ops.sweep)
+    superseded.foreach(ops.deleteSource)
     planCompaction(rest.filter(!_.isRun), rest.filter(_.isRun), compactEvery)
       .fold(rest)(ms => rest.filterNot(ms.toSet) :+ ops.merge(ms))
   }
@@ -328,7 +332,16 @@ object BatchStore {
     * failed batch) falls back to the full census. Prediction errors
     * can only ever cause an EARLY full census (the census is ground
     * truth at every trigger), never a missed repair past the next
-    * restart. */
+    * restart.
+    *
+    * DETECTION WINDOW under a violated contract: between censuses every
+    * integrity guard is skipped, so a second writer or an external job
+    * mutating the store mid-stream goes undetected for up to
+    * `compactEvery` batches (the next compaction trigger re-censuses,
+    * as does any restart) where the pre-r18 shape failed on the very
+    * next batch. The single-writer contract is what the warm chain
+    * trades on; an operator who wants a tighter violation-detection
+    * window lowers `compactEvery` — the census cadence IS that knob. */
   private[graft] final class Maintainer(ops: RunStoreOps, compactEvery: Int) {
     private var maintainedAt = Long.MinValue
     private var sources: Seq[IndexSource] = Nil

@@ -112,10 +112,16 @@ object EventStream {
     * stream's batches one by one — silent progressive data loss, the
     * same signature the file-store loops refuse ([[BatchStore
     * .requireNotAhead]]), which delete-based idempotence makes WORSE
-    * than plain duplication because nothing ever looks wrong. Checked
-    * once per closure (one MAX query per stream start/restart): within
-    * one run the engine's batch ids are monotonic, and a restart builds
-    * a fresh closure. */
+    * than plain duplication because nothing ever looks wrong. The check
+    * latches off only after a probe has ACTUALLY run against an existing
+    * table AND that batch's append succeeded (one MAX query per stream
+    * start/restart in the common case): a first batch that finds no
+    * table has checked nothing — a table created externally (or restored
+    * from a backup holding higher batch_ids) afterwards must still meet
+    * the probe — and a failed first append must re-probe on an
+    * in-process retry, matching the file-store loops' chain-breaks-on-
+    * failed-batch discipline. Within one run the engine's batch ids are
+    * monotonic, and a restart builds a fresh closure. */
   def jdbcIdempotentAppend(url: String, table: String,
                            cfg: graft.xel.XelConfig = graft.xel.XelConfig.default)
       : (DataFrame, Long) => Unit = {
@@ -134,7 +140,7 @@ object EventStream {
       // idempotence DELETE and turn a replay into silent duplication.
       val missingTableStates = Set("42X05", "42S02", "42P01")
       val conn = graft.xel.JdbcSink.connect(url, cfg)
-      try {
+      val probed = try {
         val exists =
           try {
             val st = conn.createStatement()
@@ -167,9 +173,14 @@ object EventStream {
             del.executeUpdate()
           } finally del.close()
         }
+        exists
       } finally conn.close()
-      aheadChecked = true
       graft.xel.JdbcSink.bulkAppend(withId, url, table, cfg)
+      // latch ONLY when the MAX probe ran (the table existed) and the
+      // whole batch — append included — succeeded: an absent table means
+      // nothing was checked, and a failed append means the next attempt
+      // through this closure must probe again (see scaladoc)
+      if (probed) aheadChecked = true
     }
   }
 

@@ -87,7 +87,12 @@ object IngestDedup {
     * ZERO store-discovery filesystem calls — the census, the ahead
     * guards and the digest read's source set are all carried, and the
     * chain self-breaks (full census) on any replay, restart, failed
-    * batch or id jump. */
+    * batch or id jump. The flip side: a VIOLATED contract (a second
+    * writer, an external job mutating the store mid-stream) goes
+    * undetected for up to `compactEvery` batches — until the next
+    * trigger census or restart — where pre-warm-chain code failed on
+    * the next batch; lower `compactEvery` for a tighter
+    * violation-detection window. */
   def admitLoop(textCol: String, digestDir: String, corpusDir: String,
                 compactEvery: Int = BatchStore.defaultCompactEvery)
       : (DataFrame, Long) => Unit = {

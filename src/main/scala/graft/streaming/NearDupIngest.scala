@@ -205,7 +205,10 @@ object NearDupIngest {
     * compaction pays zero store-discovery calls — census, ahead/meta/
     * coverage guards and the admission read's source set are all
     * carried, and the chain self-breaks (full census + guards) on any
-    * replay, restart or failed batch.
+    * replay, restart or failed batch. A VIOLATED contract (second
+    * writer, external mutation mid-stream) therefore goes undetected
+    * for up to `compactEvery` batches — until the next trigger census
+    * or restart; lower `compactEvery` for a tighter detection window.
     *
     * `maxBatchPostings` is the loud fence in front of the admission
     * join's PINNED broadcast (see [[admitAgainstPostings]]): unlike the

@@ -753,7 +753,10 @@ object SemDedupIngest {
     * its own three writes. A cold batch (first after a restart, a
     * replay, or a compaction trigger) rebuilds everything from the
     * files — O(log N runs + tail) summary reads, amortized
-    * 1/compactEvery per batch. */
+    * 1/compactEvery per batch. A VIOLATED single-writer contract
+    * (second writer, external mutation mid-stream) goes undetected for
+    * up to `compactEvery` batches — until the next trigger census or
+    * restart; lower `compactEvery` for a tighter detection window. */
   def admitLoop(idCol: String, vecCol: String, threshold: Double,
                 corpusDir: String, cells: Int = 16,
                 maxBatch: Int = 1 << 20,

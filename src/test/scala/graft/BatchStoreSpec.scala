@@ -8,7 +8,15 @@ import graft.streaming.{BatchStore, IngestDedup, NearDupIngest, SemDedupIngest}
   * under the `cfs:` scheme — what lets the Maintainer specs assert
   * "this code path performed ZERO filesystem operations" instead of
   * inferring it from wall clock. Hadoop instantiates it reflectively
-  * and caches it per scheme, so the counter is a global. */
+  * and caches it per scheme, so the counter and trace are JVM-GLOBAL:
+  * a spec must scope its assertions to its own store root via
+  * [[CountingLocalFs.mark]]/[[CountingLocalFs.since]] (each test's
+  * temp dir is unique, so a concurrent suite touching `cfs:` paths
+  * cannot make a prefix-scoped assertion pass vacuously or flake).
+  * [[CountingLocalFs.drain]] CLEARS the trace and therefore
+  * invalidates outstanding marks — it is reserved for the standalone
+  * probe mains (ProbeStoreAge/ProbeSemWarm), which own the JVM;
+  * specs use mark/since only. */
 class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   import CountingLocalFs.tally
   override def getScheme: String = "cfs"
@@ -34,21 +42,37 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 }
 object CountingLocalFs {
   val ops = new java.util.concurrent.atomic.AtomicLong
-  /** (op, path) trace of every call since the last [[drain]] — what
-    * lets a spec assert "zero ops touching THIS store" rather than
-    * just a global delta. */
-  private val trace =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+  /** (op, path) trace of every call — what lets a spec assert "zero
+    * ops touching THIS store" rather than a global delta that another
+    * suite's traffic could inflate (or whose entries another suite's
+    * drain could steal). */
+  private val trace = new java.util.ArrayList[(String, String)]
   private def tally(op: String, p: org.apache.hadoop.fs.Path): Unit = {
     ops.incrementAndGet()
-    trace.add((op, p.toUri.getPath))
-    ()
+    trace.synchronized { trace.add((op, p.toUri.getPath)); () }
   }
+  /** Position marker: take BEFORE the code under test, read back with
+    * [[since]]. Never invalidated by other tests' marks. */
+  def mark(): Int = trace.synchronized(trace.size)
+  /** Entries recorded after `m` whose path sits under `prefix` (the
+    * test's own store root — recorded paths are scheme-less
+    * `toUri.getPath`). Non-destructive, so concurrent suites cannot
+    * steal each other's entries. */
+  def since(m: Int, prefix: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    trace.synchronized {
+      trace.subList(math.min(m, trace.size), trace.size).asScala.toVector
+    }.filter(_._2.startsWith(prefix))
+  }
+  /** Snapshot-and-clear — probe-main use ONLY (clears the trace, which
+    * invalidates outstanding [[mark]]s; see class doc). */
   def drain(): Seq[(String, String)] = {
-    val out = Seq.newBuilder[(String, String)]
-    var e = trace.poll()
-    while (e != null) { out += e; e = trace.poll() }
-    out.result()
+    import scala.jdk.CollectionConverters._
+    trace.synchronized {
+      val out = trace.asScala.toVector
+      trace.clear()
+      out
+    }
   }
 }
 
@@ -143,9 +167,9 @@ class BatchStoreSpec extends SparkTestBase {
     val m = new BatchStore.Maintainer(ops, ce)
     var coldBatches = List.empty[Long]
     for (b <- 0L until 10L) {
-      val before = CountingLocalFs.ops.get()
+      val before = CountingLocalFs.mark()
       val sources = m.maintain(b)
-      val delta = CountingLocalFs.ops.get() - before
+      val delta = CountingLocalFs.since(before, s"$local/store").size
       if (delta > 0) coldBatches ::= b
       // carried or censused, the sources must partition [0, b) exactly
       val covered = sources.sortBy(_.lo).flatMap(s => s.lo to s.hi)
@@ -170,10 +194,44 @@ class BatchStoreSpec extends SparkTestBase {
     docDf(Seq((10L, "text 10", "s"))).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/batch=10")
     // no completed(10): the next call must re-census (cold)
-    val mid = CountingLocalFs.ops.get()
+    val mid = CountingLocalFs.mark()
     m.maintain(11L)
-    assert(CountingLocalFs.ops.get() > mid,
+    assert(CountingLocalFs.since(mid, s"$local/store").nonEmpty,
       "a missing completed() must force a full census")
+  }
+
+  test("a refused restarted-checkpoint store is left byte-identical — the fence fires before any sweep") {
+    // forge the full repair menu on one store: an effective run AHEAD of
+    // the in-flight id (the restart signature), a crashed stampless run,
+    // and a superseded equal-rows leftover. maintainStore must refuse on
+    // the ahead unit BEFORE sweeping either of the others — the crash
+    // residue of a store the function just declared foreign is forensic
+    // state for whoever diagnoses the refused restart.
+    val base = Files.createTempDirectory("graft-fence-order").toString
+    val dir = s"$base/store"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    docDf(Seq((0L, "zero", "s"), (1L, "one", "s"))).coalesce(1)
+      .write.parquet(s"$dir/run=0-1")
+    docDf(Seq((0L, "zero", "s"))).coalesce(1)
+      .write.parquet(s"$dir/batch=0") // contained in run=0-1: superseded
+    docDf(Seq((5L, "five", "s"))).coalesce(1)
+      .write.parquet(s"$dir/run=5-9")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/run=5-9/_SUCCESS"), false)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    val e = intercept[IllegalArgumentException] {
+      BatchStore.maintainStore(
+        BatchStore.dirOps(spark, dir, docSchema, "forged store"),
+        batchId = 0L, compactEvery = 4)
+    }
+    assert(e.getMessage.contains("run=0-1") &&
+      e.getMessage.contains("restarted checkpoint"),
+      s"fence must name the ahead unit, got: ${e.getMessage}")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).sorted.toSeq == names,
+      "a refused store must keep every unit — crashed and superseded " +
+        "residue included")
   }
 
   test("a compaction whose run lands without a _SUCCESS marker refuses before deleting sources") {
@@ -264,13 +322,13 @@ class BatchStoreSpec extends SparkTestBase {
       corpusDir, cells = 2)
     loop(df(Seq((1L, vec(1f, 0f), "s"), (2L, vec(0f, 1f), "s"))), 0L)
     loop(df(Seq((3L, vec(0.6f, 0.8f), "s"))), 1L)
-    CountingLocalFs.drain()
+    val m0 = CountingLocalFs.mark()
     // batch 2 is WARM (unbroken completed chain, tail 2 < 64): a
     // semantic dup of stored 1 arrives and must be refused THROUGH the
     // caches, plus one novel vector admitted
     loop(df(Seq((10L, vec(1f, 0.01f), "s"), (11L, vec(-0.7f, 0.7f), "s"))),
       2L)
-    val offenders = CountingLocalFs.drain().filter { case (op, path) =>
+    val offenders = CountingLocalFs.since(m0, local).filter { case (op, path) =>
       (op == "open" && path.contains("/_summary/")) ||
         path.endsWith("/_centroids") ||
         (op == "listStatus" && (path.endsWith("/_cells") ||
@@ -302,13 +360,13 @@ class BatchStoreSpec extends SparkTestBase {
       (1L, "the quick brown fox jumps over the lazy dog in the garden today", "s"))), 0L)
     loop(docDf(Seq(
       (2L, "completely different text about spark clusters here now", "s"))), 1L)
-    CountingLocalFs.drain()
+    val m0 = CountingLocalFs.mark()
     // batch 2 is WARM: a reworded copy of doc 1 must be refused through
     // the carried postings sources, a novel doc admitted
     loop(docDf(Seq(
       (10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
       (11L, "an entirely unrelated document with novel words", "s"))), 2L)
-    val offenders = CountingLocalFs.drain().filter { case (op, path) =>
+    val offenders = CountingLocalFs.since(m0, local).filter { case (op, path) =>
       path.endsWith("/_meta") ||
         (op == "listStatus" && (path.endsWith("/_postings") ||
           path.endsWith("/c")))

@@ -406,6 +406,55 @@ class StreamingSpec extends SparkTestBase {
       == total, "the refused restart must not have deleted anything")
   }
 
+  test("streaming JDBC sink: the ahead probe latches only after a real check and a successful append") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlatch;create=true"
+    def count(table: String): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load().count()
+
+    // --- an absent table on the first batch checks NOTHING: a table
+    // restored externally (a backup holding higher batch_ids) after
+    // that batch must still meet the probe through the SAME closure —
+    // the old latch-on-first-batch skipped it for the closure's life
+    val sink = EventStream.jdbcIdempotentAppend(url, "latch_absent")
+    sink(Seq(("a", 1L)).toDF("k", "v"), 0L) // no table yet: nothing probed
+    val conn = graft.xel.JdbcSink.connect(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate( // Spark's writer created case-exact quoted cols
+        "INSERT INTO latch_absent (\"k\", \"v\", \"batch_id\") " +
+          "VALUES ('old', 9, 99)")
+      finally st.close()
+    } finally conn.close()
+    val preRestore = count("latch_absent")
+    val eLate = intercept[IllegalArgumentException] {
+      sink(Seq(("b", 2L)).toDF("k", "v"), 1L)
+    }
+    assert(eLate.getMessage.contains("batch_id 99") &&
+      eLate.getMessage.contains("restarted checkpoint"),
+      s"late-appearing table must still be probed, got: ${eLate.getMessage}")
+    assert(count("latch_absent") == preRestore,
+      "the refused batch must not have deleted or appended anything")
+
+    // --- a failed FIRST append must not latch either: the in-process
+    // retry through the same closure must re-run the probe (the same
+    // chain-breaks-on-failed-batch discipline the file-store loops use)
+    EventStream.jdbcIdempotentAppend(url, "latch_fail")(
+      Seq(("seed", 1L)).toDF("k", "v"), 5L) // table now holds batch_id 5
+    val c2 = EventStream.jdbcIdempotentAppend(url, "latch_fail")
+    intercept[Exception] { // extra column: probe+DELETE succeed, append throws
+      c2(Seq(("x", 1L, "boom")).toDF("k", "v", "no_such_col"), 7L)
+    }
+    val eRetry = intercept[IllegalArgumentException] {
+      c2(Seq(("y", 2L)).toDF("k", "v"), 3L) // ahead table: must re-probe
+    }
+    assert(eRetry.getMessage.contains("beyond batch 3"),
+      s"retry after a failed append must re-run the probe, got: " +
+        eRetry.getMessage)
+    assert(count("latch_fail") == 1,
+      "the refused retry must not have deleted the seed row")
+  }
+
   test("CMS sketch aggregates across micro-batches to the batch matrix") {
     import graft.corpus.{Sketches, TextAnalysis => T}
     // add-merge associativity under streaming: per-micro-batch partial
