@@ -378,6 +378,74 @@ object BatchStore {
     def completed(batchId: Long): Unit = completedThrough = batchId
   }
 
+  /** Ids inside the `corpus` ranges not covered by the `covered`
+    * ranges, `self` excluded — PURE driver interval math, no
+    * filesystem. This is what the sidecar-coverage guards run against
+    * [[CorpusManifest]] ranges instead of a raw O(store-age) corpus
+    * listing. Capped at `limit` ids (error-message material); an empty
+    * result means full coverage. */
+  private[graft] def uncoveredIds(corpus: Seq[IndexSource],
+                                  covered: Seq[IndexSource], self: Long,
+                                  limit: Int = 20): Seq[Long] = {
+    val cov = covered.map(s => (s.lo, s.hi)).sortBy(_._1)
+    val out = Seq.newBuilder[Long]
+    var n = 0
+    def emit(lo: Long, hi: Long): Unit = {
+      var i = lo
+      while (i <= hi && n < limit) {
+        if (i != self) { out += i; n += 1 }
+        i += 1
+      }
+    }
+    for (c <- corpus.sortBy(_.lo)) {
+      var cur = c.lo
+      for ((lo, hi) <- cov if hi >= cur && lo <= c.hi) {
+        if (lo > cur) emit(cur, math.min(lo - 1, c.hi))
+        cur = math.max(cur, hi + 1)
+      }
+      if (cur <= c.hi) emit(cur, c.hi)
+    }
+    out.result()
+  }
+
+  /** The VOID store flavor ([[CorpusManifest]]): units carry no rows at
+    * all — the unit NAMES are the data (which batch ids exist), so a
+    * "merge" is pure metadata (mkdir the run, write its `_SUCCESS`
+    * stamp directly, delete the sources — no Spark job, no committer,
+    * which also makes the flavor immune to
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`). The
+    * crash discipline is [[maintainStore]]'s, unchanged: stamp before
+    * source deletes, stampless dirs swept as crashed attempts. */
+  private[graft] def voidOps(spark: SparkSession, storeDir: String,
+                             label: String): RunStoreOps =
+    new RunStoreOps {
+      private val p = new org.apache.hadoop.fs.Path(storeDir)
+      private val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def what: String = label
+      def dir: String = storeDir
+      def census(): (Seq[IndexSource], Seq[IndexSource], Seq[String]) =
+        listStore(fs, p)
+      def sweep(name: String): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(p, name), true)
+        ()
+      }
+      def deleteSource(s: IndexSource): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true)
+        ()
+      }
+      def merge(ms: Seq[IndexSource]): IndexSource = {
+        val name = s"run=${ms.head.lo}-${ms.last.hi}"
+        val run = new org.apache.hadoop.fs.Path(p, name)
+        fs.mkdirs(run) // idempotent over a crashed same-name attempt
+        val out = fs.create(new org.apache.hadoop.fs.Path(run, "_SUCCESS"),
+          true)
+        out.close()
+        ms.foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s.name), true))
+        IndexSource(name, ms.head.lo, ms.last.hi)
+      }
+    }
+
   /** The plain row-union store flavor (digest, postings): units are
     * parquet dirs under `dir`, a run's completion stamp is the
     * committer's `_SUCCESS`. */

@@ -97,24 +97,41 @@ object IngestDedup {
                 compactEvery: Int = BatchStore.defaultCompactEvery)
       : (DataFrame, Long) => Unit = {
     var m: BatchStore.Maintainer = null
+    var g: CorpusManifest.Guard = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (m == null)
+      if (m == null) {
         m = new BatchStore.Maintainer(
           BatchStore.dirOps(spark, digestDir, digestSchema, "ingest digest"),
           compactEvery)
+        g = new CorpusManifest.Guard(spark, corpusDir, "ingest", compactEvery)
+      }
+      val warm = m.wouldSkip(batchId)
       // a restarted checkpoint over an existing store would re-number
-      // batches from 0 and overwrite old partitions one by one — refuse.
-      // Cold path only: in-process the loop is the only writer and ids
-      // are monotonic, so the signature can only appear across a
-      // restart, which arrives cold. (The digest store's own ahead
-      // refusal lives inside maintainStore.)
-      if (!m.wouldSkip(batchId))
-        BatchStore.requireNotAhead(spark, corpusDir, batchId, "ingest corpus")
+      // batches from 0 and overwrite old partitions one by one — refused
+      // by the manifest's ahead fence (and the digest store's twin fence
+      // inside maintainStore). Cold path work only: in-process the loop
+      // is the only writer and ids are monotonic, so the signatures can
+      // only appear across a restart, which arrives cold.
+      val corpusRanges = g.maintain(batchId)
       val sources = m.maintain(batchId)
+      if (!warm) {
+        // a digest store that silently lags the corpus (deleted or
+        // truncated sidecar) would re-admit every exact duplicate — a
+        // degrading dedup invariant must be an error, not a quiet
+        // corpus of copies. Pure driver interval math vs the manifest.
+        val missing = BatchStore.uncoveredIds(corpusRanges, sources, batchId)
+        require(missing.isEmpty,
+          s"ingest corpus at $corpusDir has admitted batches with no " +
+            s"digest sidecar (${missing.map("batch=" + _).mkString(", ")}" +
+            "); admitting against an incomplete digest store would " +
+            "silently re-admit exact duplicates — rebuild the digest " +
+            "store (md5 over each corpus batch) or start a fresh store")
+      }
       val admitted = admit(batch,
         BatchStore.readFrom(spark, digestDir, digestSchema, sources), textCol)
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      g.append(batchId)
       // explicit schema: an all-refused batch leaves a partless directory,
       // which schema inference would reject but a schema'd read treats as
       // the empty frame it is
@@ -122,6 +139,7 @@ object IngestDedup {
         .select(md5(col(textCol)).as("digest")).distinct()
         .write.mode("overwrite").parquet(s"$digestDir/batch=$batchId")
       m.completed(batchId)
+      g.completed(batchId)
     }
   }
 }

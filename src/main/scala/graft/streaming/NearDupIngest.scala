@@ -168,24 +168,15 @@ object NearDupIngest {
     * degrading dedup invariant must be an error, not a quiet corpus of
     * copies. `selfBatch` is excluded (a replayed batch's own partial
     * attempt may legitimately lack its postings twin). Coverage is
-    * judged against the maintain pass's EFFECTIVE sources — one corpus
-    * listing, no re-listing of the postings store. */
+    * pure driver interval math: the [[CorpusManifest]] ranges vs the
+    * maintain pass's EFFECTIVE sources — no listing of either store. */
   private def requirePostingsCoverCorpus(
-      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      corpusDir: String, corpusRanges: Seq[BatchStore.IndexSource],
       selfBatch: Long, sources: Seq[BatchStore.IndexSource]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusIds =
-      if (!fs.exists(p)) Seq.empty[Long]
-      else fs.listStatus(p).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .flatMap(n => if (n.startsWith("batch="))
-          n.stripPrefix("batch=").toLongOption else None)
-    val missing = corpusIds.filter(id => id != selfBatch &&
-      !sources.exists(s => s.lo <= id && id <= s.hi))
+    val missing = BatchStore.uncoveredIds(corpusRanges, sources, selfBatch)
     require(missing.isEmpty,
       s"near-dup ingest store at $corpusDir has admitted batches with no " +
-        s"postings sidecar (${missing.sorted.map("batch=" + _).mkString(", ")}); " +
+        s"postings sidecar (${missing.map("batch=" + _).mkString(", ")}); " +
         "admitting against an incomplete postings table would silently " +
         "accept near-duplicates — rebuild the postings " +
         "(Dedup.sizedShinglePostings over each batch) or start a fresh store")
@@ -224,18 +215,20 @@ object NearDupIngest {
                 maxBatchPostings: Long = 1L << 26)
       : (DataFrame, Long) => Unit = {
     var m: BatchStore.Maintainer = null
+    var g: CorpusManifest.Guard = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
+      if (g == null)
+        g = new CorpusManifest.Guard(spark, corpusDir, "near-dup",
+          compactEvery)
       val warm = m != null && m.wouldSkip(batchId)
-      if (!warm) {
-        // a restarted checkpoint re-numbering batches from 0 would
-        // overwrite old partitions progressively — refuse (cold path
-        // only: see IngestDedup.admitLoop; the postings store's own
-        // ahead refusal lives inside maintainStore)
-        BatchStore.requireNotAhead(spark, corpusDir, batchId,
-          "near-dup corpus")
-        requireCompatiblePostings(spark, corpusDir, k)
-      }
+      // a restarted checkpoint re-numbering batches from 0 would
+      // overwrite old partitions progressively — refused by the
+      // manifest's ahead fence (and the postings store's twin fence
+      // inside maintainStore); cold-path work only, see
+      // IngestDedup.admitLoop
+      val corpusRanges = g.maintain(batchId)
+      if (!warm) requireCompatiblePostings(spark, corpusDir, k)
       // one tokenization pass over the batch, reused by the admission
       // join and the admitted-postings write (hashed — see batchPostings)
       val bp = batchPostings(batch, idCol, textCol, k).persist()
@@ -253,13 +246,15 @@ object NearDupIngest {
               "near-dup postings"), compactEvery)
         val sources = m.maintain(batchId)
         if (!warm)
-          requirePostingsCoverCorpus(spark, corpusDir, batchId, sources)
+          requirePostingsCoverCorpus(corpusDir, corpusRanges, batchId,
+            sources)
         val sp = BatchStore.readFrom(spark, postingsDir(corpusDir),
           bp.schema, sources)
         val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
           .persist()
         try {
           admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          g.append(batchId)
           // the admitted docs' postings, filtered from the batch postings
           // already in hand — never re-derived from text. Coalesced to the
           // session's shuffle width before writing: bp carries the
@@ -279,6 +274,7 @@ object NearDupIngest {
             .write.mode("overwrite")
             .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
           m.completed(batchId)
+          g.completed(batchId)
         } finally { admitted.unpersist(false); () }
       } finally { bp.unpersist(false); () }
     }

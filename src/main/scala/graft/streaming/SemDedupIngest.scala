@@ -677,17 +677,17 @@ object SemDedupIngest {
     * unverifiable geometry; admitting against a partial index would
     * silently accept semantic duplicates. */
   private def requireCellsLayout(spark: SparkSession, corpusDir: String,
-                                 selfBatch: Long): Unit = {
+                                 corpusRanges: Seq[IndexSource]): Unit = {
     val meta = new org.apache.hadoop.fs.Path(cellsDir(corpusDir), "_meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(meta)) {
-      val p = new org.apache.hadoop.fs.Path(corpusDir)
-      val pre = if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith("batch=") && n != s"batch=$selfBatch")
+      // admitted-batch evidence comes from the manifest ranges (a
+      // pre-cell-layout corpus has no manifest either, so the Guard's
+      // bootstrap has already rebuilt them from the raw listing)
+      val pre = corpusRanges.sortBy(_.lo).map(_.name)
       require(pre.isEmpty,
         s"semantic-dup store at $corpusDir has admitted batches " +
-          s"(${pre.sorted.mkString(", ")}) but no _cells index/stamp — a " +
+          s"(${pre.mkString(", ")}) but no _cells index/stamp — a " +
           "pre-cell-layout store (or a lost index) cannot be probed " +
           "safely; rebuild the index (re-ingest, or bucket each batch " +
           "with the store's centroids) or start a fresh store")
@@ -700,24 +700,18 @@ object SemDedupIngest {
 
   /** Every admitted corpus batch (minus self on replay) must be covered
     * by an index source — an index that silently lags the corpus would
-    * admit semantic duplicates. Coverage is judged from the effective
-    * summaries alone (a summary is stamped after its data), so the
-    * check costs ONE corpus listing however old the store is. */
-  private def requireCellsCoverCorpus(spark: SparkSession, corpusDir: String,
+    * admit semantic duplicates. Coverage is pure driver interval math:
+    * the [[CorpusManifest]] ranges vs the effective summaries (a
+    * summary is stamped after its data) — no listing of either store,
+    * however old it is. */
+  private def requireCellsCoverCorpus(corpusDir: String,
+                                      corpusRanges: Seq[IndexSource],
                                       selfBatch: Long,
                                       sources: Seq[IndexSource]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusIds =
-      if (!fs.exists(p)) Seq.empty[Long]
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .flatMap(_.stripPrefix("batch=").toLongOption)
-    val missing = corpusIds.filter(id => id != selfBatch &&
-      !sources.exists(s => s.lo <= id && id <= s.hi))
+    val missing = BatchStore.uncoveredIds(corpusRanges, sources, selfBatch)
     require(missing.isEmpty,
       s"semantic-dup store at $corpusDir has admitted batches with no " +
-        s"cell-index twin (${missing.sorted.map("batch=" + _).mkString(", ")}); " +
+        s"cell-index twin (${missing.map("batch=" + _).mkString(", ")}); " +
         "probing an incomplete index would silently admit semantic " +
         "duplicates — rebuild the index or start a fresh store")
   }
@@ -763,25 +757,31 @@ object SemDedupIngest {
                 compactEvery: Int = defaultCompactEvery)
       : (DataFrame, Long) => Unit = {
     var m: BatchStore.Maintainer = null
+    var g: CorpusManifest.Guard = null
     var statsCache: CellIndexStats = null
     var centsCache: Option[Array[Array[Double]]] = None
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (m == null)
+      if (m == null) {
         m = new BatchStore.Maintainer(cellOps(spark, corpusDir), compactEvery)
+        g = new CorpusManifest.Guard(spark, corpusDir, "semantic",
+          compactEvery)
+      }
       val warm = m.wouldSkip(batchId)
+      // restarted checkpoints are refused by the manifest's ahead fence
+      // (and the index store's twin fence inside maintainStore)
+      val corpusRanges = g.maintain(batchId)
       if (!warm) {
         // a cold batch may be a replay or a foreign-store resume: every
         // guard re-runs, and the stats cache is DROPPED (a replayed
         // batch's own old summary must not linger in it; it is rebuilt
         // from the effective summary files below)
         statsCache = null
-        BatchStore.requireNotAhead(spark, corpusDir, batchId,
-          "semantic corpus")
-        requireCellsLayout(spark, corpusDir, batchId)
+        requireCellsLayout(spark, corpusDir, corpusRanges)
       }
       val sources = m.maintain(batchId)
-      if (!warm) requireCellsCoverCorpus(spark, corpusDir, batchId, sources)
+      if (!warm)
+        requireCellsCoverCorpus(corpusDir, corpusRanges, batchId, sources)
 
       val bv = collectBatch(batch, idCol, vecCol, maxBatch)
       val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
@@ -826,6 +826,7 @@ object SemDedupIngest {
 
       antiJoinRefused(batch, idCol, refused)
         .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      g.append(batchId)
 
       // The admitted rows' index twin (cells + radii are k·dim driver
       // math over rows already collected for admission — no join, no
@@ -872,6 +873,7 @@ object SemDedupIngest {
       if (statsCache != null)
         statsCache = statsPlus(statsCache, s"batch=$batchId", sumsSeq)
       m.completed(batchId)
+      g.completed(batchId)
     }
   }
 

@@ -332,7 +332,8 @@ class BatchStoreSpec extends SparkTestBase {
       (op == "open" && path.contains("/_summary/")) ||
         path.endsWith("/_centroids") ||
         (op == "listStatus" && (path.endsWith("/_cells") ||
-          path.endsWith("/_cells/_summary") || path.endsWith("/c")))
+          path.endsWith("/_cells/_summary") || path.endsWith("/c") ||
+          path.endsWith("/_manifest")))
     }
     assert(offenders.isEmpty,
       s"warm semantic batch touched the index metadata: $offenders")
@@ -369,7 +370,7 @@ class BatchStoreSpec extends SparkTestBase {
     val offenders = CountingLocalFs.since(m0, local).filter { case (op, path) =>
       path.endsWith("/_meta") ||
         (op == "listStatus" && (path.endsWith("/_postings") ||
-          path.endsWith("/c")))
+          path.endsWith("/c") || path.endsWith("/_manifest")))
     }
     assert(offenders.isEmpty,
       s"warm near-dup batch touched guard/census paths: $offenders")
@@ -377,6 +378,130 @@ class BatchStoreSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 11L),
       s"near-dup must be refused through carried sources, got $ids")
+  }
+
+  test("uncoveredIds: pure interval subtraction with self-exclusion and a cap") {
+    import BatchStore.uncoveredIds
+    def r(lo: Long, hi: Long) = IndexSource(s"run=$lo-$hi", lo, hi)
+    val corpus = Seq(r(0, 9))
+    assert(uncoveredIds(corpus, Seq(r(0, 9)), -1).isEmpty)
+    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), -1) == Seq(4L, 5L))
+    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), 4L) == Seq(5L))
+    assert(uncoveredIds(corpus, Nil, -1, limit = 3) == Seq(0L, 1L, 2L))
+    // unsorted inputs, covered wider than corpus, overlapping covers
+    assert(uncoveredIds(Seq(r(5, 5), r(2, 2)), Seq(r(0, 10)), -1).isEmpty)
+    assert(uncoveredIds(corpus, Seq(r(3, 9), r(0, 5)), -1).isEmpty)
+    assert(uncoveredIds(Nil, Nil, -1).isEmpty)
+    // a tail gap after the last cover
+    assert(uncoveredIds(corpus, Seq(r(0, 7)), -1) == Seq(8L, 9L))
+  }
+
+  test("corpus manifest: the refusal matrix — sidecar loss, manifest loss, restarts, rebuilds") {
+    import graft.streaming.CorpusManifest
+    val base = Files.createTempDirectory("graft-manifest").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshLoop() = IngestDedup.admitLoop("text", digDir, corpDir)
+    val loop = freshLoop()
+    loop(docDf(Seq((1L, "alpha text body", "s"))), 0L)
+    loop(docDf(Seq((2L, "beta text body", "s"))), 1L)
+    loop(docDf(Seq((3L, "gamma text body", "s"))), 2L)
+    // the manifest records each admitted batch as an EMPTY named dir
+    for (b <- 0 to 2)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${CorpusManifest.manifestDir(corpDir)}/batch=$b")))
+
+    // 1. restarted checkpoint with the digest sidecar DELETED — the case
+    // the raw corpus listing was load-bearing for: the manifest, living
+    // under the corpus dir, survives sidecar loss and refuses
+    val digBackup = new org.apache.hadoop.fs.Path(s"$base/digsave")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(digDir), fs, digBackup, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(digDir), true)
+    val e1 = intercept[IllegalArgumentException] {
+      freshLoop()(docDf(Seq((9L, "novel text body", "s"))), 0L)
+    }
+    assert(e1.getMessage.contains("corpus manifest") &&
+      e1.getMessage.contains("restarted checkpoint"),
+      s"sidecar-deleted restart must refuse via the manifest: " +
+        e1.getMessage)
+
+    // 2. sidecar still deleted, LEGIT continuation (batchId=3): the new
+    // digest coverage check refuses instead of silently re-admitting
+    val e2 = intercept[IllegalArgumentException] {
+      freshLoop()(docDf(Seq((9L, "novel text body", "s"))), 3L)
+    }
+    assert(e2.getMessage.contains("no digest sidecar") &&
+      e2.getMessage.contains("batch=0, batch=1, batch=2"),
+      s"lost digest store must refuse with the missing ids: ${e2.getMessage}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, digBackup, fs,
+      new org.apache.hadoop.fs.Path(digDir), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    // 3. manifest deleted + restart: the bootstrap fallback re-lists the
+    // corpus raw and still refuses
+    fs.delete(new org.apache.hadoop.fs.Path(
+      CorpusManifest.manifestDir(corpDir)), true)
+    val e3 = intercept[IllegalArgumentException] {
+      freshLoop()(docDf(Seq((9L, "novel text body", "s"))), 0L)
+    }
+    assert(e3.getMessage.contains("no manifest") &&
+      e3.getMessage.contains("restarted checkpoint"),
+      s"manifest-deleted restart must refuse via the raw listing: " +
+        e3.getMessage)
+
+    // 4. manifest deleted + legit continuation: rebuilt as ONE stamped
+    // run from the raw listing (the pre-manifest-corpus upgrade path and
+    // the post-surgery escape hatch), and admission is unaffected — a
+    // dup of batch 0's text stays refused, a novel doc lands
+    freshLoop()(docDf(Seq(
+      (9L, "alpha text body", "s"), (10L, "delta text body", "s"))), 3L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${CorpusManifest.manifestDir(corpDir)}/run=0-2/_SUCCESS")),
+      "bootstrap must rebuild the manifest as one stamped run")
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema).parquet(s"$corpDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 10L),
+      s"admission through the rebuilt manifest must be unchanged: $ids")
+  }
+
+  test("corpus manifest: compacts to void runs and still fences a restart") {
+    import graft.streaming.CorpusManifest
+    val base = Files.createTempDirectory("graft-manifest-ce").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loop = IngestDedup.admitLoop("text", digDir, corpDir,
+      compactEvery = 2)
+    for (b <- 0 to 4)
+      loop(docDf(Seq((b.toLong, s"text number $b body", "s"))), b.toLong)
+    val mDir = CorpusManifest.manifestDir(corpDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(mDir))
+      .map(_.getPath.getName).filter(_.startsWith("run=")).toSeq
+    assert(names.nonEmpty, "manifest must have compacted into runs")
+    for (r <- names) { // void runs: a _SUCCESS stamp and nothing else
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(mDir, r))
+        .map(_.getPath.getName).toSeq
+      assert(entries == Seq("_SUCCESS"),
+        s"a void run must hold only its stamp, got $r -> $entries")
+    }
+    // the compacted manifest still fences a restarted checkpoint
+    val e = intercept[IllegalArgumentException] {
+      IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+        docDf(Seq((9L, "novel words entirely", "s"))), 0L)
+    }
+    assert(e.getMessage.contains("corpus manifest"), e.getMessage)
+    // and a legit resume (fresh closure, next id) admits normally
+    IngestDedup.admitLoop("text", digDir, corpDir, compactEvery = 2)(
+      docDf(Seq((9L, "text number 0 body", "s"), (10L, "novel words", "s"))),
+      5L)
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema).parquet(s"$corpDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 4L, 10L), s"got $ids")
   }
 
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {

@@ -172,6 +172,7 @@ object ProbeSemAge {
               compactEvery = Int.MaxValue)(b, probeId)
           }
           for (d <- Seq(s"$dir/batch=$probeId",
+              s"$dir/_manifest/batch=$probeId",
               s"${SemDedupIngest.cellsDir(dir)}/batch=$probeId",
               s"${SemDedupIngest.summaryDir(dir)}/batch=$probeId.json"))
             fs.delete(new org.apache.hadoop.fs.Path(d), true)

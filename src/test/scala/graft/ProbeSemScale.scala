@@ -93,6 +93,7 @@ object ProbeSemScale {
     }
     def rollback(b: Long): Unit =
       for (d <- Seq(s"$corpusDir/batch=$b",
+          s"$corpusDir/_manifest/batch=$b",
           s"${SemDedupIngest.cellsDir(corpusDir)}/batch=$b",
           s"${SemDedupIngest.summaryDir(corpusDir)}/batch=$b.json"))
         fs.delete(new org.apache.hadoop.fs.Path(d), true)
@@ -148,6 +149,7 @@ object ProbeSemScale {
           cells = nClusters, maxBatch = 1 << 21)(df, b)
       def rollbackSnap(b: Long): Unit =
         for (d <- Seq(s"$dir/batch=$b",
+            s"$dir/_manifest/batch=$b",
             s"${SemDedupIngest.cellsDir(dir)}/batch=$b",
             s"${SemDedupIngest.summaryDir(dir)}/batch=$b.json"))
           fs.delete(new org.apache.hadoop.fs.Path(d), true)

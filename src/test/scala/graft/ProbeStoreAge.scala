@@ -90,7 +90,11 @@ object ProbeStoreAge {
           val b = frame(probeId, "probe")
           val t = time { IngestDedup.admitLoop("text", s"$base/dig",
             s"$base/corp", compactEvery = Int.MaxValue)(b, probeId) }
-          for (d <- Seq(s"$base/corp/batch=$probeId", s"$base/dig/batch=$probeId"))
+          // the manifest unit too: leaving it would forge the exact
+          // "corpus id with no digest sidecar" signature the coverage
+          // guard refuses on the next measurement
+          for (d <- Seq(s"$base/corp/batch=$probeId", s"$base/dig/batch=$probeId",
+              s"$base/corp/_manifest/batch=$probeId"))
             fs.delete(new org.apache.hadoop.fs.Path(d), true)
           probeId += 1
           t
