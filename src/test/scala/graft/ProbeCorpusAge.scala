@@ -111,8 +111,26 @@ object ProbeCorpusAge {
 
       // pass 1: fresh closure, no _manifest (pre-manifest cost / the
       // one-time bootstrap); pass 2: fresh closure again (A/A control /
-      // steady-state cold-through-manifest)
-      for (pass <- 1 to 2) {
+      // steady-state cold-through-manifest — note the bootstrapped
+      // manifest is ONE run, the best case); pass 3: the manifest
+      // replaced by the layout a LOOP-GROWN store of age N carries
+      // (O(log N) runs + tail, from the same planCompaction replay) —
+      // the honest steady-state cold cost
+      def plantGrownManifest(): Unit = {
+        val mRoot = new org.apache.hadoop.fs.Path(s"$corp/_manifest")
+        fs.delete(mRoot, true)
+        for (u <- units) {
+          val d = new org.apache.hadoop.fs.Path(mRoot, u.name)
+          fs.mkdirs(d)
+          if (u.isRun) {
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true)
+            out.close()
+          }
+        }
+      }
+      for (pass <- 1 to 3) {
+        if (pass == 3) plantGrownManifest()
         val m0 = CountingLocalFs.mark()
         val w = time {
           IngestDedup.admitLoop("text", dig, corp,
