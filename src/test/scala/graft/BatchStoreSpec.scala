@@ -504,6 +504,57 @@ class BatchStoreSpec extends SparkTestBase {
     assert(ids == Set(0L, 1L, 2L, 3L, 4L, 10L), s"got $ids")
   }
 
+  test("corpus manifest: pre-manifest near-dup and semantic stores upgrade in place") {
+    // an r18-era store (corpus + sidecar, no _manifest) resumed under
+    // this code must bootstrap the manifest from one raw listing and
+    // keep admissions byte-identical — per loop, since the guard wiring
+    // differs (the exact-dedup loop's twin lives in the refusal-matrix
+    // spec). Forged by deleting _manifest after two normal batches.
+    import graft.streaming.CorpusManifest
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-upgrade").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val nCorpus = s"$base/nd"
+    def nLoop() = NearDupIngest.admitLoop("doc_id", "text", 3, 0.8, nCorpus)
+    val n0 = nLoop()
+    n0(docDf(Seq((1L, "the quick brown fox jumps over the lazy dog in the garden today", "s"))), 0L)
+    n0(docDf(Seq((2L, "completely different text about spark clusters here now", "s"))), 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      CorpusManifest.manifestDir(nCorpus)), true)
+    nLoop()(docDf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the garden tonight", "s"),
+      (11L, "an entirely unrelated document with novel words", "s"))), 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${CorpusManifest.manifestDir(nCorpus)}/run=0-1/_SUCCESS")),
+      "near-dup upgrade must rebuild the manifest as one stamped run")
+    val nIds = spark.read.schema(docSchema).parquet(s"$nCorpus/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(nIds == Set(1L, 2L, 11L),
+      s"near-dup admission must be unchanged through the upgrade: $nIds")
+
+    val sCorpus = s"$base/sem"
+    def vec(xs: Float*) = xs.toArray
+    def sLoop(rows: Seq[(Long, Array[Float], String)], id: Long): Unit =
+      SemDedupIngest.admitLoop("vec_id", "embedding", 0.95, sCorpus,
+        cells = 2)(rows.toDF("vec_id", "embedding", "source"), id)
+    sLoop(Seq((1L, vec(1f, 0f), "s")), 0L)
+    sLoop(Seq((2L, vec(0f, 1f), "s")), 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      CorpusManifest.manifestDir(sCorpus)), true)
+    sLoop(Seq((10L, vec(1f, 0.01f), "s"), (11L, vec(-0.7f, 0.7f), "s")), 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${CorpusManifest.manifestDir(sCorpus)}/run=0-1/_SUCCESS")),
+      "semantic upgrade must rebuild the manifest as one stamped run")
+    val sIds = SemDedupIngest.storeVectors(spark, sCorpus,
+        Seq((1L, vec(1f, 0f), "s")).toDF("vec_id", "embedding", "source")
+          .schema)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sIds == Set(1L, 2L, 11L),
+      s"semantic admission must be unchanged through the upgrade: $sIds")
+  }
+
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
     val corpusDir = Files.createTempDirectory("graft-fence").toString + "/c"
     val e = intercept[IllegalArgumentException] {
