@@ -378,34 +378,59 @@ object BatchStore {
     def completed(batchId: Long): Unit = completedThrough = batchId
   }
 
+  /** Result of a coverage check: the uncovered ids capped at the
+    * enumeration limit (error-message material) plus the TRUE total,
+    * so a refusal over a store missing hundreds of batches never
+    * prints 20 ids as if they were the complete set — an operator
+    * diagnosing the gap sees the real size before starting a rebuild. */
+  private[graft] final case class Uncovered(ids: Seq[Long], total: Long) {
+    def isEmpty: Boolean = total == 0L
+    /** `batch=a, batch=b, … and N more` — the interpolation the three
+      * ingest-loop refusal messages share. */
+    def render: String = ids.map("batch=" + _).mkString(", ") +
+      (if (total > ids.size) s" … and ${total - ids.size} more" else "")
+  }
+
   /** Ids inside the `corpus` ranges not covered by the `covered`
     * ranges, `self` excluded — PURE driver interval math, no
     * filesystem. This is what the sidecar-coverage guards run against
     * [[CorpusManifest]] ranges instead of a raw O(store-age) corpus
-    * listing. Capped at `limit` ids (error-message material); an empty
-    * result means full coverage. */
+    * listing. Enumeration is capped at `limit` ids but
+    * [[Uncovered.total]] is exact (computed on the intervals, never by
+    * enumeration); an empty result means full coverage. Corpus ranges
+    * are normalized (merged) first, so overlapping inputs can neither
+    * double-report an id nor double-count the total. */
   private[graft] def uncoveredIds(corpus: Seq[IndexSource],
                                   covered: Seq[IndexSource], self: Long,
-                                  limit: Int = 20): Seq[Long] = {
+                                  limit: Int = 20): Uncovered = {
     val cov = covered.map(s => (s.lo, s.hi)).sortBy(_._1)
+    val merged = corpus.map(s => (s.lo, s.hi)).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+          (plo, math.max(phi, hi)) :: rest
+        case (acc, r) => r :: acc
+      }.reverse
     val out = Seq.newBuilder[Long]
     var n = 0
+    var total = 0L
     def emit(lo: Long, hi: Long): Unit = {
+      total += hi - lo + 1
+      if (self >= lo && self <= hi) total -= 1
       var i = lo
       while (i <= hi && n < limit) {
         if (i != self) { out += i; n += 1 }
         i += 1
       }
     }
-    for (c <- corpus.sortBy(_.lo)) {
-      var cur = c.lo
-      for ((lo, hi) <- cov if hi >= cur && lo <= c.hi) {
-        if (lo > cur) emit(cur, math.min(lo - 1, c.hi))
+    for ((clo, chi) <- merged) {
+      var cur = clo
+      for ((lo, hi) <- cov if hi >= cur && lo <= chi) {
+        if (lo > cur) emit(cur, math.min(lo - 1, chi))
         cur = math.max(cur, hi + 1)
       }
-      if (cur <= c.hi) emit(cur, c.hi)
+      if (cur <= chi) emit(cur, chi)
     }
-    out.result()
+    Uncovered(out.result(), total)
   }
 
   /** The VOID store flavor ([[CorpusManifest]]): units carry no rows at

@@ -70,12 +70,20 @@ object CorpusManifest {
       * the in-flight id's replayed manifest unit is excluded by the
       * store discipline). Cold batches census the manifest —
       * O(log N + tail) — and fall back to ONE raw corpus listing only
-      * when the manifest holds no units at all (fresh store: no-op;
-      * pre-manifest corpus or deleted manifest: refuse-or-rebuild). */
+      * when the manifest holds no units AT ALL (fresh store: no-op;
+      * pre-manifest corpus or deleted manifest: refuse-or-rebuild).
+      * The censused ranges exclude the in-flight id's own unit, so
+      * "no units at all" needs one more cold-path probe: a manifest
+      * whose sole record is `batch=<batchId>` (the previous attempt of
+      * a replayed first-ever batch already [[append]]ed) is alive and
+      * authoritative — without the probe every such replay would
+      * re-list the corpus raw. */
     def maintain(batchId: Long): Seq[IndexSource] = {
       val warm = mm.wouldSkip(batchId)
       val ranges = mm.maintain(batchId)
       if (warm || ranges.nonEmpty) ranges
+      else if (fs.exists(new org.apache.hadoop.fs.Path(mp, s"batch=$batchId")))
+        ranges // manifest alive; its only record is the in-flight replay
       else if (bootstrap(batchId)) mm.maintain(batchId) // pick up the run
       else ranges
     }
@@ -105,7 +113,12 @@ object CorpusManifest {
     private def bootstrap(batchId: Long): Boolean = {
       val cp = new org.apache.hadoop.fs.Path(corpusDir)
       if (!fs.exists(cp)) return false
-      val ids = fs.listStatus(cp).toSeq.map(_.getPath.getName)
+      // isDirectory matches BatchStore.listStore: a stray regular FILE
+      // named batch=<n> (tooling residue) must not be recorded into the
+      // rebuilt manifest — the coverage guards would demand its sidecar
+      // twin forever
+      val ids = fs.listStatus(cp).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
         .filter(_.startsWith("batch="))
         .flatMap(_.stripPrefix("batch=").toLongOption)
       val ahead = ids.filter(_ > batchId)
@@ -116,6 +129,13 @@ object CorpusManifest {
           "checkpoint must use a fresh store directory (or resume the " +
           "old checkpoint); continuing would overwrite previously " +
           "ingested partitions one by one")
+      // the in-flight id itself may never enter a RUN: maintainStore's
+      // ahead fence refuses any run whose range reaches the current
+      // batch id (a run covering the in-flight id is otherwise the
+      // restarted-checkpoint signature), so a corpus holding ONLY the
+      // in-flight replay writes nothing — append() records it after
+      // the batch body, and maintain()'s alive-manifest probe keeps
+      // later replays off this raw listing
       val past = ids.filter(_ != batchId)
       if (past.isEmpty) false
       else {

@@ -123,7 +123,7 @@ object IngestDedup {
         val missing = BatchStore.uncoveredIds(corpusRanges, sources, batchId)
         require(missing.isEmpty,
           s"ingest corpus at $corpusDir has admitted batches with no " +
-            s"digest sidecar (${missing.map("batch=" + _).mkString(", ")}" +
+            s"digest sidecar (${missing.render}" +
             "); admitting against an incomplete digest store would " +
             "silently re-admit exact duplicates — rebuild the digest " +
             "store (md5 over each corpus batch) or start a fresh store")

@@ -176,7 +176,7 @@ object NearDupIngest {
     val missing = BatchStore.uncoveredIds(corpusRanges, sources, selfBatch)
     require(missing.isEmpty,
       s"near-dup ingest store at $corpusDir has admitted batches with no " +
-        s"postings sidecar (${missing.map("batch=" + _).mkString(", ")}); " +
+        s"postings sidecar (${missing.render}); " +
         "admitting against an incomplete postings table would silently " +
         "accept near-duplicates — rebuild the postings " +
         "(Dedup.sizedShinglePostings over each batch) or start a fresh store")

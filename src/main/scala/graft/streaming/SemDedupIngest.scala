@@ -711,7 +711,7 @@ object SemDedupIngest {
     val missing = BatchStore.uncoveredIds(corpusRanges, sources, selfBatch)
     require(missing.isEmpty,
       s"semantic-dup store at $corpusDir has admitted batches with no " +
-        s"cell-index twin (${missing.map("batch=" + _).mkString(", ")}); " +
+        s"cell-index twin (${missing.render}); " +
         "probing an incomplete index would silently admit semantic " +
         "duplicates — rebuild the index or start a fresh store")
   }

@@ -16,7 +16,11 @@ import graft.streaming.{BatchStore, IngestDedup, NearDupIngest, SemDedupIngest}
   * [[CountingLocalFs.drain]] CLEARS the trace and therefore
   * invalidates outstanding marks — it is reserved for the standalone
   * probe mains (ProbeStoreAge/ProbeSemWarm), which own the JVM;
-  * specs use mark/since only. */
+  * specs use mark/since only. The trace therefore grows for the life
+  * of the test JVM (bounded only by how much `cfs:` traffic the suite
+  * drives — a few thousand entries today); a future spec that pushes
+  * probe-scale volume through `cfs:` should run as a probe main and
+  * drain, not accumulate here. */
 class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   import CountingLocalFs.tally
   override def getScheme: String = "cfs"
@@ -385,15 +389,32 @@ class BatchStoreSpec extends SparkTestBase {
     def r(lo: Long, hi: Long) = IndexSource(s"run=$lo-$hi", lo, hi)
     val corpus = Seq(r(0, 9))
     assert(uncoveredIds(corpus, Seq(r(0, 9)), -1).isEmpty)
-    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), -1) == Seq(4L, 5L))
-    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), 4L) == Seq(5L))
-    assert(uncoveredIds(corpus, Nil, -1, limit = 3) == Seq(0L, 1L, 2L))
-    // unsorted inputs, covered wider than corpus, overlapping covers
+    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), -1).ids == Seq(4L, 5L))
+    assert(uncoveredIds(corpus, Seq(r(0, 3), r(6, 9)), 4L).ids == Seq(5L))
+    // the cap bounds the ENUMERATION only — total stays exact, and the
+    // rendered message says how much the cap hid
+    val capped = uncoveredIds(corpus, Nil, -1, limit = 3)
+    assert(capped.ids == Seq(0L, 1L, 2L) && capped.total == 10L)
+    assert(capped.render == "batch=0, batch=1, batch=2 … and 7 more")
+    // self inside the capped-away remainder still reduces the total
+    assert(uncoveredIds(corpus, Nil, 9L, limit = 3).total == 9L)
+    // an uncapped result renders with no marker
+    assert(uncoveredIds(corpus, Seq(r(0, 7)), -1).render ==
+      "batch=8, batch=9")
+    // unsorted inputs, covered wider than corpus, overlapping covers,
+    // adjacent covers, duplicate covers
     assert(uncoveredIds(Seq(r(5, 5), r(2, 2)), Seq(r(0, 10)), -1).isEmpty)
     assert(uncoveredIds(corpus, Seq(r(3, 9), r(0, 5)), -1).isEmpty)
+    assert(uncoveredIds(corpus, Seq(r(0, 3), r(4, 9)), -1).isEmpty)
+    assert(uncoveredIds(corpus, Seq(r(0, 6), r(0, 6)), -1).ids ==
+      Seq(7L, 8L, 9L))
     assert(uncoveredIds(Nil, Nil, -1).isEmpty)
     // a tail gap after the last cover
-    assert(uncoveredIds(corpus, Seq(r(0, 7)), -1) == Seq(8L, 9L))
+    assert(uncoveredIds(corpus, Seq(r(0, 7)), -1).ids == Seq(8L, 9L))
+    // OVERLAPPING corpus ranges are normalized first: an id in a shared
+    // gap is reported (and counted) exactly once
+    val over = uncoveredIds(Seq(r(0, 5), r(3, 9)), Seq(r(0, 4)), -1)
+    assert(over.ids == Seq(5L, 6L, 7L, 8L, 9L) && over.total == 5L)
   }
 
   test("corpus manifest: the refusal matrix — sidecar loss, manifest loss, restarts, rebuilds") {
@@ -553,6 +574,178 @@ class BatchStoreSpec extends SparkTestBase {
       .select($"vec_id").as[Long].collect().toSet
     assert(sIds == Set(1L, 2L, 11L),
       s"semantic admission must be unchanged through the upgrade: $sIds")
+  }
+
+  test("corpus manifest: steady-state cold admission cost is age-independent and never lists the corpus") {
+    // The ProbeCorpusAge headline pinned as a regression gate (a future
+    // guard quietly re-listing the corpus would otherwise go unnoticed
+    // until the next manual probe run): at ages 64 and 512 — power-of-
+    // two multiples of compactEvery=32, where planCompaction collapses
+    // BOTH the digest sidecar and the manifest to a single run, so the
+    // two stores differ ONLY in corpus age — a fresh-closure (post-
+    // restart) cold admission must cost EXACTLY the same store-scoped
+    // fs ops at both ages. Any reintroduced O(age) path breaks the
+    // equality by ~450 ops (a raw corpus listing is ~age getFileStatus
+    // calls on the local fs — one list page per batch on an object
+    // store). Belt and braces: the traces must also show zero corpus-
+    // root listings and zero touches of historical corpus batch dirs.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    import spark.implicits._
+    val ce = 32
+    val localRoot = Files.createTempDirectory("graft-coldage").toString
+    val fs = new org.apache.hadoop.fs.Path(s"cfs:$localRoot")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one-file digest-run template: the gate measures METADATA
+    // discovery, not data volume
+    val tmpl = new org.apache.hadoop.fs.Path(s"cfs:$localRoot/_tmpl")
+    Seq("0123456789abcdef0123456789abcdef").toDF("digest").coalesce(1)
+      .write.parquet(tmpl.toString)
+    // replay planCompaction driver-side to the exact layout a
+    // loop-grown store of age n carries (same synthesis as
+    // ProbeCorpusAge)
+    def layoutAt(n: Int): Seq[IndexSource] = {
+      var tail = Vector.empty[IndexSource]
+      var runs = Vector.empty[IndexSource]
+      for (b <- 0 until n) {
+        tail :+= IndexSource(s"batch=$b", b.toLong, b.toLong)
+        BatchStore.planCompaction(tail, runs, ce).foreach { ms =>
+          val m = IndexSource(s"run=${ms.head.lo}-${ms.last.hi}",
+            ms.head.lo, ms.last.hi)
+          val dead = ms.toSet
+          runs = runs.filterNot(dead) :+ m
+          tail = tail.filterNot(dead)
+        }
+      }
+      (runs ++ tail).sortBy(_.lo)
+    }
+    def coldTrace(n: Int): Seq[(String, String)] = {
+      val units = layoutAt(n)
+      assert(units.size == 1 && units.head.isRun,
+        s"age $n must collapse to one run for the equality to be " +
+          s"meaningful, got ${units.map(_.name)}")
+      val base = s"$localRoot/age$n"
+      val corp = s"cfs:$base/corp"; val dig = s"cfs:$base/dig"
+      for (u <- units) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, tmpl, fs,
+          new org.apache.hadoop.fs.Path(s"$dig/${u.name}"), false,
+          spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+      for (b <- 0 until n)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$corp/batch=$b"))
+      for (u <- units) { // the manifest's void twin: a stamp, nothing else
+        val d = new org.apache.hadoop.fs.Path(s"$corp/_manifest/${u.name}")
+        fs.mkdirs(d)
+        val out = fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"),
+          true)
+        out.close()
+      }
+      val m0 = CountingLocalFs.mark()
+      IngestDedup.admitLoop("text", dig, corp, compactEvery = ce)(
+        docDf(Seq((n.toLong, "cold age probe document body", "s"))),
+        n.toLong)
+      CountingLocalFs.since(m0, base)
+    }
+    val t64 = coldTrace(64)
+    val t512 = coldTrace(512)
+    def offenders(tr: Seq[(String, String)], n: Int) = tr.filter {
+      case (op, p) =>
+        (op == "listStatus" && p.endsWith("/corp")) ||
+          (p.contains("/corp/batch=") && !p.contains(s"/corp/batch=$n"))
+    }
+    assert(offenders(t64, 64).isEmpty,
+      s"age-64 cold admission touched the corpus: ${offenders(t64, 64)}")
+    assert(offenders(t512, 512).isEmpty,
+      s"age-512 cold admission touched the corpus: " +
+        s"${offenders(t512, 512).take(10)}")
+    assert(t64.size == t512.size,
+      s"steady-state cold admission must be age-independent: " +
+        s"${t64.size} ops at age 64 vs ${t512.size} at age 512 — an " +
+        "O(age) metadata path has been reintroduced; diff the traces " +
+        "(op,path) to find it")
+  }
+
+  test("corpus manifest: bootstrap records corpus DIRECTORIES only, never a stray batch=<n> file") {
+    // a stray regular FILE named batch=<n> (tooling residue) in the
+    // corpus must not enter a rebuilt manifest: recorded, it would (a)
+    // fence every later batch behind its id as a "restarted checkpoint"
+    // and (b) demand a sidecar twin for an id that holds no rows —
+    // forever. Same isDirectory discipline as BatchStore.listStore.
+    val base = Files.createTempDirectory("graft-strayfile").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshLoop() = IngestDedup.admitLoop("text", digDir, corpDir)
+    val loop = freshLoop()
+    loop(docDf(Seq((1L, "alpha text body", "s"))), 0L)
+    loop(docDf(Seq((2L, "beta text body", "s"))), 1L)
+    val stray = fs.create(
+      new org.apache.hadoop.fs.Path(s"$corpDir/batch=7"), true)
+    stray.close()
+    fs.delete(new org.apache.hadoop.fs.Path(
+      graft.streaming.CorpusManifest.manifestDir(corpDir)), true)
+    // legit continuation over the forged pre-manifest store: the
+    // bootstrap re-lists raw and must see only the real batch dirs
+    freshLoop()(docDf(Seq(
+      (9L, "alpha text body", "s"), (10L, "delta text body", "s"))), 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${graft.streaming.CorpusManifest.manifestDir(corpDir)}/" +
+        "run=0-1/_SUCCESS")),
+      "bootstrap must rebuild run=0-1 from the directories alone")
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema)
+      .parquet(s"$corpDir/batch=0", s"$corpDir/batch=1", s"$corpDir/batch=2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 10L),
+      s"admission through the rebuilt manifest must be unchanged: $ids")
+  }
+
+  test("corpus manifest: a replayed first-ever batch neither refuses, writes a run, nor re-lists raw") {
+    // the single-past-batch edge: a corpus whose ONLY unit is the
+    // in-flight batch's previous attempt (crash before append, or an
+    // r18-era store that died on batch 0). The replay must admit
+    // normally and write NO manifest run — the in-flight id may never
+    // enter a run, because maintainStore's ahead fence refuses any run
+    // reaching the current id (the restarted-checkpoint signature) and
+    // would refuse the loop's own next replay. Once append() has
+    // recorded the id, later cold replays must take the alive-manifest
+    // probe, not the raw corpus listing.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val local = Files.createTempDirectory("graft-firstreplay").toString
+    val digDir = s"cfs:$local/dig"; val corpDir = s"cfs:$local/corp"
+    val fs = new org.apache.hadoop.fs.Path(corpDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = graft.streaming.CorpusManifest.manifestDir(corpDir)
+    def freshLoop() = IngestDedup.admitLoop("text", digDir, corpDir)
+    freshLoop()(docDf(Seq((1L, "alpha text body", "s"))), 0L)
+    // forge the crash-before-append shape: corpus batch=0, no manifest
+    fs.delete(new org.apache.hadoop.fs.Path(mDir), true)
+    freshLoop()(docDf(Seq((2L, "beta text body", "s"))), 0L) // replay
+    val units = fs.listStatus(new org.apache.hadoop.fs.Path(mDir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(units == Seq("batch=0"),
+      s"the replay must append its own id and write no run, got $units")
+    // a SECOND cold replay now finds the manifest alive: zero raw
+    // corpus listings (the alive-manifest probe short-circuits
+    // bootstrap)
+    val m0 = CountingLocalFs.mark()
+    freshLoop()(docDf(Seq((3L, "gamma text body", "s"))), 0L)
+    val rawListings = CountingLocalFs.since(m0, local).filter {
+      case (op, p) => op == "listStatus" && p.endsWith("/corp")
+    }
+    assert(rawListings.isEmpty,
+      s"a post-append replay must not re-list the corpus raw: $rawListings")
+    // and the store proceeds normally: batch 1 sees batch 0's final
+    // attempt, refuses its dup, admits the novel doc
+    freshLoop()(docDf(Seq(
+      (4L, "gamma text body", "s"), (5L, "delta text body", "s"))), 1L)
+    import spark.implicits._
+    val ids = spark.read.schema(docSchema).parquet(s"$corpDir/batch=*")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(3L, 5L),
+      s"replay-overwrite + next-batch admission must hold: $ids")
   }
 
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
