@@ -748,6 +748,35 @@ class BatchStoreSpec extends SparkTestBase {
       s"replay-overwrite + next-batch admission must hold: $ids")
   }
 
+  test("ingest loop: a large coverage gap refuses with the capped id list AND the true total") {
+    // end-to-end twin of the uncoveredIds cap unit test: a store
+    // missing MORE sidecar batches than the 20-id enumeration cap must
+    // say how much the cap hid — an operator seeing exactly 20 ids with
+    // no marker would rebuild 20 batches and trip the same refusal
+    // again. The gap is forged through the manifest alone (coverage is
+    // pure interval math over manifest ranges; neither store is listed
+    // for it), so the spec costs no loop batches.
+    val base = Files.createTempDirectory("graft-biggap").toString
+    val digDir = s"$base/dig"; val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val run = new org.apache.hadoop.fs.Path(
+      s"${graft.streaming.CorpusManifest.manifestDir(corpDir)}/run=0-30")
+    fs.mkdirs(run)
+    val stamp = fs.create(
+      new org.apache.hadoop.fs.Path(run, "_SUCCESS"), true)
+    stamp.close()
+    val e = intercept[IllegalArgumentException] {
+      IngestDedup.admitLoop("text", digDir, corpDir)(
+        docDf(Seq((1L, "novel text body", "s"))), 31L)
+    }
+    assert(e.getMessage.contains("no digest sidecar") &&
+      e.getMessage.contains("batch=19") &&
+      e.getMessage.contains("… and 11 more") &&
+      !e.getMessage.contains("batch=20"),
+      s"a 31-id gap must show 20 ids and the hidden count: ${e.getMessage}")
+  }
+
   test("near-dup loop: a batch past the postings fence refuses loudly before the broadcast") {
     val corpusDir = Files.createTempDirectory("graft-fence").toString + "/c"
     val e = intercept[IllegalArgumentException] {
