@@ -1095,6 +1095,12 @@ object CorpusQueries {
     // is a superset of every higher point). Says how aggressive the
     // dedup can get before it starts merging distinct docs wholesale.
     "dedup_threshold_sweep" -> ((spark, dir) => {
+      // LAZY checkpoint, measured r21: the four threshold branches
+      // materialize concurrently under AQE and the lazy checkpoint lets
+      // them overlap (block-level locks prevent duplicate compute); the
+      // eager variant serializes the materialization waves and measured
+      // 3.38 s vs 2.16 s warm — opposite of dedup_transitivity, whose 5
+      // branches each re-ran a 3-pass pipeline
       val pairs = Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
           shingleK, sweepBaseThreshold)
         .localCheckpoint(false)
@@ -1485,9 +1491,20 @@ object CorpusQueries {
       val brute = Await.result(bruteFut, 10.minutes)
       val truth = brute.agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"))
+      // broadcast(brute) (r21, guide §3.1): the truth frame is k rows per
+      // stride-sampled probe query — bounded small at ANY corpus size by
+      // construction — but it is a checkpointed LogicalRDD with no size
+      // stats, so the static planner gave every leg's hit join a
+      // SortMergeJoin (2 exchanges + sorts each, 8 total; AQE only
+      // rewrites the join AFTER paying the shuffles). The hint pins the
+      // zero-exchange hash join; brute is an EAGER checkpoint, so the
+      // broadcast collects from cache (broadcasting a LAZY checkpoint
+      // re-runs its pipeline inside the build — measured 24.5 s on
+      // lshSweep). Local effect at sf0.1 is within noise (3.22 vs
+      // 3.25 s); the win is the removed per-leg exchanges at scale.
       def report(method: String, approx: DataFrame): DataFrame =
         truth.crossJoin(
-            approx.join(brute, Seq("query_id", "neighbor_id"))
+            approx.join(broadcast(brute), Seq("query_id", "neighbor_id"))
               .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits")))
           .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
             col("n_hits"),

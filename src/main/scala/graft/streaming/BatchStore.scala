@@ -386,9 +386,13 @@ object BatchStore {
   private[graft] final case class Uncovered(ids: Seq[Long], total: Long) {
     def isEmpty: Boolean = total == 0L
     /** `batch=a, batch=b, … and N more` — the interpolation the three
-      * ingest-loop refusal messages share. */
-    def render: String = ids.map("batch=" + _).mkString(", ") +
-      (if (total > ids.size) s" … and ${total - ids.size} more" else "")
+      * ingest-loop refusal messages share. With no enumerable ids (a
+      * caller passed limit <= 0) it degrades to the count alone rather
+      * than an orphaned "… and N more" with nothing before it. */
+    def render: String =
+      if (ids.isEmpty && total > 0) s"$total uncovered batches"
+      else ids.map("batch=" + _).mkString(", ") +
+        (if (total > ids.size) s" … and ${total - ids.size} more" else "")
   }
 
   /** Ids inside the `corpus` ranges not covered by the `covered`

@@ -82,11 +82,21 @@ object CorpusManifest {
       val warm = mm.wouldSkip(batchId)
       val ranges = mm.maintain(batchId)
       if (warm || ranges.nonEmpty) ranges
-      else if (fs.exists(new org.apache.hadoop.fs.Path(mp, s"batch=$batchId")))
+      else if (unitDirExists(new org.apache.hadoop.fs.Path(mp, s"batch=$batchId")))
         ranges // manifest alive; its only record is the in-flight replay
       else if (bootstrap(batchId)) mm.maintain(batchId) // pick up the run
       else ranges
     }
+
+    /** Directory-shaped existence probe — the same `isDirectory`
+      * discipline as [[bootstrap]]'s filter and `listStore`'s census: a
+      * stray regular FILE named `batch=<n>` (tooling residue) is
+      * invisible to the census, so it must not satisfy this probe either
+      * — a unit-less manifest "kept alive" by such a file would suppress
+      * the bootstrap rebuild/refusal for the life of the store. */
+    private def unitDirExists(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
 
     /** Record the just-written corpus `batch=<id>` — one `mkdirs` (the
       * unit is an EMPTY dir; its name is the record). Idempotent, so a

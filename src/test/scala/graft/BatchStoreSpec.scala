@@ -401,6 +401,10 @@ class BatchStoreSpec extends SparkTestBase {
     // an uncapped result renders with no marker
     assert(uncoveredIds(corpus, Seq(r(0, 7)), -1).render ==
       "batch=8, batch=9")
+    // limit <= 0 leaves no enumerable ids: render degrades to the bare
+    // count instead of an orphaned "… and N more" (ADVICE r20)
+    assert(uncoveredIds(corpus, Nil, -1, limit = 0).render ==
+      "10 uncovered batches")
     // unsorted inputs, covered wider than corpus, overlapping covers,
     // adjacent covers, duplicate covers
     assert(uncoveredIds(Seq(r(5, 5), r(2, 2)), Seq(r(0, 10)), -1).isEmpty)
@@ -746,6 +750,32 @@ class BatchStoreSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(3L, 5L),
       s"replay-overwrite + next-batch admission must hold: $ids")
+  }
+
+  test("corpus manifest: a stray regular FILE named batch=<id> does not satisfy the alive-manifest probe") {
+    // ADVICE r20: the probe must require directory-ness, mirroring
+    // bootstrap's filter and listStore's census — a unit-less manifest
+    // "kept alive" by tooling residue (a regular file the census cannot
+    // count) would otherwise suppress the bootstrap rebuild/refusal for
+    // the life of the store.
+    val base = Files.createTempDirectory("graft-strayalive").toString
+    val corpDir = s"$base/corp"
+    val fs = new org.apache.hadoop.fs.Path(corpDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = graft.streaming.CorpusManifest.manifestDir(corpDir)
+    // corpus surgery shape: two past batches, manifest deleted (the
+    // escape hatch) — but residue left a regular FILE named like the
+    // in-flight unit
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$corpDir/batch=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$corpDir/batch=1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mDir))
+    fs.create(new org.apache.hadoop.fs.Path(mDir, "batch=2"), true).close()
+    val g = new graft.streaming.CorpusManifest.Guard(spark, corpDir, "test", 8)
+    val ranges = g.maintain(2L)
+    assert(ranges.map(s => (s.lo, s.hi)) == Seq((0L, 1L)),
+      s"the stray file must not suppress the bootstrap rebuild: $ranges")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mDir/run=0-1/_SUCCESS")),
+      "bootstrap must have written the rebuilt run despite the stray file")
   }
 
   test("ingest loop: a large coverage gap refuses with the capped id list AND the true total") {
