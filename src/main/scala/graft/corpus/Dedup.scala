@@ -572,17 +572,21 @@ object Dedup {
       if (sampleMod <= 1L) docs
       else docs.filter(
         pmod(hash60(col(idCol).cast("string")), lit(sampleMod)) === 0L)
-    // Checkpoint discipline, measured r21 (warm min-of-2 targeted bench):
-    // `exact` is EAGER — the expensive multi-stage jaccardPairs pipeline
-    // feeds 2·|configs| concurrent branches, and pinning it up front
-    // measured sweep 3.71 s / eval 2.44 s vs 4.07 / 2.96 lazy. `sigs` and
-    // the per-config `cand` stay LAZY — their branches overlap fine under
-    // AQE (block-level locks prevent duplicate compute), and the
-    // all-eager variant serialized the materialization waves (4.79 /
-    // 5.12 s). Broadcasting `exact` into the TP join was also measured
-    // and REJECTED: per-config broadcast builds re-ran the pipeline
-    // (24.5 s lazy) or serialized it (6.07 s eager); AQE already converts
-    // these tiny joins after the (tiny) shuffles.
+    // Checkpoint discipline, measured r21: `exact` is EAGER — the
+    // expensive multi-stage jaccardPairs pipeline feeds 2·|configs|
+    // concurrent branches. At sf0.1 an interleaved min-of-3 warm A/B is
+    // a WASH (sweep 3.61 vs 3.33, eval 2.78 vs 2.60 — inside host
+    // scatter); kept on the dedup_transitivity precedent, where the same
+    // lazy-vs-eager choice under multi-branch consumption of an
+    // expensive pipeline measured 89 s vs 39 s at the 500k-doc probe.
+    // `sigs` and the per-config `cand` stay LAZY — their branches
+    // overlap fine under AQE (block-level locks prevent duplicate
+    // compute), and the all-eager variant serialized the materialization
+    // waves (4.79 / 5.12 s vs ~4.07 / 2.96 same-session). Broadcasting
+    // `exact` into the TP join was measured and REJECTED: per-config
+    // broadcast builds re-ran the pipeline (24.5 s lazy) or serialized
+    // it (6.07 s eager); AQE already converts these tiny joins after the
+    // (tiny) shuffles.
     val exact = jaccardPairs(sampled, idCol, textCol, k, threshold)
       .select(col("d1"), col("d2")).localCheckpoint(true)
     val sigs = minhashSignatures(sampled, idCol, textCol, k, numHashes)

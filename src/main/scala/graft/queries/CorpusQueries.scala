@@ -806,9 +806,19 @@ object CorpusQueries {
     // they can fan out df² pairs — the same hot-key bound as the exact
     // jaccard postings join, shared knob and all.
     "corpus_winnow_overlap" -> ((spark, dir) => {
+      // EAGER checkpoint after the fp repartition (r21): the winnow
+      // pipeline (posexplode + two window sorts + distinct) feeds the df
+      // census, the cap join, AND both self-join sides, and the join's
+      // pushed-down isnotnull filters break exchange-reuse identity — the
+      // static plan duplicated the whole pipeline 3x. The checkpoint pins
+      // it once and preserves the fp hash-partitioning, so the census
+      // groupBy and the pair self-join stay exchange-free. Interleaved
+      // min-of-3 warm A/B at sf0.1/local[32]: 1.84 s vs 2.30 s (new wins
+      // every pair: 2.01/2.30, 1.84/2.73, 2.41/3.11).
       val fps = Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text",
           shingleK, winnowW)
         .repartition(col("fp"))
+        .localCheckpoint(true)
       val dfc = fps.groupBy(col("fp")).agg(count(col("doc_id")).as("df"))
       val fk = fps.join(dfc, Seq("fp")).filter(col("df") <= maxShingleDf)
         .select(col("fp"), col("doc_id"))
@@ -1500,8 +1510,9 @@ object CorpusQueries {
       // zero-exchange hash join; brute is an EAGER checkpoint, so the
       // broadcast collects from cache (broadcasting a LAZY checkpoint
       // re-runs its pipeline inside the build — measured 24.5 s on
-      // lshSweep). Local effect at sf0.1 is within noise (3.22 vs
-      // 3.25 s); the win is the removed per-leg exchanges at scale.
+      // lshSweep). Local effect at sf0.1 is a WASH across repeated warm
+      // A/Bs (host scatter dominates); the win is the removed per-leg
+      // exchanges at scale.
       def report(method: String, approx: DataFrame): DataFrame =
         truth.crossJoin(
             approx.join(broadcast(brute), Seq("query_id", "neighbor_id"))
