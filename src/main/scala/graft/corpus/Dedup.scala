@@ -572,23 +572,25 @@ object Dedup {
       if (sampleMod <= 1L) docs
       else docs.filter(
         pmod(hash60(col(idCol).cast("string")), lit(sampleMod)) === 0L)
-    // Checkpoint discipline, measured r21: `exact` is EAGER — the
-    // expensive multi-stage jaccardPairs pipeline feeds 2·|configs|
-    // concurrent branches. At sf0.1 an interleaved min-of-3 warm A/B is
-    // a WASH (sweep 3.61 vs 3.33, eval 2.78 vs 2.60 — inside host
-    // scatter); kept on the dedup_transitivity precedent, where the same
-    // lazy-vs-eager choice under multi-branch consumption of an
-    // expensive pipeline measured 89 s vs 39 s at the 500k-doc probe.
-    // `sigs` and the per-config `cand` stay LAZY — their branches
-    // overlap fine under AQE (block-level locks prevent duplicate
-    // compute), and the all-eager variant serialized the materialization
-    // waves (4.79 / 5.12 s vs ~4.07 / 2.96 same-session). Broadcasting
-    // `exact` into the TP join was measured and REJECTED: per-config
-    // broadcast builds re-ran the pipeline (24.5 s lazy) or serialized
-    // it (6.07 s eager); AQE already converts these tiny joins after the
+    // Checkpoint discipline, measured r21 at BOTH scales — keep every
+    // shared frame LAZY. Eager-pinning `exact` (it feeds 2·|configs|
+    // concurrent branches) was a wash at sf0.1 (interleaved min-of-3:
+    // sweep 3.61 vs 3.33, eval 2.78 vs 2.60) and a 2.3x REGRESSION at
+    // the 500k-doc probe (sweep 121.5 s vs 53.4 s): lazy lets the
+    // branches overlap the pairs pipeline with the signature/banding
+    // work while block-level locks prevent duplicate compute, whereas
+    // the eager pin is a blocking barrier before any config starts.
+    // (Contrast dedup_transitivity, where the eager pin won 89 s vs
+    // 39 s — its five consumer branches re-ran a checkpointed-input-
+    // free 3-pass pipeline; here the pipeline's own inner checkpoints
+    // already bound the re-run cost.) The all-eager variant was also
+    // measured worse (4.79/5.12 s same-session), and broadcasting
+    // `exact` into the TP join was REJECTED: per-config broadcast
+    // builds re-ran the pipeline (24.5 s lazy) or serialized it
+    // (6.07 s eager); AQE already converts these tiny joins after the
     // (tiny) shuffles.
     val exact = jaccardPairs(sampled, idCol, textCol, k, threshold)
-      .select(col("d1"), col("d2")).localCheckpoint(true)
+      .select(col("d1"), col("d2")).localCheckpoint(false)
     val sigs = minhashSignatures(sampled, idCol, textCol, k, numHashes)
       .localCheckpoint(false)
     rowsPerBandConfigs.map { r =>

@@ -1501,21 +1501,17 @@ object CorpusQueries {
       val brute = Await.result(bruteFut, 10.minutes)
       val truth = brute.agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"))
-      // broadcast(brute) (r21, guide §3.1): the truth frame is k rows per
-      // stride-sampled probe query — bounded small at ANY corpus size by
-      // construction — but it is a checkpointed LogicalRDD with no size
-      // stats, so the static planner gave every leg's hit join a
-      // SortMergeJoin (2 exchanges + sorts each, 8 total; AQE only
-      // rewrites the join AFTER paying the shuffles). The hint pins the
-      // zero-exchange hash join; brute is an EAGER checkpoint, so the
-      // broadcast collects from cache (broadcasting a LAZY checkpoint
-      // re-runs its pipeline inside the build — measured 24.5 s on
-      // lshSweep). Local effect at sf0.1 is a WASH across repeated warm
-      // A/Bs (host scatter dominates); the win is the removed per-leg
-      // exchanges at scale.
+      // NO broadcast hint on the hit joins — measured r21 at both
+      // scales: broadcast(brute) was a wash at sf0.1 and a +21%
+      // regression at the 200k-vector probe (68.5 s vs 56.7 s) — the
+      // truth frame is k rows per stride-sampled probe query, which
+      // GROWS with the corpus under a fixed stride, and four broadcast
+      // builds serialize through the driver while the plain joins ride
+      // AQE's runtime SMJ->BHJ conversion only when a side is actually
+      // small. Keep the planner's choice.
       def report(method: String, approx: DataFrame): DataFrame =
         truth.crossJoin(
-            approx.join(broadcast(brute), Seq("query_id", "neighbor_id"))
+            approx.join(brute, Seq("query_id", "neighbor_id"))
               .agg(coalesce(count(lit(1)), lit(0L)).as("n_hits")))
           .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
             col("n_hits"),
