@@ -16,7 +16,9 @@ object DumpPlans {
     val suffix = args(1)
     val names = args(2).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default kept in lockstep with Bench.scala ("4"): a plan dumped with
+    // different default knobs is not the plan a default-knob bench runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,9 +30,13 @@ object DumpPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a scripted dump that silently produced no file (misspelled name,
+    // per-query failure) must not look successful — track and exit 1
+    var nFailed = 0
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"[plans] unknown query: $name")
+        case None =>
+          System.err.println(s"[plans] unknown query: $name"); nFailed += 1
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -42,6 +48,7 @@ object DumpPlans {
             println(s"[plans] wrote $outDir/${name}_$suffix.txt")
           } catch { case e: Throwable =>
             System.err.println(s"[plans] $name failed: ${e.getMessage}")
+            nFailed += 1
           }
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values
@@ -49,5 +56,9 @@ object DumpPlans {
       }
     }
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[plans] $nFailed of ${names.size} requested dumps failed")
+      sys.exit(1)
+    }
   }
 }

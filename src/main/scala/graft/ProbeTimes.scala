@@ -12,7 +12,9 @@ object ProbeTimes {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default kept in lockstep with Bench.scala ("4") so probe plans match
+    // what a default-knob bench run executes
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,17 +61,38 @@ object ProbeTimes {
             if (report) println(s"  -- $name pass 2 jobs --")
             val t0 = System.nanoTime()
             val df = fn(spark, sfDir)
-            df.count()
+            // drive the SAME QueryExecution the walk below inspects:
+            // df.count() would build (and execute) a separate pruned plan,
+            // leaving this one unexecuted — zero metrics, no AQE stages.
+            // executedPlan.execute() computes every column (the guide
+            // §1.4 noop-sink stance) and populates the walked metrics.
+            val qe = df.queryExecution
+            qe.executedPlan.execute().count()
             val t = (System.nanoTime() - t0) / 1e9
+            // stop listener println I/O immediately: late-finishing jobs
+            // (cleanup, the next query's pass 1) must not interleave into
+            // later output, and the map must not retain end-less jobs
+            logJobs = false
+            jobs.clear()
             if (report) {
-              val plan = df.queryExecution.executedPlan
+              val plan = qe.executedPlan
               def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
                 val ms = p.metrics.toSeq
                   .filter { case (_, m) => m.value > 0 }
                   .sortBy(_._1)
                   .map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
                 println(f"${"  " * d}${p.nodeName}%-40s $ms")
-                p.children.foreach(walk(_, d + 1))
+                // descend through the adaptive wrapper and query stages,
+                // or the walk stops at "AdaptiveSparkPlan" with no children
+                // and the FINAL (post-reuse) plan is never shown
+                p match {
+                  case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                    walk(a.executedPlan, d + 1)
+                  case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                    walk(s.plan, d + 1)
+                  case _ =>
+                    p.children.foreach(walk(_, d + 1))
+                }
                 p.subqueries.foreach(walk(_, d + 1))
               }
               walk(plan, 1)
