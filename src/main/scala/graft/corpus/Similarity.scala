@@ -191,8 +191,9 @@ object Similarity {
     * [[filteredTopK]] with an always-true corpus predicate so the
     * scoring/tie-break/ranking tail exists exactly once. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame =
-    filteredTopK(emb, idCol, vecCol, queryPred, lit(true), k)
+                     queryPred: Column, k: Int,
+                     queryRows: Option[DataFrame] = None): DataFrame =
+    filteredTopK(emb, idCol, vecCol, queryPred, lit(true), k, queryRows)
 
   /** Metadata-filtered ANN — the retrieval pattern where a query carries
     * a structured predicate ("only docs with license X / label Y")
@@ -204,8 +205,13 @@ object Similarity {
     * scored or shuffled; the query side broadcasts exactly as in
     * [[bruteForceTopK]]. */
   def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
-                   queryPred: Column, corpusPred: Column, k: Int): DataFrame = {
-    val queries = emb.filter(queryPred)
+                   queryPred: Column, corpusPred: Column, k: Int,
+                   queryRows: Option[DataFrame] = None): DataFrame = {
+    // queryRows: the rows of emb.filter(queryPred), pre-materialized by a
+    // caller running several legs over the SAME query set — one corpus
+    // scan for the query side instead of one per leg. Must be exactly
+    // that filter's rows; results are identical either way.
+    val queries = queryRows.getOrElse(emb.filter(queryPred))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         normUdf(col(vecCol)).as("qnrm"))
     val scored = Dedup.fanout(emb.filter(corpusPred))
@@ -435,13 +441,14 @@ object Similarity {
     * [[bruteForceTopK]] (query side broadcast, big side streams once),
     * but every comparison runs on int8-range integers. */
   def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int): DataFrame = {
+              queryPred: Column, k: Int,
+              queryRows: Option[DataFrame] = None): DataFrame = {
     // cosine is undefined for zero vectors — both sides drop them (codes
     // all zero ⇒ squared norm 0), keeping the score NaN-free
     val coded = sq8Codes(Dedup.fanout(emb), idCol, vecCol)
       .withColumn("nsq", dotQ(col("codes"), col("codes")))
       .filter(col("nsq") > 0)
-    val queries = sq8Codes(emb.filter(queryPred), idCol, vecCol)
+    val queries = sq8Codes(queryRows.getOrElse(emb.filter(queryPred)), idCol, vecCol)
       .withColumn("qnsq", dotQ(col("codes"), col("codes")))
       .filter(col("qnsq") > 0)
       .select(col(idCol).as("query_id"), col("codes").as("qcodes"), col("qnsq"))
@@ -676,7 +683,8 @@ object Similarity {
     * same contract as SQ8/IVF. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
              m: Int, kSub: Int, iters: Int, topK: Int,
-             trainPred: Column = lit(true)): DataFrame = {
+             trainPred: Column = lit(true),
+             queryRows: Option[DataFrame] = None): DataFrame = {
     val codebooks = pqCodebooks(emb, idCol, vecCol, m, kSub, iters, trainPred)
     if (codebooks.exists(_.isEmpty))  // empty corpus → empty result, typed
       return emb.select(col(idCol).as("query_id"), lit(1).as("rank"),
@@ -692,7 +700,8 @@ object Similarity {
           zip_with(slice(col("qvec"), j * lit(dsub) + 1, lit(dsub)), cvec,
             (a, b) => a.cast("double") * b),
           lit(0.0), (acc, x) => acc + x)))
-    val queries = embQ.filter(queryPred)
+    val queries = queryRows.fold(embQ.filter(queryPred))(
+        q => pqQuantized(q, idCol, vecCol))
       .select(col(idCol).as("query_id"), col("qvec"))
       .withColumn("lut", lut)
       .select("query_id", "lut")
@@ -718,14 +727,15 @@ object Similarity {
   def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, m: Int, kSub: Int, iters: Int,
                      topK: Int, shortlist: Int,
-                     trainPred: Column = lit(true)): DataFrame = {
+                     trainPred: Column = lit(true),
+                     queryRows: Option[DataFrame] = None): DataFrame = {
     val cand = pqTopK(emb, idCol, vecCol, queryPred, m, kSub, iters, shortlist,
-      trainPred)
+      trainPred, queryRows)
       .select(col("query_id"), col("neighbor_id"))
     // queryPred filters the FULL-column frame (every sibling API's
     // contract) — filtering a projection narrowed to (id, vec, nrm)
     // would crash on any metadata-column predicate
-    val queries = emb.filter(queryPred)
+    val queries = queryRows.getOrElse(emb.filter(queryPred))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         normUdf(col(vecCol)).as("qnrm"))
     val scored = cand
@@ -744,8 +754,9 @@ object Similarity {
     * against the 1/|buckets| work reduction, exactly like FAISS IVF with
     * nprobe=1. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-              queryPred: Column, k: Int): DataFrame = {
-    val queries = emb.filter(queryPred)
+              queryPred: Column, k: Int,
+              queryRows: Option[DataFrame] = None): DataFrame = {
+    val queries = queryRows.getOrElse(emb.filter(queryPred))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         col(bucketCol).as("qbucket"), normUdf(col(vecCol)).as("qnrm"))
     ivfRankJoin(emb, idCol, vecCol, col(bucketCol), queries, k)
@@ -778,8 +789,9 @@ object Similarity {
     * broadcast — the big side still streams once. */
   def ivfTopKProbes(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Double]], nprobe: Int,
-                    queryPred: Column, k: Int): DataFrame = {
-    val queries = emb.filter(queryPred)
+                    queryPred: Column, k: Int,
+                    queryRows: Option[DataFrame] = None): DataFrame = {
+    val queries = queryRows.getOrElse(emb.filter(queryPred))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         explode(VectorExpr.nearestCentroidsF(col(vecCol), centroids, nprobe))
           .as("qbucket"),

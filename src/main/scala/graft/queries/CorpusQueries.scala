@@ -202,6 +202,25 @@ object CorpusQueries {
     // WORSE at the 500k-doc probe: the per-row md5/conv/substring cost
     // of 66M hashes swamps what the narrower shuffle saves. Strings it
     // is.)
+    // The duplicated-explode question (r21 item 9 → r22 item 1, now
+    // CLOSED as a two-scale reproduced null): the plan runs the bigram
+    // explode twice and the unigram explode twice. r22 pinned the true
+    // de-canonicalizer — the final left-outer join pushes
+    // isnotnull(doc_id) below the shared bg exchange on the probe side
+    // only (NOT a bg-key filter, as r21 guessed), and the V branch
+    // additionally prunes its partial agg to keys-only. Both repairs
+    // were built and runtime-verified (hoisted isnotnull → AQE
+    // ReusedExchange, bigram Generate runs once; eager checkpoint of
+    // the vocab-bounded unigram census → unigram explode once;
+    // plans/r22/*_before/after.txt), then measured at sf0.1
+    // (interleaved min-of-3) AND the 500k-doc gen_sf1 probe (3 pairs +
+    // 2 pairs): every comparison was a wash or a small regression —
+    // the duplicated branches overlap on non-saturated cores while the
+    // deduped plan serializes its consumers behind one map stage, and
+    // the eager census pin is a blocking job wave. Both reverted; see
+    // OPTIMIZATION_r22.md for the full evidence table. At a genuinely
+    // saturated cluster the hoist halves explode+shuffle-write work —
+    // re-evaluate there, with this diagnosis in hand.
     val occ = Dedup.fanout(d)
       .select(col("doc_id"), explode(T.kgrams(col("text"), 2)).as("bg"))
       .repartition(col("bg"))
@@ -800,21 +819,24 @@ object CorpusQueries {
 
     // Winnowing as a detector: doc pairs sharing >= 2 selected
     // fingerprints — the cheap cross-version / cross-doc overlap scan
-    // the fingerprint artifact exists for (MOSS's match step). One
-    // fp-keyed exchange feeds the df census AND the postings self-join
-    // (ReuseExchange); the df cap drops boilerplate fingerprints before
-    // they can fan out df² pairs — the same hot-key bound as the exact
-    // jaccard postings join, shared knob and all.
+    // the fingerprint artifact exists for (MOSS's match step). The df
+    // cap drops boilerplate fingerprints before they can fan out df²
+    // pairs — the same hot-key bound as the exact jaccard postings
+    // join, shared knob and all.
     "corpus_winnow_overlap" -> ((spark, dir) => {
       // EAGER checkpoint after the fp repartition (r21): the winnow
       // pipeline (posexplode + two window sorts + distinct) feeds the df
       // census, the cap join, AND both self-join sides, and the join's
       // pushed-down isnotnull filters break exchange-reuse identity — the
       // static plan duplicated the whole pipeline 3x. The checkpoint pins
-      // it once and preserves the fp hash-partitioning, so the census
-      // groupBy and the pair self-join stay exchange-free. Interleaved
-      // min-of-3 warm A/B at sf0.1/local[32]: 1.84 s vs 2.30 s (new wins
-      // every pair: 2.01/2.30, 1.84/2.73, 2.41/3.11).
+      // it once: the win is pipeline dedup (after-plan: 0 Window/
+      // posexplode nodes vs 20, 14 Exchanges vs 34 — plans/r21/). Catalyst
+      // drops the checkpoint's fp-partitioning (Scan ExistingRDD reports
+      // unknown partitioning), so the census groupBy and the self-join
+      // still re-shuffle above it; those exchanges are the retained cost,
+      // paid on the deduped 1x pipeline. Interleaved min-of-3 warm A/B at
+      // sf0.1/local[32]: 1.84 s vs 2.30 s (new wins every pair: 2.01/2.30,
+      // 1.84/2.73, 2.41/3.11); 500k-doc probe 32.7 → 8.9/10.7 s.
       val fps = Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text",
           shingleK, winnowW)
         .repartition(col("fp"))
@@ -1478,23 +1500,39 @@ object CorpusQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.DurationInt
+      // r22 (VERDICT item 7): pin the stride-sampled query frame ONCE
+      // (eager — the r21 lshSweep lesson forbids broadcasting lazy
+      // checkpoints; bounded at |corpus|/stride rows) and pass it to all
+      // five legs, which otherwise each re-scan the corpus for their
+      // query side — a modulo predicate can never prune row-groups, so
+      // at scale that is five full passes for one stride sample. Results
+      // identical (SimilaritySpec "queryRows pre-materialization").
+      // Two-scale A/B: sf0.1 wash over 4 interleaved pairs (3.05/3.05,
+      // 3.04/3.09, 2.73/2.73, 3.05/3.20); sf1 200k-vector probe -4%
+      // mean, pinned wins 5 of 6 passes (45.5/50.0, 51.6/53.4,
+      // 54.2/53.5).
+      val qRows = Some(e.filter(qPred).localCheckpoint(true))
       val bruteFut = Future(
-        pair(Similarity.bruteForceTopK(e, "vec_id", "embedding", qPred, annK))
+        pair(Similarity.bruteForceTopK(e, "vec_id", "embedding", qPred, annK,
+          qRows))
           .localCheckpoint())
       val legs: Seq[(String, () => DataFrame)] = Seq(
         ("ivf", () =>
-          pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred, annK))),
+          pair(Similarity.ivfTopK(e, "vec_id", "embedding", "label", qPred,
+            annK, qRows))),
         ("ivf_multiprobe", () =>
           pair(Similarity.ivfTopKProbes(e, "vec_id", "embedding",
-            trainedCentroids(e), 3, qPred, annK))),
+            trainedCentroids(e), 3, qPred, annK, qRows))),
         ("pq_rerank", () =>
           pair(Similarity.pqTopKReranked(e, "vec_id", "embedding", qPred,
             m = pqM, kSub = pqKSub, iters = pqIters, topK = annK,
             shortlist = pqShortlist,
             trainPred =
-              pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L))),
+              pmod(T.hash60(col("vec_id").cast("string")), lit(pqTrainMod)) === 0L,
+            queryRows = qRows))),
         ("sq8", () =>
-          pair(Similarity.sq8TopK(e, "vec_id", "embedding", qPred, annK))))
+          pair(Similarity.sq8TopK(e, "vec_id", "embedding", qPred, annK,
+            qRows))))
       val materialized = legs.map { case (m, f) =>
         (m, Future(f().localCheckpoint()))
       }

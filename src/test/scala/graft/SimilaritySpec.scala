@@ -404,4 +404,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaPred.map(_.map(_.toSeq).toSeq).toSeq ==
       viaFilter.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("queryRows pre-materialization is row-identical to the predicate path on every leg") {
+    // the r22 shared-query-pin contract: passing emb.filter(pred) rows
+    // (here via an eager localCheckpoint, as ann_recall_report would)
+    // must change NOTHING about any leg's output
+    val rnd = new scala.util.Random(13)
+    val real = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val pred = pmod(col("vec_id"), lit(5)) === 0
+    val qrows = Some(real.filter(pred).localCheckpoint(true))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val k = 3
+    assert(rows(Similarity.bruteForceTopK(real, "vec_id", "embedding", pred, k)) ==
+      rows(Similarity.bruteForceTopK(real, "vec_id", "embedding", pred, k, qrows)))
+    assert(rows(Similarity.ivfTopK(real, "vec_id", "embedding", "label", pred, k)) ==
+      rows(Similarity.ivfTopK(real, "vec_id", "embedding", "label", pred, k, qrows)))
+    val cents = Array(Array.fill(8)(0.5), Array.fill(8)(-0.5))
+    assert(rows(Similarity.ivfTopKProbes(real, "vec_id", "embedding", cents, 2, pred, k)) ==
+      rows(Similarity.ivfTopKProbes(real, "vec_id", "embedding", cents, 2, pred, k, qrows)))
+    assert(rows(Similarity.sq8TopK(real, "vec_id", "embedding", pred, k)) ==
+      rows(Similarity.sq8TopK(real, "vec_id", "embedding", pred, k, qrows)))
+    assert(rows(Similarity.pqTopKReranked(real, "vec_id", "embedding", pred,
+        m = 4, kSub = 4, iters = 1, topK = k, shortlist = 6)) ==
+      rows(Similarity.pqTopKReranked(real, "vec_id", "embedding", pred,
+        m = 4, kSub = 4, iters = 1, topK = k, shortlist = 6, queryRows = qrows)))
+  }
 }
