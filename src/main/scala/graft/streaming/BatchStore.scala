@@ -513,8 +513,10 @@ object BatchStore {
         val natural = src.rdd.getNumPartitions
         val width = math.min(math.max(1, natural), math.max(natural / 4,
           spark.sessionState.conf.numShufflePartitions))
-        src.coalesce(width)
-          .write.mode("overwrite").parquet(s"$storeDir/$name")
+        StreamTuning.labeled(spark, s"$label store compaction: $name " +
+            s"(${ms.size} sources)")(
+          src.coalesce(width)
+            .write.mode("overwrite").parquet(s"$storeDir/$name"))
         // The marker IS the run's completion stamp: if the committer was
         // configured not to write it (mapreduce.fileoutputcommitter.
         // marksuccessfuljobs=false, a common object-store tuning),

@@ -233,7 +233,8 @@ object NearDupIngest {
       // join and the admitted-postings write (hashed — see batchPostings)
       val bp = batchPostings(batch, idCol, textCol, k).persist()
       try {
-        val nPostings = bp.count()
+        val nPostings = StreamTuning.labeled(spark,
+          s"neardup b$batchId: batch postings materialize")(bp.count())
         require(nPostings <= maxBatchPostings,
           s"micro-batch carries $nPostings postings rows — beyond the " +
             s"$maxBatchPostings fence in front of the pinned broadcast " +
@@ -253,7 +254,10 @@ object NearDupIngest {
         val admitted = admitAgainstPostings(sp, batch, bp, idCol, threshold)
           .persist()
         try {
-          admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          StreamTuning.labeled(spark,
+            s"neardup b$batchId: admission join + corpus write")(
+            admitted.write.mode("overwrite")
+              .parquet(s"$corpusDir/batch=$batchId"))
           g.append(batchId)
           // the admitted docs' postings, filtered from the batch postings
           // already in hand — never re-derived from text. Coalesced to the
@@ -268,11 +272,13 @@ object NearDupIngest {
           // extra shuffle.
           val outParts = math.max(1,
             spark.conf.get("spark.sql.shuffle.partitions").toInt)
-          bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
-              "left_semi")
-            .coalesce(outParts)
-            .write.mode("overwrite")
-            .parquet(s"${postingsDir(corpusDir)}/batch=$batchId")
+          StreamTuning.labeled(spark,
+            s"neardup b$batchId: admitted postings write")(
+            bp.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"),
+                "left_semi")
+              .coalesce(outParts)
+              .write.mode("overwrite")
+              .parquet(s"${postingsDir(corpusDir)}/batch=$batchId"))
           m.completed(batchId)
           g.completed(batchId)
         } finally { admitted.unpersist(false); () }

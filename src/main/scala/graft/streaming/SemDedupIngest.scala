@@ -579,10 +579,12 @@ object SemDedupIngest {
       readSourceData(spark, root, sources.filter(!_.isRun), "batch", LongType),
       readSourceData(spark, root, sources.filter(_.isRun), "run", StringType)
     ).flatten
-    frames.reduce(_.union(_))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(runPath.toString)
+    StreamTuning.labeled(spark, s"semdedup store compaction: $name " +
+        s"(${sources.size} sources)")(
+      frames.reduce(_.union(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(runPath.toString))
     val merged = scala.collection.mutable.Map[Int, (Double, Long)]()
     val sumDir = new org.apache.hadoop.fs.Path(summaryDir(corpusDir))
     sources.foreach { src =>
@@ -783,7 +785,8 @@ object SemDedupIngest {
       if (!warm)
         requireCellsCoverCorpus(corpusDir, corpusRanges, batchId, sources)
 
-      val bv = collectBatch(batch, idCol, vecCol, maxBatch)
+      val bv = StreamTuning.labeled(spark, s"semdedup b$batchId: collect batch")(
+        collectBatch(batch, idCol, vecCol, maxBatch))
       val units: Array[Array[Double]] = bv.vecs.map(unitOrNull)
       if (centsCache.isEmpty)
         centsCache = loadOrTrainCentroids(spark, corpusDir, units, cells)
@@ -819,13 +822,16 @@ object SemDedupIngest {
                   bv.vecs(0).length, nPaths)
                 val slice =
                   if (parts > estSplits) cells.repartition(parts) else cells
-                refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
-                  threshold)
+                StreamTuning.labeled(spark,
+                  s"semdedup b$batchId: probe scan ($probedMembers members)")(
+                  refusedIds(slice.select(col("_vec").as(vecCol)), vecCol, bv,
+                    threshold))
             }
         }
 
-      antiJoinRefused(batch, idCol, refused)
-        .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      StreamTuning.labeled(spark, s"semdedup b$batchId: corpus write")(
+        antiJoinRefused(batch, idCol, refused)
+          .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId"))
       g.append(batchId)
 
       // The admitted rows' index twin (cells + radii are k·dim driver
@@ -847,14 +853,15 @@ object SemDedupIngest {
         writeIndexFiles(spark, corpusDir, batchId,
           admittedIdx.groupBy(cellOf), bv)
       else
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              admittedIdx.map(i => Row(bv.ids(i), bv.vecs(i).toSeq, cellOf(i))),
-              math.max(1, admittedIdx.length / (1 << 16))),
-            cellRowSchema.add("cell", IntegerType))
-          .repartition(col("cell")) // one encode task per cell
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"${cellsDir(corpusDir)}/batch=$batchId")
+        StreamTuning.labeled(spark, s"semdedup b$batchId: index write")(
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                admittedIdx.map(i => Row(bv.ids(i), bv.vecs(i).toSeq, cellOf(i))),
+                math.max(1, admittedIdx.length / (1 << 16))),
+              cellRowSchema.add("cell", IntegerType))
+            .repartition(col("cell")) // one encode task per cell
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"${cellsDir(corpusDir)}/batch=$batchId"))
 
       val sums = scala.collection.mutable.Map[Int, (Double, Long)]()
       admittedIdx.foreach { i =>

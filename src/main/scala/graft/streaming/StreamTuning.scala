@@ -31,6 +31,15 @@ object StreamTuning {
 
   val streamingShufflePartitions = 8
 
+  /** Label every Spark job `body` launches (guide §1.5) so the ingest
+    * loops' per-batch phases are attributable in the UI / job listeners —
+    * the r22 sf1 probe of the compaction twins produced 15-20 s jobs
+    * nobody could name. Thread-local, restored on exit. */
+  def labeled[A](spark: SparkSession, desc: String)(body: => A): A = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   def withStreamingConf[A](spark: SparkSession)(body: => A): A = {
     val conf = spark.conf
     val prevParts = conf.get("spark.sql.shuffle.partitions")
